@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * All engine queries take the scale-factor directory as a parameter so the
+  * same code runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench) —
+  * and, at production scale, any parquet layout with these schemas. Reads
+  * are plain `spark.read.parquet`, so Catalyst handles column pruning and
+  * predicate pushdown into the scan.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.parquet stores TIMESTAMP(NANOS); Spark only reads those as
+    * LONG (spark.sql.legacy.parquet.nanosAsLong=true, set by every session
+    * builder in this repo). Normalize to a micros TIMESTAMP here with
+    * integer division so epoch-nanos (~1.7e18, beyond double's 53-bit
+    * mantissa) never round-trip through a double. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One verifiable engine query: a DataFrame program plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  * Column names/aliases must match between the two — the driver's compare
+  * sorts columns by name before hashing.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+  def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+}

@@ -1,0 +1,358 @@
+package graft.rel
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface (SURVEY.md §2), expressed as declarative
+  * DataFrame programs so Catalyst gets predicate pushdown, column pruning,
+  * join selection, partial aggregation and whole-stage codegen for free.
+  * Every query here has a DuckDB oracle — this set IS the correctness gate
+  * for the engine's relational operators.
+  *
+  * Scale notes (100 TB design intent, verified on sf0.1):
+  *  - dimension tables (region/nation/supplier) are broadcast explicitly;
+  *    mid-size dims (customer/orders at small SF) are left to AQE's
+  *    size-based broadcast decision so the same code shuffles correctly
+  *    when they outgrow the threshold at real scale.
+  *  - aggregations are partial (map-side combine) automatically via
+  *    HashAggregate(partial) -> Exchange -> HashAggregate(final).
+  *  - every filter/projection is a Column expression (no UDFs), so it is
+  *    pushed into the parquet scan.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1 flavor: wide scan -> hash agg. Exercises A-1/A-6/A-7/A-8. */
+  val q1Agg: Q = Q(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice) AS sum_base_price,
+      |  sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+      |  avg(l_quantity) AS avg_qty,
+      |  avg(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q5 flavor: 5-way join with small-dim broadcasts. */
+  val q2JoinRevenue: Q = Q(
+    "q2_join_revenue",
+    """SELECT n_name,
+      |  sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(r("r_name") === "ASIA")
+      .groupBy(n("n_name"))
+      .agg(
+        sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Top-k per key via ranking window (SURVEY W-1 analog, deterministic
+    * tie-break on the unique key). */
+  val q3TopOrders: Q = Q(
+    "q3_top_orders_per_cust",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rk"))
+      .where(col("rk") <= 3)
+  }
+
+  /** union + groupBy-sum — the exact shape of the reference's affinity
+    * symmetrization (TSNEHelper.scala:12-16): COO matrix unioned with its
+    * transpose, summed by key. Map-side partial agg handles the 2x blowup. */
+  val q4SymUnionAgg: Q = Q(
+    "q4_sym_union_agg",
+    """WITH coo AS (SELECT l_orderkey AS i, l_partkey AS j, l_quantity AS v
+      |             FROM lineitem),
+      |u AS (SELECT i, j, v FROM coo
+      |      UNION ALL
+      |      SELECT j AS i, i AS j, v FROM coo)
+      |SELECT i, j, sum(v) AS v FROM u GROUP BY i, j""".stripMargin
+  ) { (s, d) =>
+    val coo = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("i"), col("l_partkey").as("j"),
+        col("l_quantity").as("v"))
+    coo.union(coo.select(col("j").as("i"), col("i").as("j"), col("v")))
+      .groupBy("i", "j")
+      .agg(sum(col("v")).as("v"))
+  }
+
+  /** Global sort + limit with unique tie-break (SURVEY O-1/O-2). */
+  val q5SortLimit: Q = Q(
+    "q5_sort_limit",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q6 flavor: selective filters that must reach the parquet scan
+    * as PushedFilters. */
+  val q6FilterRevenue: Q = Q(
+    "q6_filtered_revenue",
+    """SELECT sum(l_extendedprice * l_discount) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+        && col("l_discount").between(0.03, 0.07)
+        && col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Moment statistics per group; population stddev per SURVEY §7.4.5. */
+  val q7Stats: Q = Q(
+    "q7_stats_by_flag",
+    """SELECT l_returnflag,
+      |  avg(l_quantity) AS avg_qty,
+      |  stddev_pop(l_quantity) AS std_qty,
+      |  var_pop(l_quantity) AS var_qty,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        avg(col("l_quantity")).as("avg_qty"),
+        stddev_pop(col("l_quantity")).as("std_qty"),
+        var_pop(col("l_quantity")).as("var_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+  }
+
+  /** explode/UNNEST generator (SURVEY F-11) + agg over generated rows. */
+  val q8TokenCounts: Q = Q(
+    "q8_token_counts",
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      |      FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Exact distinct aggregation (expand + two-phase agg in Spark). */
+  val q9Distinct: Q = Q(
+    "q9_distinct",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Anti join (NOT EXISTS): customers with no mid/high-value orders. */
+  val q10AntiJoin: Q = Q(
+    "q10_customers_no_orders",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).where(col("o_totalprice") > 250000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Semi join (EXISTS): customers with at least one high-value order. */
+  val q11SemiJoin: Q = Q(
+    "q11_customers_high_value",
+    """SELECT c_custkey, c_acctbal FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)""".stripMargin
+  ) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_acctbal")
+  }
+
+  /** ROLLUP grouping sets (subtotals + grand total). */
+  val q12Rollup: Q = Q(
+    "q12_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  /** JSON scalar extraction from the events.props payload. */
+  val q13Json: Q = Q(
+    "q13_json_extract",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+      |  avg(value) AS avg_value
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        avg(get_json_object(col("props"), "$.k").cast("long")).as("avg_k"),
+        avg(col("value")).as("avg_value"))
+  }
+
+  /** Running-sum analytic window with an explicit ROWS frame. */
+  val q14RunningSum: Q = Q(
+    "q14_running_sum",
+    """SELECT user_id, event_id,
+      |  sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS running_value
+      |FROM events""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        sum(col("value")).over(w).as("running_value"))
+  }
+
+  /** lag() analytic: inter-event gap per user in milliseconds. */
+  val q15LagGap: Q = Q(
+    "q15_lag_gap",
+    """SELECT user_id, event_id,
+      |  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+      |                                        ORDER BY ts, event_id)) AS gap_ms
+      |FROM events""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))).as("gap_ms"))
+  }
+
+  /** Range (interval) join: events within 1h after each purchase by the
+    * same user. Equi-key on user_id keeps the join hash-partitioned; the
+    * time predicate filters within partitions — scales linearly with
+    * per-user activity rather than |events|². */
+  val q16RangeJoin: Q = Q(
+    "q16_purchase_follow",
+    """SELECT p.event_id AS p_id, count(e.event_id) AS n_follow
+      |FROM events p
+      |LEFT JOIN events e ON e.user_id = p.user_id
+      |  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val e = ev.select(col("user_id"), col("ts"), col("event_id"))
+    p.join(e,
+        col("p_user") === col("user_id")
+          && col("ts") > col("p_ts")
+          && col("ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "left")
+      .groupBy(col("p_id"))
+      .agg(count(col("event_id")).as("n_follow"))
+  }
+
+  /** Date-part extraction + yearly aggregate. */
+  val q17Yearly: Q = Q(
+    "q17_yearly_orders",
+    """SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+      |  o_orderstatus,
+      |  sum(o_totalprice) AS total, count(*) AS n
+      |FROM orders
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+      .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+  }
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  val q18CaseAgg: Q = Q(
+    "q18_case_agg",
+    """SELECT o_orderstatus,
+      |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END) AS urgent_total,
+      |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN CAST(1 AS BIGINT) ELSE 0 END) AS urgent_n,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        sum(when(col("o_orderpriority").like("1%"), col("o_totalprice")).otherwise(lit(0.0))).as("urgent_total"),
+        sum(when(col("o_orderpriority").like("1%"), lit(1L)).otherwise(lit(0L))).as("urgent_n"),
+        count(lit(1)).as("n"))
+  }
+
+  def all: Seq[Q] = Seq(
+    q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
+    q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
+    q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
+    q16RangeJoin, q17Yearly, q18CaseAgg)
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads <verify_out_dir>/oracle_sql.json, registers each fixture parquet as a
+DuckDB view named after the table, runs each oracle query, and compares
+against the Spark result parquet at <verify_out_dir>/<name>/ — columns
+sorted by name, rows sorted, floats compared with relative tolerance.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def approx_eq(a, b):
+    a, b = norm(a), norm(b)
+    if isinstance(a, float) and isinstance(b, (int, float)):
+        b = float(b)
+        if math.isinf(a) or math.isinf(b):
+            return a == b
+        return abs(a - b) <= 1e-6 * max(1.0, abs(a), abs(b))
+    if isinstance(b, float) and isinstance(a, int):
+        return approx_eq(float(a), b)
+    return a == b
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            )
+            spark_cols = [c[0] for c in spark_rel.description]
+            spark_rows = spark_rel.fetchall()
+            oracle_rel = con.execute(sql)
+            oracle_cols = [c[0] for c in oracle_rel.description]
+            oracle_rows = oracle_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        if sorted(spark_cols) != sorted(oracle_cols):
+            print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(oracle_cols)}")
+            n_fail += 1
+            continue
+        # reorder both to sorted column order, then sort rows
+        s_ix = [spark_cols.index(c) for c in sorted(spark_cols)]
+        o_ix = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+        key = lambda r: tuple((x is None, "NaN" if isinstance(x, float) and math.isnan(x) else x) for x in r)
+        s_rows = sorted([tuple(r[i] for i in s_ix) for r in spark_rows], key=key)
+        o_rows = sorted([tuple(r[i] for i in o_ix) for r in oracle_rows], key=key)
+        if len(s_rows) != len(o_rows):
+            print(f"FAIL {name}: row count {len(s_rows)} != {len(o_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for sr, orow in zip(s_rows, o_rows):
+            if not all(approx_eq(a, b) for a, b in zip(sr, orow)):
+                bad = (sr, orow)
+                break
+        if bad:
+            print(f"FAIL {name}: first row mismatch\n  spark:  {bad[0]}\n  oracle: {bad[1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
