@@ -1,0 +1,108 @@
+package graft.tsne
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Exact k-nearest-neighbors over an (id, features ARRAY<numeric>) frame.
+  *
+  * Reference semantics (X2P.scala:23-32): all-pairs candidate generation
+  * (`cartesian`) followed by per-key top-k (`topByKey`, a bounded priority
+  * queue with map-side partial aggregation). Exact kNN is O(n²) by design
+  * — it is the reference's semantics and our correctness oracle; the
+  * approximate scale path lives in [[graft.ops.SimilaritySearch]].
+  *
+  * Two physical strategies for the same logical result:
+  *
+  *  - [[knnWindow]]: crossJoin → ranking window. Simple and declarative,
+  *    but `Window.partitionBy(i)` shuffles all n² candidate rows.
+  *  - [[knn]] (default): crossJoin → groupBy(i) with a bounded-heap
+  *    [[TopKAggregator]] registered via `udaf`. Spark plans it as an
+  *    ObjectHashAggregate with a partial phase, so each map task emits at
+  *    most k neighbors per key and the shuffle carries O(n·k), not O(n²)
+  *    — the same trick as the reference's `topByKey`. At 1000 executors
+  *    this is the difference between shuffling terabytes and gigabytes.
+  *
+  * Both order by (dist², j) — an explicit deterministic tie-break the
+  * reference leaves to priority-queue order (SURVEY §7.4.4).
+  */
+object KNN {
+
+  /** Normalized input: (id BIGINT, features ARRAY<DOUBLE>). */
+  def prepare(df: DataFrame, idCol: String, featuresCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      asDoubleArray(col(featuresCol)).as("features"))
+
+  /** All ordered pairs (i, j, dist2), i ≠ j. */
+  def pairwise(points: DataFrame): DataFrame = {
+    val a = points.select(col("id").as("i"), col("features").as("fa"))
+    val b = points.select(col("id").as("j"), col("features").as("fb"))
+    a.crossJoin(b)
+      .where(col("i") =!= col("j"))
+      .select(col("i"), col("j"), arraySqDist(col("fa"), col("fb")).as("dist2"))
+  }
+
+  /** Window-based top-k (shuffles all candidates; oracle-matching shape). */
+  def knnWindow(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("i")).orderBy(col("dist2").asc, col("j").asc)
+    pairwise(prepare(df, idCol, featuresCol))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Bounded-heap top-k via partial-aggregating UDAF (default). */
+  def knn(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    pairwise(prepare(df, idCol, featuresCol))
+      .groupBy(col("i"))
+      .agg(topk(col("j"), col("dist2")).as("nbrs"))
+      .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(
+        col("i"),
+        col("nbr.j").as("j"),
+        col("nbr.dist2").as("dist2"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}
+
+/** One neighbor candidate. */
+case class NeighborCand(j: Long, dist2: Double)
+
+/** Keeps the k smallest (dist2, j) pairs. The buffer is a sorted Seq
+  * (k is small — 3·perplexity ≈ 90 — so insertion is cheap); Spark keeps
+  * it as a live object inside ObjectHashAggregate and only serializes at
+  * the shuffle boundary, giving map-side partial top-k exactly like the
+  * reference's bounded-PQ `topByKey` (MLPairRDDFunctions).
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[NeighborCand, Seq[NeighborCand], Seq[NeighborCand]] {
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+
+  private def lt(a: NeighborCand, b: NeighborCand): Boolean =
+    a.dist2 < b.dist2 || (a.dist2 == b.dist2 && a.j < b.j)
+
+  override def zero: Seq[NeighborCand] = Vector.empty
+
+  override def reduce(buf: Seq[NeighborCand], x: NeighborCand): Seq[NeighborCand] =
+    if (buf.length >= k && !lt(x, buf.last)) buf
+    else {
+      val ins = buf.indexWhere(e => lt(x, e)) match {
+        case -1 => buf :+ x
+        case i  => (buf.take(i) :+ x) ++ buf.drop(i)
+      }
+      if (ins.length > k) ins.take(k) else ins
+    }
+
+  override def merge(a: Seq[NeighborCand], b: Seq[NeighborCand]): Seq[NeighborCand] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: Seq[NeighborCand]): Seq[NeighborCand] = buf
+
+  override def bufferEncoder: Encoder[Seq[NeighborCand]] =
+    ExpressionEncoder[Seq[NeighborCand]]()
+
+  override def outputEncoder: Encoder[Seq[NeighborCand]] =
+    ExpressionEncoder[Seq[NeighborCand]]()
+}

@@ -1,0 +1,228 @@
+package graft.tsne
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One sparse-affinity adjacency row: dense point index + sorted neighbor
+  * indices and their symmetrized probabilities. */
+case class AffRow(i: Int, js: Array[Int], ps: Array[Double])
+
+/** Per-iteration callback: (iteration, embedding n×d row-major, loss). */
+object TSNE {
+  type Callback = (Int, Array[Double], Option[Double]) => Unit
+  val NoopCallback: Callback = (_, _, _) => ()
+
+  /** Prepare (id, features) into dense 0..n-1 indices + cached adjacency.
+    *
+    * Dense indices are required because the embedding Y is a driver-side
+    * flat matrix indexed positionally (SURVEY §1.4). The reference gets
+    * them implicitly from `zipWithIndex` partition order — the
+    * nondeterminism hazard flagged in SURVEY §4.3.2; here the mapping is
+    * an explicit, order-defined `row_number() OVER (ORDER BY id)`. The
+    * single-partition window is bounded by n (t-SNE's driver matrix bounds
+    * n anyway); the heavy lifting (kNN, calibration, symmetrization) all
+    * happens on the dense-indexed frame afterwards, fully distributed.
+    */
+  def prepareAffinities(
+      points: DataFrame,
+      idCol: String,
+      featuresCol: String,
+      params: TSNEParams): (Dataset[AffRow], Int, Array[Long]) = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    val indexed = points
+      .select(col(idCol).cast("long").as("orig_id"),
+        graft.functions.VectorFunctions.asDoubleArray(col(featuresCol)).as("features"))
+      .withColumn("id", (row_number().over(Window.orderBy(col("orig_id"))) - 1).cast("long"))
+      .cache()
+    val idMap = indexed.select("orig_id").orderBy("orig_id")
+      .as[Long].collect()
+    val n = idMap.length
+
+    val adj = Affinities.computeP(
+        indexed, n.toLong, "id", "features", params.perplexity, params.tol)
+      .select(
+        col("i").cast("int").as("i"),
+        col("js").cast("array<int>").as("js"),
+        col("ps"))
+      .as[AffRow]
+      .cache()
+    adj.count() // materialize before the iteration loop
+    indexed.unpersist()
+    (adj, n, idMap)
+  }
+
+  /** Driver-side parameter update: adaptive gains, momentum, recentering
+    * (reference TSNEHelper.update, TSNEHelper.scala:31-57). All state is
+    * n×d doubles — driver-local by design. */
+  def update(
+      y: Array[Double], dY: Array[Double], iY: Array[Double], gains: Array[Double],
+      iteration: Int, params: TSNEParams, n: Int, d: Int): Unit = {
+    val momentum =
+      if (iteration <= params.tMomentum) params.initialMomentum else params.finalMomentum
+    var k = 0
+    while (k < y.length) {
+      gains(k) =
+        if ((dY(k) > 0) != (iY(k) > 0)) gains(k) + 0.2
+        else gains(k) * 0.8
+      if (gains(k) < params.minGain) gains(k) = params.minGain
+      iY(k) = momentum * iY(k) - params.eta * gains(k) * dY(k)
+      y(k) += iY(k)
+      k += 1
+    }
+    // recenter each dim to zero mean
+    var dd = 0
+    while (dd < d) {
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += y(i * d + dd); i += 1 }
+      val m = s / n
+      i = 0
+      while (i < n) { y(i * d + dd) -= m; i += 1 }
+      dd += 1
+    }
+  }
+
+  def gaussianInit(n: Int, d: Int, seed: Long, scale: Double): Array[Double] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(n * d)(rng.nextGaussian() * scale)
+  }
+
+  /** Embedding (n×d flat, dense idx) → DataFrame(id, x, y) via idMap. */
+  def toDF(spark: SparkSession, yFlat: Array[Double], idMap: Array[Long], d: Int): DataFrame = {
+    import spark.implicits._
+    idMap.indices.map { i =>
+      (idMap(i), yFlat(i * d), if (d > 1) yFlat(i * d + 1) else 0.0)
+    }.toSeq.toDF("id", "x", "y")
+  }
+}
+
+/** Exact-gradient t-SNE (reference impl/SimpleTSNE.scala). Two Spark jobs
+  * per iteration over the cached adjacency — (1) global Student-t
+  * numerator Z, (2) gradient + KL loss accumulated into an n×d buffer via
+  * `treeAggregate` with in-place adds (the matrix-buffer aggregation
+  * SURVEY A-3/A-4; Catalyst has no matrix-valued aggregate, so the typed
+  * RDD aggregate IS the idiomatic escape hatch here). Exaggeration is a
+  * multiplier applied inside the kernel — never an in-place mutation of
+  * cached data (fixes reference hazard D-5).
+  */
+object SimpleTSNE {
+
+  def tsne(
+      points: DataFrame,
+      idCol: String = "id",
+      featuresCol: String = "features",
+      params: TSNEParams = TSNEParams(),
+      callback: TSNE.Callback = TSNE.NoopCallback): DataFrame = {
+    val spark = points.sparkSession
+    val sc = spark.sparkContext
+    val (adj, n, idMap) = TSNE.prepareAffinities(points, idCol, featuresCol, params)
+    val d = params.dims
+
+    val y = TSNE.gaussianInit(n, d, params.seed, 1.0)
+    val iY = new Array[Double](n * d)
+    val gains = Array.fill(n * d)(1.0)
+
+    val rdd = adj.rdd.cache()
+    rdd.count()
+
+    var iter = 1
+    while (iter <= params.maxIterations) {
+      val exag = if (iter <= params.earlyExaggeration) params.exaggerationFactor else 1.0
+      val bcY = sc.broadcast(y)
+
+      // job 1: Z = Σ_{i≠j} (1 + ‖y_i − y_j‖²)⁻¹ (over row indices; O(n)/row)
+      val sumZ = rdd.treeAggregate(0.0)(
+        seqOp = (acc, row) => acc + TSNEKernels.rowNumeratorSum(bcY.value, n, d, row.i),
+        combOp = _ + _)
+
+      // job 2: (dY, loss)
+      val (dY, loss) = rdd.treeAggregate((new Array[Double](n * d), 0.0))(
+        seqOp = (acc, row) => {
+          val l = TSNEKernels.exactGradientRow(bcY.value, n, d, row, sumZ, exag, acc._1)
+          (acc._1, acc._2 + l)
+        },
+        combOp = (a, b) => {
+          TSNEKernels.addInPlace(a._1, b._1)
+          (a._1, a._2 + b._2)
+        })
+
+      bcY.destroy()
+      TSNE.update(y, dY, iY, gains, iter, params, n, d)
+      callback(iter, y.clone(), Some(loss))
+      iter += 1
+    }
+    rdd.unpersist()
+    adj.unpersist()
+    TSNE.toDF(spark, y, idMap, d)
+  }
+}
+
+/** Barnes-Hut t-SNE (reference impl/BHTSNE.scala): one job per iteration —
+  * treeAggregate of (posF, negF, sumQ); the driver builds the SPTree from
+  * Y (O(n log n) local) and broadcasts tree + Y; dY = posF − negF/sumQ
+  * (reference :66, learning-rate factor absorbed into η).
+  */
+object BHTSNE {
+
+  def tsne(
+      points: DataFrame,
+      idCol: String = "id",
+      featuresCol: String = "features",
+      params: TSNEParams = TSNEParams(maxIterations = 500),
+      callback: TSNE.Callback = TSNE.NoopCallback): DataFrame = {
+    val spark = points.sparkSession
+    val sc = spark.sparkContext
+    val (adj, n, idMap) = TSNE.prepareAffinities(points, idCol, featuresCol, params)
+    val d = params.dims
+
+    val y = TSNE.gaussianInit(n, d, params.seed, 1e-4)
+    val iY = new Array[Double](n * d)
+    val gains = Array.fill(n * d)(1.0)
+
+    val rdd = adj.rdd.cache()
+    rdd.count()
+
+    var iter = 1
+    while (iter <= params.maxIterations) {
+      val exag = if (iter <= params.earlyExaggeration) params.exaggerationFactor else 1.0
+      val wantLoss = params.reportLoss > 0 && iter % params.reportLoss == 0
+      val bcY = sc.broadcast(y)
+      val bcTree = sc.broadcast(SPTree.build(y, n, d))
+
+      val (posF, negF, sumQ, rawLoss) =
+        rdd.treeAggregate((new Array[Double](n * d), new Array[Double](n * d), 0.0, 0.0))(
+          seqOp = (acc, row) => {
+            val q = bcTree.value.nonEdgeForces(
+              TSNEKernels.rowOf(bcY.value, d, row.i), params.theta, acc._2, row.i * d)
+            val l = TSNEKernels.edgeForcesRow(bcY.value, d, row, exag, acc._1, wantLoss)
+            (acc._1, acc._2, acc._3 + q, acc._4 + l)
+          },
+          combOp = (a, b) => {
+            TSNEKernels.addInPlace(a._1, b._1)
+            TSNEKernels.addInPlace(a._2, b._2)
+            (a._1, a._2, a._3 + b._3, a._4 + b._4)
+          })
+
+      bcY.destroy()
+      bcTree.destroy()
+
+      val dY = new Array[Double](n * d)
+      var k = 0
+      while (k < dY.length) { dY(k) = posF(k) - negF(k) / sumQ; k += 1 }
+
+      // KL(P‖Q) with q = num/sumQ: Σ p(log p − log num) + log(sumQ)·Σp,
+      // and Σp = exag (symmetrized P sums to 1 before exaggeration).
+      val loss = if (wantLoss) Some(rawLoss + exag * math.log(sumQ)) else None
+
+      TSNE.update(y, dY, iY, gains, iter, params, n, d)
+      callback(iter, y.clone(), loss)
+      iter += 1
+    }
+    rdd.unpersist()
+    adj.unpersist()
+    TSNE.toDF(spark, y, idMap, d)
+  }
+}
