@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    rel.RelationalQueries.all ++ tsne.TsneQueries.all
+    rel.RelationalQueries.all ++ tsne.TsneQueries.all ++
+      text.TextQueries.all ++ ops.OpsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-corpus pipelines, on a spectrum from
+  * exact to fuzzy. All are shuffle-on-key designs (hash/shingle/band/chunk
+  * joins) — never all-pairs — so they scale linearly with corpus size ×
+  * duplicate density rather than quadratically. Thresholded all-pairs
+  * variants exist only as correctness oracles at fixture scale.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash after normalization (lowercase + first
+    * `prefixChars` chars — catches retyped/re-wrapped copies with a
+    * trailing edit, the dominant pattern in scraped corpora). One
+    * hash-groupBy: map-side partial agg, no joins.
+    * Output: (h, n_dups, canonical_id = min doc_id). */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      prefixChars: Int = 80): DataFrame =
+    docs
+      .groupBy(md5(substring(lower(col(textCol)), 1, prefixChars)).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+      .where(col("n_dups") > 1)
+
+  // ------------------------------------------------- n-gram Jaccard (exact)
+
+  /** Exact n-gram-Jaccard duplicate pairs via inverted shingle join:
+    * explode distinct shingles → self-equi-join on shingle → count common
+    * → Jaccard from |A|+|B|−common. The `maxDf` stop-shingle cut drops
+    * shingles occurring in more than maxDf docs before pairing — at corpus
+    * scale a handful of boilerplate shingles would otherwise create
+    * quadratic hot keys (skew). Pairs are undirected: id_a < id_b. */
+  def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val filtered = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= maxDf),
+      "shingle")
+    val common = filtered.as("a")
+      .join(filtered.as("b"), Seq("shingle"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = docs.select(col(idCol).as("id"), size(shingles(col(textCol), n)).as("sz"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("common").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("common"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- MinHash+LSH
+
+  /** Seeded universal-hash parameters for the MinHash permutations. */
+  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(numHashes)(
+      (math.abs(rng.nextLong()) % (HashMod - 1) + 1, math.abs(rng.nextLong()) % HashMod))
+  }
+
+  /** MinHash signature from a doc's shingle-hash set:
+    * sig_p = min_x (a_p·x + b_p mod 2^31−1). */
+  private[ops] def minhashSig(hs: Seq[Long], params: Array[(Long, Long)]): Array[Long] =
+    params.map { case (a, b) =>
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = (a * hs(i) + b) % HashMod
+        if (v < m) m = v
+        i += 1
+      }
+      if (m == Long.MaxValue) 0L else m
+    }
+
+  /** MinHash+LSH near-duplicate pairs: shingle → 60-bit hash → `numHashes`
+    * minhash signature → `bands` banded buckets → bucket self-join for
+    * candidates → exact Jaccard verification (never trust the sketch
+    * alone). Probability a pair with Jaccard s collides in ≥1 band:
+    * 1 − (1 − s^(numHashes/bands))^bands — at (64, 16): s=0.5 → 0.96,
+    * s=0.3 → 0.55.  Only candidate pairs are verified, so the cost is
+    * duplicate-density-bound, not O(n²). */
+  def minhashLshPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, seed: Long = 42): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val params = hashParams(numHashes, seed)
+    val sigUdf = udf { (hs: Seq[Long]) =>
+      val sig = minhashSig(hs, params)
+      (0 until bands).map { b =>
+        var acc = 1125899906842597L
+        var r = 0
+        while (r < rows) { acc = acc * 31 + sig(b * rows + r); r += 1 }
+        (b, acc)
+      }
+    }
+
+    val withShingles = docs.select(
+      col(idCol).as("id"),
+      transform(shingles(col(textCol), n), s => pmod(md5Hash64(s), lit(HashMod))).as("hs"),
+      shingles(col(textCol), n).as("sh"))
+      .cache()
+
+    val bandsDF = withShingles
+      .select(col("id"), explode(sigUdf(col("hs"))).as("band"))
+      .select(col("id"), col("band._1").as("band_id"), col("band._2").as("band_hash"))
+
+    val cands = bandsDF.as("a")
+      .join(bandsDF.as("b"), Seq("band_id", "band_hash"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    val sets = withShingles.select(col("id"), col("sh"))
+    cands
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------------- SimHash
+
+  /** 60-bit SimHash of the token stream (bit-vote over per-token md5
+    * hashes). Near-dup pairs = Hamming distance ≤ maxHamming, found by
+    * pigeonhole banding: split 60 bits into maxHamming+1 chunks — any
+    * pair within distance maxHamming shares at least one exact chunk, so
+    * an equi-join on (chunk_id, chunk_value) finds all of them. */
+  def simhash(hs: Seq[Long]): Long = {
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < hs.length) {
+      val h = hs(i)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    val simUdf = udf { (hs: Seq[Long]) => simhash(hs) }
+    val chunks = maxHamming + 1
+    val bitsPer = 60 / chunks
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      simUdf(transform(tokens(col(textCol)), t => md5Hash64(t))).as("sim"))
+    // chunk value: bits [chunk_id·bitsPer, (chunk_id+1)·bitsPer)
+    val withChunks = sigs.select(col("id"), col("sim"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
+      .withColumn("chunk_val",
+        expr(s"pmod(shiftright(sim, chunk_id * $bitsPer), ${1L << bitsPer})"))
+    withChunks.as("a")
+      .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity-search operator surface (the LLM-pipeline
+  * extensions). Exact variants are DuckDB-oracle-checked; sketch-based
+  * variants (MinHash LSH, SimHash, hyperplane LSH) are validated by
+  * recall tests against their exact counterparts in DedupSpec /
+  * SimilaritySpec, and run here as rows-only checks. */
+object OpsQueries {
+
+  private val JaccardSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS sh
+      |  FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      |df AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 1000),
+      |ef AS (SELECT e.doc_id, e.shingle FROM e JOIN df USING (shingle)),
+      |cm AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      |  FROM ef a JOIN ef b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS sz FROM s)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+      |  FROM cm
+      |  JOIN sz sa ON cm.id_a = sa.doc_id
+      |  JOIN sz sb ON cm.id_b = sb.doc_id)
+      |WHERE jaccard >= 0.8""".stripMargin
+
+  val exactDups: Q = Q(
+    "dedup_exact_prefix",
+    """SELECT md5(substr(lower(text), 1, 80)) AS h,
+      |  count(*) AS n_dups, min(doc_id) AS canonical_id
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) > 1""".stripMargin
+  ) { (s, d) => Dedup.exactGroups(Tables.documents(s, d)) }
+
+  val jaccardDups: Q = Q("dedup_ngram_jaccard", JaccardSql) { (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.8)
+  }
+
+  val minhashDups: Q = Q.noOracle("dedup_minhash_lsh") { (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.8)
+  }
+
+  val simhashDups: Q = Q.noOracle("dedup_simhash") { (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 5)
+  }
+
+  private val CosineExpr =
+    """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val cosineDups: Q = Q(
+    "dedup_emb_cosine",
+    s"""SELECT id_a, id_b, cosine FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosineExpr AS cosine
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+       |WHERE cosine >= 0.4""".stripMargin
+  ) { (s, d) =>
+    SimilaritySearch.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+  }
+
+  val annTopK: Q = Q(
+    "ann_cosine_topk",
+    s"""SELECT i, j, cosine, rank FROM (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, $CosineExpr AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $CosineExpr DESC, b.vec_id ASC) AS INTEGER) AS rank
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+       |WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
+  }
+
+  val annLsh: Q = Q.noOracle("ann_lsh_topk") { (s, d) =>
+    SimilaritySearch.lshTopK(Tables.embeddings(s, d), k = 5)
+  }
+
+  def all: Seq[Q] = Seq(
+    exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK, annLsh)
+}

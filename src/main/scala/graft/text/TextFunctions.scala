@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines, built from
+  * codegen'd `functions._` array/string expressions (no UDFs on the hot
+  * path — every helper here stays inside whole-stage codegen).
+  *
+  * All hashes are md5-derived so a DuckDB oracle can reproduce them
+  * exactly: h(s) = int(md5(s)[0:15 hex]) — 60 bits, always positive.
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Cross-engine deterministic 60-bit token hash. */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Modulus keeping rolling-hash arithmetic inside 2^36 (ANSI-safe). */
+  val HashMod = 2147483647L // 2^31 − 1
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * the token stream, `fp = Σ fp·31 + h(tok) (mod 2^31−1)`. Detects
+    * exact token-sequence duplicates regardless of whitespace/punct. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => pmod(md5Hash64(t), lit(HashMod))),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % HashMod)
+
+  /** Distinct word n-gram shingles; a document shorter than n tokens
+    * contributes its whole token stream as one shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  // --- language identification (stopword-profile heuristic) ---
+
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with", "was", "are"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "une", "est", "dans", "que", "pour", "avec", "sur", "pas", "ce"),
+    "es" -> Seq("el", "los", "las", "y", "es", "en", "que", "por", "con", "para", "del", "una", "no", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu", "von", "auf", "den", "im"))
+
+  def markerHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(typedLit(Markers(lang)), t)))
+
+  /** Fraction of CJK codepoints — the zh/ja/ko signal that word markers
+    * cannot carry (no whitespace tokenization). */
+  def cjkRatio(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Heuristic language id: 'zh' on CJK density, else argmax of
+    * stopword-marker hits (ties broken en > fr > es > de), 'und' when no
+    * marker fires. Pure column expression — runs inside codegen at any
+    * scale. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val s = Map(
+      "en" -> markerHits(toks, "en"), "fr" -> markerHits(toks, "fr"),
+      "es" -> markerHits(toks, "es"), "de" -> markerHits(toks, "de"))
+    when(cjkRatio(text) > lit(0.15), lit("zh"))
+      .when(s("en") >= s("fr") && s("en") >= s("es") && s("en") >= s("de") && s("en") > 0, lit("en"))
+      .when(s("fr") >= s("es") && s("fr") >= s("de") && s("fr") > 0, lit("fr"))
+      .when(s("es") >= s("de") && s("es") > 0, lit("es"))
+      .when(s("de") > 0, lit("de"))
+      .otherwise(lit("und"))
+  }
+
+  // --- quality scoring ---
+
+  /** Fraction of [a-z0-9 ] chars after lowercasing (penalizes markup,
+    * control chars, encoding garbage). */
+  def alnumRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Type-token ratio (vocabulary diversity; boilerplate repeats). */
+  def distinctTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** English stopword ratio — natural prose sits near ~0.4; 0 or ≫0.6
+    * signals keyword lists / boilerplate. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    markerHits(toks, "en").cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.3·min(nTokens/50, 1) + 0.3·TTR + 0.2·alnumRatio + 0.2·stopFit
+    * where stopFit = 1 − |stopRatio − 0.35|/0.35 clamped to [0,1].
+    * The weights are a documented editorial choice, not learned. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val stopFit = greatest(
+      lit(0.0), lit(1.0) - abs(stopwordRatio(text) - lit(0.35)) / lit(0.35))
+    lit(0.3) * lenScore + lit(0.3) * distinctTokenRatio(text) +
+      lit(0.2) * alnumRatio(text) + lit(0.2) * stopFit
+  }
+}

@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.{Q, Tables}
+import graft.text.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator surface over the documents fixture. */
+object TextQueries {
+
+  /** Per-document statistics (token count, type-token ratio, alnum
+    * ratio) — all codegen'd column expressions, oracle-checked. */
+  val textStats: Q = Q(
+    "text_stats",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS ttr,
+      |  CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |    / greatest(length(text), 1) AS alnum_ratio
+      |FROM t""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenRatio(col("text")).as("ttr"),
+      alnumRatio(col("text")).as("alnum_ratio"))
+  }
+
+  /** Rolling-hash document fingerprint (order-sensitive), cross-engine
+    * reproducible via md5-derived token hashes. */
+  val fingerprints: Q = Q(
+    "doc_fingerprint",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+       |      tk -> CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) % ${HashMod}) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |              (a, b) -> (a * 31 + b) % ${HashMod}) AS fp
+       |FROM t""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), fingerprint(col("text")).as("fp"))
+  }
+
+  /** Language-ID heuristic + quality score. The fixture's `lang` column
+    * does not correlate with its (synthetic, English-vocabulary) text, so
+    * accuracy is validated on multilingual unit fixtures (TextSpec), not
+    * here; this query exercises the full expression tree at scale.
+    * β-free, UDF-free — rows-only check. */
+  val langQuality: Q = Q.noOracle("text_lang_quality") { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      langId(col("text")).as("lang_pred"),
+      qualityScore(col("text")).as("quality"),
+      stopwordRatio(col("text")).as("stop_ratio"))
+  }
+
+  def all: Seq[Q] = Seq(textStats, fingerprints, langQuality)
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("langId identifies real multilingual snippets") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with the result of that day"),
+      ("fr", "le chat est dans la maison et il aime les poissons pour le diner avec une amie"),
+      ("es", "el gato es muy bonito y los perros en la casa son del vecino para una fiesta"),
+      ("de", "der hund ist ein gutes tier und die katze ist nicht mit dem hund zu vergleichen"),
+      ("zh", "今天天气很好我们一起去公园散步吧然后吃晚饭"),
+      ("und", "xyzzy plugh qwerty asdf"))
+    val got = samples.toDF("expected", "text")
+      .select(col("expected"), graft.text.TextFunctions.langId(col("text")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, got ${r.getString(1)}"))
+  }
+
+  test("qualityScore orders garbage below prose and is in [0,1]") {
+    import spark.implicits._
+    val df = Seq(
+      ("prose", "the quick brown fox jumps over the lazy dog and then it runs back home to rest for the evening while the sun sets slowly over the hills and the birds sing in the trees around the quiet little house"),
+      ("garbage", "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) @@@@ #### $$$$"),
+      ("repeat", "spam spam spam spam spam spam spam spam spam spam spam spam"))
+    val scores = df.toDF("kind", "text")
+      .select(col("kind"), graft.text.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(scores("prose") > scores("garbage"), s"$scores")
+    assert(scores("prose") > scores("repeat"), s"$scores")
+  }
+
+  test("fingerprint is whitespace/punct-insensitive but order-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "hello world foo"),
+      (2L, "Hello,   world!  FOO"),
+      (3L, "foo world hello")).toDF("id", "text")
+    val fps = df.select(col("id"), graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L), "normalization-equivalent docs must collide")
+    assert(fps(1L) != fps(3L), "different token order must differ")
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private def exactPairs: Set[(Long, Long)] =
+    Dedup.jaccardPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact jaccard finds the known near-dup pairs") {
+    val pairs = exactPairs
+    assert(pairs.size >= 20, s"expected the ~24 near-dup pairs, got ${pairs.size}")
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact jaccard, no false positives") {
+    val exact = exactPairs
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step re-scores with true jaccard → no false positives
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash banding finds most hamming<=5 near-dups") {
+    val exact = exactPairs
+    val sim = Dedup.simhashPairs(docs, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // empirically 21/24 known pairs are within hamming 5 (threshold calib)
+    val recall = (sim intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("brute-force aggregator top-k == window top-k") {
+    val viaAgg = SimilaritySearch.bruteTopK(emb, k = 5)
+      .select("i", "j", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaWin = SimilaritySearch.bruteTopKWindow(emb, k = 5)
+      .select("i", "j", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWin)
+  }
+
+  test("LSH ANN recall@5 >= 0.5 on the fixture (LSH worst case: uniform vectors)") {
+    val exact = SimilaritySearch.bruteTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.lshTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}
