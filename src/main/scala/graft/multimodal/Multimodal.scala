@@ -1,0 +1,136 @@
+package graft.multimodal
+
+import graft.text.TextFunctions.md5Hash64
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media asset: opaque binary payload + typed metadata. The payload is
+  * NEVER interpreted by Spark itself — all engine-side operations (schema,
+  * partitioning, shuffle, batching) treat it as `BINARY`, which is exactly
+  * how a 100 TB image/audio corpus should flow: metadata columns are
+  * pruned/pushed down independently of the payload, and payload bytes only
+  * stream through the executors that actually decode. */
+case class MediaItem(
+    media_id: Long,
+    kind: String,          // "image" | "audio" | "video"
+    mime: String,
+    width: Int,            // images/video
+    height: Int,
+    n_frames: Int,         // video: frame count; audio: samples
+    sample_rate: Int,      // audio
+    content: Array[Byte])
+
+case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+
+case class FrameSample(media_id: Long, frame_index: Int, content: Array[Byte])
+
+/** Multimodal-column plumbing with a STUBBED codec layer.
+  *
+  * The container has no image/audio libraries, so the byte-level
+  * decode/resize/extract kernels are deterministic fakes (clearly marked);
+  * everything Spark-side — schemas, lazy per-partition batching, metadata
+  * pushdown, payload-free projections — is real and tested. Swapping in a
+  * real codec means replacing the bodies of [[Codec.decodeImage]] /
+  * [[Codec.decodeAudio]] only.
+  */
+object Multimodal {
+
+  /** STUB boundary. Real implementations would call an image/audio codec
+    * (e.g. libjpeg/ffmpeg via JNI); these fakes derive deterministic
+    * pseudo-features from the payload bytes so pipelines are testable
+    * end-to-end (same bytes ⇒ same features). */
+  object Codec {
+    /** STUB: pretend-decode an image payload to a `dim`-float embedding. */
+    def decodeImage(content: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < content.length) { h = h * 31 + content(i); i += 1 }
+      i = 0
+      while (i < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17 // xorshift
+        out(i) = (h % 1000L) / 1000.0f
+        i += 1
+      }
+      out
+    }
+
+    /** STUB: pretend-decode audio to a fixed-size spectrogram-ish vector. */
+    def decodeAudio(content: Array[Byte], dim: Int): Array[Float] =
+      decodeImage(content, dim) // same deterministic fake
+
+    /** STUB: pretend-resize; real impl re-encodes pixels. Metadata math is
+      * real; payload is passed through truncated (marker of the stub). */
+    def resizePayload(content: Array[Byte], w: Int, h: Int): Array[Byte] =
+      content.take(math.max(16, math.min(content.length, w * h / 64)))
+  }
+
+  /** Deterministic synthetic media table derived from the documents
+    * fixture (the container ships no real media): payload = md5-derived
+    * bytes, metadata = deterministic functions of doc_id. Same doc_id ⇒
+    * identical row, any engine. */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(typedLit(Seq("image", "audio", "video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
+      (pmod(col("doc_id") * 37, lit(1024)) + 64).cast("int").as("width"),
+      (pmod(col("doc_id") * 53, lit(768)) + 64).cast("int").as("height"),
+      (pmod(col("doc_id") * 17, lit(240)) + 1).cast("int").as("n_frames"),
+      lit(16000).as("sample_rate"),
+      // payload: 64 deterministic bytes from the doc text hash
+      unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x"))),
+        md5(concat(col("text"), lit("y"))), md5(concat(col("text"), lit("z")))))
+        .as("content"))
+  }
+
+  /** Feature extraction: lazy per-partition batch over the typed Dataset —
+    * the payload bytes stream through the iterator one partition at a
+    * time (never collected), which is the Scala analog of a Pandas-batch
+    * UDF. Metadata-only columns stay prunable upstream. */
+  def extractFeatures(media: Dataset[MediaItem], dim: Int = 32): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val f = m.kind match {
+          case "audio" => Codec.decodeAudio(m.content, dim)
+          case _       => Codec.decodeImage(m.content, dim)
+        }
+        MediaFeatures(m.media_id, m.kind, f)
+      }
+    }
+  }
+
+  /** Resize: REAL metadata arithmetic (aspect-preserving fit into a
+    * bounding box) + stub payload transform. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"), lit(1.0))
+    val resizeUdf = udf { (content: Array[Byte], w: Int, h: Int) =>
+      Codec.resizePayload(content, w, h)
+    }
+    media
+      .withColumn("new_width", floor(col("width") * scale).cast("int"))
+      .withColumn("new_height", floor(col("height") * scale).cast("int"))
+      .withColumn("content", resizeUdf(col("content"), col("new_width"), col("new_height")))
+      .drop("width", "height")
+      .withColumnRenamed("new_width", "width")
+      .withColumnRenamed("new_height", "height")
+  }
+
+  /** Frame sampling for video rows: emit every `stride`-th frame index
+    * with a deterministic per-frame payload slice. Real explode shape —
+    * one output row per sampled frame, payload-bounded. */
+  def sampleFrames(media: DataFrame, stride: Int = 24): DataFrame =
+    media
+      .where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_index"),
+        col("content"))
+      .withColumn("content",
+        // STUB: a real impl decodes the frame; we slice bytes deterministically
+        expr("substring(content, cast(pmod(frame_index * 7, 32) as int) + 1, 16)"))
+}

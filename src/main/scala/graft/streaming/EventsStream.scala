@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, closed: Boolean)
+
+/** Structured Streaming surface over the events table — extension beyond
+  * the reference (which has no streaming, SURVEY §2.11): event-time
+  * windowed aggregation with watermarking, and custom sessionization
+  * state via mapGroupsWithState. The batch twin of the windowed agg
+  * ([[windowedAggBatch]]) is DuckDB-oracle-checked; stream/batch
+  * equivalence is asserted in StreamingSpec (same input ⇒ same result is
+  * exactly what Structured Streaming's incremental model promises).
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** 5-minute tumbling event-time windows per event_type. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Batch twin on the same frame (identical plan minus the watermark). */
+  def windowedAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
+  /** Start the windowed agg from a parquet directory as a file stream into
+    * an in-memory sink (local smoke; swap source/sink for Kafka/Delta in
+    * production — the transform is source-agnostic). */
+  def startWindowedQuery(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val src = spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+    windowedAgg(src)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+
+  /** Per-user running session state via mapGroupsWithState: counts and
+    * value totals, closing a session after `gapMinutes` of event-time
+    * silence. Demonstrates the KeyValueGroupedDataset custom-state path
+    * (the scalable pattern for sessionization at 10⁹ users: state is
+    * partitioned by key and checkpointed incrementally). */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int = 30): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionSummary](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          var closed = false
+          sorted.foreach { e =>
+            if (st.lastTs != Long.MinValue &&
+                e.ts.getTime - st.lastTs > gapMinutes * 60000L) {
+              closed = true // a gap occurred within this batch's history
+              st = SessionState(0L, 0.0, e.ts.getTime)
+            }
+            st = SessionState(st.nEvents + 1, st.totalValue + e.value, e.ts.getTime)
+          }
+          state.update(st)
+          SessionSummary(userId, st.nEvents, st.totalValue, closed)
+      }
+      .toDF()
+  }
+}

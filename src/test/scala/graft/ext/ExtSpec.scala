@@ -1,0 +1,104 @@
+package graft.ext
+
+import graft.TestSpark
+import graft.multimodal.{MediaItem, Multimodal}
+import graft.streaming.{EventsStream, SessionEvent}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("synthetic media schema and determinism") {
+    val a = Multimodal.syntheticMedia(spark, dir)
+    assert(a.schema("content").dataType.typeName == "binary")
+    val r1 = a.orderBy("media_id").collect()
+    val r2 = Multimodal.syntheticMedia(spark, dir).orderBy("media_id").collect()
+    assert(r1.length == 500)
+    assert(r1.zip(r2).forall { case (x, y) =>
+      x.getAs[Array[Byte]]("content").sameElements(y.getAs[Array[Byte]]("content"))
+    })
+  }
+
+  test("feature extraction is deterministic, fixed-dim, partition-streamed") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, dir).as[MediaItem]
+    def feats = Multimodal.extractFeatures(media, dim = 32)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val f1 = feats
+    assert(f1.size == 500)
+    assert(f1.values.forall(_.length == 32))
+    assert(f1 == feats, "same payload must give identical features")
+  }
+
+  test("resize preserves aspect ratio within bounding box") {
+    val out = Multimodal.resize(Multimodal.syntheticMedia(spark, dir), 256, 256)
+      .select("media_id", "width", "height").collect()
+    out.foreach { r =>
+      assert(r.getInt(1) <= 256 && r.getInt(2) <= 256)
+      assert(r.getInt(1) >= 16 && r.getInt(2) >= 16)
+    }
+  }
+
+  test("frame sampling emits ceil(n_frames/stride) rows per video") {
+    val media = Multimodal.syntheticMedia(spark, dir)
+    val counts = Multimodal.sampleFrames(media, stride = 24)
+      .groupBy("media_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = media.where(col("kind") === "video")
+      .select(col("media_id"), col("n_frames")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1) - 1) / 24 + 1).toLong).toMap
+    assert(counts == expected)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming windowed agg equals its batch twin") {
+    val batch = EventsStream.windowedAggBatch(graft.Tables.events(spark, dir))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    // stream the same parquet through a file source; complete mode memory sink.
+    // events.parquet stores ns timestamps read as long via nanosAsLong — the
+    // stream schema declares ts LONG and converts, matching Tables.events.
+    // file stream source needs a directory; stage the single fixture file
+    val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val src = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(streamDir.toString)
+    val q = EventsStream.windowedAgg(
+        src.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+      .writeStream.outputMode("complete").format("memory").queryName("wtest").start()
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("wtest")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(stream == batch, s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
+  test("sessionize accumulates per-user state") {
+    import spark.implicits._
+    val events = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[SessionEvent]
+    val sessions = EventsStream.sessionize(events, gapMinutes = 30)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val totals = graft.Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions.keySet == totals.keySet)
+    // session event counts never exceed the user's total events
+    sessions.foreach { case (u, (n, _)) => assert(n <= totals(u)) }
+  }
+}
