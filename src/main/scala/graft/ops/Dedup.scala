@@ -36,17 +36,21 @@ object Dedup {
     * quadratic hot keys (skew). Pairs are undirected: id_a < id_b. */
   def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
-    val filtered = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df")).where(col("df") <= maxDf),
-      "shingle")
+    // shingle once, cache: every downstream branch (explode ×2 join sides,
+    // sizes) would otherwise re-tokenize + re-shingle the corpus
+    val docSh = docs
+      .select(col(idCol).as("id"), shinglesFast(n)(tokens(col(textCol))).as("sh"))
+      .cache()
+    val sh = docSh.select(col("id"), explode(col("sh")).as("shingle"))
+    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("shingle")
+    val filtered = sh.join(keep, Seq("shingle"))
     val common = filtered.as("a")
       .join(filtered.as("b"), Seq("shingle"))
       .where(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    val sizes = docs.select(col(idCol).as("id"), size(shingles(col(textCol), n)).as("sz"))
+    val sizes = docSh.select(col("id"), size(col("sh")).as("sz"))
     common
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.id"))
@@ -102,10 +106,9 @@ object Dedup {
       }
     }
 
-    val withShingles = docs.select(
-      col(idCol).as("id"),
-      transform(shingles(col(textCol), n), s => pmod(md5Hash64(s), lit(HashMod))).as("hs"),
-      shingles(col(textCol), n).as("sh"))
+    val withShingles = docs
+      .select(col(idCol).as("id"), shinglesFast(n)(tokens(col(textCol))).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => pmod(md5Hash64(s), lit(HashMod))))
       .cache()
 
     val bandsDF = withShingles

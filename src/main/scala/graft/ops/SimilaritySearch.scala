@@ -109,16 +109,15 @@ object SimilaritySearch {
       .select(col("id"), col("v"), explode(bucketUdf(col("v"))).as("tb"))
       .select(col("id"), col("v"), col("tb._1").as("t"), col("tb._2").as("bucket"))
 
-    val cands = buckets.as("a")
+    // same (i,j) surfacing from several tables is deduped INSIDE the
+    // bounded-heap aggregator — no distinct shuffle carrying the wide
+    // vector columns (at fixture scale that shuffle alone cost ~10s)
+    val topk = udaf(new TopKAggregator(k))
+    buckets.as("a")
       .join(buckets.as("b"), Seq("t", "bucket"))
       .where(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("i", "j")
-
-    val topk = udaf(new TopKAggregator(k))
-    cands
-      .select(col("i"), col("j"), (lit(1.0) - arrayCosine(col("va"), col("vb"))).as("dist2"))
+        (lit(1.0) - arrayCosine(col("a.v"), col("b.v"))).as("dist2"))
       .groupBy(col("i"))
       .agg(topk(col("j"), col("dist2")).as("nbrs"))
       .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))

@@ -85,8 +85,15 @@ class TopKAggregator(k: Int)
 
   override def zero: Seq[NeighborCand] = Vector.empty
 
-  override def reduce(buf: Seq[NeighborCand], x: NeighborCand): Seq[NeighborCand] =
-    if (buf.length >= k && !lt(x, buf.last)) buf
+  /** Insert keeping the k best; duplicate j candidates (e.g. the same
+    * pair surfacing from several LSH tables) keep only their best entry,
+    * so callers never need a pre-aggregation `distinct` shuffle. */
+  override def reduce(buf: Seq[NeighborCand], x: NeighborCand): Seq[NeighborCand] = {
+    val dup = buf.indexWhere(_.j == x.j)
+    if (dup >= 0) {
+      if (!lt(x, buf(dup))) buf
+      else reduce(buf.take(dup) ++ buf.drop(dup + 1), x)
+    } else if (buf.length >= k && !lt(x, buf.last)) buf
     else {
       val ins = buf.indexWhere(e => lt(x, e)) match {
         case -1 => buf :+ x
@@ -94,6 +101,7 @@ class TopKAggregator(k: Int)
       }
       if (ins.length > k) ins.take(k) else ins
     }
+  }
 
   override def merge(a: Seq[NeighborCand], b: Seq[NeighborCand]): Seq[NeighborCand] =
     b.foldLeft(a)(reduce)

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale-critical plan properties must hold
+  * structurally, not by luck — filters reach the parquet scan, small dims
+  * broadcast, custom expressions stay inside whole-stage codegen, and the
+  * top-k aggregation keeps its partial (map-side) phase. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6: filters are pushed into the parquet scan") {
+    val p = plan("q6_filtered_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+  }
+
+  test("q6: scan reads only referenced columns") {
+    val p = plan("q6_filtered_revenue")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"column pruning failed: $readSchema")
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q2: dimension joins are broadcast, not shuffled") {
+    val p = plan("q2_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"5-way star join must broadcast dims at this SF:\n$p")
+  }
+
+  test("q1: aggregation has a partial (map-side) phase") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+  }
+
+  test("knn: native sq-dist expression + partial top-k aggregation") {
+    val p = plan("knn_embeddings")
+    // the custom expression is planned natively (not a ScalaUDF wrapper)
+    assert(p.contains("array_sq_dist"), p)
+    assert(!p.contains("UDF(")) // no black-box UDF on the pair hot path
+    // bounded-heap top-k must keep its partial phase (map-side pruning)
+    assert(p.contains("partial_topkaggregator"), p)
+  }
+
+  test("knn: sq-dist participates in whole-stage codegen at runtime") {
+    val df = SparkEntry.queries("knn_embeddings")(spark, dir)
+    df.collect() // force execution so AQE finalizes stages
+    val executed = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark whole-stage-codegen stages; the sq-dist
+    // projection must carry one
+    assert(executed.linesIterator.exists(l =>
+      l.contains("array_sq_dist") && l.trim.matches(".*\\*\\(\\d+\\) Project.*")),
+      executed.take(2000))
+  }
+
+  test("q16: range join stays an equi-join on user_id (no nested loop)") {
+    val p = plan("q16_purchase_follow")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"),
+      s"time-range join must keep its user_id equi-key:\n$p")
+  }
+}
