@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[Q] =
     rel.RelationalQueries.all ++ tsne.TsneQueries.all ++
       text.TextQueries.all ++ ops.OpsQueries.all ++
-      multimodal.MultimodalQueries.all ++ streaming.StreamingQueries.all
+      multimodal.MultimodalQueries.all ++ streaming.StreamingQueries.all ++
+      ml.MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

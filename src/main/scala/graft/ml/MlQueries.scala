@@ -1,0 +1,35 @@
+package graft.ml
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+object MlQueries {
+
+  /** Per-dimension z-score standardization (population σ, SURVEY §7.4.5),
+    * exposed as the exploded (vec_id, pos, z) relation so DuckDB can
+    * oracle it. */
+  val standardize: Q = Q(
+    "ml_standardize",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
+      |         CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |m AS (SELECT pos, avg(x) AS mu, stddev_pop(x) AS sd FROM e GROUP BY pos)
+      |SELECT e.vec_id, e.pos, (e.x - m.mu) / m.sd AS z
+      |FROM e JOIN m USING (pos)""".stripMargin
+  ) { (s, d) =>
+    Preprocess.standardize(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "z")))
+  }
+
+  /** PCA projection (top-8 components). Principal axes have sign/rotation
+    * indeterminacy across implementations → rows-only check here; the
+    * numeric contract (dimension, variance ordering, orthogonal recon)
+    * is asserted in PreprocessSpec. */
+  val pca: Q = Q.noOracle("ml_pca") { (s, d) =>
+    Preprocess.pca(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  def all: Seq[Q] = Seq(standardize, pca)
+}

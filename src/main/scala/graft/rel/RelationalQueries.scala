@@ -350,9 +350,70 @@ object RelationalQueries {
         count(lit(1)).as("n"))
   }
 
+  /** As-of join: each purchase picks up the same user's most recent
+    * prior 'view' value. Expressed as a union of tagged streams + a
+    * running last-non-null window — the shuffle-once pattern that scales
+    * (one hash partition by user_id, one sort), versus DuckDB's native
+    * ASOF JOIN as the oracle. */
+  val q19AsOf: Q = Q(
+    "q19_asof_join",
+    """SELECT p.event_id, p.user_id, v.value AS last_view_value
+      |FROM events p
+      |ASOF LEFT JOIN events v
+      |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts
+      |WHERE p.event_type = 'purchase'""".stripMargin
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val tagged = ev.select(
+      col("event_id"), col("user_id"), col("ts"), col("event_type"),
+      when(col("event_type") === "view", col("value")).as("view_value"))
+      .where(col("event_type").isin("view", "purchase"))
+    // range frame on epoch-micros, upper bound −1 ⇒ strictly-earlier rows
+    // only — exact ASOF (v.ts < p.ts) semantics even under ts ties
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("last_view_value", last(col("view_value"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_view_value"))
+  }
+
+  /** CUBE grouping sets (all subtotal combinations). */
+  val q20Cube: Q = Q(
+    "q20_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_extendedprice) AS total, count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_extendedprice")).as("total"), count(lit(1)).as("n"))
+  }
+
+  /** INTERSECT / EXCEPT set operations: customers in both/only-one of two
+    * order-value cohorts. */
+  val q21SetOps: Q = Q(
+    "q21_set_ops",
+    """WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000),
+      |     recent AS (SELECT DISTINCT o_custkey FROM orders
+      |                WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      |SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM hi INTERSECT SELECT * FROM recent)
+      |UNION ALL
+      |SELECT o_custkey, 'hi_only' AS cohort FROM (SELECT * FROM hi EXCEPT SELECT * FROM recent)""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val hi = o.where(col("o_totalprice") > 300000).select("o_custkey").distinct()
+    val recent = o.where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+    hi.intersect(recent).select(col("o_custkey"), lit("both").as("cohort"))
+      .union(hi.except(recent).select(col("o_custkey"), lit("hi_only").as("cohort")))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
     q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
-    q16RangeJoin, q17Yearly, q18CaseAgg)
+    q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps)
 }
