@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm}
+
+/** Session extension registering the engine's native expressions for SQL
+  * use — `SELECT array_dot(a, b)` etc. — via
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * This is extension path (b) from the design guide (custom Expression,
+  * codegen'd); no custom Rule/Strategy is required for parity (SURVEY
+  * §4.2) — the DataFrame operators compose built-in Catalyst nodes that
+  * the optimizer already handles.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      info("array_dot", "array_dot(a, b) - dot product of two numeric arrays"),
+      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("array_sq_dist"),
+      info("array_sq_dist", "array_sq_dist(a, b) - squared L2 distance"),
+      (args: Seq[Expression]) => ArraySqDist(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("array_sq_norm"),
+      info("array_sq_norm", "array_sq_norm(a) - squared L2 norm"),
+      (args: Seq[Expression]) => ArraySqNorm(args(0))))
+  }
+}

@@ -106,9 +106,12 @@ object Dedup {
       }
     }
 
+    // xxhash64 (native, one codegen'd pass) for the sketch base hash:
+    // minhash needs only a deterministic in-engine hash, not the
+    // cross-engine md5 used by oracle-checked operators
     val withShingles = docs
       .select(col(idCol).as("id"), shinglesFast(n)(tokens(col(textCol))).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => pmod(md5Hash64(s), lit(HashMod))))
+      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(HashMod))))
       .cache()
 
     val bandsDF = withShingles
@@ -133,8 +136,8 @@ object Dedup {
 
   // ----------------------------------------------------------------- SimHash
 
-  /** 60-bit SimHash of the token stream (bit-vote over per-token md5
-    * hashes). Near-dup pairs = Hamming distance ≤ maxHamming, found by
+  /** 60-bit SimHash of the token stream (bit-vote over per-token
+    * xxhash64). Near-dup pairs = Hamming distance ≤ maxHamming, found by
     * pigeonhole banding: split 60 bits into maxHamming+1 chunks — any
     * pair within distance maxHamming shares at least one exact chunk, so
     * an equi-join on (chunk_id, chunk_value) finds all of them. */
@@ -163,7 +166,7 @@ object Dedup {
     val bitsPer = 60 / chunks
     val sigs = docs.select(
       col(idCol).as("id"),
-      simUdf(transform(tokens(col(textCol)), t => md5Hash64(t))).as("sim"))
+      simUdf(transform(tokens(col(textCol)), t => pmod(xxhash64(t), lit(1L << 60)))).as("sim"))
     // chunk value: bits [chunk_id·bitsPer, (chunk_id+1)·bitsPer)
     val withChunks = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))

@@ -41,6 +41,11 @@ object TSNE {
       .as[Long].collect()
     val n = idMap.length
 
+    // right-size iteration partitions: each per-iteration job pays a task
+    // per partition, and adjacency rows are tiny (~k neighbors each) —
+    // target ≥256 rows/task instead of inheriting shuffle.partitions
+    val iterParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, n / 256))
     val adj = Affinities.computeP(
         indexed, n.toLong, "id", "features", params.perplexity, params.tol)
       .select(
@@ -48,6 +53,7 @@ object TSNE {
         col("js").cast("array<int>").as("js"),
         col("ps"))
       .as[AffRow]
+      .repartition(iterParts)
       .cache()
     adj.count() // materialize before the iteration loop
     indexed.unpersist()

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("native expressions usable from SQL via GraftExtensions") {
+    // getOrCreate would return the suite-shared session (no extensions);
+    // clear defaults so a fresh session (same context) picks them up
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+          |       array_sq_dist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS d2,
+          |       array_sq_norm(array(3.0d, 4.0d)) AS n2""".stripMargin)
+        .collect()(0)
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == 25.0)
+      assert(r.getDouble(2) == 25.0)
+    } finally {
+      // don't stop(): the SparkContext is shared with TestSpark sessions
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
+
+class TrustworthinessSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("t-SNE embedding preserves neighborhoods better than random") {
+    import graft.tsne._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(150).cache()
+    val result = BHTSNE.tsne(emb, "vec_id", "embedding",
+      TSNEParams(maxIterations = 300, perplexity = 15, earlyExaggeration = 60, seed = 42))
+      .withColumn("pos", org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.col("x"),
+        org.apache.spark.sql.functions.col("y")))
+      .cache()
+
+    val t = Trustworthiness.compute(emb, "vec_id", "embedding", result, "id", "pos", k = 10)
+
+    // random-embedding baseline on the same points
+    import org.apache.spark.sql.functions._
+    val rnd = emb.select(col("vec_id"),
+      array(rand(7), rand(13)).as("pos"))
+    val tRand = Trustworthiness.compute(emb, "vec_id", "embedding", rnd, "vec_id", "pos", k = 10)
+
+    // ≈0.71 measured on these synthetic near-uniform vectors (weak
+    // neighborhood structure is the hard case; clustered data scores 0.9+)
+    assert(t > 0.65, s"trustworthiness $t too low")
+    assert(t > tRand + 0.1, s"t-SNE $t must beat random $tRand by a clear margin")
+  }
+}
