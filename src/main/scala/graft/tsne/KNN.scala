@@ -55,7 +55,43 @@ object KNN {
   /** Bounded-heap top-k via partial-aggregating UDAF (default). */
   def knn(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    pairwise(prepare(df, idCol, featuresCol))
+    topKFromCandidates(pairwise(prepare(df, idCol, featuresCol)), k)
+  }
+
+  /** Approximate kNN — the 100 TB candidate-generation path (SURVEY
+    * §7.4.1): Euclidean p-stable LSH (`BucketedRandomProjectionLSH`, the
+    * idiomatic MLlib operator) generates candidates by bucket join; exact
+    * distances re-score them; the bounded-heap aggregator keeps top-k.
+    * APPROXIMATE — opt-in only, never silently substituted for [[knn]];
+    * recall is measured in KNNSpec. `bucketLength` trades recall for
+    * candidate volume (≈ neighbor distance scale works well). */
+  def knnApprox(df: DataFrame, idCol: String, featuresCol: String, k: Int,
+      bucketLength: Double, numHashTables: Int = 6, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val pts = prepare(df, idCol, featuresCol)
+      .withColumn("vec", array_to_vector(col("features")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("vec").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+    val model = lsh.fit(pts)
+    val hashed = model.transform(pts)
+      .select(col("id"), col("features"), posexplode(col("hashes")).as(Seq("t", "h")))
+      .select(col("id"), col("features"), col("t"),
+        vector_to_array(col("h"))(0).as("bucket"))
+
+    val cands = hashed.as("a")
+      .join(hashed.as("b"), Seq("t", "bucket"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        arraySqDist(col("a.features"), col("b.features")).as("dist2"))
+    topKFromCandidates(cands, k) // duplicate (i,j) deduped inside the heap
+  }
+
+  private def topKFromCandidates(cands: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    cands
       .groupBy(col("i"))
       .agg(topk(col("j"), col("dist2")).as("nbrs"))
       .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))

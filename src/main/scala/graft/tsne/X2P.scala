@@ -112,14 +112,24 @@ object X2P {
   }
 
   /** Full X2P: points (id, features) → P(j|i) over the μ=⌊3·perplexity⌋
-    * nearest neighbors (reference X2P.scala:18). */
+    * nearest neighbors (reference X2P.scala:18).
+    *
+    * `approxBucketLength`: None (default) = exact O(n²) candidates, the
+    * reference semantics and correctness oracle. Some(w) = opt-in
+    * Euclidean-LSH candidates for corpus-scale inputs — an explicit
+    * semantic change (approximate neighborhoods), never silent. */
   def x2p(
       points: DataFrame,
       idCol: String = "id",
       featuresCol: String = "features",
       perplexity: Double = DefaultPerplexity,
-      tol: Double = DefaultTol): DataFrame = {
+      tol: Double = DefaultTol,
+      approxBucketLength: Option[Double] = None): DataFrame = {
     val mu = math.floor(3 * perplexity).toInt
-    calibrate(KNN.knn(points, idCol, featuresCol, mu), perplexity, tol)
+    val knn = approxBucketLength match {
+      case Some(w) => KNN.knnApprox(points, idCol, featuresCol, mu, w)
+      case None    => KNN.knn(points, idCol, featuresCol, mu)
+    }
+    calibrate(knn, perplexity, tol)
   }
 }

@@ -117,6 +117,17 @@ class KNNSpec extends AnyFunSuite {
     assert(got((3L, 1)) == 2L && got((3L, 2)) == 1L)
   }
 
+  test("approximate kNN (euclidean LSH) reaches recall >= 0.6 vs exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // fixture embeddings are unit-normalized; NN distances ≈ 1.0-1.25
+    val exact = KNN.knn(emb, "vec_id", "embedding", 10)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = KNN.knnApprox(emb, "vec_id", "embedding", 10, bucketLength = 1.0)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"approx kNN recall $recall")
+  }
+
   test("aggregator top-k matches window top-k on embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
