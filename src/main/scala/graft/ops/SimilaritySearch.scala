@@ -1,7 +1,6 @@
 package graft.ops
 
 import graft.functions.VectorFunctions._
-import graft.tsne.TopKAggregator
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,13 +24,13 @@ object SimilaritySearch {
       asDoubleArray(col(vecCol)).as("v"))
     val a = pts.select(col("id").as("i"), col("v").as("va"))
     val b = pts.select(col("id").as("j"), col("v").as("vb"))
-    val topk = udaf(new TopKAggregator(k))
     a.crossJoin(b)
       .where(col("i") =!= col("j"))
       .select(col("i"), col("j"),
         (lit(1.0) - arrayCosine(col("va"), col("vb"))).as("dist2"))
       .groupBy(col("i"))
-      .agg(topk(col("j"), col("dist2")).as("nbrs"))
+      .agg(org.apache.spark.sql.graft.TopKNeighbors
+        .topk(k, col("j"), col("dist2")).as("nbrs"))
       .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(col("i"), col("nbr.j").as("j"),
         (lit(1.0) - col("nbr.dist2")).as("cosine"),
@@ -112,14 +111,14 @@ object SimilaritySearch {
     // same (i,j) surfacing from several tables is deduped INSIDE the
     // bounded-heap aggregator — no distinct shuffle carrying the wide
     // vector columns (at fixture scale that shuffle alone cost ~10s)
-    val topk = udaf(new TopKAggregator(k))
     buckets.as("a")
       .join(buckets.as("b"), Seq("t", "bucket"))
       .where(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         (lit(1.0) - arrayCosine(col("a.v"), col("b.v"))).as("dist2"))
       .groupBy(col("i"))
-      .agg(topk(col("j"), col("dist2")).as("nbrs"))
+      .agg(org.apache.spark.sql.graft.TopKNeighbors
+        .topk(k, col("j"), col("dist2")).as("nbrs"))
       .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(col("i"), col("nbr.j").as("j"),
         (lit(1.0) - col("nbr.dist2")).as("cosine"),

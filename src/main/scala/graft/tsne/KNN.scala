@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *  - [[knnWindow]]: crossJoin → ranking window. Simple and declarative,
   *    but `Window.partitionBy(i)` shuffles all n² candidate rows.
   *  - [[knn]] (default): crossJoin → groupBy(i) with a bounded-heap
-  *    [[TopKAggregator]] registered via `udaf`. Spark plans it as an
+  *    native `TopKNeighbors` TypedImperativeAggregate. Spark plans it as an
   *    ObjectHashAggregate with a partial phase, so each map task emits at
   *    most k neighbors per key and the shuffle carries O(n·k), not O(n²)
   *    — the same trick as the reference's `topByKey`. At 1000 executors
@@ -52,11 +52,10 @@ object KNN {
       .where(col("rank") <= k)
   }
 
-  /** Bounded-heap top-k via partial-aggregating UDAF (default). */
-  def knn(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame = {
-    val topk = udaf(new TopKAggregator(k))
+  /** Bounded-heap top-k via the native partial-aggregating
+    * TypedImperativeAggregate (default). */
+  def knn(df: DataFrame, idCol: String, featuresCol: String, k: Int): DataFrame =
     topKFromCandidates(pairwise(prepare(df, idCol, featuresCol)), k)
-  }
 
   /** Approximate kNN — the 100 TB candidate-generation path (SURVEY
     * §7.4.1): Euclidean p-stable LSH (`BucketedRandomProjectionLSH`, the
@@ -89,64 +88,21 @@ object KNN {
     topKFromCandidates(cands, k) // duplicate (i,j) deduped inside the heap
   }
 
-  private def topKFromCandidates(cands: DataFrame, k: Int): DataFrame = {
-    val topk = udaf(new TopKAggregator(k))
+  private[graft] def topKFromCandidates(cands: DataFrame, k: Int): DataFrame =
     cands
       .groupBy(col("i"))
-      .agg(topk(col("j"), col("dist2")).as("nbrs"))
+      .agg(org.apache.spark.sql.graft.TopKNeighbors
+        .topk(k, col("j"), col("dist2")).as("nbrs"))
       .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(
         col("i"),
         col("nbr.j").as("j"),
         col("nbr.dist2").as("dist2"),
         (col("pos") + 1).cast("int").as("rank"))
-  }
 }
 
-/** One neighbor candidate. */
-case class NeighborCand(j: Long, dist2: Double)
-
-/** Keeps the k smallest (dist2, j) pairs. The buffer is a sorted Seq
-  * (k is small — 3·perplexity ≈ 90 — so insertion is cheap); Spark keeps
-  * it as a live object inside ObjectHashAggregate and only serializes at
-  * the shuffle boundary, giving map-side partial top-k exactly like the
-  * reference's bounded-PQ `topByKey` (MLPairRDDFunctions).
-  */
-class TopKAggregator(k: Int)
-    extends Aggregator[NeighborCand, Seq[NeighborCand], Seq[NeighborCand]] {
-  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-
-  private def lt(a: NeighborCand, b: NeighborCand): Boolean =
-    a.dist2 < b.dist2 || (a.dist2 == b.dist2 && a.j < b.j)
-
-  override def zero: Seq[NeighborCand] = Vector.empty
-
-  /** Insert keeping the k best; duplicate j candidates (e.g. the same
-    * pair surfacing from several LSH tables) keep only their best entry,
-    * so callers never need a pre-aggregation `distinct` shuffle. */
-  override def reduce(buf: Seq[NeighborCand], x: NeighborCand): Seq[NeighborCand] = {
-    val dup = buf.indexWhere(_.j == x.j)
-    if (dup >= 0) {
-      if (!lt(x, buf(dup))) buf
-      else reduce(buf.take(dup) ++ buf.drop(dup + 1), x)
-    } else if (buf.length >= k && !lt(x, buf.last)) buf
-    else {
-      val ins = buf.indexWhere(e => lt(x, e)) match {
-        case -1 => buf :+ x
-        case i  => (buf.take(i) :+ x) ++ buf.drop(i)
-      }
-      if (ins.length > k) ins.take(k) else ins
-    }
-  }
-
-  override def merge(a: Seq[NeighborCand], b: Seq[NeighborCand]): Seq[NeighborCand] =
-    b.foldLeft(a)(reduce)
-
-  override def finish(buf: Seq[NeighborCand]): Seq[NeighborCand] = buf
-
-  override def bufferEncoder: Encoder[Seq[NeighborCand]] =
-    ExpressionEncoder[Seq[NeighborCand]]()
-
-  override def outputEncoder: Encoder[Seq[NeighborCand]] =
-    ExpressionEncoder[Seq[NeighborCand]]()
-}
+// The bounded top-k aggregation lives in
+// org.apache.spark.sql.graft.TopKNeighbors — a native
+// TypedImperativeAggregate over primitive arrays (no per-candidate
+// encoder round-trip), planned as ObjectHashAggregate with a partial
+// phase: the map-side pruning of the reference's bounded-PQ `topByKey`.

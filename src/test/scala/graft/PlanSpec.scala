@@ -43,7 +43,7 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("array_sq_dist"), p)
     assert(!p.contains("UDF(")) // no black-box UDF on the pair hot path
     // bounded-heap top-k must keep its partial phase (map-side pruning)
-    assert(p.contains("partial_topkaggregator"), p)
+    assert(p.contains("partial_topk_neighbors"), p)
   }
 
   test("knn: sq-dist participates in whole-stage codegen at runtime") {
