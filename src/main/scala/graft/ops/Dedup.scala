@@ -70,8 +70,9 @@ object Dedup {
   }
 
   /** MinHash signature from a doc's shingle-hash set:
-    * sig_p = min_x (a_p·x + b_p mod 2^31−1). */
-  private[ops] def minhashSig(hs: Seq[Long], params: Array[(Long, Long)]): Array[Long] =
+    * sig_p = min_x (a_p·x + b_p mod 2^31−1). Primitive-array loop —
+    * the per-doc cost is |shingles|·numHashes multiply-mods. */
+  private[ops] def minhashSig(hs: Array[Long], params: Array[(Long, Long)]): Array[Long] =
     params.map { case (a, b) =>
       var m = Long.MaxValue
       var i = 0
@@ -97,7 +98,7 @@ object Dedup {
     val rows = numHashes / bands
     val params = hashParams(numHashes, seed)
     val sigUdf = udf { (hs: Seq[Long]) =>
-      val sig = minhashSig(hs, params)
+      val sig = minhashSig(hs.toArray, params)
       (0 until bands).map { b =>
         var acc = 1125899906842597L
         var r = 0
@@ -108,14 +109,17 @@ object Dedup {
 
     // xxhash64 (native, one codegen'd pass) for the sketch base hash:
     // minhash needs only a deterministic in-engine hash, not the
-    // cross-engine md5 used by oracle-checked operators
+    // cross-engine md5 used by oracle-checked operators. Band signatures
+    // go INTO the cached frame — the bucket self-join consumes bandsDF on
+    // both sides, which would otherwise run the signature UDF twice.
     val withShingles = docs
       .select(col(idCol).as("id"), shinglesFast(n)(tokens(col(textCol))).as("sh"))
       .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(HashMod))))
+      .withColumn("bands", sigUdf(col("hs")))
       .cache()
 
     val bandsDF = withShingles
-      .select(col("id"), explode(sigUdf(col("hs"))).as("band"))
+      .select(col("id"), explode(col("bands")).as("band"))
       .select(col("id"), col("band._1").as("band_id"), col("band._2").as("band_hash"))
 
     val cands = bandsDF.as("a")

@@ -20,14 +20,17 @@ object SimilaritySearch {
     * is 1 − cosine (monotone in angle), tie-break on j. */
   def bruteTopK(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 5): DataFrame = {
+    // norms precomputed per point (SURVEY P-4): the n² pair loop then
+    // does ONE array traversal (dot) instead of three (dot + two norms)
     val pts = emb.select(col(idCol).cast("long").as("id"),
       asDoubleArray(col(vecCol)).as("v"))
-    val a = pts.select(col("id").as("i"), col("v").as("va"))
-    val b = pts.select(col("id").as("j"), col("v").as("vb"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+    val a = pts.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = pts.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .where(col("i") =!= col("j"))
       .select(col("i"), col("j"),
-        (lit(1.0) - arrayCosine(col("va"), col("vb"))).as("dist2"))
+        (lit(1.0) - arrayDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("dist2"))
       .groupBy(col("i"))
       .agg(org.apache.spark.sql.graft.TopKNeighbors
         .topk(k, col("j"), col("dist2")).as("nbrs"))
@@ -59,12 +62,13 @@ object SimilaritySearch {
       vecCol: String = "embedding", threshold: Double = 0.4): DataFrame = {
     val pts = emb.select(col(idCol).cast("long").as("id"),
       asDoubleArray(col(vecCol)).as("v"))
-    val a = pts.select(col("id").as("id_a"), col("v").as("va"))
-    val b = pts.select(col("id").as("id_b"), col("v").as("vb"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+    val a = pts.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = pts.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        arrayCosine(col("va"), col("vb")).as("cosine"))
+        (arrayDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 
@@ -104,9 +108,10 @@ object SimilaritySearch {
 
     val pts = emb.select(col(idCol).cast("long").as("id"),
       asDoubleArray(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
     val buckets = pts
-      .select(col("id"), col("v"), explode(bucketUdf(col("v"))).as("tb"))
-      .select(col("id"), col("v"), col("tb._1").as("t"), col("tb._2").as("bucket"))
+      .select(col("id"), col("v"), col("nrm"), explode(bucketUdf(col("v"))).as("tb"))
+      .select(col("id"), col("v"), col("nrm"), col("tb._1").as("t"), col("tb._2").as("bucket"))
 
     // same (i,j) surfacing from several tables is deduped INSIDE the
     // bounded-heap aggregator — no distinct shuffle carrying the wide
@@ -115,7 +120,7 @@ object SimilaritySearch {
       .join(buckets.as("b"), Seq("t", "bucket"))
       .where(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        (lit(1.0) - arrayCosine(col("a.v"), col("b.v"))).as("dist2"))
+        (lit(1.0) - arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("dist2"))
       .groupBy(col("i"))
       .agg(org.apache.spark.sql.graft.TopKNeighbors
         .topk(k, col("j"), col("dist2")).as("nbrs"))

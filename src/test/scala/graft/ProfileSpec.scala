@@ -29,6 +29,47 @@ class ProfileSpec extends AnyFunSuite {
     val full = time("full minhashLshPairs")(
       ops.Dedup.minhashLshPairs(docs, threshold = 0.8).count())
     println(s"[profile] pairs=$full")
+    // minhash internals (force evaluation via agg over the built columns)
+    import graft.text.TextFunctions._
+    val withSh = docs
+      .select(col("doc_id").as("id"), shinglesFast(3)(tokens(col("text"))).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => pmod(xxhash64(s), lit(HashMod))))
+      .cache()
+    time("shingle+hash materialize")(
+      withSh.agg(sum(size(col("hs"))), sum(size(col("sh")))).collect())
+    time("cached re-agg")(withSh.agg(sum(size(col("hs")))).collect())
+    val second = time("minhash again (warm)")(
+      ops.Dedup.minhashLshPairs(docs, threshold = 0.8).count())
+    // sub-stages on the cached frame
+    val params = Array.tabulate(64)(i => (2L * i + 1, 3L * i + 7))
+    val sigUdf = udf { (hs: Seq[Long]) =>
+      val sig = params.map { case (a, b) =>
+        var m = Long.MaxValue; var i = 0
+        while (i < hs.length) { val v = (a * hs(i) + b) % HashMod; if (v < m) m = v; i += 1 }
+        if (m == Long.MaxValue) 0L else m
+      }
+      (0 until 16).map { b =>
+        var acc = 1125899906842597L
+        var r = 0
+        while (r < 4) { acc = acc * 31 + sig(b * 4 + r); r += 1 }
+        (b, acc)
+      }
+    }
+    val bandsDF = withSh.select(col("id"), explode(sigUdf(col("hs"))).as("band"))
+      .select(col("id"), col("band._1").as("band_id"), col("band._2").as("band_hash"))
+    time("bands (sig udf + explode)")(bandsDF.count())
+    val cands2 = bandsDF.as("a").join(bandsDF.as("b"), Seq("band_id", "band_hash"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    time("cands (band self-join)")(cands2.count())
+    val sets = withSh.select(col("id"), col("sh"))
+    time("verify (2 joins + jaccard)")(cands2
+      .join(sets.as("sa"), col("id_a") === col("sa.id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.id"))
+      .select((size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+        size(array_union(col("sa.sh"), col("sb.sh")))).as("j"))
+      .where(col("j") >= 0.8).count())
+    withSh.unpersist()
     val cands = time("jaccard full")(
       ops.Dedup.jaccardPairs(docs, threshold = 0.8).count())
     println(s"[profile] jaccard pairs=$cands")
