@@ -19,16 +19,24 @@ object Affinities {
 
   val Clamp = 1e-12
 
-  /** COO P(j|i) → symmetric clamped COO p_ij (both (i,j) and (j,i) rows). */
-  def symmetrize(pji: DataFrame, n: Long): DataFrame = {
-    val coo = pji.select(col("i"), col("j"), col("p"))
-    coo.union(coo.select(col("j").as("i"), col("i").as("j"), col("p")))
+  /** COO P(j|i) → symmetric clamped COO p_ij (both (i,j) and (j,i) rows).
+    *
+    * Mirroring is a single-pass explode of both directions — the
+    * reference's `flatMap(e => Seq((i,j,v),(j,i,v)))` shape — NOT a
+    * `union` with a transposed projection: union branches each re-execute
+    * the upstream plan, which here is the full kNN+calibration pipeline
+    * (measured 2× cost before this change). */
+  def symmetrize(pji: DataFrame, n: Long): DataFrame =
+    pji
+      .select(explode(array(
+        struct(col("i"), col("j")),
+        struct(col("j").as("i"), col("i").as("j")))).as("e"), col("p"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p")).as("psum"))
       .select(
         col("i"), col("j"),
         greatest(col("psum") / lit(2.0 * n), lit(Clamp)).as("p"))
-  }
 
   /** Symmetric COO → adjacency rows (i, js ARRAY<BIGINT>, ps ARRAY<DOUBLE>),
     * neighbor lists sorted by j for deterministic iteration order. */

@@ -65,6 +65,13 @@ object KNN {
     * recall is measured in KNNSpec. `bucketLength` trades recall for
     * candidate volume (≈ neighbor distance scale works well). */
   def knnApprox(df: DataFrame, idCol: String, featuresCol: String, k: Int,
+      bucketLength: Double, numHashTables: Int = 6, seed: Long = 42): DataFrame =
+    // duplicate (i,j) from several tables deduped inside the heap
+    topKFromCandidates(approxCandidates(df, idCol, featuresCol, bucketLength,
+      numHashTables, seed), k)
+
+  /** Euclidean-LSH candidate pairs (i, j, dist2) — bucket equi-joins only. */
+  private[graft] def approxCandidates(df: DataFrame, idCol: String, featuresCol: String,
       bucketLength: Double, numHashTables: Int = 6, seed: Long = 42): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
@@ -80,19 +87,22 @@ object KNN {
       .select(col("id"), col("features"), col("t"),
         vector_to_array(col("h"))(0).as("bucket"))
 
-    val cands = hashed.as("a")
+    hashed.as("a")
       .join(hashed.as("b"), Seq("t", "bucket"))
       .where(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         arraySqDist(col("a.features"), col("b.features")).as("dist2"))
-    topKFromCandidates(cands, k) // duplicate (i,j) deduped inside the heap
   }
 
-  private[graft] def topKFromCandidates(cands: DataFrame, k: Int): DataFrame =
+  /** Candidates → (i, nbrs ARRAY<STRUCT<j, dist2>>), sorted asc (dist2, j). */
+  private[graft] def topKGrouped(cands: DataFrame, k: Int): DataFrame =
     cands
       .groupBy(col("i"))
       .agg(org.apache.spark.sql.graft.TopKNeighbors
         .topk(k, col("j"), col("dist2")).as("nbrs"))
+
+  private[graft] def topKFromCandidates(cands: DataFrame, k: Int): DataFrame =
+    topKGrouped(cands, k)
       .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(
         col("i"),

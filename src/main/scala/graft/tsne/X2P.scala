@@ -83,16 +83,36 @@ object X2P {
   def calibrate(
       knnDF: DataFrame,
       perplexity: Double = DefaultPerplexity,
-      tol: Double = DefaultTol): DataFrame = {
+      tol: Double = DefaultTol): DataFrame =
+    calibrateGrouped(
+      knnDF
+        .groupBy(col("i"))
+        .agg(array_sort(collect_list(struct(col("dist2"), col("j")))).as("nbrs")),
+      // array_sort(struct(dist2, j)) → dist2 first field
+      distFirst = true, perplexity, tol)
+
+  /** Calibrate a pre-grouped neighborhood frame (i, nbrs ARRAY<STRUCT>).
+    * The top-k aggregate already outputs per-key sorted arrays — going
+    * back to rows just to re-collect them would pay an extra shuffle-less
+    * but allocation-heavy explode/regroup pass. */
+  private def calibrateGrouped(
+      grouped: DataFrame, distFirst: Boolean,
+      perplexity: Double, tol: Double): DataFrame = {
     val calib = udf { (nbrs: Seq[Row]) =>
-      val d = nbrs.map(_.getDouble(0)).toArray
-      val js = nbrs.map(_.getLong(1)).toArray
+      val n = nbrs.length
+      val d = new Array[Double](n)
+      val js = new Array[Long](n)
+      var ix = 0
+      while (ix < n) {
+        val r = nbrs(ix)
+        if (distFirst) { d(ix) = r.getDouble(0); js(ix) = r.getLong(1) }
+        else { js(ix) = r.getLong(0); d(ix) = r.getDouble(1) }
+        ix += 1
+      }
       val (_, p) = betaSearch(d, perplexity, tol)
-      js.indices.map(ix => CalibratedNeighbor(js(ix), p(ix)))
+      js.indices.map(i2 => CalibratedNeighbor(js(i2), p(i2)))
     }
-    knnDF
-      .groupBy(col("i"))
-      .agg(array_sort(collect_list(struct(col("dist2"), col("j")))).as("nbrs"))
+    grouped
       .select(col("i"), explode(calib(col("nbrs"))).as("nbr"))
       .select(col("i"), col("nbr.j").as("j"), col("nbr.p").as("p"))
   }
@@ -126,10 +146,14 @@ object X2P {
       tol: Double = DefaultTol,
       approxBucketLength: Option[Double] = None): DataFrame = {
     val mu = math.floor(3 * perplexity).toInt
-    val knn = approxBucketLength match {
-      case Some(w) => KNN.knnApprox(points, idCol, featuresCol, mu, w)
-      case None    => KNN.knn(points, idCol, featuresCol, mu)
+    // consume the top-k aggregate's grouped output directly: its nbrs
+    // arrays are already sorted ascending by (dist2, j)
+    val grouped = approxBucketLength match {
+      case Some(w) =>
+        KNN.topKGrouped(KNN.approxCandidates(points, idCol, featuresCol, w), mu)
+      case None =>
+        KNN.topKGrouped(KNN.pairwise(KNN.prepare(points, idCol, featuresCol)), mu)
     }
-    calibrate(knn, perplexity, tol)
+    calibrateGrouped(grouped, distFirst = false, perplexity, tol)
   }
 }
