@@ -411,9 +411,52 @@ object RelationalQueries {
       .union(hi.except(recent).select(col("o_custkey"), lit("hi_only").as("cohort")))
   }
 
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). The exact form sorts within groups; at 100 TB the
+    * one-pass sketch (`approx_percentile`/t-digest) replaces it — kept
+    * exact here because it is the oracle-checkable semantics. */
+  val q22Percentiles: Q = Q(
+    "q22_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_extendedprice, 0.9) AS price_p90
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.9)").as("price_p90"))
+  }
+
+  /** String-function battery over part names. */
+  val q23Strings: Q = Q(
+    "q23_string_funcs",
+    """SELECT p_partkey,
+      |  upper(substr(p_name, 1, 5)) AS head5,
+      |  replace(p_type, ' ', '_') AS type_slug,
+      |  concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size,
+      |  CAST(length(p_name) AS INTEGER) AS name_len,
+      |  CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red
+      |FROM part""".stripMargin
+  ) { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      upper(substring(col("p_name"), 1, 5)).as("head5"),
+      regexp_replace(col("p_type"), " ", "_").as("type_slug"),
+      concat(col("p_brand"), lit(":"), col("p_size").cast("string")).as("brand_size"),
+      length(col("p_name")).as("name_len"),
+      when(col("p_name").like("%red%"), 1).otherwise(0).as("has_red"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
     q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
-    q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps)
+    q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
+    q22Percentiles, q23Strings)
 }

@@ -74,4 +74,37 @@ class ProfileSpec extends AnyFunSuite {
       ops.Dedup.jaccardPairs(docs, threshold = 0.8).count())
     println(s"[profile] jaccard pairs=$cands")
   }
+
+  test("scale stress: exact kNN at 8x rows (256M pairs)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // perturbed replicas (±0.1% per replica) — exact duplicates would
+    // make every LSH bucket degenerate, which no real corpus does
+    val big = (0 until 8).map(r =>
+        emb.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(1.0 + r * 0.001)).as("embedding")))
+      .reduce(_ union _).cache()
+    println(s"[profile] scaled rows = ${big.count()}")
+    val t = time("exact kNN 16k x 16k")(
+      tsne.KNN.knn(big, "vec_id", "embedding", 10).count())
+    println(s"[profile] knn rows = $t")
+    val a = time("approx kNN 16k (LSH, 8x2 compound)")(
+      tsne.KNN.knnApprox(big, "vec_id", "embedding", 10, bucketLength = 1.0, numHashTables = 8, hashesPerTable = 2).count())
+    println(s"[profile] approx knn rows = $a")
+    // unit vectors: projection sigma = 1/sqrt(64) = 0.125 → w ≈ sigma/2
+    val nc = time("candidate count (w=0.05, 8x2)")(
+      tsne.KNN.approxCandidates(big, "vec_id", "embedding", 0.05, 8, 2).count())
+    println(s"[profile] candidates = $nc (exact pairs = ${16000L * 15999})")
+    val a3 = time("approx kNN (w=0.05, 8x2)")(
+      tsne.KNN.knnApprox(big, "vec_id", "embedding", 10, bucketLength = 0.05,
+        numHashTables = 8, hashesPerTable = 2).count())
+    val exact = tsne.KNN.knn(big, "vec_id", "embedding", 10)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = tsne.KNN.knnApprox(big, "vec_id", "embedding", 10, bucketLength = 0.05,
+        numHashTables = 8, hashesPerTable = 2)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"[profile] approx recall = ${(approx & exact).size.toDouble / exact.size}%.3f")
+    big.unpersist()
+  }
 }
