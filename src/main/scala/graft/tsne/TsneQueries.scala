@@ -67,5 +67,20 @@ object TsneQueries {
         reportLoss = 0, seed = 42))
   }
 
-  def all: Seq[Q] = Seq(knnEmbeddings, embeddingNorms, x2pRowSums, affinities, bhEmbedding)
+  /** Exact-gradient driver (SimpleTSNE), 15 iterations on a fixed
+    * 500-point subset — O(n²)/iteration by reference semantics, so fewer
+    * iterations than the BH query. The subset is `vec_id < 500` (a
+    * deterministic pushed-down filter — an unordered `limit` would pick a
+    * partition-layout-dependent subset at sf0.1 where the table has 2000
+    * rows, breaking fixed-seed reproducibility). Rows-only check;
+    * numerics are gated by GradientSpec (finite differences) and
+    * TSNESpec (loss decrease, determinism). */
+  val simpleEmbedding: Q = Q.noOracle("tsne_simple_embedding") { (s, d) =>
+    SimpleTSNE.tsne(
+      Tables.embeddings(s, d).where(col("vec_id") < 500), "vec_id", "embedding",
+      TSNEParams(maxIterations = 15, perplexity = 20, earlyExaggeration = 8, seed = 42))
+  }
+
+  def all: Seq[Q] = Seq(
+    knnEmbeddings, embeddingNorms, x2pRowSums, affinities, bhEmbedding, simpleEmbedding)
 }

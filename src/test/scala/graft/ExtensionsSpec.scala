@@ -41,7 +41,7 @@ class TrustworthinessSpec extends AnyFunSuite {
   test("t-SNE embedding preserves neighborhoods better than random") {
     import graft.tsne._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .limit(150).cache()
+      .where(org.apache.spark.sql.functions.col("vec_id") < 150).cache()
     val result = BHTSNE.tsne(emb, "vec_id", "embedding",
       TSNEParams(maxIterations = 300, perplexity = 15, earlyExaggeration = 60, seed = 42))
       .withColumn("pos", org.apache.spark.sql.functions.array(

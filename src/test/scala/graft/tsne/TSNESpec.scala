@@ -7,7 +7,8 @@ class TSNESpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private def embeddings(limit: Int) =
-    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(limit)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id") < limit)
 
   test("SimpleTSNE: KL loss decreases and output is finite") {
     val losses = scala.collection.mutable.ArrayBuffer[Double]()

@@ -130,7 +130,7 @@ class KNNSpec extends AnyFunSuite {
 
   test("aggregator top-k matches window top-k on embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-      .limit(100)
+      .where(org.apache.spark.sql.functions.col("vec_id") < 100)
     val viaAgg = KNN.knn(emb, "vec_id", "embedding", 5)
       .select("i", "j", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val viaWin = KNN.knnWindow(emb, "vec_id", "embedding", 5)
