@@ -1,8 +1,8 @@
 package graft.tsne
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact k-nearest-neighbors over an (id, features ARRAY<numeric>) frame.

@@ -37,8 +37,13 @@ object TSNE {
         graft.functions.VectorFunctions.asDoubleArray(col(featuresCol)).as("features"))
       .withColumn("id", (row_number().over(Window.orderBy(col("orig_id"))) - 1).cast("long"))
       .cache()
-    val idMap = indexed.select("orig_id").orderBy("orig_id")
-      .as[Long].collect()
+    val idRows = indexed.select("orig_id").orderBy("orig_id").collect()
+    val idMap = idRows.map { r =>
+      require(!r.isNullAt(0),
+        s"t-SNE id column '$idCol' contains null or non-numeric values " +
+          "(cast to LONG produced null) — ids must be non-null and castable")
+      r.getLong(0)
+    }
     val n = idMap.length
 
     // right-size iteration partitions: each per-iteration job pays a task
@@ -96,12 +101,23 @@ object TSNE {
     Array.fill(n * d)(rng.nextGaussian() * scale)
   }
 
-  /** Embedding (n×d flat, dense idx) → DataFrame(id, x, y) via idMap. */
+  /** Embedding (n×d flat, dense idx) → DataFrame via idMap: columns
+    * (id, x, y[, c2, c3, …]) — one column per dimension (CSV-safe), the
+    * first two keeping the conventional x/y names. */
   def toDF(spark: SparkSession, yFlat: Array[Double], idMap: Array[Long], d: Int): DataFrame = {
-    import spark.implicits._
-    idMap.indices.map { i =>
-      (idMap(i), yFlat(i * d), if (d > 1) yFlat(i * d + 1) else 0.0)
-    }.toSeq.toDF("id", "x", "y")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val names = (0 until d).map {
+      case 0 => "x"
+      case 1 => "y"
+      case k => s"c$k"
+    }
+    val schema = StructType(
+      StructField("id", LongType) +: names.map(StructField(_, DoubleType)))
+    val rows = idMap.indices.map { i =>
+      Row.fromSeq(idMap(i) +: (0 until d).map(k => yFlat(i * d + k)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
   }
 }
 
@@ -133,6 +149,9 @@ object SimpleTSNE {
 
     val rdd = adj.rdd.cache()
     rdd.count()
+    // the Dataset cache (from prepareAffinities) fed this RDD cache and is
+    // not read again — release it so only one adjacency copy stays pinned
+    adj.unpersist()
 
     var iter = 1
     while (iter <= params.maxIterations) {
@@ -161,7 +180,6 @@ object SimpleTSNE {
       iter += 1
     }
     rdd.unpersist()
-    adj.unpersist()
     TSNE.toDF(spark, y, idMap, d)
   }
 }
@@ -170,6 +188,12 @@ object SimpleTSNE {
   * treeAggregate of (posF, negF, sumQ); the driver builds the SPTree from
   * Y (O(n log n) local) and broadcasts tree + Y; dY = posF − negF/sumQ
   * (reference :66, learning-rate factor absorbed into η).
+  *
+  * NOTE: like the reference (and van der Maaten's canonical Barnes-Hut
+  * implementation), this driver omits the factor 4 that SimpleTSNE's
+  * exact kernels include, so the same η yields a 4× smaller effective
+  * step here. Loss curves are comparable across drivers; step sizes are
+  * not — scale η by 4 when porting hyperparameters between them.
   */
 object BHTSNE {
 
@@ -190,6 +214,9 @@ object BHTSNE {
 
     val rdd = adj.rdd.cache()
     rdd.count()
+    // the Dataset cache (from prepareAffinities) fed this RDD cache and is
+    // not read again — release it so only one adjacency copy stays pinned
+    adj.unpersist()
 
     var iter = 1
     while (iter <= params.maxIterations) {
@@ -228,7 +255,6 @@ object BHTSNE {
       iter += 1
     }
     rdd.unpersist()
-    adj.unpersist()
     TSNE.toDF(spark, y, idMap, d)
   }
 }

@@ -24,13 +24,16 @@ object Trustworthiness {
     val spark = original.sparkSession
     val n = original.count()
     require(n == embedded.count(), "point sets must match")
+    require(k > 0 && 2 * n - 3L * k - 1 > 0,
+      s"trustworthiness normalizer requires k < (2n-1)/3; got k=$k, n=$n")
 
-    // ranks in the original space up to a horizon that covers any rank
-    // we might need to look up; k-NN membership needs only top-k, but
-    // r(i,j) for intruders can be anything — cap at n−1 (exact).
-    val horizon = (n - 1).toInt
-    val origRanks = KNN.knn(original, origId, origFeatures, horizon)
+    // FULL rank relation in the original space (r(i,j) for an intruder can
+    // be anything, so the horizon is n−1). At k≈n there is nothing for a
+    // bounded heap to prune — the ranking window is the right physical
+    // shape — and the relation feeds two join branches, so cache it.
+    val origRanks = KNN.knnWindow(original, origId, origFeatures, (n - 1).toInt)
       .select(col("i"), col("j"), col("rank").as("orig_rank"))
+      .cache()
     val embTop = KNN.knn(embedded, embId, embFeatures, k)
       .select(col("i"), col("j"))
     val origTop = origRanks.where(col("orig_rank") <= k)
@@ -43,6 +46,7 @@ object Trustworthiness {
       .join(origRanks, Seq("i", "j"))
       .agg(coalesce(sum(col("orig_rank") - k), lit(0L)))
       .collect()(0).getLong(0)
+    origRanks.unpersist()
 
     1.0 - 2.0 * penalty / (n.toDouble * k * (2 * n - 3 * k - 1))
   }

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -68,7 +68,12 @@ case class TopKNeighbors(
     right: Expression,  // dist: DOUBLE
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuffer]
+  with BinaryLike[Expression] with ExpectsInputTypes {
+
+  // declared input types give clean analysis-time errors (and implicit
+  // numeric widening) instead of runtime ClassCastExceptions
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 

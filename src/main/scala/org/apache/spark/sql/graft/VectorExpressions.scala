@@ -31,7 +31,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExprs.requireSameLength(x.numElements(), y.numElements(), prettyName)
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -41,7 +41,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int n = org.apache.spark.sql.graft.VectorExprs.requireSameLength(
+         |  $x.numElements(), $y.numElements(), "array_dot");
          |double acc = 0.0;
          |for (int i = 0; i < n; i++) {
          |  acc += $x.getDouble(i) * $y.getDouble(i);
@@ -68,7 +69,7 @@ case class ArraySqDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorExprs.requireSameLength(x.numElements(), y.numElements(), prettyName)
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -82,7 +83,8 @@ case class ArraySqDist(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int n = org.apache.spark.sql.graft.VectorExprs.requireSameLength(
+         |  $x.numElements(), $y.numElements(), "array_sq_dist");
          |double acc = 0.0;
          |for (int i = 0; i < n; i++) {
          |  double d = $x.getDouble(i) - $y.getDouble(i);
@@ -128,6 +130,24 @@ case class ArraySqNorm(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+
+/** Shared runtime helpers for the generated code (must be a public
+  * object so Janino-compiled classes can call it). */
+object VectorExprs {
+  /** Strict dimension check: ragged feature arrays are an upstream data
+    * bug — silently truncating to min(length) (the previous behavior)
+    * would compute wrong distances with no signal, corrupting every
+    * downstream kNN/calibration/embedding. Mirrors MLlib Vectors.sqdist
+    * semantics. */
+  def requireSameLength(a: Int, b: Int, fn: String): Int = {
+    if (a != b) {
+      throw new IllegalArgumentException(
+        s"$fn requires equal-length arrays, got $a and $b")
+    }
+    a
+  }
 }
 
 /** Column conversions for expressions hosted outside org.apache.spark.sql. */
