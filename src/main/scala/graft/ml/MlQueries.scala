@@ -14,7 +14,9 @@ object MlQueries {
       |  SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
       |         CAST(embedding[i] AS DOUBLE) AS x
       |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
-      |m AS (SELECT pos, avg(x) AS mu, stddev_pop(x) AS sd FROM e GROUP BY pos)
+      |m AS (SELECT pos, avg(x) AS mu,
+      |        CASE WHEN stddev_pop(x) = 0 THEN 1.0 ELSE stddev_pop(x) END AS sd
+      |      FROM e GROUP BY pos)
       |SELECT e.vec_id, e.pos, (e.x - m.mu) / m.sd AS z
       |FROM e JOIN m USING (pos)""".stripMargin
   ) { (s, d) =>

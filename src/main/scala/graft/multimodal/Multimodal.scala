@@ -1,6 +1,5 @@
 package graft.multimodal
 
-import graft.text.TextFunctions.md5Hash64
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -126,7 +125,9 @@ object Multimodal {
     * one output row per sampled frame, payload-bounded. */
   def sampleFrames(media: DataFrame, stride: Int = 24): DataFrame =
     media
-      .where(col("kind") === "video")
+      // n_frames <= 0 (corrupt/empty asset) yields no rows rather than an
+      // illegal sequence(0, -1) boundary error
+      .where(col("kind") === "video" && col("n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_index"),
         col("content"))

@@ -37,7 +37,11 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
     // shingle once, cache: every downstream branch (explode ×2 join sides,
-    // sizes) would otherwise re-tokenize + re-shingle the corpus
+    // sizes) would otherwise re-tokenize + re-shingle the corpus.
+    // CACHE LIFETIME: the cached frame backs the (lazy) returned DataFrame
+    // and therefore cannot be unpersisted here; it is released by Spark's
+    // storage LRU or `spark.catalog.clearCache()`. Same applies to the
+    // other sketch operators in this file.
     val docSh = docs
       .select(col(idCol).as("id"), shinglesFast(n)(tokens(col(textCol))).as("sh"))
       .cache()
@@ -168,9 +172,13 @@ object Dedup {
     val simUdf = udf { (hs: Seq[Long]) => simhash(hs) }
     val chunks = maxHamming + 1
     val bitsPer = 60 / chunks
+    // cached: the banding self-join consumes this frame on both sides
+    // (same double-evaluation hazard as minhash/jaccard). Cache lifetime
+    // note on jaccardPairs applies.
     val sigs = docs.select(
       col(idCol).as("id"),
       simUdf(transform(tokens(col(textCol)), t => pmod(xxhash64(t), lit(1L << 60)))).as("sim"))
+      .cache()
     // chunk value: bits [chunk_id·bitsPer, (chunk_id+1)·bitsPer)
     val withChunks = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))

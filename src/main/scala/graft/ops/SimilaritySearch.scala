@@ -14,23 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  /** Exact cosine top-k per vector. Same bounded-heap partial-aggregation
-    * shape as t-SNE's kNN: the shuffle after the cross product carries at
-    * most k rows per (map task × key), not n². `dist2` in the aggregator
-    * is 1 − cosine (monotone in angle), tie-break on j. */
-  def bruteTopK(emb: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", k: Int = 5): DataFrame = {
-    // norms precomputed per point (SURVEY P-4): the n² pair loop then
-    // does ONE array traversal (dot) instead of three (dot + two norms)
-    val pts = emb.select(col(idCol).cast("long").as("id"),
-      asDoubleArray(col(vecCol)).as("v"))
+  /** (id, v ARRAY<DOUBLE>, nrm) — norms precomputed once per point so the
+    * pair loops do a single array traversal (dot) per pair. */
+  private def normalizedPoints(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"), asDoubleArray(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
-    val a = pts.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
-    val b = pts.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
-    a.crossJoin(b)
-      .where(col("i") =!= col("j"))
-      .select(col("i"), col("j"),
-        (lit(1.0) - arrayDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("dist2"))
+
+  /** (i, j, dist2=1−cos) pairs → (i, j, cosine, rank) top-k tail. */
+  private def topKTail(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .groupBy(col("i"))
       .agg(org.apache.spark.sql.graft.TopKNeighbors
         .topk(k, col("j"), col("dist2")).as("nbrs"))
@@ -38,6 +30,22 @@ object SimilaritySearch {
       .select(col("i"), col("nbr.j").as("j"),
         (lit(1.0) - col("nbr.dist2")).as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
+
+  /** Exact cosine top-k per vector. Same bounded-heap partial-aggregation
+    * shape as t-SNE's kNN: the shuffle after the cross product carries at
+    * most k rows per (map task × key), not n². `dist2` in the aggregator
+    * is 1 − cosine (monotone in angle), tie-break on j. */
+  def bruteTopK(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 5): DataFrame = {
+    val pts = normalizedPoints(emb, idCol, vecCol)
+    val a = pts.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = pts.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+    topKTail(
+      a.crossJoin(b)
+        .where(col("i") =!= col("j"))
+        .select(col("i"), col("j"),
+          (lit(1.0) - arrayDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("dist2")),
+      k)
   }
 
   /** Window form of the same result (declarative/oracle shape). */
@@ -60,9 +68,7 @@ object SimilaritySearch {
     * run [[lshTopK]] and filter, or pre-bucket with the same hyperplanes. */
   def cosineDupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.4): DataFrame = {
-    val pts = emb.select(col(idCol).cast("long").as("id"),
-      asDoubleArray(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+    val pts = normalizedPoints(emb, idCol, vecCol)
     val a = pts.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = pts.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
@@ -90,7 +96,10 @@ object SimilaritySearch {
     val planes = Array.fill(tables, bits, dim)(rng.nextGaussian())
 
     val bucketUdf = udf { (v: Seq[Double]) =>
-      val d = math.min(v.length, dim)
+      require(v.length == dim,
+        s"lshTopK: hyperplanes were generated for dim=$dim but a vector has " +
+          s"${v.length} components — pass the actual embedding dimension")
+      val d = dim
       (0 until tables).map { t =>
         var bucket = 0L
         var b = 0
@@ -106,9 +115,7 @@ object SimilaritySearch {
       }
     }
 
-    val pts = emb.select(col(idCol).cast("long").as("id"),
-      asDoubleArray(col(vecCol)).as("v"))
-      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+    val pts = normalizedPoints(emb, idCol, vecCol)
     val buckets = pts
       .select(col("id"), col("v"), col("nrm"), explode(bucketUdf(col("v"))).as("tb"))
       .select(col("id"), col("v"), col("nrm"), col("tb._1").as("t"), col("tb._2").as("bucket"))
@@ -116,17 +123,11 @@ object SimilaritySearch {
     // same (i,j) surfacing from several tables is deduped INSIDE the
     // bounded-heap aggregator — no distinct shuffle carrying the wide
     // vector columns (at fixture scale that shuffle alone cost ~10s)
-    buckets.as("a")
+    val pairs = buckets.as("a")
       .join(buckets.as("b"), Seq("t", "bucket"))
       .where(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         (lit(1.0) - arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("dist2"))
-      .groupBy(col("i"))
-      .agg(org.apache.spark.sql.graft.TopKNeighbors
-        .topk(k, col("j"), col("dist2")).as("nbrs"))
-      .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
-      .select(col("i"), col("nbr.j").as("j"),
-        (lit(1.0) - col("nbr.dist2")).as("cosine"),
-        (col("pos") + 1).cast("int").as("rank"))
+    topKTail(pairs, k)
   }
 }

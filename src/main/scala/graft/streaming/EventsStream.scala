@@ -19,9 +19,13 @@ case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, cl
   */
 object EventsStream {
 
+  /** File-source schema for the repo's events parquet: ts is declared
+    * LONG because the fixture stores TIMESTAMP(NANOS), which Spark reads
+    * as epoch-nanos under the nanosAsLong flag every session here sets
+    * (see Tables.events); [[startWindowedQuery]] normalizes it. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -49,6 +53,7 @@ object EventsStream {
     val src = spark.readStream
       .schema(eventSchema)
       .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     windowedAgg(src)
       .writeStream
       .outputMode(OutputMode.Complete())
@@ -57,31 +62,38 @@ object EventsStream {
       .start()
   }
 
-  /** Per-user running session state via mapGroupsWithState: counts and
-    * value totals, closing a session after `gapMinutes` of event-time
-    * silence. Demonstrates the KeyValueGroupedDataset custom-state path
-    * (the scalable pattern for sessionization at 10⁹ users: state is
-    * partitioned by key and checkpointed incrementally). */
+  /** Per-user sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMinutes` of event-time silence. Emits one summary per
+    * CLOSED session (closed=true) plus the still-open session's running
+    * totals (closed=false) — every event is accounted for in exactly one
+    * emitted session per batch. Demonstrates the KeyValueGroupedDataset
+    * custom-state path (the scalable pattern for sessionization at 10⁹
+    * users: state partitioned by key, checkpointed incrementally). */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
       gapMinutes: Int = 30): DataFrame = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionSummary](GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
           var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-          var closed = false
+          val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()
           sorted.foreach { e =>
             if (st.lastTs != Long.MinValue &&
                 e.ts.getTime - st.lastTs > gapMinutes * 60000L) {
-              closed = true // a gap occurred within this batch's history
-              st = SessionState(0L, 0.0, e.ts.getTime)
+              // gap: the previous session is complete — emit it
+              out += SessionSummary(userId, st.nEvents, st.totalValue, closed = true)
+              st = SessionState(0L, 0.0, Long.MinValue)
             }
             st = SessionState(st.nEvents + 1, st.totalValue + e.value, e.ts.getTime)
           }
           state.update(st)
-          SessionSummary(userId, st.nEvents, st.totalValue, closed)
+          if (st.nEvents > 0) {
+            out += SessionSummary(userId, st.nEvents, st.totalValue, closed = false)
+          }
+          out.iterator
       }
       .toDF()
   }

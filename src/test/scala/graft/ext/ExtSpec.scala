@@ -63,20 +63,14 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
 
-    // stream the same parquet through a file source; complete mode memory sink.
-    // events.parquet stores ns timestamps read as long via nanosAsLong — the
-    // stream schema declares ts LONG and converts, matching Tables.events.
-    // file stream source needs a directory; stage the single fixture file
+    // stream the same parquet through the engine's own file-source entry
+    // point (startWindowedQuery normalizes the nanos-as-long timestamps);
+    // file stream source needs a directory — stage the single fixture file
     val streamDir = java.nio.file.Files.createTempDirectory("events-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val src = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .parquet(streamDir.toString)
-    val q = EventsStream.windowedAgg(
-        src.withColumn("ts", expr("timestamp_micros(ts div 1000)")))
-      .writeStream.outputMode("complete").format("memory").queryName("wtest").start()
+    val q = EventsStream.startWindowedQuery(spark, streamDir.toString, "wtest")
     try {
       q.processAllAvailable()
       val stream = spark.table("wtest")
@@ -87,18 +81,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sessionize accumulates per-user state") {
+  test("sessionize conserves events across closed + open sessions") {
     import spark.implicits._
     val events = graft.Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[SessionEvent]
     val sessions = EventsStream.sessionize(events, gapMinutes = 30)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     val totals = graft.Tables.events(spark, dir)
-      .groupBy("user_id").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sessions.keySet == totals.keySet)
-    // session event counts never exceed the user's total events
-    sessions.foreach { case (u, (n, _)) => assert(n <= totals(u)) }
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // every event lands in exactly one emitted session: per-user sums of
+    // session counts/values must equal the user's totals
+    val byUser = sessions.groupBy(_._1)
+    assert(byUser.keySet == totals.keySet)
+    byUser.foreach { case (u, ss) =>
+      assert(ss.map(_._2).sum == totals(u)._1, s"user $u event count not conserved")
+      assert(math.abs(ss.map(_._3).sum - totals(u)._2) < 1e-6, s"user $u value not conserved")
+      assert(ss.count(!_._4) <= 1, s"user $u has multiple open sessions")
+    }
+    // the 30-min gap over this fixture actually closes some sessions
+    assert(sessions.exists(_._4), "expected at least one closed session")
   }
 }
