@@ -192,4 +192,48 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------- canonical assignment
+
+  /** Final dedup stage: group duplicate PAIRS into connected components
+    * and elect min-id canonicals — "which copy survives". Iterative
+    * min-label propagation over the undirected pair graph (each round:
+    * every vertex takes the min label in its closed neighborhood),
+    * converging in O(component diameter) rounds; the loop exits early on
+    * a fixpoint (no labels changed).
+    *
+    * Scale: each round is one equi-join + groupBy-min on the edge list —
+    * all shuffle-on-key, distributed state only (the classic Pregel-style
+    * connected components, no driver materialization). */
+  def canonicalize(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaNeighbors)
+        .groupBy("id")
+        .agg(min(col("label")).as("label"))
+        .cache()
+      next.count() // materialize before comparing / releasing parent
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .where(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
 }

@@ -89,6 +89,25 @@ object OpsQueries {
     SimilaritySearch.lshTopK(Tables.embeddings(s, d), k = 5)
   }
 
+  /** Canonical assignment over the exact-Jaccard duplicate graph:
+    * connected components (min-label propagation) electing min-id
+    * survivors. Oracle = recursive-CTE reachability closure in DuckDB. */
+  val canonical: Q = Q(
+    "dedup_canonical",
+    s"""WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($JaccardSql)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |)
+       |SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY src""".stripMargin
+  ) { (s, d) =>
+    Dedup.canonicalize(Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.8))
+  }
+
   def all: Seq[Q] = Seq(
-    exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK, annLsh)
+    exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
+    annLsh, canonical)
 }
