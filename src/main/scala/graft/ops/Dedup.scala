@@ -212,6 +212,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
+    // convergence check: labels only ever decrease, so an unchanged
+    // Σlabel means a fixpoint — one aggregate action per round instead of
+    // a join-based diff (halves the per-round job count)
+    var prevSum = Long.MaxValue
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
@@ -223,14 +227,11 @@ object Dedup {
         .groupBy("id")
         .agg(min(col("label")).as("label"))
         .cache()
-      next.count() // materialize before comparing / releasing parent
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("id"))
-        .where(col("n.label") =!= col("o.label"))
-        .limit(1).count() > 0
+      val sumLabel = next.agg(sum(col("label"))).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
-      converged = !changed
+      converged = sumLabel == prevSum
+      prevSum = sumLabel
       rounds += 1
     }
     edges.unpersist()

@@ -49,6 +49,24 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    # driver's weaker rows-only check for queries without oracle SQL
+    import os
+    dumped = {d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}")}
+    for name in sorted(dumped - set(oracles)):
+        try:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            ).fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {name} (rows-only): {e}")
+            n_fail += 1
+            continue
+        if n > 0:
+            print(f"PASS {name} (rows-only, {n} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name} (rows-only): 0 rows")
+            n_fail += 1
     for name, sql in sorted(oracles.items()):
         try:
             spark_rel = con.execute(
