@@ -20,18 +20,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n) {
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${args.length}")
+    }
+    args
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       info("array_dot", "array_dot(a, b) - dot product of two numeric arrays"),
-      (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => { val a = arity("array_dot", 2)(args); ArrayDotProduct(a(0), a(1)) }))
     ext.injectFunction((
       FunctionIdentifier("array_sq_dist"),
       info("array_sq_dist", "array_sq_dist(a, b) - squared L2 distance"),
-      (args: Seq[Expression]) => ArraySqDist(args(0), args(1))))
+      (args: Seq[Expression]) => { val a = arity("array_sq_dist", 2)(args); ArraySqDist(a(0), a(1)) }))
     ext.injectFunction((
       FunctionIdentifier("array_sq_norm"),
       info("array_sq_norm", "array_sq_norm(a) - squared L2 norm"),
-      (args: Seq[Expression]) => ArraySqNorm(args(0))))
+      (args: Seq[Expression]) => { val a = arity("array_sq_norm", 1)(args); ArraySqNorm(a(0)) }))
   }
 }

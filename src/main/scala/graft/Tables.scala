@@ -26,12 +26,14 @@ object Tables {
   /** events.parquet stores TIMESTAMP(NANOS); Spark only reads those as
     * LONG (spark.sql.legacy.parquet.nanosAsLong=true, set by every session
     * builder in this repo). Normalize to a micros TIMESTAMP here with
-    * integer division so epoch-nanos (~1.7e18, beyond double's 53-bit
-    * mantissa) never round-trip through a double. */
+    * integer FLOOR division (pmod makes `div` floor instead of truncate,
+    * matching DuckDB's native nanos→micros conversion for pre-1970
+    * instants) so epoch-nanos (~1.7e18, beyond double's 53-bit mantissa)
+    * never round-trip through a double. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType => df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
       case _        => df
     }
   }

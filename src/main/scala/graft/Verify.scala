@@ -17,11 +17,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      val dest = new java.io.File(s"$outDir/$name")
+      // remove any previous round's output FIRST: a query that throws must
+      // leave no stale parquet behind for the checker to "pass" against
+      if (dest.exists()) deleteRecursively(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (dest.exists()) deleteRecursively(dest) // partial write
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -16,6 +16,7 @@ object TsneBaseline {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -28,7 +29,10 @@ object TsneBaseline {
       callback = (_, _, l) => l.foreach(lastLoss = _))
     val n = result.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"workload":"bhtsne_${iters}","n":$n,"sec":$secs%.1f,"sec_per_iter":${secs / iters}%.4f,"final_kl":$lastLoss%.6f}""")
+    // loss reports every 10 iterations (reportLoss default); "final_kl" is
+    // the last REPORTED loss — null (valid JSON) when iters < 10
+    val kl = if (lastLoss.isNaN) "null" else f"$lastLoss%.6f"
+    println(f"""{"workload":"bhtsne_${iters}","n":$n,"sec":$secs%.1f,"sec_per_iter":${secs / iters}%.4f,"final_kl":$kl}""")
     spark.stop()
   }
 }

@@ -36,5 +36,5 @@ object VectorFunctions {
 
   /** cos(a, b) = a·b / (‖a‖·‖b‖) */
   def arrayCosine(a: Column, b: Column): Column =
-    arrayDot(a, b) / (sqrt(arraySqNorm(a)) * sqrt(arraySqNorm(b)))
+    arrayDot(a, b) / (arrayNorm(a) * arrayNorm(b))
 }

@@ -53,7 +53,7 @@ object EventsStream {
     val src = spark.readStream
       .schema(eventSchema)
       .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     windowedAgg(src)
       .writeStream
       .outputMode(OutputMode.Complete())

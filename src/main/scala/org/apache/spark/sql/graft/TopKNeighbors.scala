@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -69,7 +69,7 @@ case class TopKNeighbors(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer]
-  with BinaryLike[Expression] with ExpectsInputTypes {
+  with BinaryLike[Expression] with ImplicitCastInputTypes {
 
   // declared input types give clean analysis-time errors (and implicit
   // numeric widening) instead of runtime ClassCastExceptions

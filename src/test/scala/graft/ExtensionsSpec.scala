@@ -27,6 +27,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 25.0)
       assert(r.getDouble(2) == 25.0)
+      // implicit coercion: int-literal arrays and the fixture's float
+      // arrays must work through SQL (ImplicitCastInputTypes)
+      assert(spark.sql("SELECT array_dot(array(1, 2), array(3, 4)) AS d")
+        .collect()(0).getDouble(0) == 11.0)
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .createOrReplaceTempView("emb_ext_test")
+      val norms = spark.sql(
+        "SELECT sqrt(array_dot(embedding, embedding)) AS n FROM emb_ext_test LIMIT 5")
+        .collect()
+      assert(norms.forall(r2 => math.abs(r2.getDouble(0) - 1.0) < 1e-3))
+      // arity errors are clear, not IndexOutOfBounds
+      val e = intercept[Exception](spark.sql("SELECT array_dot(array(1.0d))"))
+      assert(e.getMessage.contains("expects 2 argument"), e.getMessage)
     } finally {
       // don't stop(): the SparkContext is shared with TestSpark sessions
       prevDefault.foreach(SparkSession.setDefaultSession)
