@@ -105,6 +105,19 @@ class ProfileSpec extends AnyFunSuite {
         numHashTables = 8, hashesPerTable = 2)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"[profile] approx recall = ${(approx & exact).size.toDouble / exact.size}%.3f")
+
+    // BH iteration scaling: sec/iter at 16k rows vs the 2k bench number
+    var iterTimes = List.empty[Double]
+    var tPrev = System.nanoTime()
+    tsne.BHTSNE.tsne(big, "vec_id", "embedding",
+      tsne.TSNEParams(maxIterations = 20, perplexity = 20, earlyExaggeration = 10,
+        reportLoss = 0, seed = 42),
+      callback = (_, _, _) => {
+        val now = System.nanoTime()
+        iterTimes ::= (now - tPrev) / 1e9
+        tPrev = now
+      })
+    println(f"[profile] BH @16k sec/iter (median of 20) = ${iterTimes.sorted.apply(10)}%.3f")
     big.unpersist()
   }
 }
