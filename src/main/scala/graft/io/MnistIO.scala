@@ -89,6 +89,15 @@ object MnistIO {
       sb.append("]}")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/player.json"), sb.toString)
+      // ship the dependency-free viewer next to the data (replaces the
+      // reference's separate spark-tsne-player module + R step)
+      val html = getClass.getResourceAsStream("/player/player.html")
+      if (html != null) {
+        try java.nio.file.Files.copy(html,
+          java.nio.file.Paths.get(s"$outDir/player.html"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally html.close()
+      }
     }
 
     def close(): Unit = { costWriter.close() }

@@ -70,6 +70,9 @@ class MnistIOSpec extends AnyFunSuite {
     assert(json.contains(""""key":0,"label":1"""))
     // valid JSON (parse with a strict-ish check: balanced + jackson-free)
     assert(json.count(_ == '{') == json.count(_ == '}'))
+    // the self-contained viewer ships next to the data
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/player.html"))
+    assert(html.contains("player.json") && html.contains("<canvas"))
   }
 
   test("LBFGS stub refuses with a pointer to working drivers") {
