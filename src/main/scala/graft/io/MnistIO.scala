@@ -1,7 +1,6 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,20 +31,26 @@ object MnistIO {
 
   /** Schema'd CSV read (codec auto-detected from .gz) → (id, label,
     * features ARRAY<DOUBLE>). The reference derives row identity from
-    * `zipWithIndex` partition order (SURVEY hazard §4.3.2); here ids come
-    * from `row_number()` over a deterministic content hash, so the same
-    * file yields the same ids under any partitioning. */
+    * `zipWithIndex` partition order (SURVEY hazard §4.3.2); here ids
+    * follow a deterministic content-hash sort, so the same file yields
+    * the same ids under any input partitioning. Realized as a range-sorted
+    * `zipWithIndex` (ids are contiguous across the range-ordered
+    * partitions), NOT a global `row_number()` window — the window form
+    * funnels every pixel array through one task; this one never holds
+    * more than a partition's sorted range. */
   def readCsv(spark: SparkSession, path: String, nPix: Int): DataFrame = {
+    import spark.implicits._
     val pixCols = (1 to nPix).map(i => StructField(s"pix$i", DoubleType))
     val schema = StructType(StructField("label", IntegerType) +: pixCols)
     val raw = spark.read.schema(schema).csv(path)
     val features = array((1 to nPix).map(i => col(s"pix$i")): _*)
     raw
       .select(col("label"), features.as("features"))
-      .withColumn("id",
-        (row_number().over(Window.orderBy(xxhash64(col("label"), col("features").cast("string")))) - 1)
-          .cast("long"))
-      .select("id", "label", "features")
+      .orderBy(xxhash64(col("label"), col("features").cast("string")))
+      .as[(Int, Array[Double])]
+      .rdd.zipWithIndex()
+      .map { case ((label, feats), i) => (i, label, feats) }
+      .toDF("id", "label", "features")
   }
 
   /** Per-iteration embedding sink (reference callback, MNIST.scala:55-69):

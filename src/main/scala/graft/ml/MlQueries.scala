@@ -27,10 +27,12 @@ object MlQueries {
   /** PCA projection (top-8 components). Principal axes have sign/rotation
     * indeterminacy across implementations → rows-only check here; the
     * numeric contract (dimension, variance ordering, orthogonal recon)
-    * is asserted in PreprocessSpec. */
+    * is asserted in PreprocessSpec. Exploded to scalar (vec_id, pos, y)
+    * rows — the driver's rows-only comparator sorts with pandas, which
+    * cannot sort array cells. */
   val pca: Q = Q.noOracle("ml_pca") { (s, d) =>
     Preprocess.pca(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "y")))
   }
 
   def all: Seq[Q] = Seq(standardize, pca)

@@ -7,12 +7,17 @@ object MultimodalQueries {
 
   /** Feature extraction over the synthetic media table: binary payloads →
     * fixed-dim float vectors via the (stubbed) codec, streamed lazily per
-    * partition. Deterministic but byte-level → rows-only check. */
+    * partition. Deterministic but byte-level → rows-only check. Exploded
+    * to scalar (media_id, kind, pos, feature) rows — the driver's
+    * rows-only comparator sorts with pandas, which cannot sort array
+    * cells. */
   val features: Q = Q.noOracle("multimodal_features") { (s, d) =>
     import s.implicits._
     Multimodal.extractFeatures(
         Multimodal.syntheticMedia(s, d).as[MediaItem], dim = 32)
       .toDF()
+      .select(col("media_id"), col("kind"),
+        posexplode(col("features")).as(Seq("pos", "feature")))
   }
 
   /** Frame-sampling metadata path: one row per sampled video frame,

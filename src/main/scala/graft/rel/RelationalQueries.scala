@@ -333,11 +333,15 @@ object RelationalQueries {
       .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
   }
 
-  /** Conditional aggregation (CASE WHEN inside agg). */
+  /** Conditional aggregation (CASE WHEN inside agg). The money sum is
+    * rounded to cents on BOTH engines: o_totalprice has 2 decimals, so the
+    * true sum does too, and round(…, 2) recovers it exactly regardless of
+    * the float accumulation order (Spark partial/final vs DuckDB serial),
+    * which differed enough to flip the driver's hash in round 1. */
   val q18CaseAgg: Q = Q(
     "q18_case_agg",
     """SELECT o_orderstatus,
-      |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END) AS urgent_total,
+      |  round(sum(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END), 2) AS urgent_total,
       |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN CAST(1 AS BIGINT) ELSE 0 END) AS urgent_n,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
@@ -345,7 +349,7 @@ object RelationalQueries {
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(
-        sum(when(col("o_orderpriority").like("1%"), col("o_totalprice")).otherwise(lit(0.0))).as("urgent_total"),
+        round(sum(when(col("o_orderpriority").like("1%"), col("o_totalprice")).otherwise(lit(0.0))), 2).as("urgent_total"),
         sum(when(col("o_orderpriority").like("1%"), lit(1L)).otherwise(lit(0L))).as("urgent_n"),
         count(lit(1)).as("n"))
   }

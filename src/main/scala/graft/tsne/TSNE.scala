@@ -1,7 +1,6 @@
 package graft.tsne
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One sparse-affinity adjacency row: dense point index + sorted neighbor
@@ -19,10 +18,12 @@ object TSNE {
     * flat matrix indexed positionally (SURVEY §1.4). The reference gets
     * them implicitly from `zipWithIndex` partition order — the
     * nondeterminism hazard flagged in SURVEY §4.3.2; here the mapping is
-    * an explicit, order-defined `row_number() OVER (ORDER BY id)`. The
-    * single-partition window is bounded by n (t-SNE's driver matrix bounds
-    * n anyway); the heavy lifting (kNN, calibration, symmetrization) all
-    * happens on the dense-indexed frame afterwards, fully distributed.
+    * orig_id rank order, realized as a broadcast-joined driver-built
+    * lookup: the sorted idMap must be collected anyway (Y is a positional
+    * driver matrix, so n is bounded), and joining it back beats a global
+    * `row_number()` window, which would funnel every (id, features) row —
+    * feature arrays included — through one partition. Only the 8-byte
+    * orig_id column is ever collected (column-pruned scan).
     */
   def prepareAffinities(
       points: DataFrame,
@@ -32,19 +33,29 @@ object TSNE {
     val spark = points.sparkSession
     import spark.implicits._
 
-    val indexed = points
+    val base = points
       .select(col(idCol).cast("long").as("orig_id"),
         graft.functions.VectorFunctions.asDoubleArray(col(featuresCol)).as("features"))
-      .withColumn("id", (row_number().over(Window.orderBy(col("orig_id"))) - 1).cast("long"))
-      .cache()
-    val idRows = indexed.select("orig_id").orderBy("orig_id").collect()
+    val idRows = base.select("orig_id").collect()
     val idMap = idRows.map { r =>
       require(!r.isNullAt(0),
         s"t-SNE id column '$idCol' contains null or non-numeric values " +
           "(cast to LONG produced null) — ids must be non-null and castable")
       r.getLong(0)
     }
+    java.util.Arrays.sort(idMap)
     val n = idMap.length
+    var w = 1
+    while (w < n) {
+      require(idMap(w) != idMap(w - 1),
+        s"t-SNE id column '$idCol' contains duplicate value ${idMap(w)} — " +
+          "ids must be unique (dense indices are derived from id rank)")
+      w += 1
+    }
+    val mapDf = spark.createDataset(
+        idMap.toSeq.zipWithIndex.map { case (o, i) => (o, i.toLong) })
+      .toDF("orig_id", "id")
+    val indexed = base.join(broadcast(mapDf), "orig_id").cache()
 
     // right-size iteration partitions: each per-iteration job pays a task
     // per partition, and adjacency rows are tiny (~k neighbors each) —

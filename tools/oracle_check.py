@@ -57,6 +57,11 @@ def main():
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')"
             ).fetchone()[0]
+            # replicate the driver's pandas row-sort: it crashes on
+            # array-typed cells, so every dumped column must be sortable
+            import pandas as pd
+            df = pd.read_parquet(f"{out_dir}/{name}")
+            df.sort_values(list(df.columns))
         except Exception as e:
             print(f"FAIL {name} (rows-only): {e}")
             n_fail += 1
