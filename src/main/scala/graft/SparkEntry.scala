@@ -10,6 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** All registered queries with their oracles and gates (Verify needs
+    * the gate functions, not just the name→fn map). */
+  def qs: Seq[Q] = modules
+
   private def modules: Seq[Q] =
     rel.RelationalQueries.all ++ tsne.TsneQueries.all ++
       text.TextQueries.all ++ ops.OpsQueries.all ++

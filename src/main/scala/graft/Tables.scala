@@ -41,15 +41,26 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
+/** One quantified correctness gate: a named metric with its pass verdict.
+  * Gates make the sketch/iterative queries (no SQL oracle possible)
+  * self-checking on the driver surface: Verify evaluates them per round,
+  * writes them to gates.json, and deletes the dump of a failing query so
+  * the round's correctness artifact goes red instead of silently passing
+  * a rows-only count. */
+final case class Gate(metric: String, value: Double, pass: Boolean)
+
 /** One verifiable engine query: a DataFrame program plus (when the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
   * Column names/aliases must match between the two — the driver's compare
-  * sorts columns by name before hashing.
+  * sorts columns by name before hashing. Queries without an oracle should
+  * carry a [[Gate]] function instead: (session, sfDir, dumped result) →
+  * quantified invariants (recall vs the exact twin, Σp≈1, …).
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    gate: Option[(SparkSession, String, DataFrame) => Seq[Gate]] = None)
 
 object Q {
   def apply(name: String, oracle: String)(
@@ -57,4 +68,7 @@ object Q {
     Q(name, fn, Some(oracle))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+  def gated(name: String)(fn: (SparkSession, String) => DataFrame)(
+      gate: (SparkSession, String, DataFrame) => Seq[Gate]): Q =
+    Q(name, fn, None, Some(gate))
 }

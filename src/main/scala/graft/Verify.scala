@@ -33,6 +33,38 @@ object Verify {
         if (dest.exists()) deleteRecursively(dest) // partial write
       }
     }
+    // Quantified gates for queries without a SQL oracle: evaluate each
+    // against its dumped parquet, record every metric in gates.json, and
+    // DELETE the dump of a failing query — the driver's rows-only check
+    // then errs instead of green-lighting a broken sketch via rows>0.
+    val gateResults = SparkEntry.qs.flatMap { q =>
+      q.gate.map { g =>
+        val dest = new java.io.File(s"$outDir/${q.name}")
+        val gates: Seq[Gate] =
+          if (!dest.exists()) Seq(Gate("query_dumped", 0.0, pass = false))
+          else
+            try g(spark, sfDir, spark.read.parquet(s"$outDir/${q.name}"))
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] ${q.name} gate threw: ${e.getMessage}")
+              Seq(Gate("gate_evaluated", 0.0, pass = false))
+            }
+        gates.filterNot(_.pass).foreach { gate =>
+          System.err.println(
+            s"[verify] ${q.name} gate FAILED: ${gate.metric}=${gate.value}")
+        }
+        if (gates.exists(!_.pass) && dest.exists()) deleteRecursively(dest)
+        q.name -> gates
+      }
+    }
+    val gatesJson = gateResults.map { case (name, gates) =>
+      val entries = gates.map { gate =>
+        // a NaN/Inf metric value would make the whole file unparseable
+        val v = if (java.lang.Double.isFinite(gate.value)) gate.value.toString else "null"
+        s"""{"metric":"${gate.metric}","value":$v,"pass":${gate.pass}}"""
+      }
+      s""""$name": [${entries.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/gates.json"), gatesJson)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,6 +1,6 @@
 package graft.ml
 
-import graft.{Q, Tables}
+import graft.{Gate, Q, Tables}
 import org.apache.spark.sql.functions._
 
 object MlQueries {
@@ -30,9 +30,25 @@ object MlQueries {
     * is asserted in PreprocessSpec. Exploded to scalar (vec_id, pos, y)
     * rows — the driver's rows-only comparator sorts with pandas, which
     * cannot sort array cells. */
-  val pca: Q = Q.noOracle("ml_pca") { (s, d) =>
+  val pca: Q = Q.gated("ml_pca") { (s, d) =>
     Preprocess.pca(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "y")))
+  } { (_, _, res) =>
+    // PCA contract: finite scores, exactly k components per vector, and
+    // component variance non-increasing in component index (the axes are
+    // ordered by explained variance)
+    val r = res.agg(
+      avg(when(!isnan(col("y")) && abs(col("y")) < Double.MaxValue, 1.0)
+        .otherwise(0.0)).as("ff"),
+      countDistinct(col("pos")).as("k")).head
+    val perPos = res.groupBy("pos").agg(var_pop(col("y")).as("v"))
+      .orderBy("pos").collect().map(_.getDouble(1))
+    val monotone = perPos.indices.drop(1)
+      .forall(i => perPos(i) <= perPos(i - 1) * (1 + 1e-9) + 1e-12)
+    Seq(
+      Gate("frac_finite", r.getDouble(0), r.getDouble(0) == 1.0),
+      Gate("n_components", r.getLong(1).toDouble, r.getLong(1) == 8),
+      Gate("variance_monotone", if (monotone) 1.0 else 0.0, monotone))
   }
 
   def all: Seq[Q] = Seq(standardize, pca)

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import graft.Q
+import graft.{Gate, Q}
 import org.apache.spark.sql.functions._
 
 object MultimodalQueries {
@@ -11,13 +11,25 @@ object MultimodalQueries {
     * to scalar (media_id, kind, pos, feature) rows — the driver's
     * rows-only comparator sorts with pandas, which cannot sort array
     * cells. */
-  val features: Q = Q.noOracle("multimodal_features") { (s, d) =>
+  val features: Q = Q.gated("multimodal_features") { (s, d) =>
     import s.implicits._
     Multimodal.extractFeatures(
         Multimodal.syntheticMedia(s, d).as[MediaItem], dim = 32)
       .toDF()
       .select(col("media_id"), col("kind"),
         posexplode(col("features")).as(Seq("pos", "feature")))
+  } { (_, _, res) =>
+    // batch-shape contract: every asset yields exactly dim=32 features,
+    // each in the codec's output range (-1, 1)
+    val dims = res.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx")).head
+    val fr = res.agg(
+      avg(when(abs(col("feature")) < 1.0, 1.0).otherwise(0.0)).as("fr"))
+      .head.getDouble(0)
+    Seq(
+      Gate("min_dims_per_asset", dims.getLong(0).toDouble, dims.getLong(0) == 32),
+      Gate("max_dims_per_asset", dims.getLong(1).toDouble, dims.getLong(1) == 32),
+      Gate("frac_feature_in_range", fr, fr == 1.0))
   }
 
   /** Frame-sampling metadata path: one row per sampled video frame,

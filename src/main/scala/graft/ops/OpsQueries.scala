@@ -1,6 +1,7 @@
 package graft.ops
 
-import graft.{Q, Tables}
+import graft.{Gate, Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dedup + similarity-search operator surface (the LLM-pipeline
@@ -49,12 +50,42 @@ object OpsQueries {
     Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.8)
   }
 
-  val minhashDups: Q = Q.noOracle("dedup_minhash_lsh") { (s, d) =>
-    Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.8)
+  /** (candidate pairs, exact pairs) → recall of the sketch vs its exact
+    * twin, on undirected (id_a, id_b) keys. */
+  private def pairRecall(cand: DataFrame, exact: DataFrame): (Double, Double) = {
+    val nExact = exact.count().toDouble
+    val nCand = cand.count().toDouble
+    val hit = cand.join(exact, Seq("id_a", "id_b")).count().toDouble
+    val recall = if (nExact == 0) 1.0 else hit / nExact
+    val precision = if (nCand == 0) 1.0 else hit / nCand
+    (recall, precision)
   }
 
-  val simhashDups: Q = Q.noOracle("dedup_simhash") { (s, d) =>
+  /** Sketch twin of dedup_ngram_jaccard — gated per round on recall vs
+    * the exact pairs (spec threshold 0.9) and on exact-rescore precision
+    * (candidates are verified against true Jaccard, so false positives
+    * must not appear). */
+  val minhashDups: Q = Q.gated("dedup_minhash_lsh") { (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.8)
+  } { (s, d, res) =>
+    val exact = Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.8)
+      .select("id_a", "id_b")
+    val (recall, precision) = pairRecall(res.select("id_a", "id_b"), exact)
+    Seq(
+      Gate("recall_vs_exact_jaccard", recall, recall >= 0.9),
+      Gate("precision_vs_exact_jaccard", precision, precision >= 0.99))
+  }
+
+  /** SimHash near-dup candidates — gated on recall vs exact Jaccard pairs
+    * (spec threshold 0.7; hamming-ball candidacy is a looser notion, so
+    * no precision gate). */
+  val simhashDups: Q = Q.gated("dedup_simhash") { (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 5)
+  } { (s, d, res) =>
+    val exact = Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.8)
+      .select("id_a", "id_b")
+    val (recall, _) = pairRecall(res.select("id_a", "id_b"), exact)
+    Seq(Gate("recall_vs_exact_jaccard", recall, recall >= 0.7))
   }
 
   private val CosineExpr =
@@ -85,8 +116,18 @@ object OpsQueries {
     SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
   }
 
-  val annLsh: Q = Q.noOracle("ann_lsh_topk") { (s, d) =>
+  /** Hyperplane-LSH ANN — gated per round on recall@5 vs the exact
+    * brute-force twin (spec threshold 0.5: the fixture's near-uniform
+    * unit vectors are the LSH worst case). */
+  val annLsh: Q = Q.gated("ann_lsh_topk") { (s, d) =>
     SimilaritySearch.lshTopK(Tables.embeddings(s, d), k = 5)
+  } { (s, d, res) =>
+    val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
+      .select("i", "j")
+    val nExact = exact.count().toDouble
+    val hit = res.select("i", "j").join(exact, Seq("i", "j")).count().toDouble
+    val recall = if (nExact == 0) 1.0 else hit / nExact
+    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.5))
   }
 
   /** Canonical assignment over the exact-Jaccard duplicate graph:

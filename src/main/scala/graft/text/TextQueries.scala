@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.{Q, Tables}
+import graft.{Gate, Q, Tables}
 import graft.text.TextFunctions._
 import org.apache.spark.sql.functions._
 
@@ -56,12 +56,24 @@ object TextQueries {
     * accuracy is validated on multilingual unit fixtures (TextSpec), not
     * here; this query exercises the full expression tree at scale.
     * β-free, UDF-free — rows-only check. */
-  val langQuality: Q = Q.noOracle("text_lang_quality") { (s, d) =>
+  val langQuality: Q = Q.gated("text_lang_quality") { (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
       langId(col("text")).as("lang_pred"),
       qualityScore(col("text")).as("quality"),
       stopwordRatio(col("text")).as("stop_ratio"))
+  } { (_, _, res) =>
+    // range/totality invariants: both scores are ratios in [0,1] and the
+    // language heuristic must emit a prediction for every document
+    val r = res.agg(
+      avg(when(col("quality").between(0.0, 1.0), 1.0).otherwise(0.0)).as("fq"),
+      avg(when(col("stop_ratio").between(0.0, 1.0), 1.0).otherwise(0.0)).as("fs"),
+      avg(when(col("lang_pred").isNotNull && length(col("lang_pred")) > 0, 1.0)
+        .otherwise(0.0)).as("fl")).head
+    Seq(
+      Gate("frac_quality_in_unit", r.getDouble(0), r.getDouble(0) == 1.0),
+      Gate("frac_stop_ratio_in_unit", r.getDouble(1), r.getDouble(1) == 1.0),
+      Gate("frac_lang_predicted", r.getDouble(2), r.getDouble(2) == 1.0))
   }
 
   def all: Seq[Q] = Seq(textStats, fingerprints, langQuality)

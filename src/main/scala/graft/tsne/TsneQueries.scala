@@ -1,6 +1,7 @@
 package graft.tsne
 
-import graft.{Q, Tables}
+import graft.{Gate, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** t-SNE pipeline stages exposed on the driver's Verify/Bench surface.
@@ -41,31 +42,73 @@ object TsneQueries {
         graft.functions.VectorFunctions.arrayNorm(col("embedding")).as("norm"))
   }
 
+  /** Embedding-output gate shared by both t-SNE drivers: row count must
+    * equal the input point count, every coordinate finite, and the layout
+    * non-degenerate (nonzero spread). */
+  private def embeddingGate(expectedN: (SparkSession, String) => Long)
+      : (SparkSession, String, DataFrame) => Seq[Gate] = { (s, d, res) =>
+    val n = expectedN(s, d).toDouble
+    val r = res.agg(
+      count(lit(1)).as("cnt"),
+      avg(when(!isnan(col("x")) && !isnan(col("y")) &&
+            abs(col("x")) < Double.MaxValue && abs(col("y")) < Double.MaxValue,
+          1.0).otherwise(0.0)).as("ff"),
+      stddev_pop(col("x")).as("sd")).head
+    val cnt = r.getLong(0).toDouble
+    Seq(
+      Gate("rows_eq_n", cnt, cnt == n),
+      Gate("frac_finite", r.getDouble(1), r.getDouble(1) == 1.0),
+      Gate("stddev_x", r.getDouble(2), r.getDouble(2) > 0.0))
+  }
+
   /** X2P calibration invariants as a relation: per row, neighbor count
     * and Σ_j P(j|i) (must be 1 ± tol). β-search is not SQL-expressible →
-    * rows-only check; numeric invariants live in X2PSpec. */
-  val x2pRowSums: Q = Q.noOracle("x2p_row_sums") { (s, d) =>
+    * gated check: the calibration contract Σ_j P(j|i) = 1 is asserted
+    * per round on the dumped rows. */
+  val x2pRowSums: Q = Q.gated("x2p_row_sums") { (s, d) =>
     X2P.x2p(Tables.embeddings(s, d), "vec_id", "embedding", perplexity = 20.0)
       .groupBy(col("i"))
       .agg(count(lit(1)).as("n_neighbors"), sum(col("p")).as("sum_p"))
+  } { (_, _, res) =>
+    val r = res.agg(
+      max(abs(col("sum_p") - 1.0)).as("dev"),
+      min(col("n_neighbors")).as("mn")).head
+    val dev = r.getDouble(0)
+    val mn = r.getLong(1).toDouble
+    Seq(
+      Gate("max_abs_row_sum_dev", dev, dev <= 1e-6),
+      Gate("min_neighbors", mn, mn >= 1))
   }
 
-  /** Symmetrized affinity matrix over the embeddings fixture. */
-  val affinities: Q = Q.noOracle("tsne_affinities") { (s, d) =>
+  /** Symmetrized affinity matrix over the embeddings fixture. Gated on
+    * its two defining invariants: P is symmetric and sums to 1. */
+  val affinities: Q = Q.gated("tsne_affinities") { (s, d) =>
     val pts = Tables.embeddings(s, d)
     val n = pts.count()
     Affinities.symmetrize(
       X2P.x2p(pts, "vec_id", "embedding", perplexity = 20.0), n)
+  } { (_, _, res) =>
+    val total = res.agg(sum(col("p"))).head.getDouble(0)
+    val totalDev = math.abs(total - 1.0)
+    val asym = res.as("a")
+      .join(res.as("b"),
+        col("a.i") === col("b.j") && col("a.j") === col("b.i"), "left")
+      .agg(max(abs(col("a.p") - coalesce(col("b.p"), lit(0.0)))))
+      .head.getDouble(0)
+    Seq(
+      Gate("abs_total_p_dev", totalDev, totalDev <= 1e-6),
+      Gate("max_asymmetry", asym, asym <= 1e-12))
   }
 
   /** Barnes-Hut t-SNE, 30 iterations — the flagship iterative pipeline.
-    * Rows-only check (stochastic-free under fixed seed but not
-    * SQL-expressible). */
-  val bhEmbedding: Q = Q.noOracle("tsne_bh_embedding") { (s, d) =>
+    * Stochastic-free under fixed seed but not SQL-expressible → gated on
+    * the embedding-output invariants; numerics live in TSNESpec +
+    * GradientSpec + the 500-iter KL golden. */
+  val bhEmbedding: Q = Q.gated("tsne_bh_embedding") { (s, d) =>
     BHTSNE.tsne(Tables.embeddings(s, d), "vec_id", "embedding",
       TSNEParams(maxIterations = 30, perplexity = 20, earlyExaggeration = 15,
         reportLoss = 0, seed = 42))
-  }
+  } (embeddingGate((s, d) => Tables.embeddings(s, d).count()))
 
   /** Exact-gradient driver (SimpleTSNE), 15 iterations on a fixed
     * 500-point subset — O(n²)/iteration by reference semantics, so fewer
@@ -75,11 +118,11 @@ object TsneQueries {
     * rows, breaking fixed-seed reproducibility). Rows-only check;
     * numerics are gated by GradientSpec (finite differences) and
     * TSNESpec (loss decrease, determinism). */
-  val simpleEmbedding: Q = Q.noOracle("tsne_simple_embedding") { (s, d) =>
+  val simpleEmbedding: Q = Q.gated("tsne_simple_embedding") { (s, d) =>
     SimpleTSNE.tsne(
       Tables.embeddings(s, d).where(col("vec_id") < 500), "vec_id", "embedding",
       TSNEParams(maxIterations = 15, perplexity = 20, earlyExaggeration = 8, seed = 42))
-  }
+  } (embeddingGate((s, d) => Tables.embeddings(s, d).where(col("vec_id") < 500).count()))
 
   def all: Seq[Q] = Seq(
     knnEmbeddings, embeddingNorms, x2pRowSums, affinities, bhEmbedding, simpleEmbedding)
