@@ -1,5 +1,6 @@
 package graft.tsne
 
+import graft.functions.VectorFunctions.arraySqDist
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -12,8 +13,14 @@ import org.apache.spark.sql.functions._
   * k-NN, and r(i,j) is j's rank in the original space. 1.0 = perfect
   * neighborhood preservation; ~0.5 = random.
   *
-  * Computed with the engine's own kNN operator on both spaces — a join of
-  * two kNN relations, no driver-side O(n²) state.
+  * Scale shape: only INTRUDER pairs are ever ranked. Both top-k relations
+  * come from the bounded-heap aggregate (O(n·k) rows each); the original
+  * rank of an intruder (i, j) is then 1 + |{m ≠ i : (d(i,m), m) <lex
+  * (d(i,j), j)}| — a streamed count against the point set, never a
+  * materialized (n−1)-rank relation. Total shuffled state is O(n·k);
+  * the O(|intruders|·n) distance comparisons stream through a partial
+  * (map-side) aggregation. A good embedding has few intruders, so the
+  * compute cost also shrinks as quality improves.
   */
 object Trustworthiness {
 
@@ -21,32 +28,45 @@ object Trustworthiness {
       original: DataFrame, origId: String, origFeatures: String,
       embedded: DataFrame, embId: String, embFeatures: String,
       k: Int): Double = {
-    val spark = original.sparkSession
     val n = original.count()
     require(n == embedded.count(), "point sets must match")
     require(k > 0 && 2 * n - 3L * k - 1 > 0,
       s"trustworthiness normalizer requires k < (2n-1)/3; got k=$k, n=$n")
 
-    // FULL rank relation in the original space (r(i,j) for an intruder can
-    // be anything, so the horizon is n−1). At k≈n there is nothing for a
-    // bounded heap to prune — the ranking window is the right physical
-    // shape — and the relation feeds two join branches, so cache it.
-    val origRanks = KNN.knnWindow(original, origId, origFeatures, (n - 1).toInt)
-      .select(col("i"), col("j"), col("rank").as("orig_rank"))
-      .cache()
     val embTop = KNN.knn(embedded, embId, embFeatures, k)
       .select(col("i"), col("j"))
-    val origTop = origRanks.where(col("orig_rank") <= k)
+    val origTop = KNN.knn(original, origId, origFeatures, k)
       .select(col("i"), col("j"))
+    val pts = KNN.prepare(original, origId, origFeatures)
 
-    // intruders: embedded-top-k minus original-top-k, with original rank
-    val penalty = embTop
+    // intruders: embedded-top-k minus original-top-k
+    val intruders = embTop
       .join(origTop.withColumn("in_orig", lit(1)), Seq("i", "j"), "left")
       .where(col("in_orig").isNull)
-      .join(origRanks, Seq("i", "j"))
+      .select("i", "j")
+
+    // distance bound d2 = d(i,j)² in the ORIGINAL space for each intruder
+    val withBound = intruders
+      .join(pts.select(col("id").as("i"), col("features").as("vi")), Seq("i"))
+      .join(pts.select(col("id").as("j"), col("features").as("vj")), Seq("j"))
+      .select(col("i"), col("j"), col("vi"),
+        arraySqDist(col("vi"), col("vj")).as("d2"))
+
+    // r(i,j) = 1 + #{m ≠ i : (d(i,m), m) <lex (d(i,j), j)} — the same
+    // (dist2, j) tie order the kNN operators use, so ranks agree with a
+    // full ranking window without materializing one
+    val m = pts.select(col("id").as("m"), col("features").as("vm"))
+    val dm = arraySqDist(col("vi"), col("vm"))
+    val ranks = withBound.crossJoin(m)
+      .where(col("m") =!= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg((sum(
+        when(dm < col("d2") || (dm === col("d2") && col("m") < col("j")), 1L)
+          .otherwise(0L)) + 1L).as("orig_rank"))
+
+    val penalty = ranks
       .agg(coalesce(sum(col("orig_rank") - k), lit(0L)))
       .collect()(0).getLong(0)
-    origRanks.unpersist()
 
     1.0 - 2.0 * penalty / (n.toDouble * k * (2 * n - 3 * k - 1))
   }

@@ -75,4 +75,32 @@ class TrustworthinessSpec extends AnyFunSuite {
     assert(t > 0.65, s"trustworthiness $t too low")
     assert(t > tRand + 0.1, s"t-SNE $t must beat random $tRand by a clear margin")
   }
+
+  test("intruder-rank trustworthiness equals the full-rank-window form") {
+    import graft.tsne._
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 60).cache()
+    // a deliberately lossy "embedding" (first two coordinates) so the
+    // intruder set is large — the interesting regime for rank agreement
+    val proj = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 2).cast("array<double>").as("pos"))
+    val k = 7
+    val t = Trustworthiness.compute(emb, "vec_id", "embedding", proj, "vec_id", "pos", k)
+
+    // reference form: materialized full (n−1)-rank window (the shape the
+    // production path avoids)
+    val n = emb.count()
+    val origRanks = KNN.knnWindow(emb, "vec_id", "embedding", (n - 1).toInt)
+      .select(col("i"), col("j"), col("rank").as("orig_rank"))
+    val embTop = KNN.knn(proj, "vec_id", "pos", k).select(col("i"), col("j"))
+    val origTop = origRanks.where(col("orig_rank") <= k).select(col("i"), col("j"))
+    val penalty = embTop
+      .join(origTop.withColumn("o", lit(1)), Seq("i", "j"), "left")
+      .where(col("o").isNull)
+      .join(origRanks, Seq("i", "j"))
+      .agg(coalesce(sum(col("orig_rank") - k), lit(0L))).collect()(0).getLong(0)
+    val tRef = 1.0 - 2.0 * penalty / (n.toDouble * k * (2 * n - 3 * k - 1))
+    assert(math.abs(t - tRef) < 1e-12, s"intruder-rank $t != window form $tRef")
+  }
 }
