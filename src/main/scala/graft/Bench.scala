@@ -16,18 +16,29 @@ object Bench {
     // session warmup (codegen/JIT/scan setup) so the first timed query
     // isn't charged for it
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces FULL evaluation of every output column — a bare
-      // count() lets Catalyst prune expensive final projections and would
-      // under-time projection-heavy queries
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // profiling knobs (unset in driver runs): SPARK_GRAFT_ONLY=q1,q2
+    // restricts the surface; SPARK_GRAFT_REPS=n times each query n times
+    // and reports the minimum (steady-state cost, JIT/cache-warm excluded)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val surface = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = surface.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces FULL evaluation of every output column — a bare
+        // count() lets Catalyst prune expensive final projections and would
+        // under-time projection-heavy queries
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -41,6 +41,23 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
+/** Physical-layout helpers shared by the pair-compute operators. */
+object Partitioning {
+  /** Spread an under-partitioned frame to the session's parallelism.
+    *
+    * The streamed side of a cartesian pair-compute bounds its parallelism
+    * by its partition count — and a small parquet table arrives as ONE
+    * split, which silently serializes the entire O(n²) work onto a single
+    * task (measured: the 2000-vector kNN ran 1-threaded regardless of
+    * core count). Repartitioning n rows is negligible next to n² work;
+    * large scans (≥ parallelism splits) pass through untouched, so the
+    * 100 TB path never pays a gratuitous full-table shuffle. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
+
 /** One quantified correctness gate: a named metric with its pass verdict.
   * Gates make the sketch/iterative queries (no SQL oracle possible)
   * self-checking on the driver surface: Verify evaluates them per round,

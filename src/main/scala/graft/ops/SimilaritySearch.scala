@@ -38,7 +38,8 @@ object SimilaritySearch {
   def bruteTopK(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 5): DataFrame = {
     val pts = normalizedPoints(emb, idCol, vecCol)
-    val a = pts.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val a = graft.Partitioning.spread(
+      pts.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na")))
     val b = pts.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
     topKTail(
       a.crossJoin(b)
@@ -53,7 +54,8 @@ object SimilaritySearch {
       vecCol: String = "embedding", k: Int = 5): DataFrame = {
     val pts = emb.select(col(idCol).cast("long").as("id"),
       asDoubleArray(col(vecCol)).as("v"))
-    val a = pts.select(col("id").as("i"), col("v").as("va"))
+    val a = graft.Partitioning.spread(
+      pts.select(col("id").as("i"), col("v").as("va")))
     val b = pts.select(col("id").as("j"), col("v").as("vb"))
     val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j").asc)
     a.crossJoin(b)
@@ -69,7 +71,8 @@ object SimilaritySearch {
   def cosineDupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.4): DataFrame = {
     val pts = normalizedPoints(emb, idCol, vecCol)
-    val a = pts.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val a = graft.Partitioning.spread(
+      pts.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")))
     val b = pts.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))

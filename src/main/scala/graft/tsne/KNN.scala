@@ -35,9 +35,12 @@ object KNN {
       col(idCol).cast("long").as("id"),
       asDoubleArray(col(featuresCol)).as("features"))
 
-  /** All ordered pairs (i, j, dist2), i ≠ j. */
+  /** All ordered pairs (i, j, dist2), i ≠ j. The streamed (left) side is
+    * spread to the session's parallelism first — a single-split input
+    * would otherwise serialize the whole cartesian onto one task. */
   def pairwise(points: DataFrame): DataFrame = {
-    val a = points.select(col("id").as("i"), col("features").as("fa"))
+    val a = graft.Partitioning.spread(
+      points.select(col("id").as("i"), col("features").as("fa")))
     val b = points.select(col("id").as("j"), col("features").as("fb"))
     a.crossJoin(b)
       .where(col("i") =!= col("j"))
