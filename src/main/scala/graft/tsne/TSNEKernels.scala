@@ -48,12 +48,20 @@ object TSNEKernels {
 
   /** Exact gradient for one adjacency row, accumulated into dY
     * (reference TSNEGradient.compute, :40-76):
-    *   dY_i = 4 Σ_j (p_ij·exag − q_ij) · num_ij · (y_i − y_j),
+    *   dY_i = 4 Σ_j (p_ij·exag − repulseScale·q_ij) · num_ij · (y_i − y_j),
     * q clamped at 1e-12; returns the row's KL-loss contribution
-    * Σ_j p·log(max(p,1e-12)/q) over sparse neighbors. */
+    * Σ_j p·log(max(p,1e-12)/q) over sparse neighbors.
+    *
+    * `repulseScale` = 1 is the canonical early-exaggeration trick (the
+    * momentum drivers): attraction is boosted, repulsion untouched — a
+    * deliberate NON-gradient step direction. `repulseScale` = exag makes
+    * (loss, dY) a consistent (objective, gradient) pair for the
+    * exaggerated P̃ = exag·P (since Σp̃ = exag, the Z-term of ∇KL carries
+    * that coefficient), which line-search optimizers (LBFGS) require. */
   def exactGradientRow(
       y: Array[Double], n: Int, d: Int, row: AffRow,
-      sumZ: Double, exag: Double, dY: Array[Double]): Double = {
+      sumZ: Double, exag: Double, dY: Array[Double],
+      repulseScale: Double = 1.0): Double = {
     val i = row.i
     val base = i * d
     val js = row.js
@@ -73,7 +81,7 @@ object TSNEKernels {
         }
         val num = 1.0 / (1.0 + dist2)
         val q = math.max(num / sumZ, Clamp)
-        val mult = 4.0 * q * num
+        val mult = 4.0 * repulseScale * q * num
         k = 0
         while (k < d) {
           dY(base + k) -= mult * (y(base + k) - y(j * d + k))

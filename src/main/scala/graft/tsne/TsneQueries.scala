@@ -124,6 +124,16 @@ object TsneQueries {
       TSNEParams(maxIterations = 15, perplexity = 20, earlyExaggeration = 8, seed = 42))
   } (embeddingGate((s, d) => Tables.embeddings(s, d).where(col("vec_id") < 500).count()))
 
+  /** Working LBFGS driver (reference's is broken upstream; see
+    * LBFGSTSNE scaladoc) on the same fixed 500-point subset as the
+    * exact-gradient query — each L-BFGS evaluation is O(n²). */
+  val lbfgsEmbedding: Q = Q.gated("tsne_lbfgs_embedding") { (s, d) =>
+    LBFGSTSNE.tsne(
+      Tables.embeddings(s, d).where(col("vec_id") < 500), "vec_id", "embedding",
+      TSNEParams(maxIterations = 15, perplexity = 20, earlyExaggeration = 5, seed = 42))
+  } (embeddingGate((s, d) => Tables.embeddings(s, d).where(col("vec_id") < 500).count()))
+
   def all: Seq[Q] = Seq(
-    knnEmbeddings, embeddingNorms, x2pRowSums, affinities, bhEmbedding, simpleEmbedding)
+    knnEmbeddings, embeddingNorms, x2pRowSums, affinities, bhEmbedding,
+    simpleEmbedding, lbfgsEmbedding)
 }

@@ -75,12 +75,5 @@ class MnistIOSpec extends AnyFunSuite {
     assert(html.contains("player.json") && html.contains("<canvas"))
   }
 
-  test("LBFGS stub refuses with a pointer to working drivers") {
-    val e = intercept[UnsupportedOperationException] {
-      graft.tsne.LBFGSTSNE.tsne(emb)
-    }
-    assert(e.getMessage.contains("SimpleTSNE"))
-  }
-
   private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 }

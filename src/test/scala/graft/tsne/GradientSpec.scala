@@ -55,6 +55,37 @@ class GradientSpec extends AnyFunSuite {
     }
   }
 
+  test("consistent exaggerated objective (repulseScale=exag) matches FD") {
+    // the LBFGS contract: with P̃ = exag·P, (loss, grad) must be a true
+    // (objective, derivative) pair — unlike the momentum drivers' trick
+    val exag = 4.0
+    def lossExag(y: Array[Double]): Double = {
+      val z = sumZ(y)
+      var l = 0.0
+      for (i <- 0 until n; j <- 0 until n if i != j) {
+        var dist2 = 0.0
+        for (k <- 0 until d) { val df = y(i * d + k) - y(j * d + k); dist2 += df * df }
+        val q = math.max((1.0 / (1.0 + dist2)) / z, TSNEKernels.Clamp)
+        val pt = p(i)(j) * exag
+        l += pt * math.log(math.max(pt, TSNEKernels.Clamp) / q)
+      }
+      l
+    }
+    val y = Array.fill(n * d)(rng.nextGaussian() * 0.1)
+    val z = sumZ(y)
+    val dY = new Array[Double](n * d)
+    rows.foreach(r =>
+      TSNEKernels.exactGradientRow(y, n, d, r, z, exag, dY, repulseScale = exag))
+    val eps = 1e-6
+    for (k <- 0 until n * d) {
+      val yp = y.clone(); yp(k) += eps
+      val ym = y.clone(); ym(k) -= eps
+      val numGrad = (lossExag(yp) - lossExag(ym)) / (2 * eps)
+      assert(math.abs(dY(k) - numGrad) < 1e-4 * math.max(1.0, math.abs(numGrad)),
+        s"coord $k: analytic ${dY(k)} vs numeric $numGrad")
+    }
+  }
+
   test("BH forces at theta=0 reproduce the exact gradient") {
     val y = Array.fill(n * d)(rng.nextGaussian() * 0.1)
     val z = sumZ(y)
