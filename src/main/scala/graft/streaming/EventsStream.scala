@@ -62,6 +62,43 @@ object EventsStream {
       .start()
   }
 
+  /** Windowed exact ingestion-dedup: one row per (5-minute window,
+    * user_id, event_type) key — the standard at-least-once source dedup.
+    * Output is the KEY (deterministic under any arrival order), not an
+    * arbitrary first payload. `dropDuplicatesWithinWatermark` bounds the
+    * seen-key state by event time, which is what makes this pattern hold
+    * at 10⁹ keys: duplicates of a window key arrive within the window
+    * span, so the 10-minute horizon covers them and state is dropped
+    * after. */
+  def dedupWindowed(events: DataFrame): DataFrame =
+    events
+      .withColumn("w_start", window(col("ts"), "5 minutes").getField("start"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("w_start", "user_id", "event_type")
+      .select(col("w_start"), col("user_id"), col("event_type"))
+
+  /** Batch twin: the same key set as a plain distinct. */
+  def dedupWindowedBatch(events: DataFrame): DataFrame =
+    events
+      .select(window(col("ts"), "5 minutes").getField("start").as("w_start"),
+        col("user_id"), col("event_type"))
+      .distinct()
+
+  /** Start the windowed dedup from a parquet directory file stream into a
+    * memory sink (same local-smoke shape as [[startWindowedQuery]]). */
+  def startDedupQuery(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val src = spark.readStream
+      .schema(eventSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    dedupWindowed(src)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+
   /** Per-user sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of event-time silence. Emits one summary per
     * CLOSED session (closed=true) plus the still-open session's running

@@ -16,5 +16,17 @@ object StreamingQueries {
     EventsStream.windowedAggBatch(Tables.events(s, d))
   }
 
-  def all: Seq[Q] = Seq(windowed)
+  /** Batch twin of the streaming windowed ingestion-dedup (stream ≡ batch
+    * key-set equivalence is asserted in StreamingSpec). */
+  val dedupWindowed: Q = Q(
+    "events_dedup_windowed",
+    """SELECT DISTINCT
+      |  make_timestamp(CAST(floor(epoch(ts) / 300) * 300 * 1000000 AS BIGINT)) AS w_start,
+      |  user_id, event_type
+      |FROM events""".stripMargin
+  ) { (s, d) =>
+    EventsStream.dedupWindowedBatch(Tables.events(s, d))
+  }
+
+  def all: Seq[Q] = Seq(windowed, dedupWindowed)
 }

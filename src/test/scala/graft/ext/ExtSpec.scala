@@ -81,6 +81,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed dedup equals its batch twin's key set") {
+    val batch = EventsStream.dedupWindowedBatch(graft.Tables.events(spark, dir))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+      .toSet
+
+    val streamDir = java.nio.file.Files.createTempDirectory("events-dedup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventsStream.startDedupQuery(spark, streamDir.toString, "dtest")
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("dtest")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(stream == batch, s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("sessionize conserves events across closed + open sessions") {
     import spark.implicits._
     val events = graft.Tables.events(spark, dir)
