@@ -130,6 +130,20 @@ object OpsQueries {
     Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.5))
   }
 
+  /** IVF ANN — the k-means coarse-quantizer scale path (cell equi-join,
+    * exact re-score, one cell per indexed vector so candidates are
+    * join-unique). Gated on recall@5 vs the exact twin. */
+  val annIvf: Q = Q.gated("ann_ivf_topk") { (s, d) =>
+    SimilaritySearch.ivfTopK(Tables.embeddings(s, d), k = 5)
+  } { (s, d, res) =>
+    val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
+      .select("i", "j")
+    val nExact = exact.count().toDouble
+    val hit = res.select("i", "j").join(exact, Seq("i", "j")).count().toDouble
+    val recall = if (nExact == 0) 1.0 else hit / nExact
+    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.5))
+  }
+
   /** Canonical assignment over the exact-Jaccard duplicate graph:
     * connected components (min-label propagation) electing min-id
     * survivors. Oracle = recursive-CTE reachability closure in DuckDB. */
@@ -150,5 +164,5 @@ object OpsQueries {
 
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, canonical)
+    annLsh, annIvf, canonical)
 }

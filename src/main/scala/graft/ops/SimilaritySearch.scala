@@ -133,4 +133,55 @@ object SimilaritySearch {
         (lit(1.0) - arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("dist2"))
     topKTail(pairs, k)
   }
+
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * index into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and exact cosine re-scores the candidates, bounded-heap top-k.
+    *
+    * 100 TB shape: the quantizer is fit once (MLlib KMeans — itself a
+    * distributed treeAggregate loop) and the centroid table (nlist×dim
+    * doubles) ships in the closure like the LSH hyperplanes; candidates
+    * come from an equi-join on cell id (shuffle-on-key, never all-pairs);
+    * every vector indexes into exactly ONE cell, so a candidate pair
+    * surfaces at most once (no in-heap dedup needed, unlike multi-table
+    * LSH). recall ≈ probed-mass; raise `nprobe` (or `nlist` resolution)
+    * to trade compute for recall — measured in SimilaritySpec/the
+    * ann_ivf_topk gate vs the exact twin. */
+  def ivfTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+
+    val pts = normalizedPoints(emb, idCol, vecCol)
+    val withVec = pts.select(col("id"), col("v"), col("nrm"),
+      array_to_vector(col("v")).as("_vec"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("_vec").setPredictionCol("_cell").fit(withVec)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    // nearest cells by euclidean distance, deterministic tie-break on index
+    def nearestCells(v: Seq[Double], m: Int): Seq[Int] = {
+      val d2 = centers.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < c.length) { val df = v(i) - c(i); s += df * df; i += 1 }
+        s
+      }
+      d2.zipWithIndex.sortBy { case (dist, idx) => (dist, idx) }.take(m).map(_._2).toSeq
+    }
+    val cellUdf = udf { (v: Seq[Double]) => nearestCells(v, 1).head }
+    val probeUdf = udf { (v: Seq[Double]) => nearestCells(v, nprobe) }
+
+    val indexSide = withVec.select(col("id"), col("v"), col("nrm"),
+      cellUdf(col("v")).as("cell"))
+    val querySide = withVec.select(col("id"), col("v"), col("nrm"),
+      explode(probeUdf(col("v"))).as("cell"))
+    val pairs = querySide.as("a")
+      .join(indexSide.as("b"), Seq("cell"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        (lit(1.0) - arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("dist2"))
+    topKTail(pairs, k)
+  }
 }

@@ -106,4 +106,14 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (approx intersect exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("IVF ANN recall@5 >= 0.5 on the fixture (uniform vectors, nprobe=4/16)") {
+    val exact = SimilaritySearch.bruteTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimilaritySearch.ivfTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    println(s"[ops] IVF ANN recall@5 = $recall")
+    assert(recall >= 0.5, s"recall $recall")
+  }
 }
