@@ -57,6 +57,18 @@ class PlanSpec extends AnyFunSuite {
       executed.take(2000))
   }
 
+  test("ann_ivf: candidates come from a cell equi-join, never a cartesian") {
+    val p = plan("ann_ivf_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_topk_neighbors"), p)
+  }
+
+  test("dedup_minhash: candidates come from a band equi-join, never a cartesian") {
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q16: range join stays an equi-join on user_id (no nested loop)") {
     val p = plan("q16_purchase_follow")
     assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"),
