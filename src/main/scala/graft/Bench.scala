@@ -14,8 +14,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup (codegen/JIT/scan setup) so the first timed query
-    // isn't charged for it
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // isn't charged for it: one representative of each hot code family
+    // (agg scan, pair-compute + top-k aggregate, shingle/tokenize) at the
+    // smallest SF — a few seconds that make single-rep timings reflect
+    // steady state rather than JIT order
+    val warmDir = "/root/testdata/sf0.001"
+    Seq("q1_agg", "knn_embeddings", "dedup_exact_prefix", "text_stats",
+        "tsne_bh_embedding", "ann_ivf_topk").foreach { w =>
+      try SparkEntry.queries(w)(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     // profiling knobs (unset in driver runs): SPARK_GRAFT_ONLY=q1,q2
     // restricts the surface; SPARK_GRAFT_REPS=n times each query n times
     // and reports the minimum (steady-state cost, JIT/cache-warm excluded)
