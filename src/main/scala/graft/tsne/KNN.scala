@@ -81,6 +81,32 @@ object KNN {
     topKFromCandidates(approxCandidates(df, idCol, featuresCol, bucketLength,
       numHashTables, hashesPerTable, seed), k)
 
+  /** Data-driven bucket width for [[knnApprox]]: projections of x onto
+    * unit gaussians have σ ≈ ‖x‖/√dim, and w ≈ σ/2 gives discriminative
+    * buckets — estimated from a bounded row sample so the single most
+    * important (and most often mis-set) LSH knob has a principled
+    * default. On the 16k stress fixture this lands at 0.0625 vs the
+    * hand-tuned 0.05 (recall 0.75); the naive w=1.0 there degrades to
+    * 2× the exact pair count. */
+  def autoBucketLength(df: DataFrame, featuresCol: String, sampleRows: Int = 1000): Double = {
+    val r = df
+      .select(asDoubleArray(col(featuresCol)).as("f"))
+      .limit(sampleRows)
+      .select(arrayNorm(col("f")).as("nrm"), size(col("f")).as("d"))
+      .agg(avg(col("nrm")), avg(col("d"))).head
+    r.getDouble(0) / (2.0 * math.sqrt(r.getDouble(1)))
+  }
+
+  /** [[knnApprox]] with [[autoBucketLength]]. Pair `hashesPerTable` with
+    * corpus density: compound buckets (m ≥ 2) flatten hot-bucket skew at
+    * large n but starve candidates at small n (measured: recall 0.75 at
+    * 16k rows vs 0.19 at 500 rows for the same 8×2 config — raise
+    * numHashTables with m=1 for small/sparse inputs). */
+  def knnApproxAuto(df: DataFrame, idCol: String, featuresCol: String, k: Int,
+      numHashTables: Int = 6, hashesPerTable: Int = 1, seed: Long = 42): DataFrame =
+    knnApprox(df, idCol, featuresCol, k,
+      autoBucketLength(df, featuresCol), numHashTables, hashesPerTable, seed)
+
   /** Euclidean-LSH candidate pairs (i, j, dist2) — bucket equi-joins only.
     *
     * `hashesPerTable > 1` forms COMPOUND buckets (the AND of several

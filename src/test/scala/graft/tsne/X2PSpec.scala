@@ -128,6 +128,20 @@ class KNNSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"approx kNN recall $recall")
   }
 
+  test("auto bucket length lands near the hand-tuned value and keeps recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // unit-norm 64-dim vectors: sigma ≈ 1/8, so auto w ≈ 0.0625
+    val w = KNN.autoBucketLength(emb, "embedding")
+    assert(w > 0.04 && w < 0.09, s"auto bucket length $w out of expected band")
+    val exact = KNN.knn(emb, "vec_id", "embedding", 10)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = KNN.knnApproxAuto(emb, "vec_id", "embedding", 10,
+        numHashTables = 12)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"auto-w approx kNN recall $recall")
+  }
+
   test("aggregator top-k matches window top-k on embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(org.apache.spark.sql.functions.col("vec_id") < 100)
