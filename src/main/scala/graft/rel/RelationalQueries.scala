@@ -457,10 +457,83 @@ object RelationalQueries {
       when(col("p_name").like("%red%"), 1).otherwise(0).as("has_red"))
   }
 
+  /** Correlated EXISTS — planned as a LEFT SEMI join (never a per-row
+    * subquery): orders having at least one high-quantity lineitem. */
+  val q24Exists: Q = Q(
+    "q24_exists_semijoin",
+    """SELECT o_orderstatus, count(*) AS n
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      |GROUP BY o_orderstatus""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .join(
+        Tables.lineitem(s, d).where(col("l_quantity") > 45).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Pivot (cross-tab): revenue per priority pivoted on order status.
+    * Money sums rounded to cents on both engines (the q18 lesson: DOUBLE
+    * accumulation order flips hashes otherwise). */
+  val q25Pivot: Q = Q(
+    "q25_pivot",
+    """SELECT o_orderpriority,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+  }
+
+  /** Distribution windows: quartile bucket + percent_rank over value per
+    * event type, deterministic tie-break on event_id. */
+  val q26Ntile: Q = Q(
+    "q26_ntile_percent_rank",
+    """SELECT event_id, event_type,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  percent_rank() OVER w AS pr
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("pr"))
+  }
+
+  /** Two-stage SALTED aggregation — the skew pattern for hot keys (here
+    * event_type: a handful of values over the whole table). Stage 1
+    * aggregates on (key, salt) so every reducer sees ~1/16 of a hot key;
+    * stage 2 merges the 16 partials per key. Result ≡ plain groupBy (the
+    * oracle); sums go through DECIMAL so they are exact and order-free. */
+  val q27SaltedAgg: Q = Q(
+    "q27_salted_agg",
+    """SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("pv"), count(lit(1)).as("pn"))
+      .groupBy("event_type")
+      .agg(sum(col("pv")).cast("double").as("total_value"), sum(col("pn")).as("n"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
     q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
-    q22Percentiles, q23Strings)
+    q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg)
 }

@@ -69,6 +69,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q24: EXISTS is planned as a semi join, not a per-row subquery") {
+    val p = plan("q24_exists_semijoin")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q27: salted aggregation keeps both stages partial-aggregated") {
+    val p = plan("q27_salted_agg")
+    // stage 1 on (key, salt) and stage 2 on key must each have a
+    // map-side partial phase — the whole point of salting
+    assert(p.linesIterator.count(_.contains("partial_sum")) >= 2, p)
+  }
+
   test("q16: range join stays an equi-join on user_id (no nested loop)") {
     val p = plan("q16_purchase_follow")
     assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"),
