@@ -95,8 +95,16 @@ object TextFunctions {
     * stopword-marker hits (ties broken en > fr > es > de), 'und' when no
     * marker fires. Pure column expression — runs inside codegen at any
     * scale. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
+
+  /** [[langId]] over pre-split tokens. Spark's subexpression elimination
+    * skips higher-order functions, so every `tokens(text)` subtree in a
+    * projection is a separate regex split per row; queries computing
+    * several token-based features should materialize the token array
+    * ONCE (a non-cheap aliased column blocks projection collapse) and
+    * use the *FromTokens variants — measured 4× on the lang+quality
+    * query. */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
     val s = Map(
       "en" -> markerHits(toks, "en"), "fr" -> markerHits(toks, "fr"),
       "es" -> markerHits(toks, "es"), "de" -> markerHits(toks, "de"))
@@ -117,27 +125,32 @@ object TextFunctions {
       greatest(length(text), lit(1)).cast("double")
 
   /** Type-token ratio (vocabulary diversity; boilerplate repeats). */
-  def distinctTokenRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def distinctTokenRatio(text: Column): Column =
+    distinctTokenRatioFromTokens(tokens(text))
+
+  def distinctTokenRatioFromTokens(toks: Column): Column =
     size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)).cast("double")
-  }
 
   /** English stopword ratio — natural prose sits near ~0.4; 0 or ≫0.6
     * signals keyword lists / boilerplate. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromTokens(tokens(text))
+
+  def stopwordRatioFromTokens(toks: Column): Column =
     markerHits(toks, "en").cast("double") / greatest(size(toks), lit(1)).cast("double")
-  }
 
   /** Composite quality score in [0,1]:
     * 0.3·min(nTokens/50, 1) + 0.3·TTR + 0.2·alnumRatio + 0.2·stopFit
     * where stopFit = 1 − |stopRatio − 0.35|/0.35 clamped to [0,1].
     * The weights are a documented editorial choice, not learned. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(text, tokens(text))
+
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
+    val lenScore = least(size(toks).cast("double") / lit(50.0), lit(1.0))
     val stopFit = greatest(
-      lit(0.0), lit(1.0) - abs(stopwordRatio(text) - lit(0.35)) / lit(0.35))
-    lit(0.3) * lenScore + lit(0.3) * distinctTokenRatio(text) +
+      lit(0.0), lit(1.0) - abs(stopwordRatioFromTokens(toks) - lit(0.35)) / lit(0.35))
+    lit(0.3) * lenScore + lit(0.3) * distinctTokenRatioFromTokens(toks) +
       lit(0.2) * alnumRatio(text) + lit(0.2) * stopFit
   }
 }

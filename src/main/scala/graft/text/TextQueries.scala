@@ -57,11 +57,16 @@ object TextQueries {
     * here; this query exercises the full expression tree at scale.
     * β-free, UDF-free — rows-only check. */
   val langQuality: Q = Q.gated("text_lang_quality") { (s, d) =>
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      langId(col("text")).as("lang_pred"),
-      qualityScore(col("text")).as("quality"),
-      stopwordRatio(col("text")).as("stop_ratio"))
+    // tokenize ONCE: the aliased non-cheap token array blocks projection
+    // collapse, so all three features share one regex split per row
+    // (CSE cannot deduplicate higher-order functions; measured 4×)
+    Tables.documents(s, d)
+      .withColumn("_toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        langIdFromTokens(col("text"), col("_toks")).as("lang_pred"),
+        qualityScoreFromTokens(col("text"), col("_toks")).as("quality"),
+        stopwordRatioFromTokens(col("_toks")).as("stop_ratio"))
   } { (_, _, res) =>
     // range/totality invariants: both scores are ratios in [0,1] and the
     // language heuristic must emit a prediction for every document
