@@ -28,31 +28,37 @@ object Dedup {
 
   // ------------------------------------------------- n-gram Jaccard (exact)
 
-  /** Exact n-gram-Jaccard duplicate pairs via inverted shingle join:
-    * explode distinct shingles → self-equi-join on shingle → count common
-    * → Jaccard from |A|+|B|−common. The `maxDf` stop-shingle cut drops
-    * shingles occurring in more than maxDf docs before pairing — at corpus
-    * scale a handful of boilerplate shingles would otherwise create
-    * quadratic hot keys (skew). Pairs are undirected: id_a < id_b. */
+  /** Exact n-gram-Jaccard duplicate pairs via inverted shingle index:
+    * explode distinct shingles → ONE groupBy building a bounded posting
+    * list per shingle (the native `bounded_id_list` aggregate: a shingle
+    * in more than maxDf docs evaluates to NULL at O(maxDf) state — the
+    * stop-shingle cut that kills boilerplate hot keys, now enforced
+    * INSIDE the aggregation buffer instead of by a count+join round
+    * trip) → intra-list ordered pairs → count common → Jaccard from
+    * |A|+|B|−common. Two shuffles total (postings, pair counts) vs the
+    * previous four (df count, keep join, self-join, pair counts); same
+    * exact result. Pairs are undirected: id_a < id_b. */
   def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
-    // shingle once, cache: every downstream branch (explode ×2 join sides,
-    // sizes) would otherwise re-tokenize + re-shingle the corpus.
+    // shingle once, cache: the postings branch and the sizes branch would
+    // otherwise re-tokenize + re-shingle the corpus.
     // CACHE LIFETIME: the cached frame backs the (lazy) returned DataFrame
     // and therefore cannot be unpersisted here; it is released by Spark's
     // storage LRU or `spark.catalog.clearCache()`. Same applies to the
     // other sketch operators in this file.
     val docSh = docs
-      .select(col(idCol).as("id"), shinglesFast(n)(tokens(col(textCol))).as("sh"))
+      .select(col(idCol).cast("long").as("id"), shinglesFast(n)(tokens(col(textCol))).as("sh"))
       .cache()
     val sh = docSh.select(col("id"), explode(col("sh")).as("shingle"))
-    val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("shingle")
-    val filtered = sh.join(keep, Seq("shingle"))
-    val common = filtered.as("a")
-      .join(filtered.as("b"), Seq("shingle"))
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val postings = sh.groupBy("shingle")
+      .agg(org.apache.spark.sql.graft.BoundedIdList
+        .boundedList(maxDf.toInt, col("id")).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
+    val common = postings
+      .select(explode(flatten(transform(col("ids"), x =>
+        transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
     val sizes = docSh.select(col("id"), size(col("sh")).as("sz"))
     common
