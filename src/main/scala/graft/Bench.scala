@@ -20,7 +20,7 @@ object Bench {
     // steady state rather than JIT order
     val warmDir = "/root/testdata/sf0.001"
     Seq("q1_agg", "knn_embeddings", "dedup_exact_prefix", "text_stats",
-        "tsne_bh_embedding", "ann_ivf_topk").foreach { w =>
+        "tsne_bh_embedding", "ann_ivf_topk", "ml_pca").foreach { w =>
       try SparkEntry.queries(w)(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

@@ -74,6 +74,16 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("canonicalize: distributed label propagation == driver union-find") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.8)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = asMap(Dedup.canonicalize(pairs))                       // union-find path
+    val dist = asMap(Dedup.canonicalize(pairs, smallGraphEdges = 0L))  // forced distributed
+    assert(small.nonEmpty)
+    assert(small == dist, "hybrid paths must agree exactly")
+  }
+
   test("simhash banding finds most hamming<=5 near-dups") {
     val exact = exactPairs
     val sim = Dedup.simhashPairs(docs, maxHamming = 5)
