@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm, BoundedIdList, TopKNeighbors}
 
 /** Session extension registering the engine's native expressions for SQL
   * use — `SELECT array_dot(a, b)` etc. — via
@@ -41,5 +41,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_sq_norm"),
       info("array_sq_norm", "array_sq_norm(a) - squared L2 norm"),
       (args: Seq[Expression]) => { val a = arity("array_sq_norm", 1)(args); ArraySqNorm(a(0)) }))
+    // native aggregates: the first argument must be a literal bound
+    ext.injectFunction((
+      FunctionIdentifier("topk_neighbors"),
+      info("topk_neighbors",
+        "topk_neighbors(k, j, dist) - bounded top-k per group, ascending (dist, j)"),
+      (args: Seq[Expression]) => {
+        val a = arity("topk_neighbors", 3)(args)
+        TopKNeighbors(litInt("topk_neighbors", a.head), a(1), a(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_id_list"),
+      info("bounded_id_list",
+        "bounded_id_list(cap, id) - group's ids as ARRAY<BIGINT>, NULL past cap"),
+      (args: Seq[Expression]) => {
+        val a = arity("bounded_id_list", 2)(args)
+        BoundedIdList(litInt("bounded_id_list", a.head), a(1))
+      }))
+  }
+
+  private def litInt(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name: the bound argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
   }
 }

@@ -40,6 +40,17 @@ class ExtensionsSpec extends AnyFunSuite {
       // arity errors are clear, not IndexOutOfBounds
       val e = intercept[Exception](spark.sql("SELECT array_dot(array(1.0d))"))
       assert(e.getMessage.contains("expects 2 argument"), e.getMessage)
+      // native aggregates from SQL: bounded top-k and bounded posting list
+      val agg = spark.sql(
+        """SELECT g, topk_neighbors(2, j, d) AS top, bounded_id_list(3, j) AS ids
+          |FROM VALUES (1, 10L, 3.0d), (1, 11L, 1.0d), (1, 12L, 2.0d),
+          |            (2, 20L, 1.0d), (2, 21L, 2.0d), (2, 22L, 3.0d), (2, 23L, 4.0d)
+          |  AS t(g, j, d)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      val top1 = agg(0).getSeq[org.apache.spark.sql.Row](1).map(r2 => r2.getLong(0))
+      assert(top1 == Seq(11L, 12L), s"got $top1")
+      assert(agg(0).getSeq[Long](2).sorted == Seq(10L, 11L, 12L))
+      assert(agg(1).isNullAt(2), "over-cap group must evaluate to NULL")
     } finally {
       // don't stop(): the SparkContext is shared with TestSpark sessions
       prevDefault.foreach(SparkSession.setDefaultSession)
