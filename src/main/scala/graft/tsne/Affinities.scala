@@ -49,14 +49,18 @@ object Affinities {
         col("nbrs.j").as("js"),
         col("nbrs.p").as("ps"))
 
-  /** points → calibrated, symmetrized adjacency (the gradient input). */
+  /** points → calibrated, symmetrized adjacency (the gradient input).
+    * `approxBucketLength` switches candidate generation to euclidean LSH
+    * (the 100 TB path; exact O(n²) pairs otherwise — the reference
+    * semantics and oracle). */
   def computeP(
       points: DataFrame,
       n: Long,
       idCol: String = "id",
       featuresCol: String = "features",
       perplexity: Double = X2P.DefaultPerplexity,
-      tol: Double = X2P.DefaultTol): DataFrame =
+      tol: Double = X2P.DefaultTol,
+      approxBucketLength: Option[Double] = None): DataFrame =
     adjacency(symmetrize(
-      X2P.x2p(points, idCol, featuresCol, perplexity, tol), n))
+      X2P.x2p(points, idCol, featuresCol, perplexity, tol, approxBucketLength), n))
 }

@@ -62,8 +62,13 @@ object TSNE {
     // target ≥256 rows/task instead of inheriting shuffle.partitions
     val iterParts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, n / 256))
+    val bucket =
+      if (params.approxKnn)
+        Some(params.approxKnnBucketLength.getOrElse(
+          KNN.autoBucketLength(indexed, "features")))
+      else None
     val adj = Affinities.computeP(
-        indexed, n.toLong, "id", "features", params.perplexity, params.tol)
+        indexed, n.toLong, "id", "features", params.perplexity, params.tol, bucket)
       .select(
         col("i").cast("int").as("i"),
         col("js").cast("array<int>").as("js"),

@@ -17,4 +17,9 @@ case class TSNEParams(
     minGain: Double = 0.01,
     theta: Double = 0.5,              // Barnes-Hut accuracy knob
     reportLoss: Int = 10,             // loss cadence (BH)
-    seed: Long = 42L)
+    seed: Long = 42L,
+    // opt-in approximate kNN for the affinity stage — the 100 TB path
+    // (exact O(n²) candidates are the reference semantics and default).
+    // bucket length defaults to the data-driven KNN.autoBucketLength.
+    approxKnn: Boolean = false,
+    approxKnnBucketLength: Option[Double] = None)

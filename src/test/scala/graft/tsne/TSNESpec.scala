@@ -33,6 +33,23 @@ class TSNESpec extends AnyFunSuite {
     assert(a.sameElements(b), "two runs with the same seed must be bit-identical")
   }
 
+  test("BHTSNE with approximate kNN affinities optimizes like exact") {
+    // the 100 TB affinity path: LSH candidate generation (auto bucket
+    // width) instead of the O(n²) crossJoin; the embedding must still
+    // be sane and the KL must still fall
+    val losses = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val params = TSNEParams(maxIterations = 60, perplexity = 20, seed = 42,
+      earlyExaggeration = 30, reportLoss = 10,
+      approxKnn = true)
+    val out = BHTSNE.tsne(embeddings(500), "vec_id", "embedding", params,
+      callback = (it, _, l) => l.foreach(v => losses += ((it, v))))
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => !r.getDouble(1).isNaN && !r.getDouble(2).isNaN))
+    val ls = losses.toMap
+    assert(ls(60) < ls(40), s"approx-affinity BH loss did not decrease: $losses")
+  }
+
   test("BHTSNE: loss decreases on the 500-row embeddings fixture") {
     val losses = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val params = TSNEParams(maxIterations = 60, perplexity = 20, seed = 42,
