@@ -144,13 +144,22 @@ object X2P {
       featuresCol: String = "features",
       perplexity: Double = DefaultPerplexity,
       tol: Double = DefaultTol,
-      approxBucketLength: Option[Double] = None): DataFrame = {
+      approxBucketLength: Option[Double] = None,
+      approxTables: Int = 8,
+      approxHashesPerTable: Int = 2): DataFrame = {
     val mu = math.floor(3 * perplexity).toInt
     // consume the top-k aggregate's grouped output directly: its nbrs
     // arrays are already sorted ascending by (dist2, j)
+    // approx default is COMPOUND buckets (8 tables × 2 projections): the
+    // t-SNE affinity path is a large-n path by construction, where single
+    // projections concentrate mass in hot center buckets and one
+    // straggler task dominates (ProfileSpec end-to-end BH @16k: 24.8 s
+    // with 6×1 single projections → 5.5 s with 8×2, vs 29 s exact)
     val grouped = approxBucketLength match {
       case Some(w) =>
-        KNN.topKGrouped(KNN.approxCandidates(points, idCol, featuresCol, w), mu)
+        KNN.topKGrouped(
+          KNN.approxCandidates(points, idCol, featuresCol, w,
+            approxTables, approxHashesPerTable), mu)
       case None =>
         KNN.topKGrouped(KNN.pairwise(KNN.prepare(points, idCol, featuresCol)), mu)
     }

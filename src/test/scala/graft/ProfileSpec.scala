@@ -118,6 +118,19 @@ class ProfileSpec extends AnyFunSuite {
         tPrev = now
       })
     println(f"[profile] BH @16k sec/iter (median of 20) = ${iterTimes.sorted.apply(10)}%.3f")
+
+    // full-pipeline 100 TB path: BH t-SNE @16k with LSH affinities —
+    // the affinity build is where exact kNN's n² dominates at scale
+    val tExactAff = time("BH @16k end-to-end, EXACT affinities (2 iters)")(
+      tsne.BHTSNE.tsne(big, "vec_id", "embedding",
+        tsne.TSNEParams(maxIterations = 2, perplexity = 20,
+          earlyExaggeration = 1, reportLoss = 0, seed = 42)).count())
+    val tApproxAff = time("BH @16k end-to-end, LSH affinities (2 iters)")(
+      tsne.BHTSNE.tsne(big, "vec_id", "embedding",
+        tsne.TSNEParams(maxIterations = 2, perplexity = 20,
+          earlyExaggeration = 1, reportLoss = 0, seed = 42,
+          approxKnn = true, approxKnnBucketLength = Some(0.05))).count())
+    println(s"[profile] BH 16k affinity-stage rows: exact=$tExactAff approx=$tApproxAff")
     big.unpersist()
   }
 }
