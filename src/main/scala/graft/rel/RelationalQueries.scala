@@ -530,10 +530,35 @@ object RelationalQueries {
       .agg(sum(col("pv")).cast("double").as("total_value"), sum(col("pn")).as("n"))
   }
 
+  /** t-digest approximate percentiles — the documented 100 TB swap for
+    * q22's exact sort-based form (SCALING.md). No cross-engine oracle is
+    * possible for sketch values, so the gate quantifies relative error
+    * against the exact twin per round. */
+  val q28ApproxPercentiles: Q = Q.gated("q28_percentiles_approx") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("price_p90"))
+  } { (s, d, res) =>
+    val exact = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.9)").as("e90"))
+    val err = res.join(exact, "l_returnflag")
+      .select(greatest(
+        abs(col("p50") - col("e50")) / greatest(abs(col("e50")), lit(1e-9)),
+        abs(col("price_p90") - col("e90")) / greatest(abs(col("e90")), lit(1e-9))).as("re"))
+      .agg(max(col("re"))).head.getDouble(0)
+    Seq(graft.Gate("max_rel_err_vs_exact", err, err <= 0.05))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
     q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
-    q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg)
+    q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg,
+    q28ApproxPercentiles)
 }

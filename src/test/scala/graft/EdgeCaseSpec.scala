@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior: operators over empty/trivial frames must
+  * return empty/identity results or fail with a CLEAR message — never a
+  * partition-dependent crash or a silent wrong answer. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsLike(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+  private def embLike(rows: Seq[(Long, Array[Double])]) = rows.toDF("vec_id", "embedding")
+
+  test("dedup operators on an empty corpus return no pairs") {
+    val empty = docsLike(Nil)
+    assert(ops.Dedup.jaccardPairs(empty).count() == 0)
+    assert(ops.Dedup.minhashLshPairs(empty).count() == 0)
+    assert(ops.Dedup.simhashPairs(empty).count() == 0)
+    assert(ops.Dedup.exactGroups(empty).count() == 0)
+  }
+
+  test("canonicalize of no pairs is an empty assignment") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(ops.Dedup.canonicalize(noPairs).count() == 0)
+  }
+
+  test("text functions handle empty and null text") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(
+      text.TextFunctions.tokenCount(col("text")).as("n"),
+      text.TextFunctions.fingerprint(col("text")).as("fp"),
+      text.TextFunctions.qualityScore(col("text")).as("q")).collect()
+    // empty/blank text: zero tokens, zero fingerprint, quality 0
+    assert(out(0).getInt(0) == 0 && out(0).getLong(1) == 0L)
+    assert(out(1).getInt(0) == 0)
+    assert(out(0).getDouble(2) == 0.0)
+    // null text propagates null, never throws
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("kNN with k larger than n returns all n-1 neighbors") {
+    val pts = embLike(Seq(
+      (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))
+    val out = tsne.KNN.knn(pts, "vec_id", "embedding", k = 10)
+    assert(out.count() == 6, "3 points x 2 possible neighbors each")
+  }
+
+  test("brute ANN top-k on a single vector is empty (no self-pairs)") {
+    val one = embLike(Seq((1L, Array(1.0, 0.0))))
+    assert(ops.SimilaritySearch.bruteTopK(one, k = 5).count() == 0)
+  }
+
+  test("t-SNE rejects duplicate and null ids with clear messages") {
+    val dup = embLike(Seq((1L, Array(0.0, 0.0)), (1L, Array(1.0, 1.0))))
+    val e1 = intercept[IllegalArgumentException] {
+      tsne.TSNE.prepareAffinities(dup, "vec_id", "embedding", tsne.TSNEParams())
+    }
+    assert(e1.getMessage.contains("duplicate"), e1.getMessage)
+
+    val withNull = Seq((java.lang.Long.valueOf(1L), Array(0.0)), (null.asInstanceOf[java.lang.Long], Array(1.0)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      tsne.TSNE.prepareAffinities(withNull, "vec_id", "embedding", tsne.TSNEParams())
+    }
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+  }
+
+  test("PCA rejects ragged feature arrays with a clear message") {
+    val ragged = embLike(Seq((1L, Array(1.0, 2.0)), (2L, Array(1.0, 2.0, 3.0))))
+    val e = intercept[Exception] {
+      ml.Preprocess.pca(ragged, "vec_id", "embedding", k = 2).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("ragged")
+      || Option(e.getCause).exists(_.getMessage.contains("ragged")), s"got: $e")
+  }
+
+  test("streaming batch twins on an empty events frame are empty") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(streaming.EventsStream.windowedAggBatch(empty).count() == 0)
+    assert(streaming.EventsStream.dedupWindowedBatch(empty).count() == 0)
+  }
+}
