@@ -18,6 +18,20 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenizer pattern: the GPT-family pre-tokenization
+    * shape (letter runs / digit runs / punctuation runs, each absorbing
+    * one leading space, plus residual whitespace) restricted to
+    * RE2-compatible syntax — no lookaheads — so a DuckDB oracle
+    * reproduces the count exactly. */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+  /** LLM token-budget proxy: number of BPE-style pre-tokens. Real BPE
+    * merges only ever split pre-tokens further, so this lower-bounds the
+    * true token count with the right scaling behavior — and stays a pure
+    * codegen'd expression (no tokenizer library on executors). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
   /** Cross-engine deterministic 60-bit token hash. */
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")

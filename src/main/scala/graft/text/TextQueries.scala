@@ -81,5 +81,17 @@ object TextQueries {
       Gate("frac_lang_predicted", r.getDouble(2), r.getDouble(2) == 1.0))
   }
 
-  def all: Seq[Q] = Seq(textStats, fingerprints, langQuality)
+  /** BPE-style pre-token counts (LLM token budgeting) — same regex on
+    * both engines, oracle-checked. */
+  val bpeTokens: Q = Q(
+    "text_bpe_tokens",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '${TextFunctions.BpePattern}')) AS INTEGER) AS n_bpe
+       |FROM documents""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"), bpeTokenCount(col("text")).as("n_bpe"))
+  }
+
+  def all: Seq[Q] = Seq(textStats, fingerprints, langQuality, bpeTokens)
 }

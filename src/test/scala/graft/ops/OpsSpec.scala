@@ -37,6 +37,19 @@ class TextSpec extends AnyFunSuite {
     assert(scores("prose") > scores("repeat"), s"$scores")
   }
 
+  test("bpe pre-token count matches hand-tokenized examples") {
+    import spark.implicits._
+    val df = Seq(
+      ("hello world", 2),       // ["hello", " world"]
+      ("hello, world!", 4),     // ["hello", ",", " world", "!"]
+      ("a1b2", 4),              // ["a", "1", "b", "2"]
+      ("", 0))
+      .toDF("text", "expected")
+    val got = df.select(col("expected"),
+      graft.text.TextFunctions.bpeTokenCount(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"${r.toSeq}"))
+  }
+
   test("fingerprint is whitespace/punct-insensitive but order-sensitive") {
     import spark.implicits._
     val df = Seq(
