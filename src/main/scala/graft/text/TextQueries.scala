@@ -93,5 +93,49 @@ object TextQueries {
       col("doc_id"), bpeTokenCount(col("text")).as("n_bpe"))
   }
 
-  def all: Seq[Q] = Seq(textStats, fingerprints, langQuality, bpeTokens)
+  /** TF-IDF top-5 terms per document — corpus-level relevance scoring on
+    * the inverted index (term frequencies joined with document
+    * frequencies; weight = tf·ln(N/df)). Weights are rounded to 6
+    * decimals on BOTH engines before ranking and output so an ulp of
+    * libm ln() difference can neither flip a rank nor a hash; rank ties
+    * break on the term string. Scale shape: two key-partitioned
+    * aggregations + a broadcastable term-df join — no all-pairs, no
+    * driver state. */
+  val tfidfTop: Q = Q(
+    "text_tfidf_top_terms",
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |w AS (
+      |  SELECT doc_id, term,
+      |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS weight
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, term, weight,
+      |    CAST(row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY weight DESC, term ASC) AS INTEGER) AS rank
+      |  FROM w)
+      |SELECT doc_id, term, weight, rank FROM r WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("weight"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("doc_id", "term", "weight", "rank")
+  }
+
+  def all: Seq[Q] = Seq(textStats, fingerprints, langQuality, bpeTokens, tfidfTop)
 }
