@@ -18,18 +18,25 @@ object Bench {
     // (agg scan, pair-compute + top-k aggregate, shingle/tokenize) at the
     // smallest SF — a few seconds that make single-rep timings reflect
     // steady state rather than JIT order
-    val warmDir = "/root/testdata/sf0.001"
+    // warm against the smallest local SF if present, else the bench dir
+    // itself; a failed warmup is LOGGED (a silently-cold bench would be
+    // compared against steady-state baselines)
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
     Seq("q1_agg", "knn_embeddings", "dedup_exact_prefix", "text_stats",
         "tsne_bh_embedding", "ann_ivf_topk", "ml_pca").foreach { w =>
       try SparkEntry.queries(w)(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $w failed (timings may run cold): ${e.getMessage}")
+      }
     }
     // profiling knobs (unset in driver runs): SPARK_GRAFT_ONLY=q1,q2
     // restricts the surface; SPARK_GRAFT_REPS=n times each query n times
     // and reports the minimum (steady-state cost, JIT/cache-warm excluded)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
     val surface = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = surface.map { case (name, fn) =>

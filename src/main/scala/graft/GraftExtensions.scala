@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def litInt(name: String, e: Expression): Int = {
     require(e.foldable, s"$name: the bound argument must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue => l.intValue()
+      case s: java.lang.Short => s.intValue()
+      case b: java.lang.Byte => b.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: the bound must be an integer literal, got $other")
+    }
   }
 }

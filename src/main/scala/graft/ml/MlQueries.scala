@@ -33,19 +33,24 @@ object MlQueries {
   val pca: Q = Q.gated("ml_pca") { (s, d) =>
     Preprocess.pca(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "y")))
-  } { (_, _, res) =>
-    // PCA contract: finite scores, exactly k components per vector, and
-    // component variance non-increasing in component index (the axes are
-    // ordered by explained variance)
+  } { (s, d, res) =>
+    // PCA contract: every input vector present with exactly k scalar
+    // rows (a null embedding would silently drop its vector from the
+    // exploded dump), finite scores, and component variance
+    // non-increasing in component index (axes ordered by explained
+    // variance)
+    val expected = Tables.embeddings(s, d).count() * 8.0
     val r = res.agg(
       avg(when(!isnan(col("y")) && abs(col("y")) < Double.MaxValue, 1.0)
         .otherwise(0.0)).as("ff"),
       countDistinct(col("pos")).as("k")).head
+    val rows = res.count().toDouble
     val perPos = res.groupBy("pos").agg(var_pop(col("y")).as("v"))
       .orderBy("pos").collect().map(_.getDouble(1))
     val monotone = perPos.indices.drop(1)
       .forall(i => perPos(i) <= perPos(i - 1) * (1 + 1e-9) + 1e-12)
     Seq(
+      Gate("rows_eq_n_times_k", rows, rows == expected),
       Gate("frac_finite", r.getDouble(0), r.getDouble(0) == 1.0),
       Gate("n_components", r.getLong(1).toDouble, r.getLong(1) == 8),
       Gate("variance_monotone", if (monotone) 1.0 else 0.0, monotone))

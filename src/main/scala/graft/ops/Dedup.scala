@@ -40,6 +40,8 @@ object Dedup {
     * exact result. Pairs are undirected: id_a < id_b. */
   def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5, maxDf: Long = 1000): DataFrame = {
+    require(maxDf >= 1 && maxDf <= Int.MaxValue,
+      s"maxDf must be in [1, ${Int.MaxValue}], got $maxDf (the posting-list cap is an Int)")
     // shingle once, cache: the postings branch and the sizes branch would
     // otherwise re-tokenize + re-shingle the corpus.
     // CACHE LIFETIME: the cached frame backs the (lazy) returned DataFrame
@@ -54,11 +56,15 @@ object Dedup {
       .agg(org.apache.spark.sql.graft.BoundedIdList
         .boundedList(maxDf.toInt, col("id")).as("ids"))
       .where(col("ids").isNotNull && size(col("ids")) >= 2)
+    // pairs stream through TWO explodes — never a materialized
+    // C(|ids|,2) pair array in one row (that would be O(maxDf²) memory
+    // on exactly the hot keys maxDf exists to tame); per-row state here
+    // stays O(maxDf)
     val common = postings
-      .select(explode(flatten(transform(col("ids"), x =>
-        transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), y => y > col("id_a"))).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
     val sizes = docSh.select(col("id"), size(col("sh")).as("sz"))
     common

@@ -50,12 +50,13 @@ object OpsQueries {
     Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.8)
   }
 
-  /** (candidate pairs, exact pairs) → recall of the sketch vs its exact
-    * twin, on undirected (id_a, id_b) keys. */
-  private def pairRecall(cand: DataFrame, exact: DataFrame): (Double, Double) = {
+  /** (candidate pairs, exact pairs) → (recall, precision) of the sketch
+    * vs its exact twin on the given key columns. */
+  private def pairRecall(cand: DataFrame, exact: DataFrame,
+      keys: Seq[String] = Seq("id_a", "id_b")): (Double, Double) = {
     val nExact = exact.count().toDouble
     val nCand = cand.count().toDouble
-    val hit = cand.join(exact, Seq("id_a", "id_b")).count().toDouble
+    val hit = cand.join(exact, keys).count().toDouble
     val recall = if (nExact == 0) 1.0 else hit / nExact
     val precision = if (nCand == 0) 1.0 else hit / nCand
     (recall, precision)
@@ -123,10 +124,8 @@ object OpsQueries {
     SimilaritySearch.lshTopK(Tables.embeddings(s, d), k = 5)
   } { (s, d, res) =>
     val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
-      .select("i", "j")
-    val nExact = exact.count().toDouble
-    val hit = res.select("i", "j").join(exact, Seq("i", "j")).count().toDouble
-    val recall = if (nExact == 0) 1.0 else hit / nExact
+    val (recall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
     Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.5))
   }
 
@@ -137,10 +136,8 @@ object OpsQueries {
     SimilaritySearch.ivfTopK(Tables.embeddings(s, d), k = 5)
   } { (s, d, res) =>
     val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
-      .select("i", "j")
-    val nExact = exact.count().toDouble
-    val hit = res.select("i", "j").join(exact, Seq("i", "j")).count().toDouble
-    val recall = if (nExact == 0) 1.0 else hit / nExact
+    val (recall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
     Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.5))
   }
 

@@ -235,6 +235,12 @@ object SimilaritySearch {
     // deterministic bounded training sample (TakeOrdered — no full sort)
     val sample = pts.orderBy(col("id")).limit(trainSample)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) {
+      // empty input → empty result with the output schema (matches
+      // bruteTopK's behavior instead of an opaque kmeans crash)
+      return pts.limit(0).select(col("id").as("i"), col("id").as("j"),
+        lit(0.0).as("cosine"), lit(0).cast("int").as("rank"))
+    }
     // best-of-3 seeded restarts by within-cluster SSE (k-means layout
     // quality is init-luck on near-uniform data; restarts are driver-cheap)
     def sse(cs: Array[Array[Double]]): Double = {

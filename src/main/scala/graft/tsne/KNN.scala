@@ -94,6 +94,9 @@ object KNN {
       .limit(sampleRows)
       .select(arrayNorm(col("f")).as("nrm"), size(col("f")).as("d"))
       .agg(avg(col("nrm")), avg(col("d"))).head
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"autoBucketLength: no rows with non-null '$featuresCol' to sample — " +
+        "cannot estimate a bucket width from an empty input")
     r.getDouble(0) / (2.0 * math.sqrt(r.getDouble(1)))
   }
 

@@ -53,6 +53,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(ops.SimilaritySearch.bruteTopK(one, k = 5).count() == 0)
   }
 
+  test("IVF ANN on an empty input returns an empty frame, not a kmeans crash") {
+    val empty = embLike(Nil)
+    val out = ops.SimilaritySearch.ivfTopK(empty, k = 5)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("i", "j", "cosine", "rank"))
+  }
+
+  test("autoBucketLength on an empty input fails with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      tsne.KNN.autoBucketLength(embLike(Nil), "embedding")
+    }
+    assert(e.getMessage.contains("empty input"), e.getMessage)
+  }
+
   test("t-SNE rejects duplicate and null ids with clear messages") {
     val dup = embLike(Seq((1L, Array(0.0, 0.0)), (1L, Array(1.0, 1.0))))
     val e1 = intercept[IllegalArgumentException] {
