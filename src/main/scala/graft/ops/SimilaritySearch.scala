@@ -230,6 +230,9 @@ object SimilaritySearch {
       k: Int = 5, nlist: Int = 16, nprobe: Int = 5, seed: Long = 42,
       trainSample: Int = 16384): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    require(trainSample >= 1,
+      s"trainSample must be >= 1, got $trainSample (an empty quantizer " +
+        "sample would silently return an empty result for non-empty input)")
 
     val pts = normalizedPoints(emb, idCol, vecCol)
     // deterministic bounded training sample (TakeOrdered — no full sort)

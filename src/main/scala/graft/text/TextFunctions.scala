@@ -12,7 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased alphanumeric tokens. */
+  /** Lowercased alphanumeric tokens.
+    *
+    * KNOWN ORACLE SCOPE: `lower()` uses Java's full Unicode case mapping
+    * while DuckDB's uses utf8proc's simple mapping; they diverge on
+    * full-case-mapping characters (e.g. 'İ' U+0130 → "i"+U+0307 in Java,
+    * "i" in DuckDB). Every text oracle in this repo (tokens, shingles,
+    * fingerprints, BPE counts, TF-IDF) therefore holds exactly for
+    * ASCII-cased corpora — which the fixtures are; a non-ASCII corpus
+    * needs an ASCII-only fold (translate A-Z→a-z) on BOTH engines. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
 

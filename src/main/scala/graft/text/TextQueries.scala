@@ -126,7 +126,9 @@ object TextQueries {
     val n = docs.count()
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // df from the aggregated tf frame (one row per (doc, term) already):
+    // avoids a second corpus scan + tokenize + a distinct shuffle
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("weight").desc, col("term").asc)
     tf.join(dfreq, "term")
