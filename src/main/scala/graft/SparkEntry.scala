@@ -11,8 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All registered queries with their oracles and gates (Verify needs
-    * the gate functions, not just the name→fn map). */
-  def qs: Seq[Q] = modules
+    * the gate functions, not just the name→fn map). Names must be unique
+    * — a duplicate would silently drop a query in the `toMap` below and
+    * shrink the correctness surface without any failure. */
+  def qs: Seq[Q] = {
+    val m = modules
+    val dups = m.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names registered: ${dups.mkString(", ")}")
+    m
+  }
 
   private def modules: Seq[Q] =
     rel.RelationalQueries.all ++ tsne.TsneQueries.all ++
@@ -26,10 +33,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(q => q.name -> q.fn).toMap
+    qs.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    qs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
