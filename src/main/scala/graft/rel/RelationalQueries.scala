@@ -493,7 +493,14 @@ object RelationalQueries {
   }
 
   /** Distribution windows: quartile bucket + percent_rank over value per
-    * event type, deterministic tie-break on event_id. */
+    * event type, deterministic tie-break on event_id.
+    *
+    * SCALE NOTE: rank-family windows require a total order per partition
+    * key, so a low-cardinality key (5 event types here) is inherently
+    * one sort per key — at corpus scale either partition on a
+    * higher-cardinality key (user_id, like q14/q15) or replace exact
+    * ranks with approx_percentile cutpoints (see q28's gated twin),
+    * which keeps everything partial-aggregated. */
   val q26Ntile: Q = Q(
     "q26_ntile_percent_rank",
     """SELECT event_id, event_type,
