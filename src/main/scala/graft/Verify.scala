@@ -21,7 +21,11 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
       f.delete()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q18_case_agg,q25_pivot restricts the dump for local
+    // iteration (unset in driver runs — the driver always dumps everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val surface = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    surface.foreach { case (name, fn) =>
       val dest = new java.io.File(s"$outDir/$name")
       // remove any previous round's output FIRST: a query that throws must
       // leave no stale parquet behind for the checker to "pass" against
@@ -37,7 +41,7 @@ object Verify {
     // against its dumped parquet, record every metric in gates.json, and
     // DELETE the dump of a failing query — the driver's rows-only check
     // then errs instead of green-lighting a broken sketch via rows>0.
-    val gateResults = SparkEntry.qs.flatMap { q =>
+    val gateResults = SparkEntry.qs.filter(q => only.forall(_.contains(q.name))).flatMap { q =>
       q.gate.map { g =>
         val dest = new java.io.File(s"$outDir/${q.name}")
         val gates: Seq[Gate] =

@@ -319,29 +319,39 @@ object RelationalQueries {
       .agg(count(col("event_id")).as("n_follow"))
   }
 
-  /** Date-part extraction + yearly aggregate. */
+  /** Date-part extraction + yearly aggregate. The money sum accumulates
+    * in DECIMAL(18,2) (exact, order-insensitive — o_totalprice is a
+    * cents-valued double) and casts the exact total back to DOUBLE, so
+    * Spark's partial/final merge order and DuckDB's serial order cannot
+    * differ by an ulp and flip the driver's exact hash. */
   val q17Yearly: Q = Q(
     "q17_yearly_orders",
     """SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
       |  o_orderstatus,
-      |  sum(o_totalprice) AS total, count(*) AS n
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS n
       |FROM orders
       |GROUP BY 1, 2""".stripMargin
   ) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
-      .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
   }
 
-  /** Conditional aggregation (CASE WHEN inside agg). The money sum is
-    * rounded to cents on BOTH engines: o_totalprice has 2 decimals, so the
-    * true sum does too, and round(…, 2) recovers it exactly regardless of
-    * the float accumulation order (Spark partial/final vs DuckDB serial),
-    * which differed enough to flip the driver's hash in round 1. */
+  /** Conditional aggregation (CASE WHEN inside agg). The money sum
+    * accumulates in DECIMAL(18,2) — NOT round-after-double-sum, which
+    * failed the driver's exact hash two rounds running: a double sum is
+    * accumulation-order-dependent, and Spark's partial/final merge vs
+    * DuckDB's serial scan can land one ulp apart on a cents boundary,
+    * where round() then diverges. Casting each addend to DECIMAL first
+    * makes the accumulation exact and order-insensitive; the final cast
+    * back to DOUBLE is then a deterministic function of the exact total
+    * on both engines. */
   val q18CaseAgg: Q = Q(
     "q18_case_agg",
     """SELECT o_orderstatus,
-      |  round(sum(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END), 2) AS urgent_total,
+      |  CAST(sum(CAST(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS urgent_total,
       |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN CAST(1 AS BIGINT) ELSE 0 END) AS urgent_n,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
@@ -349,7 +359,8 @@ object RelationalQueries {
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
       .agg(
-        round(sum(when(col("o_orderpriority").like("1%"), col("o_totalprice")).otherwise(lit(0.0))), 2).as("urgent_total"),
+        sum(when(col("o_orderpriority").like("1%"), col("o_totalprice")).otherwise(lit(0.0))
+          .cast("decimal(18,2)")).cast("double").as("urgent_total"),
         sum(when(col("o_orderpriority").like("1%"), lit(1L)).otherwise(lit(0L))).as("urgent_n"),
         count(lit(1)).as("n"))
   }
@@ -476,20 +487,22 @@ object RelationalQueries {
   }
 
   /** Pivot (cross-tab): revenue per priority pivoted on order status.
-    * Money sums rounded to cents on both engines (the q18 lesson: DOUBLE
-    * accumulation order flips hashes otherwise). */
+    * Money sums accumulate in DECIMAL(18,2) then cast to DOUBLE (the q18
+    * lesson: round-after-double-sum is accumulation-order-dependent and
+    * loses to the driver's exact hash by an ulp; decimal addends make the
+    * sum exact and order-free on both engines). */
   val q25Pivot: Q = Q(
     "q25_pivot",
     """SELECT o_orderpriority,
-      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
       |FROM orders GROUP BY o_orderpriority""".stripMargin
   ) { (s, d) =>
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("O", "F", "P"))
-      .agg(round(sum(col("o_totalprice")), 2))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
   }
 
   /** Distribution windows: quartile bucket + percent_rank over value per

@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/oracle_check.py [--exact] <verify_out_dir> <sf_dir>
 
 Reads <verify_out_dir>/oracle_sql.json, registers each fixture parquet as a
 DuckDB view named after the table, runs each oracle query, and compares
 against the Spark result parquet at <verify_out_dir>/<name>/ — columns
 sorted by name, rows sorted, floats compared with relative tolerance.
+
+--exact compares floats bit-for-bit, replicating the DRIVER's hash compare.
+The default tolerance mode is a weaker check: q18 passed here at 1e-6 for
+two rounds while failing the driver's exact hash by one ulp. Use --exact
+before declaring a numeric query green.
 """
 import json
 import math
@@ -15,6 +20,8 @@ import sys
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+EXACT = False
 
 
 def norm(v):
@@ -31,7 +38,7 @@ def approx_eq(a, b):
     a, b = norm(a), norm(b)
     if isinstance(a, float) and isinstance(b, (int, float)):
         b = float(b)
-        if math.isinf(a) or math.isinf(b):
+        if EXACT or math.isinf(a) or math.isinf(b):
             return a == b
         return abs(a - b) <= 1e-6 * max(1.0, abs(a), abs(b))
     if isinstance(b, float) and isinstance(a, int):
@@ -40,7 +47,10 @@ def approx_eq(a, b):
 
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    global EXACT
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    out_dir, sf_dir = args[0], args[1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
