@@ -100,15 +100,61 @@ object TsneQueries {
       Gate("max_asymmetry", asym, asym <= 1e-12))
   }
 
+  /** Pinned seed-42 KL goldens on the 500-point embeddings fixture
+    * (sf0.01; vec_id < 500 at larger SFs). Deterministic because n=500
+    * keeps the whole iteration on one adjacency partition (iterParts =
+    * n/256 → 1), so the float accumulation order is fixed — verified by
+    * back-to-back runs agreeing to the last bit before pinning. The
+    * 30-iter value is the exaggerated-phase objective of the
+    * tsne_bh_embedding query config; the 100-iter value is the
+    * BASELINE.md protocol (default params) truncated at iteration 100. */
+  private val BhGolden30IterKl = 3.044172153633447
+  private val BhGolden100IterKl = 16.65822314902931
+
   /** Barnes-Hut t-SNE, 30 iterations — the flagship iterative pipeline.
     * Stochastic-free under fixed seed but not SQL-expressible → gated on
-    * the embedding-output invariants; numerics live in TSNESpec +
-    * GradientSpec + the 500-iter KL golden. */
+    * the embedding-output invariants PLUS the final KL vs its pinned
+    * golden (the driver loop is eager, so the iteration-30 loss is known
+    * before the result frame exists and rides along as a column — the
+    * gate then checks the DUMPED value, no re-run). */
   val bhEmbedding: Q = Q.gated("tsne_bh_embedding") { (s, d) =>
-    BHTSNE.tsne(Tables.embeddings(s, d), "vec_id", "embedding",
+    var kl = Double.NaN
+    val out = BHTSNE.tsne(Tables.embeddings(s, d), "vec_id", "embedding",
       TSNEParams(maxIterations = 30, perplexity = 20, earlyExaggeration = 15,
-        reportLoss = 0, seed = 42))
-  } (embeddingGate((s, d) => Tables.embeddings(s, d).count()))
+        reportLoss = 30, seed = 42),
+      callback = (_, _, l) => l.foreach(kl = _))
+    out.withColumn("kl", lit(kl))
+  } { (s, d, res) =>
+    val base = embeddingGate((s2, d2) => Tables.embeddings(s2, d2).count())(s, d, res)
+    val r = res.agg(count(lit(1)).as("n"), first(col("kl")).as("kl")).head
+    // golden pinned for the 500-point fixture (the SF Verify runs at);
+    // other SFs keep the shape gates only
+    if (r.getLong(0) == 500) {
+      val dev = math.abs(r.getDouble(1) - BhGolden30IterKl)
+      base :+ Gate("kl_vs_golden_dev", dev, dev <= 1e-6)
+    } else base
+  }
+
+  /** The repo's strongest numeric invariant as a machine-checked query:
+    * the BASELINE.md seed-42 protocol (default params) on the fixed
+    * 500-point subset, truncated at 100 iterations, must reproduce its
+    * pinned KL exactly. One row out: (n, iterations, final_kl). */
+  val klGolden: Q = Q.gated("tsne_kl_golden") { (s, d) =>
+    import s.implicits._
+    var kl = Double.NaN
+    val emb = BHTSNE.tsne(
+      Tables.embeddings(s, d).where(col("vec_id") < 500), "vec_id", "embedding",
+      TSNEParams(maxIterations = 100, seed = 42),
+      callback = (_, _, l) => l.foreach(kl = _))
+    Seq((emb.count(), 100, kl)).toDF("n", "iterations", "final_kl")
+  } { (_, _, res) =>
+    val r = res.head
+    val n = r.getLong(0).toDouble
+    val dev = math.abs(r.getDouble(2) - BhGolden100IterKl)
+    Seq(
+      Gate("n_points", n, n == 500),
+      Gate("kl_vs_golden_dev", dev, dev <= 1e-9))
+  }
 
   /** Exact-gradient driver (SimpleTSNE), 15 iterations on a fixed
     * 500-point subset — O(n²)/iteration by reference semantics, so fewer
@@ -135,5 +181,5 @@ object TsneQueries {
 
   def all: Seq[Q] = Seq(
     knnEmbeddings, embeddingNorms, x2pRowSums, affinities, bhEmbedding,
-    simpleEmbedding, lbfgsEmbedding)
+    simpleEmbedding, lbfgsEmbedding, klGolden)
 }
