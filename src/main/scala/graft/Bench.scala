@@ -24,9 +24,17 @@ object Bench {
     val warmDir =
       if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
       else sfDir
-    Seq("q1_agg", "knn_embeddings", "dedup_exact_prefix", "text_stats",
-        "tsne_bh_embedding", "ann_ivf_topk", "ml_pca").foreach { w =>
-      try SparkEntry.queries(w)(spark, warmDir).write.format("noop").mode("overwrite").save()
+    // the BH family warms at sf0.01, not sf0.001: its hot loops (SPTree
+    // walk, edge-force kernels) need ~500 points × 30 iterations of
+    // invocations before C2 JIT kicks in — a 50-point warmup left the
+    // driver's single timed run 1.4× over the pinned steady state (r2)
+    val warmDir2 =
+      if (new java.io.File("/root/testdata/sf0.01").isDirectory) "/root/testdata/sf0.01"
+      else warmDir
+    (Seq("q1_agg", "knn_embeddings", "dedup_exact_prefix", "text_stats",
+        "ann_ivf_topk", "ml_pca").map(_ -> warmDir)
+      :+ ("tsne_bh_embedding" -> warmDir2)).foreach { case (w, dir) =>
+      try SparkEntry.queries(w)(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $w failed (timings may run cold): ${e.getMessage}")
       }

@@ -223,6 +223,11 @@ object Dedup {
     *    every vertex takes the min label in its closed neighborhood; one
     *    equi-join + groupBy-min per round, O(diameter) rounds, fixpoint
     *    via the Σlabel probe) — all shuffle-on-key, no driver state. */
+  /** Rounds the last [[canonicalize]] call's distributed branch took to
+    * converge (0 when the driver union-find branch ran). Instrumentation
+    * for the opt-in scale probe (ProfileSpec), not operator contract. */
+  @volatile private[graft] var lastPropagationRounds: Int = 0
+
   def canonicalize(
       pairs: DataFrame, maxRounds: Int = 20,
       smallGraphEdges: Long = 2000000L): DataFrame = {
@@ -231,6 +236,7 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     val nEdges = edges.count()
+    lastPropagationRounds = 0
     if (nEdges <= smallGraphEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -255,16 +261,27 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("id", "canonical_id")
     }
-    var labels = edges.select(col("src").as("id")).distinct()
+    // Iteration state lives in a PLAIN CACHED RDD of (id, label), and each
+    // round's frame is re-rooted at it: chaining DataFrames across rounds
+    // grows the Catalyst plan by one union+join per round, and at ~12
+    // rounds merely RENDERING the plan string OOMed the driver (caught by
+    // the ProfileSpec scale probe at 1.2M pairs) — the §7.4.3 lineage-
+    // growth hazard. The previous round's RDD is unpersisted eagerly;
+    // relying on GC-driven ContextCleaner would leak O(rounds·V) storage
+    // at corpus scale.
+    val session = spark
+    import session.implicits._
+    var labelsRdd = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .as[(Long, Long)].rdd.cache()
     // convergence check: labels only ever decrease, so an unchanged
-    // Σlabel means a fixpoint — one aggregate action per round instead of
-    // a join-based diff (halves the per-round job count)
+    // Σlabel means a fixpoint — one cheap action per round on the cached
+    // state instead of a join-based diff (halves the per-round job count)
     var prevSum = Long.MaxValue
     var rounds = 0
     var converged = false
     while (rounds < maxRounds && !converged) {
+      val labels = labelsRdd.toDF("id", "label")
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("label"))
@@ -273,19 +290,20 @@ object Dedup {
       // a round-count win that only materializes on long chains, and
       // duplicate graphs are overwhelmingly small-diameter cliques
       // (sf0.1: 9.6 s with doubling vs 6.1 s without)
-      val next = labels.select(col("id"), col("label"))
+      val nextRdd = labels
         .union(viaNeighbors)
         .groupBy("id")
         .agg(min(col("label")).as("label"))
-        .cache()
-      val sumLabel = next.agg(sum(col("label"))).collect()(0).getLong(0)
-      labels.unpersist()
-      labels = next
+        .as[(Long, Long)].rdd.cache()
+      val sumLabel = nextRdd.map(_._2).fold(0L)(_ + _) // materializes the cache
+      labelsRdd.unpersist()
+      labelsRdd = nextRdd
       converged = sumLabel == prevSum
       prevSum = sumLabel
       rounds += 1
     }
+    lastPropagationRounds = rounds
     edges.unpersist()
-    labels.select(col("id"), col("label").as("canonical_id"))
+    labelsRdd.toDF("id", "canonical_id")
   }
 }

@@ -118,27 +118,33 @@ object OpsQueries {
   }
 
   /** Hyperplane-LSH ANN — gated per round on recall@5 vs the exact
-    * brute-force twin (spec threshold 0.5: the fixture's near-uniform
-    * unit vectors are the LSH worst case). */
+    * brute-force twin. Threshold 0.6: the default 12 tables × 5-bit
+    * hyperplane config measures 0.626 on the fixture's near-uniform unit
+    * vectors (the LSH worst case — real clustered corpora do better), so
+    * a silent recall regression of ≥0.03 goes red rather than hiding
+    * under a slack 0.5 gate. Hyperplanes are seed-fixed → deterministic. */
   val annLsh: Q = Q.gated("ann_lsh_topk") { (s, d) =>
     SimilaritySearch.lshTopK(Tables.embeddings(s, d), k = 5)
   } { (s, d, res) =>
     val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
     val (recall, _) = pairRecall(res.select("i", "j"),
       exact.select("i", "j"), Seq("i", "j"))
-    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.5))
+    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.6))
   }
 
   /** IVF ANN — the k-means coarse-quantizer scale path (cell equi-join,
     * exact re-score, one cell per indexed vector so candidates are
-    * join-unique). Gated on recall@5 vs the exact twin. */
+    * join-unique). Gated on recall@5 vs the exact twin at 0.6: the
+    * default quantizer (sample-trained k-means++, best-of-3 restarts,
+    * nprobe cells probed) measures 0.675 on the fixture, so a 0.075
+    * regression goes red; seeded training keeps the value deterministic. */
   val annIvf: Q = Q.gated("ann_ivf_topk") { (s, d) =>
     SimilaritySearch.ivfTopK(Tables.embeddings(s, d), k = 5)
   } { (s, d, res) =>
     val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
     val (recall, _) = pairRecall(res.select("i", "j"),
       exact.select("i", "j"), Seq("i", "j"))
-    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.5))
+    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.6))
   }
 
   /** Canonical assignment over the exact-Jaccard duplicate graph:

@@ -139,5 +139,88 @@ object TextQueries {
       .select("doc_id", "term", "weight", "rank")
   }
 
-  def all: Seq[Q] = Seq(textStats, fingerprints, langQuality, bpeTokens, tfidfTop)
+  /** Within-document repetition score — the Gopher-style boilerplate
+    * signal: 1 − (distinct trigrams / total trigrams). A doc that repeats
+    * its paragraphs scores high; natural prose sits near 0. Pure per-row
+    * computation (tokenize once + single-pass shingle UDF), NO shuffle —
+    * scales as a projection over the corpus. */
+  val repetition: Q = Q(
+    "text_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_tokens,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS DOUBLE)
+      |      / (len(toks) - 2)
+      |  ELSE 0.0 END AS repetition
+      |FROM t""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("_toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("_toks")).as("n_tokens"),
+        when(size(col("_toks")) >= 3,
+          lit(1.0) - size(shinglesFast(3)(col("_toks"))).cast("double")
+            / (size(col("_toks")) - 2))
+          .otherwise(lit(0.0)).as("repetition"))
+  }
+
+  /** Benchmark-contamination check — the eval-set hygiene pass every
+    * training corpus needs: fraction of each document's distinct
+    * trigrams that also occur in a "benchmark" document set (here the
+    * deterministic doc_id % 100 == 7 cohort standing in for an eval
+    * suite). Scale shape: the benchmark n-gram set is SMALL by nature
+    * (eval suites are thousands of docs, not billions) → broadcast hash
+    * join against it; the corpus side is one explode + two key-partitioned
+    * aggregations — linear in corpus size, no all-pairs. */
+  val contamination: Q = Q(
+    "text_contamination",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS sh
+      |  FROM t),
+      |e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+      |bench AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 100 = 7),
+      |corpus AS (SELECT * FROM e WHERE doc_id % 100 <> 7),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+      |hit AS (SELECT corpus.doc_id, count(*) AS n_hit
+      |        FROM corpus JOIN bench USING (shingle) GROUP BY 1)
+      |SELECT tot.doc_id AS doc_id, n_grams, coalesce(n_hit, 0) AS n_hit,
+      |  CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams AS contamination
+      |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+      |WHERE CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams >= 0.05""".stripMargin
+  ) { (s, d) =>
+    // shingle once, cache: the benchmark and corpus branches both consume
+    // this frame (cache-lifetime note in Dedup.jaccardPairs applies)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shinglesFast(3)(tokens(col("text")))).as("shingle"))
+      .cache()
+    val bench = sh.where(pmod(col("doc_id"), lit(100)) === 7)
+      .select("shingle").distinct()
+    val corpus = sh.where(pmod(col("doc_id"), lit(100)) =!= 7)
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = corpus.join(broadcast(bench), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+      .where(col("contamination") >= 0.05)
+  }
+
+  def all: Seq[Q] = Seq(
+    textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
+    contamination)
 }

@@ -75,6 +75,47 @@ class ProfileSpec extends AnyFunSuite {
     println(s"[profile] jaccard pairs=$cands")
   }
 
+  test("scale stress: dedup_canonical distributed branch above the cutover") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    import spark.implicits._
+    // Synthetic duplicate graph ABOVE the 2M-directed-edge union-find
+    // cutover, with known components, mirroring real dup-graph shape:
+    // mostly small cliques (star edges, diameter 2) plus a chain tail
+    // (the propagation worst case — rounds grow with chain length).
+    //  - 300k cliques of 4: ids [c·4, c·4+3], 3 pairs each  → 900k pairs
+    //  - 30k chains of 11: ids CH+c·11+k, 10 pairs each     → 300k pairs
+    // 1.2M pairs → 2.4M directed edges → distributed branch.
+    val CH = 10000000L
+    // `div` (integer division) — `/` on longs is DOUBLE division in Spark
+    // and the operator contract is integral ids
+    val cliquePairs = spark.range(300000L * 3).select(
+      expr("(id div 3) * 4").as("id_a"),
+      expr("(id div 3) * 4 + pmod(id, 3) + 1").as("id_b"))
+    val chainPairs = spark.range(30000L * 10).select(
+      expr(s"$CH + (id div 10) * 11 + pmod(id, 10)").as("id_a"),
+      expr(s"$CH + (id div 10) * 11 + pmod(id, 10) + 1").as("id_b"))
+    val pairs = cliquePairs.union(chainPairs).cache()
+    println(s"[profile] synthetic dup pairs = ${pairs.count()}")
+
+    val t0 = System.nanoTime()
+    val canon = ops.Dedup.canonicalize(pairs)
+    // expected canonical = component base id
+    val expected = pairs.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      .withColumn("expected",
+        when(col("id") < CH, expr("(id div 4) * 4"))
+          .otherwise(expr(s"$CH + ((id - $CH) div 11) * 11")))
+    val wrong = canon.join(expected, "id")
+      .where(col("canonical_id") =!= col("expected")).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rounds = ops.Dedup.lastPropagationRounds
+    println(f"[profile] canonical @1.2M pairs: $secs%.1f s total, " +
+      f"$rounds rounds (${secs / math.max(1, rounds)}%.2f s/round), wrong=$wrong")
+    assert(wrong == 0, "distributed min-label propagation must be exact")
+    assert(rounds > 0, "probe must exercise the distributed branch")
+    assert(rounds < 20, "must converge before the round cap")
+    pairs.unpersist()
+  }
+
   test("scale stress: exact kNN at 8x rows (256M pairs)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -102,6 +102,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed dedup drops beyond-watermark late arrivals, keeps in-horizon ones") {
+    import spark.implicits._
+    // two controlled micro-batches: batch 1 advances the watermark to
+    // maxTs − 10 min, batch 2 replays events shuffled past that horizon.
+    // Documented semantics under test (EventsStream.dedupWindowed): keys
+    // arriving within the watermark delay are emitted exactly once; rows
+    // whose event time is older than the watermark — duplicate OR novel —
+    // are late and dropped, never re-emitted as "new" after state expiry.
+    val base = 1700000000L * 1000000000L // epoch nanos, 2023-11-14T22:13:20Z
+    def ev(id: Long, offsetMin: Long, user: Long, typ: String) =
+      (id, base + offsetMin * 60L * 1000000000L, user, typ, 1.0, "{}")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("events-late").toString
+    // batch 1: key A at t=0min; sentinel key S at t=120min pushes the
+    // watermark to 110min once the batch commits
+    Seq(ev(1, 0, 1, "view"), ev(2, 120, 99, "view"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(streamDir)
+    val q = EventsStream.startDedupQuery(spark, streamDir, "latetest")
+    try {
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("latetest").count()
+      assert(afterBatch1 == 2, s"batch 1 should emit both fresh keys, got $afterBatch1")
+
+      // batch 2, all shuffled out of order relative to batch 1:
+      //  id=3: duplicate of key A inside A's window, t=1min  << 110min horizon → late, dropped
+      //  id=4: NOVEL key at t=2min                           << horizon → late, dropped
+      //  id=5: novel key at t=115min, within the horizon     → emitted
+      Seq(ev(3, 1, 1, "view"), ev(4, 2, 2, "click"), ev(5, 115, 3, "view"))
+        .toDF(cols: _*).coalesce(1).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+
+      val out = spark.table("latetest")
+        .collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+      assert(out.size == 3, s"exactly one in-horizon row may join the 2 from batch 1, got $out")
+      assert(out.count(_ == (1L, "view")) == 1, "late duplicate of key A must not re-emit")
+      assert(!out.exists(_._1 == 2L), "beyond-watermark novel key must be dropped as late")
+      assert(out.contains((3L, "view")), "in-horizon novel key must be emitted")
+    } finally q.stop()
+  }
+
   test("sessionize conserves events across closed + open sessions") {
     import spark.implicits._
     val events = graft.Tables.events(spark, dir)
