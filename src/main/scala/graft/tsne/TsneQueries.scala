@@ -179,7 +179,42 @@ object TsneQueries {
       TSNEParams(maxIterations = 15, perplexity = 20, earlyExaggeration = 5, seed = 42))
   } (embeddingGate((s, d) => Tables.embeddings(s, d).where(col("vec_id") < 500).count()))
 
+  /** Pinned seed-42 trustworthiness of the 100-iter BH embedding on the
+    * 500-point subset (same determinism argument as the KL goldens; the
+    * penalty is an integer sum, so the metric is exact to the last bit). */
+  private val TrustGolden100Iter = 0.7084603669089651
+
+  /** End-to-end embedding QUALITY gate (complements the KL gates, which
+    * check the optimizer's objective, not neighborhood preservation):
+    * trustworthiness (Venna & Kaski 2001) of a finished short BH run
+    * (100 iterations, exaggeration off at 30) vs the original space at
+    * k=12, on the fixed 500-point subset. Gated on a floor of 0.65 —
+    * the fixture's near-uniform unit vectors plateau at ~0.71, so the
+    * floor is a real quality claim, not slack — AND exact match to the
+    * pinned golden. One row out: (n, k, trustworthiness). */
+  val trustworthiness: Q = Q.gated("tsne_trustworthiness") { (s, d) =>
+    import s.implicits._
+    val pts = Tables.embeddings(s, d).where(col("vec_id") < 500).cache()
+    val n = pts.count()
+    val emb = BHTSNE.tsne(pts, "vec_id", "embedding",
+      TSNEParams(maxIterations = 100, perplexity = 20, earlyExaggeration = 30,
+        reportLoss = 0, seed = 42))
+    val embArr = emb.select(col("id"), array(col("x"), col("y")).as("f"))
+    val t = Trustworthiness.compute(pts, "vec_id", "embedding", embArr, "id", "f", k = 12)
+    pts.unpersist()
+    Seq((n, 12, t)).toDF("n", "k", "trustworthiness")
+  } { (_, _, res) =>
+    val r = res.head
+    val n = r.getLong(0)
+    val t = r.getDouble(2)
+    val floor = Gate("trust_floor", t, t > 0.65)
+    if (n == 500) {
+      val dev = math.abs(t - TrustGolden100Iter)
+      Seq(floor, Gate("trust_vs_golden_dev", dev, dev <= 1e-9))
+    } else Seq(floor)
+  }
+
   def all: Seq[Q] = Seq(
     knnEmbeddings, embeddingNorms, x2pRowSums, affinities, bhEmbedding,
-    simpleEmbedding, lbfgsEmbedding, klGolden)
+    simpleEmbedding, lbfgsEmbedding, klGolden, trustworthiness)
 }
