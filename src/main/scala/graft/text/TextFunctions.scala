@@ -175,4 +175,15 @@ object TextFunctions {
     lit(0.3) * lenScore + lit(0.3) * distinctTokenRatioFromTokens(toks) +
       lit(0.2) * alnumRatio(text) + lit(0.2) * stopFit
   }
+
+  /** Within-document repetition: 1 − (distinct trigrams / total trigrams)
+    * over the token stream — the Gopher-style boilerplate signal. 0.0 for
+    * documents under 3 tokens (no trigram exists) and for null text (a
+    * null WHEN condition falls through to the otherwise branch on both
+    * engines). Uses the single-pass [[shinglesFast]] UDF for the distinct
+    * count; total count is just size−2, so no second pass. */
+  def repetitionScoreFromTokens(toks: Column): Column =
+    when(size(toks) >= 3,
+      lit(1.0) - size(shinglesFast(3)(toks)).cast("double") / (size(toks) - 2))
+      .otherwise(lit(0.0))
 }

@@ -164,10 +164,34 @@ object TextQueries {
       .select(
         col("doc_id"),
         size(col("_toks")).as("n_tokens"),
-        when(size(col("_toks")) >= 3,
-          lit(1.0) - size(shinglesFast(3)(col("_toks"))).cast("double")
-            / (size(col("_toks")) - 2))
-          .otherwise(lit(0.0)).as("repetition"))
+        repetitionScoreFromTokens(col("_toks")).as("repetition"))
+  }
+
+  /** Library form of the contamination check: fraction of each corpus
+    * document's distinct trigrams occurring in the benchmark documents'
+    * trigram set (`isBench` selects the benchmark rows; eval suites are
+    * small by nature, so their n-gram set is broadcast). Returns docs at
+    * or above `threshold`: (doc_id, n_grams, n_hit, contamination). */
+  def contaminationVs(docs: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column, threshold: Double)
+      : org.apache.spark.sql.DataFrame = {
+    // shingle once, cache: the benchmark and corpus branches both consume
+    // this frame (cache-lifetime note in Dedup.jaccardPairs applies)
+    val sh = docs
+      .select(col("doc_id"),
+        explode(shinglesFast(3)(tokens(col("text")))).as("shingle"), isBench.as("is_bench"))
+      .cache()
+    val bench = sh.where(col("is_bench")).select("shingle").distinct()
+    val corpus = sh.where(!col("is_bench"))
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = corpus.join(broadcast(bench), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+      .where(col("contamination") >= threshold)
   }
 
   /** Benchmark-contamination check — the eval-set hygiene pass every
@@ -200,24 +224,8 @@ object TextQueries {
       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
       |WHERE CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams >= 0.05""".stripMargin
   ) { (s, d) =>
-    // shingle once, cache: the benchmark and corpus branches both consume
-    // this frame (cache-lifetime note in Dedup.jaccardPairs applies)
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(shinglesFast(3)(tokens(col("text")))).as("shingle"))
-      .cache()
-    val bench = sh.where(pmod(col("doc_id"), lit(100)) === 7)
-      .select("shingle").distinct()
-    val corpus = sh.where(pmod(col("doc_id"), lit(100)) =!= 7)
-    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hit = corpus.join(broadcast(bench), "shingle")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    tot.join(hit, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
-          .as("contamination"))
-      .where(col("contamination") >= 0.05)
+    contaminationVs(Tables.documents(s, d),
+      pmod(col("doc_id"), lit(100)) === 7, threshold = 0.05)
   }
 
   def all: Seq[Q] = Seq(

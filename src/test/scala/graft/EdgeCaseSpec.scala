@@ -41,6 +41,42 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out(2).isNullAt(0) && out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("repetition score: short/null docs are 0, repeated trigrams measured") {
+    val df = Seq(
+      (1L, "a b"),                       // < 3 tokens → 0.0
+      (2L, ""),                          // empty → 0.0
+      (3L, null.asInstanceOf[String]),   // null → 0.0 (falls to otherwise)
+      (4L, "a b c a b c a b c"),         // 7 trigrams, 3 distinct → 1 − 3/7
+      (5L, "w x y z"))                   // all distinct → 0.0
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        text.TextFunctions.repetitionScoreFromTokens(
+          text.TextFunctions.tokens(col("text"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0 && out(3L) == 0.0 && out(5L) == 0.0)
+    assert(math.abs(out(4L) - (1.0 - 3.0 / 7.0)) < 1e-15)
+  }
+
+  test("contamination: empty corpus and empty benchmark both degrade cleanly") {
+    val empty = docsLike(Nil)
+    assert(text.TextQueries.contaminationVs(empty, lit(false), 0.05).count() == 0)
+    // no doc matches the benchmark predicate → no hits → nothing above a
+    // positive threshold; threshold 0 reports every corpus doc at 0.0
+    val docs = docsLike(Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta")))
+    assert(text.TextQueries.contaminationVs(docs, lit(false), 0.05).count() == 0)
+    val all = text.TextQueries.contaminationVs(docs, lit(false), 0.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(all.length == 2 && all.forall(_._2 == 0.0))
+    // a doc sharing a trigram with the benchmark is flagged
+    val mixed = docsLike(Seq(
+      (7L, "the quick brown fox jumps"),
+      (1L, "a quick brown fox runs away fast")))
+    val hit = text.TextQueries.contaminationVs(mixed, col("doc_id") === 7, 0.1)
+      .collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 1L && hit(0).getLong(2) == 1L,
+      s"expected doc 1 flagged with 1 shared trigram (quick brown fox), got ${hit.toSeq}")
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))
