@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 60-query bench surface in one 8g JVM produced ±4 s
+  // full-GC pauses landing on whichever query was live (observed on
+  // dedup_ngram_jaccard 2.9→8.7 s one run, tsne_trustworthiness 4.4→8.2 s
+  // the next); the box has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

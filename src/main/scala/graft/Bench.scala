@@ -32,7 +32,8 @@ object Bench {
       if (new java.io.File("/root/testdata/sf0.01").isDirectory) "/root/testdata/sf0.01"
       else warmDir
     (Seq("q1_agg", "knn_embeddings", "dedup_exact_prefix", "text_stats",
-        "ann_ivf_topk", "ml_pca").map(_ -> warmDir)
+        "ann_ivf_topk", "ml_pca", "dedup_ngram_jaccard",
+        "tsne_trustworthiness").map(_ -> warmDir)
       :+ ("tsne_bh_embedding" -> warmDir2)).foreach { case (w, dir) =>
       try SparkEntry.queries(w)(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -133,7 +133,14 @@ object TSNE {
     val rows = idMap.indices.map { i =>
       Row.fromSeq(idMap(i) +: (0 until d).map(k => yFlat(i * d + k)))
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+    // right-size slices: the default (defaultParallelism) shards a few
+    // hundred rows into 32 near-empty partitions, and any downstream
+    // cartesian then multiplies partition COUNTS (32×32 = 1024 tiny
+    // tasks for a 500-point trustworthiness pass — measured ~2 s of pure
+    // scheduling). ≥4096 rows/slice keeps small embeddings in one task.
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.size / 4096))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, slices), schema)
   }
 }
 

@@ -54,10 +54,14 @@ object Trustworthiness {
 
     // r(i,j) = 1 + #{m ≠ i : (d(i,m), m) <lex (d(i,j), j)} — the same
     // (dist2, j) tie order the kNN operators use, so ranks agree with a
-    // full ranking window without materializing one
+    // full ranking window without materializing one. The point set is
+    // broadcast explicitly: it is the bounded side by construction (the
+    // intruder side grows with embedding error), and a derived frame's
+    // size estimate is too unreliable to leave the build-side choice to
+    // the planner on a plan-critical nested-loop join.
     val m = pts.select(col("id").as("m"), col("features").as("vm"))
     val dm = arraySqDist(col("vi"), col("vm"))
-    val ranks = withBound.crossJoin(m)
+    val ranks = withBound.crossJoin(broadcast(m))
       .where(col("m") =!= col("i"))
       .groupBy(col("i"), col("j"))
       .agg((sum(

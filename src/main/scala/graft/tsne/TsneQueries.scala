@@ -111,6 +111,14 @@ object TsneQueries {
   private val BhGolden30IterKl = 3.044172153633447
   private val BhGolden100IterKl = 16.65822314902931
 
+  /** The exact goldens are pinned to the sf0.01 fixture's vectors. A
+    * `vec_id < 500` subset of a LARGER fixture has the same row count but
+    * different vectors (each SF is an independent sample), so n==500 alone
+    * must not arm an exact-match gate — Verify runs at sf0.01, and a run
+    * at any other SF falls back to the SF-independent invariant gates. */
+  private def isGoldenFixture(d: String): Boolean =
+    d.stripSuffix("/").endsWith("sf0.01")
+
   /** Barnes-Hut t-SNE, 30 iterations — the flagship iterative pipeline.
     * Stochastic-free under fixed seed but not SQL-expressible → gated on
     * the embedding-output invariants PLUS the final KL vs its pinned
@@ -127,9 +135,8 @@ object TsneQueries {
   } { (s, d, res) =>
     val base = embeddingGate((s2, d2) => Tables.embeddings(s2, d2).count())(s, d, res)
     val r = res.agg(count(lit(1)).as("n"), first(col("kl")).as("kl")).head
-    // golden pinned for the 500-point fixture (the SF Verify runs at);
-    // other SFs keep the shape gates only
-    if (r.getLong(0) == 500) {
+    // golden pinned to the sf0.01 fixture; other SFs keep the shape gates
+    if (r.getLong(0) == 500 && isGoldenFixture(d)) {
       val dev = math.abs(r.getDouble(1) - BhGolden30IterKl)
       base :+ Gate("kl_vs_golden_dev", dev, dev <= 1e-6)
     } else base
@@ -147,13 +154,17 @@ object TsneQueries {
       TSNEParams(maxIterations = 100, seed = 42),
       callback = (_, _, l) => l.foreach(kl = _))
     Seq((emb.count(), 100, kl)).toDF("n", "iterations", "final_kl")
-  } { (_, _, res) =>
+  } { (_, d, res) =>
     val r = res.head
     val n = r.getLong(0).toDouble
-    val dev = math.abs(r.getDouble(2) - BhGolden100IterKl)
-    Seq(
-      Gate("n_points", n, n == 500),
-      Gate("kl_vs_golden_dev", dev, dev <= 1e-9))
+    val kl = r.getDouble(2)
+    if (isGoldenFixture(d)) {
+      val dev = math.abs(kl - BhGolden100IterKl)
+      Seq(
+        Gate("n_points", n, n == 500),
+        Gate("kl_vs_golden_dev", dev, dev <= 1e-9))
+    } else
+      Seq(Gate("kl_finite", kl, java.lang.Double.isFinite(kl)))
   }
 
   /** Exact-gradient driver (SimpleTSNE), 15 iterations on a fixed
@@ -179,37 +190,40 @@ object TsneQueries {
       TSNEParams(maxIterations = 15, perplexity = 20, earlyExaggeration = 5, seed = 42))
   } (embeddingGate((s, d) => Tables.embeddings(s, d).where(col("vec_id") < 500).count()))
 
-  /** Pinned seed-42 trustworthiness of the 100-iter BH embedding on the
+  /** Pinned seed-42 trustworthiness of the 60-iter BH embedding on the
     * 500-point subset (same determinism argument as the KL goldens; the
     * penalty is an integer sum, so the metric is exact to the last bit). */
-  private val TrustGolden100Iter = 0.7084603669089651
+  private val TrustGolden60Iter = 0.7158864659051575
 
   /** End-to-end embedding QUALITY gate (complements the KL gates, which
     * check the optimizer's objective, not neighborhood preservation):
     * trustworthiness (Venna & Kaski 2001) of a finished short BH run
-    * (100 iterations, exaggeration off at 30) vs the original space at
-    * k=12, on the fixed 500-point subset. Gated on a floor of 0.65 —
-    * the fixture's near-uniform unit vectors plateau at ~0.71, so the
-    * floor is a real quality claim, not slack — AND exact match to the
-    * pinned golden. One row out: (n, k, trustworthiness). */
+    * (60 iterations, exaggeration off at 20 — probed equal-quality to a
+    * 100-iter run at 60% of the per-round cost; trust plateaus ~0.71 on
+    * this fixture) vs the original space at k=12, on the fixed 500-point
+    * subset. Gated on a floor of 0.65 — a real quality claim against the
+    * ~0.71 plateau, not slack — AND exact match to the pinned golden.
+    * One row out: (n, k, trustworthiness). */
   val trustworthiness: Q = Q.gated("tsne_trustworthiness") { (s, d) =>
     import s.implicits._
     val pts = Tables.embeddings(s, d).where(col("vec_id") < 500).cache()
     val n = pts.count()
     val emb = BHTSNE.tsne(pts, "vec_id", "embedding",
-      TSNEParams(maxIterations = 100, perplexity = 20, earlyExaggeration = 30,
+      TSNEParams(maxIterations = 60, perplexity = 20, earlyExaggeration = 20,
         reportLoss = 0, seed = 42))
     val embArr = emb.select(col("id"), array(col("x"), col("y")).as("f"))
     val t = Trustworthiness.compute(pts, "vec_id", "embedding", embArr, "id", "f", k = 12)
     pts.unpersist()
     Seq((n, 12, t)).toDF("n", "k", "trustworthiness")
-  } { (_, _, res) =>
+  } { (_, d, res) =>
     val r = res.head
     val n = r.getLong(0)
     val t = r.getDouble(2)
+    // the floor holds at every SF (measured 0.688 on sf0.1's different
+    // 500-vector sample); the exact golden only on its pinned fixture
     val floor = Gate("trust_floor", t, t > 0.65)
-    if (n == 500) {
-      val dev = math.abs(t - TrustGolden100Iter)
+    if (n == 500 && isGoldenFixture(d)) {
+      val dev = math.abs(t - TrustGolden60Iter)
       Seq(floor, Gate("trust_vs_golden_dev", dev, dev <= 1e-9))
     } else Seq(floor)
   }
