@@ -574,11 +574,57 @@ object RelationalQueries {
     Seq(graft.Gate("max_rel_err_vs_exact", err, err <= 0.05))
   }
 
+  /** Gaps-and-islands sessionization: a new session starts after >30 min
+    * of per-user silence; islands are numbered by a running sum of the
+    * boundary flags, then aggregated per session. This is the BATCH twin
+    * of the streaming `EventsStream.sessionize` (flatMapGroupsWithState) —
+    * StreamingSpec asserts the two paradigms produce the same session
+    * multiset. Scale shape: one hash partition by user_id feeding both
+    * windows and the final aggregation (a single exchange); value sums go
+    * through DECIMAL so the hash is accumulation-order-free (q27). */
+  val q29Sessions: Q = Q(
+    "q29_sessions",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM o
+      |)
+      |SELECT user_id, CAST(session_no AS INTEGER) AS session_no,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(lag(col("ts"), 1).over(w).isNull
+            || unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)) > 1800000L,
+          1).otherwise(0).as("new_session"))
+      .withColumn("session_no", sum(col("new_session")).over(run).cast("int"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
     q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
     q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg,
-    q28ApproxPercentiles)
+    q28ApproxPercentiles, q29Sessions)
 }

@@ -86,4 +86,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("HashJoin"),
       s"time-range join must keep its user_id equi-key:\n$p")
   }
+
+  test("text_repetition: shuffle-free projection (no exchange at all)") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"),
+      s"per-doc repetition must stay a projection over the scan:\n$p")
+  }
+
+  test("text_contamination: benchmark n-gram set joins as broadcast") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (small by nature) benchmark set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

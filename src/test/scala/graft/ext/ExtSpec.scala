@@ -143,6 +143,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionize equals the gaps-and-islands window twin") {
+    import spark.implicits._
+    // same 30-min gap rule, two execution paradigms: the q29 relational
+    // form (windows + running sum) and flatMapGroupsWithState. Session
+    // boundaries depend only on consecutive timestamps (ties contribute
+    // gap 0 under either tie-break), so the (user, n_events, total)
+    // session multisets must match exactly.
+    val relational = graft.rel.RelationalQueries.q29Sessions.fn(spark, dir)
+      .select("user_id", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val events = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .as[SessionEvent]
+    val stateful = EventsStream.sessionize(events, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(relational == stateful,
+      s"paradigm divergence: ${relational.size} vs ${stateful.size} distinct sessions")
+  }
+
   test("sessionize conserves events across closed + open sessions") {
     import spark.implicits._
     val events = graft.Tables.events(spark, dir)
