@@ -24,6 +24,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     rel.RelationalQueries.all ++ tsne.TsneQueries.all ++
       text.TextQueries.all ++ ops.OpsQueries.all ++
+      ops.CorpusQueries.all ++
       multimodal.MultimodalQueries.all ++ streaming.StreamingQueries.all ++
       ml.MlQueries.all
 

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * splitting, mixture (per-source rate) sampling, stratified sampling,
+  * and token-budget shard packing.
+  *
+  * All randomness is hash-derived (md5 of a salted key), never RNG-based:
+  * the same document lands in the same split/sample on every run, on any
+  * cluster size, with no seed plumbing — the property a 100 TB pipeline
+  * needs so that incremental re-runs don't reshuffle the corpus. Each
+  * decision is a pure codegen'd projection or one windowed pass; nothing
+  * here collects to the driver.
+  *
+  * Hashes use the md5-hex trick from [[graft.text.TextFunctions]] so a
+  * DuckDB oracle reproduces every decision bit-for-bit.
+  */
+object Corpus {
+
+  /** Deterministic bucket in [0, 65536): first 4 md5 hex chars of the
+    * salted key. Distinct salts make decisions independent — a doc's
+    * split assignment doesn't correlate with its sampling fate. */
+  def unitBucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 4), 16, 10)
+      .cast("int")
+
+  /** Train/val/test thresholds on the 16-bit bucket: 52429/65536 ≈ 80.0%,
+    * (58982−52429)/65536 ≈ 10.0%, remainder ≈ 10.0%. */
+  val TrainUpper = 52429
+  val ValUpper   = 58982
+
+  /** Assign each row a deterministic train/val/test split (≈80/10/10) by
+    * hashing its key. Pure projection — no shuffle, no sort, no driver
+    * state; membership is stable under corpus growth (adding documents
+    * never moves an existing one across splits, unlike modulo-on-count
+    * or sort-position schemes). */
+  def hashSplit(df: DataFrame, key: Column, salt: String = "split"): DataFrame = {
+    val b = unitBucket(key, salt)
+    df.withColumn("split",
+      when(b < TrainUpper, "train").when(b < ValUpper, "val").otherwise("test"))
+  }
+
+  /** Keep each row with per-row probability `rate` (a Column in [0,1]),
+    * deterministically: kept iff bucket < round(rate·65536). This is the
+    * data-mixing primitive — upweight/downweight sources by giving each
+    * its own rate — as a pure filter, so Catalyst pushes it into the
+    * scan and a 0.25-rate source reads like a 0.25-size source. */
+  def mixtureSample(df: DataFrame, key: Column, rate: Column,
+      salt: String = "mix"): DataFrame =
+    df.where(unitBucket(key, salt) < round(rate * 65536).cast("int"))
+
+  /** Exactly-k-per-stratum deterministic sample: rank rows inside each
+    * stratum by (hash, key) — the hash plays "random order", the key
+    * breaks 16-bit bucket collisions — and keep rank ≤ k. One hash
+    * exchange on the stratum key + a bounded per-group sort; strata are
+    * numerous and small in a real corpus (source × language), so the
+    * window never sees a giant partition. For a skewed stratum key, the
+    * bounded-heap TopK aggregate (org.apache.spark.sql.graft) is the
+    * drop-in replacement. */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], k: Int,
+      key: Column, salt: String = "strat"): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(unitBucket(key, salt), key)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** Pack rows into contiguous weight-budget shards: within each
+    * partition key (e.g. source), order rows deterministically and chunk
+    * the running weight sum at multiples of `budget` — the standard
+    * "pack documents into ~N-token training shards" pass. A row whose
+    * weight straddles a boundary belongs to the shard where it started
+    * (shard id = prefix sum BEFORE the row, integer-divided by budget).
+    * One hash exchange + one sort per partition key; shard ids are
+    * per-key, so downstream writers use (key, shard) as the output
+    * partition — no global coordination. */
+  def packShards(df: DataFrame, partitionKey: Column, order: Column,
+      weight: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(partitionKey).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer `div`, not `/`: Column./ is double division, and
+    // cast-after-double rounds differently across engines on exact
+    // budget multiples — div keeps the whole computation in longs
+    df.withColumn("_w", weight)
+      .withColumn("_cum", sum(col("_w")).over(w))
+      .withColumn("shard", expr(s"(_cum - _w) div $budget"))
+      .drop("_w", "_cum")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operator surface (split / mix / sample / pack) —
+  * every decision is md5-derived, so all four queries are bit-exact
+  * against the DuckDB oracle: the oracle recomputes the same hashes.
+  *
+  * DuckDB's `CAST(concat('0x', hex) AS INTEGER)` mirrors Spark's
+  * `conv(hex, 16, 10)` (same trick as the text fingerprints). */
+object CorpusQueries {
+
+  /** DuckDB twin of [[Corpus.unitBucket]]. */
+  private def bucketSql(key: String, salt: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($key AS VARCHAR) || ':$salt'), 1, 4)) AS INTEGER)"
+
+  /** Deterministic ≈80/10/10 train/val/test assignment per document.
+    * Scale shape: pure projection over the scan — no exchange at all
+    * (PlanSpec pins this). */
+  val split: Q = Q(
+    "corpus_split",
+    s"""SELECT doc_id,
+       |  CASE WHEN b < ${Corpus.TrainUpper} THEN 'train'
+       |       WHEN b < ${Corpus.ValUpper} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, ${bucketSql("doc_id", "split")} AS b FROM documents)""".stripMargin
+  ) { (s, d) =>
+    Corpus.hashSplit(Tables.documents(s, d), col("doc_id"))
+      .select("doc_id", "split")
+  }
+
+  /** Data mixing: per-source sampling rates (sources cycle through
+    * 1.0 / 0.5 / 0.25 by their numeric suffix — the "keep all of books,
+    * half of web, a quarter of crawl" pattern). A deterministic filter,
+    * pushed to the scan: a 0.25-rate source costs a 0.25-size read. */
+  val mixture: Q = Q(
+    "corpus_mixture",
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, ${bucketSql("doc_id", "mix")} AS b,
+       |    CASE CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 3
+       |      WHEN 0 THEN 65536 WHEN 1 THEN 32768 ELSE 16384 END AS keep_below
+       |  FROM documents)
+       |WHERE b < keep_below""".stripMargin
+  ) { (s, d) =>
+    val suffix = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val rate = when(pmod(suffix, lit(3)) === 0, 1.0)
+      .when(pmod(suffix, lit(3)) === 1, 0.5).otherwise(0.25)
+    Corpus.mixtureSample(Tables.documents(s, d), col("doc_id"), rate)
+      .select("doc_id", "source")
+  }
+
+  /** Exactly-3-per-(source, lang) deterministic sample — the eval-set /
+    * inspection-sample builder. One exchange on the stratum key. */
+  val stratified: Q = Q(
+    "corpus_stratified_sample",
+    s"""SELECT doc_id, source, lang, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT doc_id, source, lang,
+       |    row_number() OVER (PARTITION BY source, lang
+       |      ORDER BY ${bucketSql("doc_id", "strat")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 3""".stripMargin
+  ) { (s, d) =>
+    Corpus.stratifiedSample(Tables.documents(s, d),
+        Seq("source", "lang"), k = 3, key = col("doc_id"))
+      .select("doc_id", "source", "lang", "rn")
+  }
+
+  /** Pack each source's documents into ~2000-BPE-token training shards
+    * (contiguous running-sum chunking; weight = the BPE pre-token count
+    * used for LLM token budgeting). One exchange + one sort per source. */
+  val packShards: Q = Q(
+    "corpus_pack_shards",
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextFunctions.BpePattern}')) AS INTEGER) AS n_bpe
+       |  FROM documents)
+       |SELECT doc_id, source, n_bpe,
+       |  CAST((sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe) // 2000 AS BIGINT) AS shard
+       |FROM t""".stripMargin
+  ) { (s, d) =>
+    Corpus.packShards(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe")),
+      partitionKey = col("source"), order = col("doc_id"),
+      weight = col("n_bpe"), budget = 2000L)
+  }
+
+  def all: Seq[Q] = Seq(split, mixture, stratified, packShards)
+}

@@ -306,4 +306,34 @@ object Dedup {
     edges.unpersist()
     labelsRdd.toDF("id", "canonical_id")
   }
+
+  /** End-to-end dedup retention: given the duplicate-pair relation, keep
+    * exactly one representative per duplicate cluster — the longest
+    * document, ties to the smallest id — plus every unclustered document.
+    * Returns (doc_id, cluster_size); cluster_size = 1 for singletons.
+    *
+    * Scale shape: the cluster relation covers only documents that HAVE a
+    * near-duplicate — tiny next to the corpus — so both the
+    * representative pick (a window over per-cluster groups) and the
+    * survivor anti-join run against a small, broadcastable side; the
+    * corpus itself is scanned once. This is the pass that turns the pair
+    * detectors into an actual retained training corpus. */
+  def retain(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = canonicalize(pairs) // (id, canonical_id), dup members only
+    val sized = clusters.groupBy("canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("n_chars").desc, col("id").asc)
+    val reps = clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), col("id") === col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(sized, "canonical_id")
+      .select(col("doc_id"), col("cluster_size"))
+    val singletons = docs
+      .join(broadcast(clusters), docs("doc_id") === clusters("id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("cluster_size"))
+    singletons.union(reps)
+  }
 }

@@ -186,4 +186,27 @@ object TextFunctions {
     when(size(toks) >= 3,
       lit(1.0) - size(shinglesFast(3)(toks)).cast("double") / (size(toks) - 2))
       .otherwise(lit(0.0))
+
+  /** PII patterns, RE2-compatible (no lookarounds, no backrefs) so the
+    * DuckDB oracle runs the SAME regex: email addresses and phone-shaped
+    * digit runs (an international-prefix-optional digit sequence of ≥8
+    * with optional (), -, space separators — deliberately conservative;
+    * redaction prefers false positives over leaked PII). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** PII redaction — emails first (their local parts contain digits that
+    * would otherwise feed the phone pattern), then phones. Pure codegen'd
+    * projection: the scrub pass over a 100 TB corpus is a map, nothing
+    * else. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
 }

@@ -228,7 +228,30 @@ object TextQueries {
       pmod(col("doc_id"), lit(100)) === 7, threshold = 0.05)
   }
 
+  /** PII scrub pass: per-document email/phone hit counts plus an md5 of
+    * the redacted text — the hash proves the scrubbed OUTPUT (not just
+    * the counts) is bit-identical across engines, without dumping the
+    * corpus. The fixture text is PII-free by construction, so hits are 0
+    * here and the redaction behavior itself is pinned by TextSpec unit
+    * fixtures; at fixture scale this query is the oracle that the scrub
+    * is a byte-exact no-op on clean text (no accidental rewrites). */
+  val piiScrub: Q = Q(
+    "text_pii_scrub",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextFunctions.EmailPattern}')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${TextFunctions.PhonePattern}')) AS INTEGER) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '${TextFunctions.EmailPattern}', '[EMAIL]', 'g'),
+       |      '${TextFunctions.PhonePattern}', '[PHONE]', 'g')) AS scrub_md5
+       |FROM documents""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      emailCount(col("text")).as("n_emails"),
+      phoneCount(col("text")).as("n_phones"),
+      md5(scrubPii(col("text"))).as("scrub_md5"))
+  }
+
   def all: Seq[Q] = Seq(
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
-    contamination)
+    contamination, piiScrub)
 }
