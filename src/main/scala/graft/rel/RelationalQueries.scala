@@ -339,20 +339,20 @@ object RelationalQueries {
         count(lit(1)).as("n"))
   }
 
-  /** Conditional aggregation (CASE WHEN inside agg). The money sum
-    * accumulates in DECIMAL(18,2) — NOT round-after-double-sum, which
-    * failed the driver's exact hash two rounds running: a double sum is
-    * accumulation-order-dependent, and Spark's partial/final merge vs
-    * DuckDB's serial scan can land one ulp apart on a cents boundary,
-    * where round() then diverges. Casting each addend to DECIMAL first
-    * makes the accumulation exact and order-insensitive; the final cast
-    * back to DOUBLE is then a deterministic function of the exact total
-    * on both engines. */
+  /** Conditional aggregation (CASE WHEN inside agg). Two hash-compare
+    * hazards, both fixed here: (1) the money sum accumulates in
+    * DECIMAL(18,2) — exact and order-insensitive — not
+    * round-after-double-sum, so Spark's partial/final merge order vs
+    * DuckDB's serial scan cannot differ by an ulp; (2) urgent_n is
+    * CAST(... AS BIGINT) in the oracle because DuckDB's sum(BIGINT)
+    * returns HUGEINT, which pandas materializes as float64 (976.0) while
+    * Spark's parquet holds int64 (976) — values equal, dtype-sensitive
+    * hash red. This was the actual three-round q18 failure, not ulps. */
   val q18CaseAgg: Q = Q(
     "q18_case_agg",
     """SELECT o_orderstatus,
       |  CAST(sum(CAST(CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS urgent_total,
-      |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN CAST(1 AS BIGINT) ELSE 0 END) AS urgent_n,
+      |  CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_n,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
   ) { (s, d) =>

@@ -8,10 +8,14 @@ DuckDB view named after the table, runs each oracle query, and compares
 against the Spark result parquet at <verify_out_dir>/<name>/ — columns
 sorted by name, rows sorted, floats compared with relative tolerance.
 
---exact compares floats bit-for-bit, replicating the DRIVER's hash compare.
-The default tolerance mode is a weaker check: q18 passed here at 1e-6 for
-two rounds while failing the driver's exact hash by one ulp. Use --exact
-before declaring a numeric query green.
+--exact compares floats bit-for-bit — STRICTER than the driver, whose hash
+demonstrably tolerates 1-ulp float diffs (ann_cosine_topk / ml_standardize /
+q14_running_sum differ by an ulp here yet hash green in CORRECTNESS_r03).
+What the driver does NOT tolerate is a dtype-class mismatch: q18_case_agg was
+red three rounds because DuckDB's sum(BIGINT) returns HUGEINT → pandas
+float64 ("976.0") vs Spark's int64 ("976"). Both modes therefore run a
+dtype audit; treat a dtype FAIL as a certain driver red, and a --exact
+float mismatch beyond ~1 ulp as a probable one.
 """
 import json
 import math
@@ -98,6 +102,29 @@ def main():
             continue
         if sorted(spark_cols) != sorted(oracle_cols):
             print(f"FAIL {name}: columns {sorted(spark_cols)} != {sorted(oracle_cols)}")
+            n_fail += 1
+            continue
+        # dtype audit: the DRIVER's hash is dtype/format-sensitive (a
+        # DuckDB HUGEINT that pandas turns into float64 hashes as "976.0"
+        # vs Spark's int64 "976" — equal values, red hash). Compare the
+        # pandas dtypes both sides materialize to and fail on mismatch.
+        import pandas as pd
+        s_dt = pd.read_parquet(f"{out_dir}/{name}").dtypes
+        o_dt = con.execute(sql).df().dtypes
+        # datetime64[ns] vs [us] and int/float widths are driver-benign
+        # (its value normalization collapses them); int-vs-float/object is
+        # the class that flips its hash (q18: HUGEINT→float64 vs int64)
+        kind = lambda d: str(d).split("[")[0].rstrip("0123456789")
+        dt_diff = [
+            (c, str(s_dt[c]), str(o_dt[c]))
+            for c in sorted(spark_cols)
+            if str(s_dt[c]) != str(o_dt[c])
+        ]
+        dt_bad = [t for t in dt_diff if kind(t[1]) != kind(t[2])]
+        for t in [t for t in dt_diff if t not in dt_bad]:
+            print(f"WARN {name}: dtype width differs (likely benign): {t}")
+        if dt_bad:
+            print(f"FAIL {name}: dtype kind mismatch (driver hash hazard): {dt_bad}")
             n_fail += 1
             continue
         # reorder both to sorted column order, then sort rows
