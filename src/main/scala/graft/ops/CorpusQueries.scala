@@ -39,7 +39,7 @@ object CorpusQueries {
     "corpus_mixture",
     s"""SELECT doc_id, source FROM (
        |  SELECT doc_id, source, ${bucketSql("doc_id", "mix")} AS b,
-       |    CASE CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 3
+       |    CASE TRY_CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 3
        |      WHEN 0 THEN 65536 WHEN 1 THEN 32768 ELSE 16384 END AS keep_below
        |  FROM documents)
        |WHERE b < keep_below""".stripMargin

@@ -331,8 +331,12 @@ object Dedup {
       .where(col("rn") === 1)
       .join(sized, "canonical_id")
       .select(col("doc_id"), col("cluster_size"))
+    // no broadcast hint: clusters holds every vertex of the duplicate
+    // graph, which at web-scale near-dup rates is an unbounded fraction
+    // of the corpus — let the planner pick broadcast vs shuffle from its
+    // size estimate rather than forcing driver-memory risk
     val singletons = docs
-      .join(broadcast(clusters), docs("doc_id") === clusters("id"), "left_anti")
+      .join(clusters, docs("doc_id") === clusters("id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("cluster_size"))
     singletons.union(reps)
   }

@@ -177,9 +177,12 @@ object TextQueries {
       : org.apache.spark.sql.DataFrame = {
     // shingle once, cache: the benchmark and corpus branches both consume
     // this frame (cache-lifetime note in Dedup.jaccardPairs applies)
+    // null text → tokens() yields null; coalesce to an empty array so the
+    // shingle UDF (which dereferences toks.length) cannot NPE the job
+    val toks = coalesce(tokens(col("text")), array().cast("array<string>"))
     val sh = docs
       .select(col("doc_id"),
-        explode(shinglesFast(3)(tokens(col("text")))).as("shingle"), isBench.as("is_bench"))
+        explode(shinglesFast(3)(toks)).as("shingle"), isBench.as("is_bench"))
       .cache()
     val bench = sh.where(col("is_bench")).select("shingle").distinct()
     val corpus = sh.where(!col("is_bench"))

@@ -151,7 +151,10 @@ object TsneQueries {
     var kl = Double.NaN
     val emb = BHTSNE.tsne(
       Tables.embeddings(s, d).where(col("vec_id") < 500), "vec_id", "embedding",
-      TSNEParams(maxIterations = 100, seed = 42),
+      // reportLoss pinned explicitly: the gate reads the LAST callback
+      // loss, which equals the iteration-100 loss only when 100 is a
+      // multiple of the cadence — do not inherit the shared default
+      TSNEParams(maxIterations = 100, reportLoss = 10, seed = 42),
       callback = (_, _, l) => l.foreach(kl = _))
     Seq((emb.count(), 100, kl)).toDF("n", "iterations", "final_kl")
   } { (_, d, res) =>
