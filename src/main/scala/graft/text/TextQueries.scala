@@ -53,7 +53,7 @@ object TextQueries {
 
   /** Language-ID heuristic + quality score. The fixture's `lang` column
     * does not correlate with its (synthetic, English-vocabulary) text, so
-    * accuracy is validated on multilingual unit fixtures (TextSpec), not
+    * accuracy is validated on multilingual unit fixtures (OpsSpec), not
     * here; this query exercises the full expression tree at scale.
     * β-free, UDF-free — rows-only check. */
   val langQuality: Q = Q.gated("text_lang_quality") { (s, d) =>
@@ -177,12 +177,15 @@ object TextQueries {
       : org.apache.spark.sql.DataFrame = {
     // shingle once, cache: the benchmark and corpus branches both consume
     // this frame (cache-lifetime note in Dedup.jaccardPairs applies)
-    // null text → tokens() yields null; coalesce to an empty array so the
-    // shingle UDF (which dereferences toks.length) cannot NPE the job
-    val toks = coalesce(tokens(col("text")), array().cast("array<string>"))
+    // null text contributes NO shingles: the oracle's NULL propagates
+    // through split/transform/unnest to zero rows, so filter (rather than
+    // coalesce, whose empty token array would shingle to one '' row and
+    // diverge) — this also keeps the shingle UDF off null token arrays
     val sh = docs
+      .where(col("text").isNotNull)
       .select(col("doc_id"),
-        explode(shinglesFast(3)(toks)).as("shingle"), isBench.as("is_bench"))
+        explode(shinglesFast(3)(tokens(col("text")))).as("shingle"),
+        isBench.as("is_bench"))
       .cache()
     val bench = sh.where(col("is_bench")).select("shingle").distinct()
     val corpus = sh.where(!col("is_bench"))
@@ -234,24 +237,44 @@ object TextQueries {
   /** PII scrub pass: per-document email/phone hit counts plus an md5 of
     * the redacted text — the hash proves the scrubbed OUTPUT (not just
     * the counts) is bit-identical across engines, without dumping the
-    * corpus. The fixture text is PII-free by construction, so hits are 0
-    * here and the redaction behavior itself is pinned by TextSpec unit
-    * fixtures; at fixture scale this query is the oracle that the scrub
-    * is a byte-exact no-op on clean text (no accidental rewrites). */
+    * corpus. The fixture text is PII-free by construction, so BOTH
+    * branches are exercised explicitly: a hash-selected cohort
+    * (doc_id % 10 = 3) gets deterministic synthetic PII appended
+    * in-query — a doc_id-derived email and phone, built identically on
+    * both engines — so their nonzero counts and scrub_md5 verify actual
+    * replacement cross-engine; the remaining 90% verifies the scrub is a
+    * byte-exact no-op on clean text (no accidental rewrites). Boundary
+    * behavior of the patterns themselves (emails/phones at string edges,
+    * near-misses that must NOT match, email-before-phone ordering) is
+    * pinned by TextSpec unit fixtures. */
   val piiScrub: Q = Q(
     "text_pii_scrub",
-    s"""SELECT doc_id,
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 3 THEN
+       |      text || ' contact: u' || CAST(doc_id AS VARCHAR) ||
+       |        '@example.com or +1 (555) 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '${TextFunctions.EmailPattern}')) AS INTEGER) AS n_emails,
        |  CAST(len(regexp_extract_all(text, '${TextFunctions.PhonePattern}')) AS INTEGER) AS n_phones,
        |  md5(regexp_replace(regexp_replace(text, '${TextFunctions.EmailPattern}', '[EMAIL]', 'g'),
        |      '${TextFunctions.PhonePattern}', '[PHONE]', 'g')) AS scrub_md5
-       |FROM documents""".stripMargin
+       |FROM t""".stripMargin
   ) { (s, d) =>
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      emailCount(col("text")).as("n_emails"),
-      phoneCount(col("text")).as("n_phones"),
-      md5(scrubPii(col("text"))).as("scrub_md5"))
+    val injected = when(pmod(col("doc_id"), lit(10)) === 3,
+      concat(col("text"), lit(" contact: u"), col("doc_id").cast("string"),
+        lit("@example.com or +1 (555) 01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .withColumn("_t", injected)
+      .select(
+        col("doc_id"),
+        emailCount(col("_t")).as("n_emails"),
+        phoneCount(col("_t")).as("n_phones"),
+        md5(scrubPii(col("_t"))).as("scrub_md5"))
   }
 
   def all: Seq[Q] = Seq(

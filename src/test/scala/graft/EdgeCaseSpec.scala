@@ -77,6 +77,21 @@ class EdgeCaseSpec extends AnyFunSuite {
       s"expected doc 1 flagged with 1 shared trigram (quick brown fox), got ${hit.toSeq}")
   }
 
+  test("contamination: null-text documents contribute no shingles (oracle NULL semantics)") {
+    // regression for the null-text guard: without the isNotNull filter a
+    // null doc either NPEs the shingle UDF or (with a coalesce) emits a
+    // spurious '' shingle that the DuckDB oracle would not emit
+    val docs = docsLike(Seq(
+      (7L, "the quick brown fox jumps"),
+      (1L, "a quick brown fox runs away fast"),
+      (2L, null.asInstanceOf[String])))
+    // threshold 0 reports every corpus doc that produced shingles: the
+    // null doc must be absent entirely, not present at 0.0
+    val all = text.TextQueries.contaminationVs(docs, col("doc_id") === 7, 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L), s"null-text doc must emit no rows, got ids $all")
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))
