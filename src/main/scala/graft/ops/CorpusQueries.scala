@@ -18,7 +18,7 @@ object CorpusQueries {
 
   /** Deterministic ≈80/10/10 train/val/test assignment per document.
     * Scale shape: pure projection over the scan — no exchange at all
-    * (PlanSpec pins this). */
+    * (PlanSpec "corpus_split: pure projection" pins this). */
   val split: Q = Q(
     "corpus_split",
     s"""SELECT doc_id,
@@ -33,8 +33,9 @@ object CorpusQueries {
 
   /** Data mixing: per-source sampling rates (sources cycle through
     * 1.0 / 0.5 / 0.25 by their numeric suffix — the "keep all of books,
-    * half of web, a quarter of crawl" pattern). A deterministic filter,
-    * pushed to the scan: a 0.25-rate source costs a 0.25-size read. */
+    * half of web, a quarter of crawl" pattern). A deterministic filter
+    * evaluated at the scan stage — shuffle-free (PlanSpec pins this);
+    * a 0.25-rate source costs a 0.25-size scan of its rows. */
   val mixture: Q = Q(
     "corpus_mixture",
     s"""SELECT doc_id, source FROM (
@@ -52,7 +53,8 @@ object CorpusQueries {
   }
 
   /** Exactly-3-per-(source, lang) deterministic sample — the eval-set /
-    * inspection-sample builder. One exchange on the stratum key. */
+    * inspection-sample builder. One exchange on the stratum key
+    * (PlanSpec pins the count). */
   val stratified: Q = Q(
     "corpus_stratified_sample",
     s"""SELECT doc_id, source, lang, CAST(rn AS INTEGER) AS rn FROM (
@@ -69,7 +71,8 @@ object CorpusQueries {
 
   /** Pack each source's documents into ~2000-BPE-token training shards
     * (contiguous running-sum chunking; weight = the BPE pre-token count
-    * used for LLM token budgeting). One exchange + one sort per source. */
+    * used for LLM token budgeting). One exchange + one sort per source
+    * (PlanSpec pins the exchange count). */
   val packShards: Q = Q(
     "corpus_pack_shards",
     s"""WITH t AS (

@@ -93,6 +93,30 @@ class PlanSpec extends AnyFunSuite {
       s"per-doc repetition must stay a projection over the scan:\n$p")
   }
 
+  test("corpus_split: pure projection over the scan (no exchange at all)") {
+    val p = plan("corpus_split")
+    assert(!p.contains("Exchange"),
+      s"hash-split must stay a projection over the scan:\n$p")
+  }
+
+  test("corpus_mixture: deterministic filter keeps a shuffle-free plan") {
+    val p = plan("corpus_mixture")
+    assert(!p.contains("Exchange"),
+      s"mixture sampling must stay filter+project over the scan:\n$p")
+  }
+
+  test("corpus_stratified_sample: exactly one exchange (the stratum-key window)") {
+    val p = plan("corpus_stratified_sample")
+    val n = p.linesIterator.count(_.contains("Exchange"))
+    assert(n == 1, s"expected 1 exchange on (source, lang), found $n:\n$p")
+  }
+
+  test("corpus_pack_shards: exactly one exchange (the per-source packing window)") {
+    val p = plan("corpus_pack_shards")
+    val n = p.linesIterator.count(_.contains("Exchange"))
+    assert(n == 1, s"expected 1 exchange on source, found $n:\n$p")
+  }
+
   test("text_contamination: benchmark n-gram set joins as broadcast") {
     val p = plan("text_contamination")
     assert(p.contains("BroadcastHashJoin"),
