@@ -46,10 +46,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
+    // queries this fast are dominated by scheduler/GC noise in a single
+    // run (r3→r4 showed 2-4x swings on UNTOUCHED sub-second queries):
+    // auto-rerun them min-of-3 so the reported number is steady-state,
+    // not a draw from the noise floor. Slow queries stay single-run —
+    // their signal already dwarfs the noise and reps would triple bench
+    // wall-clock for nothing.
+    val autoRepBelow = sys.env.getOrElse("SPARK_GRAFT_AUTOREP_BELOW", "1.5").toDouble
     val surface = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = surface.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         // noop sink forces FULL evaluation of every output column — a bare
         // count() lets Catalyst prune expensive final projections and would
@@ -62,20 +69,27 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      var times = (1 to reps).map(_ => once())
+      if (reps == 1 && times.head >= 0 && times.head < autoRepBelow)
+        times ++= Seq(once(), once())
       // drop caches the query left behind (sketch operators pin frames
       // with storage-LRU lifetime): every query builds its own caches
       // inside its timed window, so leaked blocks from earlier queries
       // only add GC pressure to later ones — measured 4.98 s vs 3.80 s on
       // tsne_bh_embedding run 59th vs run alone at identical warmup
       spark.catalog.clearCache()
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) Seq(-1.0) else times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+    // per-query rep count so a bench reader can tell min-of-3 steady
+    // state from a single-shot measurement
+    val repsJson = results.map { case (k, v) => s"\"" + k + "\":" + v.length }
+      .mkString("{", ",", "}")
+    val failed = results.filter(_._2.head < 0).keys.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = results.values.map(_.min).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"min_of_3_under_${autoRepBelow}s","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
