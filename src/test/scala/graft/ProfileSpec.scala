@@ -116,6 +116,77 @@ class ProfileSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("scale stress: retain() end-to-end above the union-find cutover") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // Same synthetic duplicate graph as the canonicalize probe (1.2M
+    // pairs → distributed branch), PLUS a 1M-doc singleton majority —
+    // retain() adds the representative window and the survivor anti-join
+    // on top of canonicalize, so this exercises the full composite at the
+    // same scale with a known-correct retained set.
+    val CH = 10000000L
+    val SG = 100000000L
+    val cliquePairs = spark.range(300000L * 3).select(
+      expr("(id div 3) * 4").as("id_a"),
+      expr("(id div 3) * 4 + pmod(id, 3) + 1").as("id_b"))
+    val chainPairs = spark.range(30000L * 10).select(
+      expr(s"$CH + (id div 10) * 11 + pmod(id, 10)").as("id_a"),
+      expr(s"$CH + (id div 10) * 11 + pmod(id, 10) + 1").as("id_b"))
+    val pairs = cliquePairs.union(chainPairs).cache()
+    println(s"[profile] synthetic dup pairs = ${pairs.count()}")
+    // docs = every clustered id + 1M singletons; n_chars deterministic so
+    // the expected representative (longest text, ties to smallest id) is
+    // recomputable from the known component structure
+    val docs = spark.range(300000L * 4).select(col("id").as("doc_id"))
+      .union(spark.range(30000L * 11).select((lit(CH) + col("id")).as("doc_id")))
+      .union(spark.range(1000000L).select((lit(SG) + col("id")).as("doc_id")))
+      .withColumn("n_chars", (pmod(col("doc_id"), lit(7)) * 100 + 50).cast("int"))
+      .cache()
+    println(s"[profile] synthetic docs = ${docs.count()}")
+
+    val t0 = System.nanoTime()
+    val retained = ops.Dedup.retain(docs, pairs).cache()
+    val n = retained.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[profile] retain @1.2M pairs + 2.53M docs: $secs%.1f s, $n rows, " +
+      s"${ops.Dedup.lastPropagationRounds} propagation rounds")
+
+    // the anti-join's build side is planner-chosen since the broadcast
+    // hint was removed — surface what it actually picked at this scale
+    retained.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("LeftAnti"))
+      .foreach(l => println(s"[profile] anti-join: ${l.trim.take(120)}"))
+
+    // exactly one survivor per cluster (300k cliques of 4, 30k chains of
+    // 11) + every singleton, each with its true cluster_size — the window
+    // partitions are per-canonical_id, so the largest partition it can
+    // see IS the largest cluster (11 here)
+    val kinds = retained.withColumn("kind",
+        when(col("doc_id") >= SG, "singleton")
+          .when(col("doc_id") >= CH, "chain").otherwise("clique"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), min("cluster_size").as("lo"), max("cluster_size").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(kinds("clique") == ((300000L, 4L, 4L)), s"cliques: ${kinds("clique")}")
+    assert(kinds("chain") == ((30000L, 11L, 11L)), s"chains: ${kinds("chain")}")
+    assert(kinds("singleton") == ((1000000L, 1L, 1L)), s"singletons: ${kinds("singleton")}")
+
+    // representative correctness: recompute the expected survivor set
+    // from the known component structure and require set equality
+    val trueCluster = when(col("doc_id") >= SG, col("doc_id"))
+      .when(col("doc_id") >= CH, expr(s"$CH + ((doc_id - $CH) div 11) * 11"))
+      .otherwise(expr("(doc_id div 4) * 4"))
+    val expected = docs.withColumn("c", trueCluster)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c").orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .where(col("rn") === 1).select("doc_id")
+    assert(retained.select("doc_id").except(expected).count() == 0,
+      "retained a non-representative document")
+    assert(n == 300000L + 30000L + 1000000L, s"row count $n")
+    retained.unpersist(); docs.unpersist(); pairs.unpersist()
+  }
+
   test("scale stress: exact kNN at 8x rows (256M pairs)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
