@@ -41,17 +41,20 @@ object Bench {
       }
     }
     // profiling knobs (unset in driver runs): SPARK_GRAFT_ONLY=q1,q2
-    // restricts the surface; SPARK_GRAFT_REPS=n times each query n times
-    // and reports the minimum (steady-state cost, JIT/cache-warm excluded)
+    // restricts the surface; SPARK_GRAFT_REPS=n forces exactly n reps per
+    // query and reports the minimum (steady-state cost, JIT/cache-warm
+    // excluded)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
-    // queries this fast are dominated by scheduler/GC noise in a single
-    // run (r3→r4 showed 2-4x swings on UNTOUCHED sub-second queries):
-    // auto-rerun them min-of-3 so the reported number is steady-state,
-    // not a draw from the noise floor. Slow queries stay single-run —
-    // their signal already dwarfs the noise and reps would triple bench
-    // wall-clock for nothing.
+    val repsEnv = sys.env.get("SPARK_GRAFT_REPS").map(r => math.max(1, r.toInt))
+    // Default protocol (r6): EVERY query runs at least twice and the min is
+    // reported. r5's min-of-3-under-1.5s protected only the cheap queries
+    // while the heavy ones — exactly the ones that decide the
+    // bench-vs-baseline verdict — stayed single-run: r5's one outlier was a
+    // 3.6 s query reading 14.3 s on its single draw. Cheap queries (< the
+    // threshold) get a third rep because scheduler/GC noise is a larger
+    // FRACTION of their reading (r3→r4 showed 2-4x swings on untouched
+    // sub-second queries).
     val autoRepBelow = sys.env.getOrElse("SPARK_GRAFT_AUTOREP_BELOW", "1.5").toDouble
     val surface = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -67,29 +70,45 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop caches the query left behind (sketch operators pin frames
+        // with storage-LRU lifetime) BETWEEN reps, not just between
+        // queries: Spark's CacheManager matches by plan, so a later rep of
+        // the same query would silently reuse rep 1's cached frames and
+        // report a warm-cache time that isn't comparable to the cold pins
+        spark.catalog.clearCache()
+        if (ok) sec else -1.0
       }
-      var times = (1 to reps).map(_ => once())
-      if (reps == 1 && times.head >= 0 && times.head < autoRepBelow)
-        times ++= Seq(once(), once())
-      // drop caches the query left behind (sketch operators pin frames
-      // with storage-LRU lifetime): every query builds its own caches
-      // inside its timed window, so leaked blocks from earlier queries
-      // only add GC pressure to later ones — measured 4.98 s vs 3.80 s on
-      // tsne_bh_embedding run 59th vs run alone at identical warmup
-      spark.catalog.clearCache()
-      name -> (if (times.exists(_ < 0)) Seq(-1.0) else times)
+      val times = repsEnv match {
+        case Some(n) => (1 to n).map(_ => once())
+        case None =>
+          val first = once()
+          if (first < 0) Seq(first)
+          else if (first < autoRepBelow) Seq(first, once(), once())
+          else Seq(first, once())
+      }
+      // a transient failure on a RERUN must not discard a valid first
+      // measurement — report the min over successful reps; only a query
+      // with zero successful reps is failed
+      name -> times.filter(_ >= 0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
-    // per-query rep count so a bench reader can tell min-of-3 steady
-    // state from a single-shot measurement
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v.isEmpty) -1.0 else v.min)
+    }.mkString("{", ",", "}")
+    // per-query count of SUCCESSFUL reps so a bench reader can tell
+    // steady-state minima from single-shot measurements
     val repsJson = results.map { case (k, v) => s"\"" + k + "\":" + v.length }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2.head < 0).keys.toSeq.sorted
+    val failed = results.filter(_._2.isEmpty).keys.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.map(_.min).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"min_of_3_under_${autoRepBelow}s","failed":$failedJson,"sf":"$sfDir"}""")
+    val total = results.values.filter(_.nonEmpty).map(_.min).sum
+    // the protocol string must describe how the numbers were ACTUALLY
+    // produced — a forced-reps run is not the auto-rep protocol
+    val protocol = repsEnv match {
+      case Some(n) => s"forced_reps_$n"
+      case None    => s"min_of_2_all_3_under_${autoRepBelow}s"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"$protocol","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

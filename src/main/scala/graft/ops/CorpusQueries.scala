@@ -46,8 +46,11 @@ object CorpusQueries {
        |WHERE b < keep_below""".stripMargin
   ) { (s, d) =>
     val suffix = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
-    val rate = when(pmod(suffix, lit(3)) === 0, 1.0)
-      .when(pmod(suffix, lit(3)) === 1, 0.5).otherwise(0.25)
+    // % (not pmod) to mirror the oracle's remainder operator exactly;
+    // equivalent here (regex digits are non-negative) but one fewer
+    // semantic divergence to remember
+    val rate = when(suffix % 3 === 0, 1.0)
+      .when(suffix % 3 === 1, 0.5).otherwise(0.25)
     Corpus.mixtureSample(Tables.documents(s, d), col("doc_id"), rate)
       .select("doc_id", "source")
   }

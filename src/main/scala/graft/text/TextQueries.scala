@@ -230,8 +230,11 @@ object TextQueries {
       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
       |WHERE CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams >= 0.05""".stripMargin
   ) { (s, d) =>
+    // % (not pmod): Spark's % matches DuckDB's remainder semantics for
+    // negative dividends (pmod(-7,100)=93 vs -7%100=-7), so the benchmark
+    // cohort stays in sync even if a fixture ever carries negative ids
     contaminationVs(Tables.documents(s, d),
-      pmod(col("doc_id"), lit(100)) === 7, threshold = 0.05)
+      col("doc_id") % 100 === 7, threshold = 0.05)
   }
 
   /** PII scrub pass: per-document email/phone hit counts plus an md5 of
@@ -263,10 +266,13 @@ object TextQueries {
        |      '${TextFunctions.PhonePattern}', '[PHONE]', 'g')) AS scrub_md5
        |FROM t""".stripMargin
   ) { (s, d) =>
-    val injected = when(pmod(col("doc_id"), lit(10)) === 3,
+    // % (not pmod) on both cohort select and suffix digits — DuckDB's %
+    // keeps the dividend's sign, pmod doesn't; they agree only for
+    // non-negative doc_ids and the query must not depend on that
+    val injected = when(col("doc_id") % 10 === 3,
       concat(col("text"), lit(" contact: u"), col("doc_id").cast("string"),
         lit("@example.com or +1 (555) 01"),
-        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")))
+        lpad((col("doc_id") % 100).cast("string"), 2, "0")))
       .otherwise(col("text"))
     Tables.documents(s, d)
       .withColumn("_t", injected)
