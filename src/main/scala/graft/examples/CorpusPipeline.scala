@@ -1,0 +1,108 @@
+package graft.examples
+
+import graft.Tables
+import graft.ops.{Corpus, Dedup}
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus assembly, composed entirely from library
+  * calls — the canonical "how do the operators fit together" example:
+  *
+  *   documents
+  *     → Dedup.jaccardPairs        (near-duplicate pair detection)
+  *     → Dedup.retain              (CC canonicalization + one survivor per cluster)
+  *     → Corpus.hashSplit          (deterministic ≈80/10/10 train/val/test)
+  *     → Corpus.mixtureSample      (per-source keep rates on the train split)
+  *     → Corpus.stratifiedSample   (k-per-(source,lang) eval sample from val)
+  *     → Corpus.packShards         (~2000-BPE-token training shards)
+  *
+  * Every stage is a deterministic DataFrame transform: hash-derived
+  * decisions, shuffle-on-key plans, nothing driver-side — the same code
+  * is the 100 TB shape, only the input path changes. Per-stage row
+  * counts print as one JSON line; CorpusPipelineSpec asserts their
+  * invariants (conservation across split, survivors ≤ docs, k-cap).
+  */
+object CorpusPipeline {
+
+  /** Per-stage row counts — returned (not just printed) so the smoke
+    * spec can assert pipeline invariants without parsing stdout. */
+  case class Counts(
+      docs: Long, dupPairs: Long, retained: Long,
+      train: Long, valN: Long, test: Long,
+      mixed: Long, evalSample: Long, shards: Long)
+
+  /** Result of [[run]]: the packed training shards plus stage counts. */
+  case class Result(packed: DataFrame, counts: Counts)
+
+  def run(spark: SparkSession, dir: String): Result = {
+    val docs = Tables.documents(spark, dir)
+
+    // 1. near-duplicate pairs (exact n-gram Jaccard over an inverted
+    //    shingle index; swap in minhashLshPairs for the sketch route)
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+
+    // 2. one survivor per duplicate cluster + all singletons
+    val retained = Dedup.retain(docs, pairs)
+    val retainedDocs = docs.join(retained.select("doc_id"), "doc_id")
+
+    // 3. deterministic train/val/test assignment
+    val split = Corpus.hashSplit(retainedDocs, col("doc_id"))
+
+    // 4. data mixing on the train split: keep-all / half / quarter by
+    //    source suffix (the "books 1.0 / web 0.5 / crawl 0.25" pattern)
+    val suffix = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val rate = when(suffix % 3 === 0, 1.0)
+      .when(suffix % 3 === 1, 0.5).otherwise(0.25)
+    val train = split.where(col("split") === "train")
+    val mixed = Corpus.mixtureSample(train, col("doc_id"), rate)
+
+    // 5. bounded eval sample from the val split: 3 per (source, lang)
+    val evalSample = Corpus.stratifiedSample(
+      split.where(col("split") === "val"), Seq("source", "lang"), k = 3,
+      key = col("doc_id"))
+
+    // 6. pack the mixed train docs into ~2000-BPE-token shards per source
+    val packed = Corpus.packShards(
+      mixed.select(col("doc_id"), col("source"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe")),
+      partitionKey = col("source"), order = col("doc_id"),
+      weight = col("n_bpe"), budget = 2000L)
+
+    // count() per stage is the example's point (progress reporting); the
+    // splits are counted in one aggregation pass, not three filters
+    val splitCounts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = Counts(
+      docs = docs.count(),
+      dupPairs = pairs.count(),
+      retained = retainedDocs.count(),
+      train = splitCounts.getOrElse("train", 0L),
+      valN = splitCounts.getOrElse("val", 0L),
+      test = splitCounts.getOrElse("test", 0L),
+      mixed = mixed.count(),
+      evalSample = evalSample.count(),
+      shards = packed.select("source", "shard").distinct().count())
+    Result(packed, counts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val r = run(spark, dir)
+    val c = r.counts
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""{"workload":"corpus_pipeline","dir":"$dir","docs":${c.docs},"dup_pairs":${c.dupPairs},"retained":${c.retained},"train":${c.train},"val":${c.valN},"test":${c.test},"mixed":${c.mixed},"eval_sample":${c.evalSample},"shards":${c.shards},"sec":$secs%.1f}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.examples.CorpusPipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke test for the end-to-end corpus-assembly example: runs the full
+  * jaccardPairs → retain → split → mixture → stratified → packShards
+  * composition on the sf0.001 fixtures and asserts the cross-stage
+  * invariants that individual operator specs can't see. */
+class CorpusPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pipeline composes end-to-end with consistent stage counts") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val r = CorpusPipeline.run(spark, dir)
+    val c = r.counts
+    assert(c.docs > 0)
+    // dedup never grows the corpus, and a PAIR relation implies at least
+    // one removal when nonempty
+    assert(c.retained <= c.docs)
+    assert(c.dupPairs == 0 || c.retained < c.docs)
+    // split partitions the retained corpus exactly
+    assert(c.train + c.valN + c.test == c.retained)
+    // mixing only filters the train split
+    assert(c.mixed <= c.train && c.mixed > 0)
+    // stratified sample is capped at k per (source, lang)
+    val strata = r.packed.sparkSession.read
+      .parquet(s"$dir/documents.parquet")
+      .select("source", "lang").distinct().count()
+    assert(c.evalSample <= 3 * strata)
+    // every mixed doc lands in exactly one shard row
+    assert(r.packed.count() == c.mixed)
+    assert(c.shards > 0 && c.shards <= c.mixed)
+    // shard ids are contiguous from 0 within each source (prefix-sum div)
+    import org.apache.spark.sql.functions._
+    val bad = r.packed.groupBy("source")
+      .agg(min("shard").as("mn"), max("shard").as("mx"),
+        countDistinct("shard").as("n"))
+      .where(col("mn") =!= 0 || col("n") =!= col("mx") + 1)
+      .count()
+    assert(bad == 0, "shard ids must be contiguous 0..max per source")
+  }
+}
