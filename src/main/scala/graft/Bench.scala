@@ -110,5 +110,35 @@ object Bench {
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"$protocol","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    // Opt-in regression gate (SPARK_GRAFT_BASELINE=1 or =path): compare
+    // each query's reported min against its pinned steady-state time in
+    // baseline.json and exit nonzero on any 2x exceedance — the 2x rule
+    // lives in the repo, not just in round-verdict heads. The +0.25 s
+    // absolute slack keeps sub-100 ms queries from tripping the gate on
+    // scheduler jitter that a ratio alone would flag.
+    sys.env.get("SPARK_GRAFT_BASELINE").foreach { bl =>
+      val path = if (bl == "1") "baseline.json" else bl
+      val text = scala.io.Source.fromFile(path)
+      val pins =
+        try """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
+          .findAllMatchIn(text.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally text.close()
+      val violations = results.toSeq.flatMap { case (name, v) =>
+        pins.get(name).collect {
+          case pin if v.nonEmpty && v.min > 2 * pin && v.min - pin > 0.25 =>
+            f"$name: ${v.min}%.2f s vs pinned $pin%.2f s (${v.min / pin}%.1fx)"
+        }
+      }
+      val unpinned = results.keySet -- pins.keySet -- failed
+      if (unpinned.nonEmpty)
+        System.err.println(s"[baseline] WARN unpinned queries (add to $path): ${unpinned.toSeq.sorted.mkString(", ")}")
+      if (violations.nonEmpty || failed.nonEmpty) {
+        (violations ++ failed.map(f => s"$f: FAILED to run")).foreach(v =>
+          System.err.println(s"[baseline] REGRESSION $v"))
+        sys.exit(1)
+      }
+      System.err.println(s"[baseline] OK: ${pins.size} pins, 0 regressions")
+    }
   }
 }

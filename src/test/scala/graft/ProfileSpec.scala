@@ -187,6 +187,46 @@ class ProfileSpec extends AnyFunSuite {
     retained.unpersist(); docs.unpersist(); pairs.unpersist()
   }
 
+  test("scale stress: full x2p composite at 16k (approx-kNN path)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The x2p composite (candidates → top-k → β-search) is gated at 500
+    // rows and its kNN stage probed at 16k, but the full composite —
+    // including the grouped calibration UDF over LSH neighborhoods — only
+    // ever ran at fixture scale before this probe. Same 8x perturbed
+    // replica construction as the kNN probe.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val big = (0 until 8).map(r =>
+        emb.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(1.0 + r * 0.001)).as("embedding")))
+      .reduce(_ union _).cache()
+    val n = big.count()
+    println(s"[profile] x2p input rows = $n")
+    val cand = time("x2p candidates (w=0.05, 8x2)")(
+      tsne.KNN.approxCandidates(big, "vec_id", "embedding", 0.05, 8, 2).count())
+    val t0 = System.nanoTime()
+    val p = time("x2p full composite @16k")(
+      tsne.X2P.x2p(big, "vec_id", "embedding", perplexity = 20,
+        approxBucketLength = Some(0.05)).cache())
+    val rows = p.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // β-search normalizes every neighborhood by its own partition sum, so
+    // row sums must be 1 to fp error REGARDLESS of how approximate the
+    // neighborhood is — the invariant that survives the exact→LSH switch
+    val stats = p.groupBy("i").agg(sum("p").as("rs"), count(lit(1)).as("k"))
+      .agg(max(abs(col("rs") - 1.0)).as("dev"), count(lit(1)).as("nrows"),
+        min("k").as("kmin"), max("k").as("kmax"))
+      .collect()(0)
+    val dev = stats.getDouble(0)
+    println(f"[profile] x2p @16k: $secs%.1f s, $rows p-rows over candidate " +
+      f"pairs=$cand, max row-sum dev=$dev%.2e, k range=[${stats.getLong(2)}, ${stats.getLong(3)}]")
+    assert(stats.getLong(1) == n, "every input row must calibrate")
+    assert(dev < 1e-6, f"row sums must normalize to 1, max dev $dev%.2e")
+    val bad = p.where(col("p") < 0 || col("p") > 1 || isnan(col("p"))).count()
+    assert(bad == 0, "probabilities must be in [0,1] and finite")
+    p.unpersist(); big.unpersist()
+  }
+
   test("scale stress: exact kNN at 8x rows (256M pairs)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
