@@ -118,18 +118,19 @@ object OpsQueries {
   }
 
   /** Hyperplane-LSH ANN — gated per round on recall@5 vs the exact
-    * brute-force twin. Threshold 0.6: the default 12 tables × 5-bit
-    * hyperplane config measures 0.626 on the fixture's near-uniform unit
+    * brute-force twin. Threshold 0.62: the default 14 tables × 5-bit
+    * hyperplane config measures 0.681 on the fixture's near-uniform unit
     * vectors (the LSH worst case — real clustered corpora do better), so
-    * a silent recall regression of ≥0.03 goes red rather than hiding
-    * under a slack 0.5 gate. Hyperplanes are seed-fixed → deterministic. */
+    * a silent recall regression of ≥0.06 goes red while normal per-round
+    * variation doesn't (the r6 table sweep showed one table ≈ 0.03
+    * recall, so the margin is about two tables of headroom). */
   val annLsh: Q = Q.gated("ann_lsh_topk") { (s, d) =>
     SimilaritySearch.lshTopK(Tables.embeddings(s, d), k = 5)
   } { (s, d, res) =>
     val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
     val (recall, _) = pairRecall(res.select("i", "j"),
       exact.select("i", "j"), Seq("i", "j"))
-    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.6))
+    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.62))
   }
 
   /** IVF ANN — the k-means coarse-quantizer scale path (cell equi-join,

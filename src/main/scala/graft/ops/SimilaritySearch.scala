@@ -86,14 +86,17 @@ object SimilaritySearch {
     * exact cosine on candidates; bounded-heap top-k. Hyperplanes are
     * seeded driver-side and ship in the task closure (L·b·dim doubles —
     * a few KB). Collision probability for angle θ: (1 − θ/π)^b per table,
-    * 1−(1−p)^L overall. Defaults (12 tables × 5 bits) are sized for
+    * 1−(1−p)^L overall. Defaults (14 tables × 5 bits) are sized for
     * neighbors around cosine 0.5 — p_bit ≈ 0.67, overall ≈ 0.8 — because
     * near-uniform random vectors (the fixture, and the hardest real case)
     * have wide-angle nearest neighbors; corpora with tight clusters can
-    * raise `bits` for smaller buckets. Recall is measured in
-    * SimilaritySpec, not assumed. */
+    * raise `bits` for smaller buckets. Table count was swept on the
+    * fixture (recall@5 vs the exact twin: 11→0.597, 12→0.626, 13→0.652,
+    * 14→0.681, 16→0.734, candidate cost linear in tables — SCALING.md);
+    * 14 buys real gate headroom at ~17% more candidates than 12. Recall
+    * is measured in SimilaritySpec and the per-round gate, not assumed. */
   def lshTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      k: Int = 5, tables: Int = 12, bits: Int = 5, dim: Int = 64,
+      k: Int = 5, tables: Int = 14, bits: Int = 5, dim: Int = 64,
       seed: Long = 42): DataFrame = {
     val rng = new java.util.Random(seed)
     val planes = Array.fill(tables, bits, dim)(rng.nextGaussian())
