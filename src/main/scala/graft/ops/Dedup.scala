@@ -307,6 +307,62 @@ object Dedup {
     labelsRdd.toDF("id", "canonical_id")
   }
 
+  // ------------------------------------------------- duplicated substring spans
+
+  /** Cross-document duplicated-substring detection (the substring-dedup
+    * family of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2022): slide a `windowChars`-character window at
+    * `stride` over every document, key windows by content hash, and flag
+    * the windows whose exact content occurs in ≥2 distinct documents.
+    * Catches verbatim boilerplate (license headers, navboxes, quoted
+    * passages) that document-level Jaccard misses because the rest of the
+    * two documents differs.
+    *
+    * Returns per-document span stats: (doc_id, n_windows, n_dup_windows,
+    * dup_frac). Documents shorter than one window are excluded (they have
+    * no spans to judge).
+    *
+    * Scale shape: one projection explodes each doc into len/stride
+    * fixed-width hashes (data growth ≈ windowChars/stride ×, tunable);
+    * then two key-partitioned aggregations and one equi-join back on the
+    * hash. No all-pairs anywhere. The duplicated-hash side is NOT
+    * broadcast-hinted: boilerplate is an unbounded fraction of a web
+    * corpus, so the planner must stay free to pick a shuffle join from
+    * its size estimate (same reasoning as [[retain]]'s survivor
+    * anti-join). */
+  def dupSpans(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      windowChars: Int = 40, stride: Int = 10): DataFrame = {
+    require(windowChars >= 1 && stride >= 1,
+      s"windowChars and stride must be positive, got ($windowChars, $stride)")
+    // window once, cache: the per-doc totals, the duplicated-hash set and
+    // the hit counts all consume this frame (cache-lifetime note in
+    // jaccardPairs applies). md5 keys keep shuffle rows fixed-width
+    // instead of carrying raw window text.
+    val wins = docs
+      .where(col(textCol).isNotNull && length(col(textCol)) >= windowChars)
+      .select(col(idCol).cast("long").as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - (windowChars - 1),
+          lit(stride))).as("p"),
+        col(textCol).as("t"))
+      .select(col("id"), md5(col("t").substr(col("p"), lit(windowChars))).as("h"))
+      .cache()
+    // ≥2 DISTINCT docs: a window repeated only within one document is
+    // intra-doc repetition (repetitionScore territory), not a cross-doc
+    // duplicate
+    val dupH = wins.select("id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") >= 2)
+      .select("h")
+    val tot = wins.groupBy("id").agg(count(lit(1)).as("n_windows"))
+    val hit = wins.join(dupH, "h")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    tot.join(hit, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+          col("n_windows")).as("dup_frac"))
+  }
+
   /** End-to-end dedup retention: given the duplicate-pair relation, keep
     * exactly one representative per duplicate cluster — the longest
     * document, ties to the smallest id — plus every unclustered document.

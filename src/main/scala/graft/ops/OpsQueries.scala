@@ -201,7 +201,34 @@ object OpsQueries {
     Dedup.retain(docs, Dedup.jaccardPairs(docs, threshold = 0.8))
   }
 
+  /** Cross-document duplicated-substring spans (Lee et al. 2022 substring
+    * dedup): 40-char windows at stride 10, a window is duplicated when its
+    * exact content occurs in ≥2 distinct documents. Catches verbatim
+    * boilerplate that document-level Jaccard misses. Exact semantics on
+    * both engines → hash-match oracle. */
+  val substringSpans: Q = Q(
+    "dedup_substring_spans",
+    """WITH w AS (
+      |  SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 40)) AS h
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(1, length(text) - 39, 10)) AS p
+      |    FROM documents
+      |    WHERE text IS NOT NULL AND length(text) >= 40)),
+      |dup AS (
+      |  SELECT h FROM (
+      |    SELECT h, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY 1)
+      |  WHERE ndocs >= 2),
+      |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY 1),
+      |hit AS (SELECT w.doc_id, count(*) AS n_dup_windows
+      |        FROM w JOIN dup USING (h) GROUP BY 1)
+      |SELECT tot.doc_id AS doc_id, n_windows,
+      |  coalesce(n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows,
+      |  CAST(coalesce(n_dup_windows, 0) AS DOUBLE) / n_windows AS dup_frac
+      |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin
+  ) { (s, d) => Dedup.dupSpans(Tables.documents(s, d)) }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, annIvf, canonical, retained)
+    annLsh, annIvf, canonical, retained, substringSpans)
 }

@@ -97,6 +97,29 @@ class DedupSpec extends AnyFunSuite {
     assert(small == dist, "hybrid paths must agree exactly")
   }
 
+  test("dupSpans: cross-doc spans flagged, intra-doc repeats and short/null docs not") {
+    import spark.implicits._
+    // windows of 10 at stride 5; docs 1+2 share exactly one window's
+    // content ("BBBBBBBBBB"); doc 4 repeats a window WITHIN itself only;
+    // doc 3 is shorter than one window; doc 5 is null text
+    val df = Seq(
+      (1L, Option("AAAAAAAAAA" + "BBBBBBBBBB" + "CCCCCCCCCC")),
+      (2L, Option("XXXXXXXXXX" + "BBBBBBBBBB" + "ZZZZZZZZZZ")),
+      (3L, Option("short")),
+      (4L, Option("DDDDDDDDDD" + "EEEEE" + "DDDDDDDDDD")),
+      (5L, Option.empty[String])).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, windowChars = 10, stride = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L), s"docs with windows: ${got.keySet}")
+    // len 30 → positions 1,6,11,16,21 = 5 windows; only "BBBBBBBBBB" (one
+    // window each) is cross-doc
+    assert(got(1L) == ((5L, 1L, 0.2)), s"${got(1L)}")
+    assert(got(2L) == ((5L, 1L, 0.2)), s"${got(2L)}")
+    // doc 4: len 25 → 4 windows; positions 1 and 16 have identical content
+    // but only within doc 4 → zero cross-doc dups
+    assert(got(4L) == ((4L, 0L, 0.0)), s"${got(4L)}")
+  }
+
   test("simhash banding finds most hamming<=5 near-dups") {
     val exact = exactPairs
     val sim = Dedup.simhashPairs(docs, maxHamming = 5)
