@@ -117,6 +117,15 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 exchange on source, found $n:\n$p")
   }
 
+  test("dedup_substring_spans: hash equi-joins only, no cartesian or nested loop") {
+    val p = plan("dedup_substring_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the window explode + md5 keying must stay codegen'd projection work
+    assert(p.linesIterator.exists(l =>
+      l.contains("Generate") || l.contains("explode")), p)
+  }
+
   test("text_contamination: benchmark n-gram set joins as broadcast") {
     val p = plan("text_contamination")
     assert(p.contains("BroadcastHashJoin"),
