@@ -148,6 +148,24 @@ object OpsQueries {
     Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.6))
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-prune) — the scale path
+    * for dedup_emb_cosine's all-pairs oracle form. Gated per round on
+    * recall vs the exact all-pairs twin at the same threshold (floor 0.8
+    * vs 0.915 measured with the default quantizer on the fixture's
+    * near-uniform worst case — about one nprobe step of headroom), and on
+    * precision 1.0: every emitted pair carries its exact cosine, so a
+    * false positive is impossible unless the operator itself breaks. */
+  val semanticDups: Q = Q.gated("dedup_semantic") { (s, d) =>
+    SimilaritySearch.semanticDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+  } { (s, d, res) =>
+    val exact = SimilaritySearch.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+      .select("id_a", "id_b")
+    val (recall, precision) = pairRecall(res.select("id_a", "id_b"), exact)
+    Seq(
+      Gate("recall_vs_exact_cosine", recall, recall >= 0.8),
+      Gate("precision_vs_exact_cosine", precision, precision >= 1.0))
+  }
+
   /** Canonical assignment over the exact-Jaccard duplicate graph:
     * connected components (min-label propagation) electing min-id
     * survivors. Oracle = recursive-CTE reachability closure in DuckDB. */
@@ -230,5 +248,5 @@ object OpsQueries {
 
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, annIvf, canonical, retained, substringSpans)
+    annLsh, annIvf, semanticDups, canonical, retained, substringSpans)
 }

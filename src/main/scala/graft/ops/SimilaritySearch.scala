@@ -216,6 +216,51 @@ object SimilaritySearch {
     centers
   }
 
+  /** Train the coarse quantizer on a deterministic bounded driver sample
+    * (TakeOrdered — no full sort); best-of-3 seeded restarts by
+    * within-cluster SSE (k-means layout quality is init-luck on
+    * near-uniform data; restarts are driver-cheap). None on empty input. */
+  private def trainQuantizer(pts: DataFrame, nlist: Int, seed: Long,
+      trainSample: Int): Option[Array[Array[Double]]] = {
+    val sample = pts.orderBy(col("id")).limit(trainSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) return None
+    def sse(cs: Array[Array[Double]]): Double = {
+      var total = 0.0
+      var i = 0
+      while (i < sample.length) {
+        val x = sample(i)
+        var best = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var s = 0.0
+          var j = 0
+          while (j < x.length) { val df = x(j) - cs(c)(j); s += df * df; j += 1 }
+          if (s < best) best = s
+          c += 1
+        }
+        total += best
+        i += 1
+      }
+      total
+    }
+    Some((0 until 3).map(r => localKMeans(sample, nlist, iters = 20, seed + r))
+      .minBy(sse))
+  }
+
+  /** Nearest `m` quantizer cells by euclidean distance, deterministic
+    * tie-break on cell index. */
+  private def nearestCells(centers: Array[Array[Double]])(
+      v: Seq[Double], m: Int): Seq[Int] = {
+    val d2 = centers.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val df = v(i) - c(i); s += df * df; i += 1 }
+      s
+    }
+    d2.zipWithIndex.sortBy { case (dist, idx) => (dist, idx) }.take(m).map(_._2).toSeq
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * index into `nlist` cells; each query probes its `nprobe` nearest
     * cells and exact cosine re-scores the candidates, bounded-heap top-k.
@@ -238,53 +283,18 @@ object SimilaritySearch {
         "sample would silently return an empty result for non-empty input)")
 
     val pts = normalizedPoints(emb, idCol, vecCol)
-    // deterministic bounded training sample (TakeOrdered — no full sort)
-    val sample = pts.orderBy(col("id")).limit(trainSample)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    if (sample.isEmpty) {
+    val centersOpt = trainQuantizer(pts, nlist, seed, trainSample)
+    if (centersOpt.isEmpty) {
       // empty input → empty result with the output schema (matches
       // bruteTopK's behavior instead of an opaque kmeans crash)
       return pts.limit(0).select(col("id").as("i"), col("id").as("j"),
         lit(0.0).as("cosine"), lit(0).cast("int").as("rank"))
     }
-    // best-of-3 seeded restarts by within-cluster SSE (k-means layout
-    // quality is init-luck on near-uniform data; restarts are driver-cheap)
-    def sse(cs: Array[Array[Double]]): Double = {
-      var total = 0.0
-      var i = 0
-      while (i < sample.length) {
-        val x = sample(i)
-        var best = Double.MaxValue
-        var c = 0
-        while (c < cs.length) {
-          var s = 0.0
-          var j = 0
-          while (j < x.length) { val df = x(j) - cs(c)(j); s += df * df; j += 1 }
-          if (s < best) best = s
-          c += 1
-        }
-        total += best
-        i += 1
-      }
-      total
-    }
-    val centers: Array[Array[Double]] =
-      (0 until 3).map(r => localKMeans(sample, nlist, iters = 20, seed + r))
-        .minBy(sse)
+    val centers = centersOpt.get
     val withVec = pts.select(col("id"), col("v"), col("nrm"))
 
-    // nearest cells by euclidean distance, deterministic tie-break on index
-    def nearestCells(v: Seq[Double], m: Int): Seq[Int] = {
-      val d2 = centers.map { c =>
-        var s = 0.0
-        var i = 0
-        while (i < c.length) { val df = v(i) - c(i); s += df * df; i += 1 }
-        s
-      }
-      d2.zipWithIndex.sortBy { case (dist, idx) => (dist, idx) }.take(m).map(_._2).toSeq
-    }
-    val cellUdf = udf { (v: Seq[Double]) => nearestCells(v, 1).head }
-    val probeUdf = udf { (v: Seq[Double]) => nearestCells(v, nprobe) }
+    val cellUdf = udf { (v: Seq[Double]) => nearestCells(centers)(v, 1).head }
+    val probeUdf = udf { (v: Seq[Double]) => nearestCells(centers)(v, nprobe) }
 
     val indexSide = withVec.select(col("id"), col("v"), col("nrm"),
       cellUdf(col("v")).as("cell"))
@@ -296,5 +306,65 @@ object SimilaritySearch {
       .select(col("a.id").as("i"), col("b.id").as("j"),
         (lit(1.0) - arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("dist2"))
     topKTail(pairs, k)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * 2023): cluster the embedding space with the IVF coarse quantizer,
+    * then compute exact cosine ONLY between co-clustered vectors and keep
+    * pairs at or above `threshold`. The clustering turns the O(n²) dup
+    * scan into Σ_cell O(|cell|·probes) — the same inverted-file shape as
+    * [[ivfTopK]], with the recall/compute trade governed by `nlist`
+    * (resolution) and `nprobe` (boundary tolerance: a pair is found when
+    * one side's home cell is among the other side's `nprobe` nearest).
+    *
+    * Every emitted pair carries its EXACT cosine (no sketch scores leak
+    * out), so precision vs the all-pairs twin is 1.0 by construction and
+    * only recall is approximate — both are gate-measured per round
+    * against [[cosineDupPairs]].
+    *
+    * 100 TB shape: quantizer trains on a bounded driver sample and ships
+    * in the closure; candidates come from a cell equi-join
+    * (shuffle-on-key, never all-pairs); within-cell work is bounded by
+    * the largest cell — raise `nlist` to keep cells executor-sized as the
+    * corpus grows. Defaults swept on the fixture's near-uniform vectors
+    * (the clustering worst case — recall vs the exact twin at nlist=16:
+    * nprobe 1→0.356, 2→0.712, 3→0.864, 4→0.915, all at ~equal wall time
+    * at fixture scale; SCALING.md): nprobe=4 probes a quarter of the
+    * cells, which real clustered corpora can lower. */
+  def semanticDupPairs(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.4,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42,
+      trainSample: Int = 16384): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val pts = normalizedPoints(emb, idCol, vecCol)
+    val centersOpt = trainQuantizer(pts, nlist, seed, trainSample)
+    if (centersOpt.isEmpty) {
+      return pts.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine"))
+    }
+    val centers = centersOpt.get
+    val cellUdf = udf { (v: Seq[Double]) => nearestCells(centers)(v, 1).head }
+    val probeUdf = udf { (v: Seq[Double]) => nearestCells(centers)(v, nprobe) }
+    val withVec = pts.select(col("id"), col("v"), col("nrm"))
+    val indexSide = withVec.select(col("id"), col("v"), col("nrm"),
+      cellUdf(col("v")).as("cell"))
+    val probeSide = withVec.select(col("id"), col("v"), col("nrm"),
+      explode(probeUdf(col("v"))).as("cell"))
+    // symmetric candidate rule: a pair is found when EITHER side's home
+    // cell is among the other's nprobe nearest, so each unordered pair
+    // surfaces once or twice. The dedup distinct runs AFTER the threshold
+    // filter — a narrow (long, long, double) shuffle bounded by the
+    // actual duplicate count, not the candidate count — and the cosine is
+    // bit-identical from both directions (same summation order), so
+    // distinct collapses them exactly.
+    probeSide.as("a")
+      .join(indexSide.as("b"), Seq("cell"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        (arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
   }
 }

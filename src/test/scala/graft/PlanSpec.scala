@@ -117,6 +117,12 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 exchange on source, found $n:\n$p")
   }
 
+  test("dedup_semantic: candidates come from a cell equi-join, never a cartesian") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup_substring_spans: hash equi-joins only, no cartesian or nested loop") {
     val p = plan("dedup_substring_spans")
     assert(!p.contains("CartesianProduct"), p)

@@ -153,6 +153,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("semantic dedup: recall >= 0.8 vs exact cosine pairs, zero false positives") {
+    val exact = SimilaritySearch.cosineDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = SimilaritySearch.semanticDupPairs(emb, threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact cosine on every emitted pair → any false positive is a bug,
+    // not an approximation artifact
+    assert(sem.subsetOf(exact), s"false positives: ${sem -- exact}")
+    val recall = if (exact.isEmpty) 1.0 else (sem intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${sem.size}/${exact.size})")
+  }
+
+  test("semantic dedup: symmetric probe rule beats the asymmetric one-direction rule") {
+    // nprobe=1 means a pair is found only when the two sides share a home
+    // cell — the weakest setting; nprobe=4 must strictly dominate it
+    val base = SimilaritySearch.semanticDupPairs(emb, threshold = 0.4, nprobe = 1).count()
+    val full = SimilaritySearch.semanticDupPairs(emb, threshold = 0.4, nprobe = 4).count()
+    assert(full > base, s"nprobe=4 ($full) must find more than nprobe=1 ($base)")
+  }
+
   test("IVF ANN recall@5 >= 0.5 on the fixture (uniform vectors, nprobe=5/16)") {
     val exact = SimilaritySearch.bruteTopK(emb, k = 5)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
