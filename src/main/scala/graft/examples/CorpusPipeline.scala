@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.Tables
-import graft.ops.{Corpus, Dedup}
+import graft.ops.{Corpus, Dedup, SimilaritySearch}
 import graft.text.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus assembly, composed entirely from library
   * calls — the canonical "how do the operators fit together" example:
   *
-  *   documents
-  *     → Dedup.jaccardPairs        (near-duplicate pair detection)
-  *     → Dedup.retain              (CC canonicalization + one survivor per cluster)
+  *   documents (+ embeddings)
+  *     → Dedup.jaccardPairs        (lexical near-duplicate pair detection)
+  *     + SimilaritySearch.semanticDupPairs (embedding-space near-dups)
+  *     → Dedup.retain              (CC canonicalization over the UNION of
+  *                                  both detectors + one survivor per cluster)
+  *     → Dedup.dupSpans            (boilerplate filter: drop docs that are
+  *                                  mostly cross-doc duplicated substrings)
   *     → Corpus.hashSplit          (deterministic ≈80/10/10 train/val/test)
   *     → Corpus.mixtureSample      (per-source keep rates on the train split)
   *     → Corpus.stratifiedSample   (k-per-(source,lang) eval sample from val)
@@ -28,7 +32,8 @@ object CorpusPipeline {
   /** Per-stage row counts — returned (not just printed) so the smoke
     * spec can assert pipeline invariants without parsing stdout. */
   case class Counts(
-      docs: Long, dupPairs: Long, retained: Long,
+      docs: Long, dupPairs: Long, semPairs: Long, retained: Long,
+      boilerplateDropped: Long,
       train: Long, valN: Long, test: Long,
       mixed: Long, evalSample: Long, shards: Long)
 
@@ -37,17 +42,38 @@ object CorpusPipeline {
 
   def run(spark: SparkSession, dir: String): Result = {
     val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
 
-    // 1. near-duplicate pairs (exact n-gram Jaccard over an inverted
-    //    shingle index; swap in minhashLshPairs for the sketch route)
-    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+    // 1. near-duplicate pairs from TWO independent detectors — lexical
+    //    (exact n-gram Jaccard over an inverted shingle index; swap in
+    //    minhashLshPairs for the sketch route) and semantic (SemDeDup
+    //    cluster-then-prune over the documents' embeddings, vec_id ==
+    //    doc_id in the fixtures). Real pipelines union detectors: the
+    //    connected components downstream merge overlapping evidence.
+    val lexPairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+    val semPairs = SimilaritySearch.semanticDupPairs(emb, threshold = 0.5)
+    val pairs = lexPairs.select("id_a", "id_b")
+      .union(semPairs.select("id_a", "id_b"))
+      .distinct()
 
     // 2. one survivor per duplicate cluster + all singletons
     val retained = Dedup.retain(docs, pairs)
     val retainedDocs = docs.join(retained.select("doc_id"), "doc_id")
 
+    // 2b. boilerplate filter: a surviving representative whose text is
+    //     still ≥80% cross-doc duplicated 40-char spans is template
+    //     sludge, not content — drop it. Runs on the RETAINED set: span
+    //     duplication against a doc's own removed clones is not
+    //     boilerplate evidence. Docs too short to carry a window have no
+    //     span verdict and are kept (left join + coalesce).
+    val spans = Dedup.dupSpans(retainedDocs)
+    val filteredDocs = retainedDocs
+      .join(spans.select(col("doc_id"), col("dup_frac")), Seq("doc_id"), "left")
+      .where(coalesce(col("dup_frac"), lit(0.0)) < 0.8)
+      .drop("dup_frac")
+
     // 3. deterministic train/val/test assignment
-    val split = Corpus.hashSplit(retainedDocs, col("doc_id"))
+    val split = Corpus.hashSplit(filteredDocs, col("doc_id"))
 
     // 4. data mixing on the train split: keep-all / half / quarter by
     //    source suffix (the "books 1.0 / web 0.5 / crawl 0.25" pattern)
@@ -73,10 +99,13 @@ object CorpusPipeline {
     // splits are counted in one aggregation pass, not three filters
     val splitCounts = split.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nRetained = retainedDocs.count()
     val counts = Counts(
       docs = docs.count(),
       dupPairs = pairs.count(),
-      retained = retainedDocs.count(),
+      semPairs = semPairs.count(),
+      retained = nRetained,
+      boilerplateDropped = nRetained - filteredDocs.count(),
       train = splitCounts.getOrElse("train", 0L),
       valN = splitCounts.getOrElse("val", 0L),
       test = splitCounts.getOrElse("test", 0L),
@@ -102,7 +131,7 @@ object CorpusPipeline {
     val r = run(spark, dir)
     val c = r.counts
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"workload":"corpus_pipeline","dir":"$dir","docs":${c.docs},"dup_pairs":${c.dupPairs},"retained":${c.retained},"train":${c.train},"val":${c.valN},"test":${c.test},"mixed":${c.mixed},"eval_sample":${c.evalSample},"shards":${c.shards},"sec":$secs%.1f}""")
+    println(f"""{"workload":"corpus_pipeline","dir":"$dir","docs":${c.docs},"dup_pairs":${c.dupPairs},"sem_pairs":${c.semPairs},"retained":${c.retained},"boilerplate_dropped":${c.boilerplateDropped},"train":${c.train},"val":${c.valN},"test":${c.test},"mixed":${c.mixed},"eval_sample":${c.evalSample},"shards":${c.shards},"sec":$secs%.1f}""")
     spark.stop()
   }
 }

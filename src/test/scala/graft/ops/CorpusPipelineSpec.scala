@@ -5,9 +5,10 @@ import graft.examples.CorpusPipeline
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke test for the end-to-end corpus-assembly example: runs the full
-  * jaccardPairs → retain → split → mixture → stratified → packShards
-  * composition on the sf0.001 fixtures and asserts the cross-stage
-  * invariants that individual operator specs can't see. */
+  * (jaccardPairs ∪ semanticDupPairs) → retain → dupSpans-filter → split
+  * → mixture → stratified → packShards composition on the sf0.001
+  * fixtures and asserts the cross-stage invariants that individual
+  * operator specs can't see. */
 class CorpusPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -21,8 +22,12 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // one removal when nonempty
     assert(c.retained <= c.docs)
     assert(c.dupPairs == 0 || c.retained < c.docs)
-    // split partitions the retained corpus exactly
-    assert(c.train + c.valN + c.test == c.retained)
+    // the detector union can only add pairs beyond the lexical ones
+    assert(c.semPairs >= 0 && c.dupPairs >= c.semPairs)
+    // the boilerplate filter drops from the retained set, never below it
+    assert(c.boilerplateDropped >= 0 && c.boilerplateDropped <= c.retained)
+    // split partitions the filtered corpus exactly
+    assert(c.train + c.valN + c.test == c.retained - c.boilerplateDropped)
     // mixing only filters the train split
     assert(c.mixed <= c.train && c.mixed > 0)
     // stratified sample is capped at k per (source, lang)
