@@ -237,6 +237,147 @@ object TextQueries {
       col("doc_id") % 100 === 7, threshold = 0.05)
   }
 
+  /** Bloom-filter form of [[contaminationVs]] — the decontamination path
+    * for benchmark sets too large to broadcast as a hash-join side. The
+    * exact form ships the benchmark's distinct shingle STRINGS to every
+    * executor (a 100M-n-gram suite ≈ several GB of strings + hash table);
+    * this form ships a [[org.apache.spark.util.sketch.BloomFilter]] built
+    * by Spark's native sketch aggregate (~1.2 GB per 10⁹ items at 1%
+    * fpp, a 20-30× smaller broadcast) and replaces the join with a
+    * constant-time membership filter. Bloom membership has NO false
+    * negatives, so flagged-doc sets are structural supersets of the
+    * exact result; false positives inflate each doc's hit count by
+    * ≈ fpp·n_grams, so a doc sitting one hit under the flag line flips
+    * with probability ≈ fpp·n_grams — size fpp so that is ≪ 1 (short
+    * docs resolve the threshold at a single hit: the sf0.01 fixture
+    * measured precision 0.41 at fpp=0.01 but 1.0 at 1e-4, and 1e-4 still
+    * costs only ~19 bits/item ≈ 2.4 GB per 10⁹ n-grams broadcast). Both
+    * properties are gated per round against the exact twin.
+    * `expectedNumItems` is the raw (pre-distinct) benchmark shingle
+    * count: duplicate insertions only over-size the filter and LOWER the
+    * realized fpp, and skipping the distinct spares the wide shuffle the
+    * exact form pays before its broadcast. */
+  def contaminationBloomVs(docs: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column, threshold: Double, fpp: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(shinglesFast(3)(tokens(col("text")))).as("shingle"),
+        isBench.as("is_bench"))
+      .cache()
+    val bench = sh.where(col("is_bench")).select("shingle")
+    val nBench = math.max(1L, bench.count())
+    val bloom = bench.stat.bloomFilter("shingle", nBench, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
+    // a UDF is the honest form here: membership against a driver-built
+    // sketch has no Column encoding; the filter runs pre-aggregation so
+    // the shuffle carries only surviving (doc_id) rows
+    val mightContain = udf((s: String) => bloomB.value.mightContainString(s))
+    val corpus = sh.where(!col("is_bench"))
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hit = corpus.where(mightContain(col("shingle")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+      .where(col("contamination") >= threshold)
+  }
+
+  /** Bloom-filter contamination check, gated against the exact broadcast
+    * twin ([[contamination]]): zero missed docs (no-false-negatives is
+    * structural — a miss means the filter is broken), zero per-doc hit
+    * undercounts, and a precision floor on the flagged set (false
+    * positives come only from fpp-inflated borderline docs). */
+  val contaminationBloom: Q = Q.gated("text_contamination_bloom") { (s, d) =>
+    contaminationBloomVs(Tables.documents(s, d),
+      col("doc_id") % 100 === 7, threshold = 0.05, fpp = 1e-4)
+  } { (s, d, res) =>
+    val exact = contaminationVs(Tables.documents(s, d),
+        col("doc_id") % 100 === 7, threshold = 0.05)
+      .select(col("doc_id"), col("n_hit").as("n_hit_exact")).cache()
+    val nExact = exact.count()
+    val missed = exact.join(res, Seq("doc_id"), "left_anti").count()
+    val nBloom = res.count()
+    val both = res.join(exact, "doc_id").cache()
+    val nBoth = both.count()
+    val under = both.where(col("n_hit") < col("n_hit_exact")).count()
+    val precision = if (nBloom == 0) 1.0 else nBoth.toDouble / nBloom
+    exact.unpersist(); both.unpersist()
+    Seq(
+      Gate("exact_docs_flagged", nExact.toDouble, nExact > 0),
+      Gate("missed_exact_docs", missed.toDouble, missed == 0),
+      Gate("undercounted_docs", under.toDouble, under == 0),
+      Gate("precision_vs_exact", precision, precision >= 0.8))
+  }
+
+  /** Gopher-style document-quality rule filter (Rae et al. 2021, §A1.1
+    * "MassiveWeb" rules), the standard pre-training hygiene pass: keep a
+    * document only if its token count, mean token length, alphanumeric
+    * ratio, stopword evidence, and trigram repetition all sit in the
+    * prose band. Bounds are the paper's shape with the word-count floor
+    * scaled to the fixture's short documents (20 vs Gopher's 50). Every
+    * signal reuses an already-oracle-matched expression (text_stats,
+    * text_repetition), and the whole pass is a codegen'd projection +
+    * filter — zero shuffles, so at 100 TB it runs at scan speed and
+    * Catalyst prunes `documents` to (doc_id, text) at the parquet scan. */
+  val gopherFilter: Q = Q(
+    "text_gopher_filter",
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS INTEGER) AS n_tokens,
+      |    CAST(length(array_to_string(toks, '')) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS mean_tok_len,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS alnum_ratio,
+      |    CAST(len(list_filter(toks, tk -> list_contains(
+      |      ['the','and','of','to','is','in','that','it','for','with','was','are'],
+      |      tk))) AS INTEGER) AS stop_hits,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS DOUBLE)
+      |        / (len(toks) - 2)
+      |    ELSE 0.0 END AS repetition
+      |  FROM t)
+      |SELECT doc_id, n_tokens, mean_tok_len, alnum_ratio, stop_hits, repetition
+      |FROM m
+      |WHERE n_tokens BETWEEN 20 AND 5000 AND mean_tok_len BETWEEN 3 AND 10
+      |  AND alnum_ratio >= 0.6 AND stop_hits >= 2
+      |  AND repetition <= 0.05""".stripMargin
+  ) { (s, d) => gopherRules(Tables.documents(s, d)) }
+
+  /** Library form of the Gopher rule filter (see [[gopherFilter]]);
+    * bounds are parameters so a production corpus can use the paper's
+    * originals (minTokens=50). */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 5000,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+      minAlnumRatio: Double = 0.6, minStopHits: Int = 2,
+      maxRepetition: Double = 0.05): org.apache.spark.sql.DataFrame =
+    // tokenize once (see langQuality: CSE skips higher-order functions)
+    docs
+      .withColumn("_toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("_toks")).as("n_tokens"),
+        (length(concat_ws("", col("_toks"))).cast("double") /
+          greatest(size(col("_toks")), lit(1))).as("mean_tok_len"),
+        alnumRatio(col("text")).as("alnum_ratio"),
+        markerHits(col("_toks"), "en").as("stop_hits"),
+        repetitionScoreFromTokens(col("_toks")).as("repetition"))
+      .where(col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_tok_len").between(minMeanTokLen, maxMeanTokLen) &&
+        col("alnum_ratio") >= minAlnumRatio &&
+        col("stop_hits") >= minStopHits &&
+        col("repetition") <= maxRepetition)
+
   /** PII scrub pass: per-document email/phone hit counts plus an md5 of
     * the redacted text — the hash proves the scrubbed OUTPUT (not just
     * the counts) is bit-identical across engines, without dumping the
@@ -285,5 +426,5 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
-    contamination, piiScrub)
+    contamination, contaminationBloom, gopherFilter, piiScrub)
 }

@@ -138,4 +138,26 @@ class PlanSpec extends AnyFunSuite {
       s"the (small by nature) benchmark set must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("text_gopher_filter: shuffle-free filter+projection, scan pruned to (doc_id, text)") {
+    val p = plan("text_gopher_filter")
+    assert(!p.contains("Exchange"),
+      s"the rule filter must run at scan speed — projection + filter only:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("text_contamination_bloom: membership is a filter, not a join") {
+    // the exact twin carries TWO joins (bench-broadcast hit join + the
+    // tot⟕hit assembly); the bloom form must replace the first with a
+    // pre-aggregation filter, leaving exactly the assembly join
+    val p = plan("text_contamination_bloom")
+    val n = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin") || l.contains("CartesianProduct") ||
+        l.contains("BroadcastNestedLoopJoin"))
+    assert(n == 1, s"expected exactly the tot-hit assembly join, found $n:\n$p")
+  }
 }

@@ -97,4 +97,86 @@ class TextSpec extends AnyFunSuite {
       .head
     assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
   }
+
+  // --- Gopher rule-filter fixtures: each doc violates exactly ONE rule
+  // (plus one clean doc), so a surviving violator identifies WHICH bound
+  // regressed rather than just "the filter changed" ---
+
+  private def survivors(rows: Seq[(Long, String)]): Set[Long] = {
+    import spark.implicits._
+    TextQueries.gopherRules(rows.toDF("doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("gopher rules: clean prose survives, each single-rule violator is dropped") {
+    val prose = "the cat and the dog ran over the hill while it was " +
+      "raining and the farmer watched from the barn with his old friend"
+    val fixtures = Seq(
+      1L -> prose,                                   // every rule passes
+      2L -> "the cat and the dog ran",               // too few tokens (7 < 20)
+      3L -> (Seq("the", "and") ++ (1 to 23).map(i => "x" * 15 + i)).mkString(" "),
+        // 23 DISTINCT 16-17 char tokens → mean_tok_len ≈ 15 > 10 is the
+        // only violation ("the and" keeps stop_hits at 2, distinctness
+        // keeps repetition at 0)
+      4L -> (1 to 25).map(i => s"kw$i").mkString(" "), // zero stopwords
+      5L -> (prose + " " + "!@#$%^&*()" * 12),       // alnum_ratio < 0.6
+      6L -> Seq.fill(10)("the cat and").flatMap(_.split(" ")).mkString(" "))
+        // 30 tokens, 3 distinct trigrams / 28 → repetition ≈ 0.89
+    assert(survivors(fixtures) == Set(1L))
+  }
+
+  test("gopher rules: bounds are inclusive on both ends of the token-count band") {
+    val tok20 = (Seq("the", "and") ++ (1 to 18).map(i => s"word$i")).mkString(" ")
+    val tok19 = (Seq("the", "and") ++ (1 to 17).map(i => s"word$i")).mkString(" ")
+    assert(survivors(Seq(1L -> tok20)) == Set(1L), "20 tokens is in-band")
+    assert(survivors(Seq(1L -> tok19)).isEmpty, "19 tokens is out of band")
+  }
+
+  test("gopher rules: null text never survives and never throws") {
+    assert(survivors(Seq(1L -> null.asInstanceOf[String])).isEmpty)
+  }
+
+  // --- Bloom decontamination vs the exact broadcast twin ---
+
+  test("bloom contamination matches the exact twin bit-for-bit at tight fpp") {
+    import spark.implicits._
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      7L  -> bench,                                   // the benchmark doc
+      10L -> ("totally unrelated words here nothing shared at all " +
+        "different content entirely"),                // disjoint → not flagged
+      11L -> ("alpha beta gamma delta epsilon intro " +
+        "plus some trailing filler words"),           // heavy overlap → flagged
+      12L -> null.asInstanceOf[String]                // null: contributes nothing
+    ).toDF("doc_id", "text")
+    val isBench = col("doc_id") === 7
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_grams", "n_hit", "contamination")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val exact = key(TextQueries.contaminationVs(docs, isBench, 0.05))
+    val bloom = key(TextQueries.contaminationBloomVs(docs, isBench, 0.05, 1e-6))
+    assert(exact.map(_._1) == Set(11L), "fixture sanity: only 11 is contaminated")
+    assert(bloom == exact,
+      s"bloom (fpp=1e-6) must reproduce the exact twin here: $bloom vs $exact")
+  }
+
+  test("bloom contamination never under-reports: per-doc hits >= exact at any fpp") {
+    import spark.implicits._
+    val docs = (0L to 40L).map { i =>
+      val shared = if (i % 3 == 0) "common phrase fragment repeated across docs "
+        else ""
+      (i, shared + s"unique body $i with words w${i}a w${i}b w${i}c w${i}d")
+    }.toDF("doc_id", "text")
+    val isBench = col("doc_id") % 10 === 0
+    val exact = TextQueries.contaminationVs(docs, isBench, 0.0)
+      .select(col("doc_id"), col("n_hit").as("n_hit_exact"))
+    // deliberately coarse fpp: the superset property must hold regardless
+    val bloom = TextQueries.contaminationBloomVs(docs, isBench, 0.0, 0.05)
+    val under = bloom.join(exact, "doc_id")
+      .where(col("n_hit") < col("n_hit_exact")).count()
+    assert(under == 0, "bloom membership has no false negatives")
+    assert(exact.join(bloom, Seq("doc_id"), "left_anti").count() == 0,
+      "every exact-flagged doc is bloom-flagged")
+  }
 }
