@@ -237,6 +237,83 @@ object TextQueries {
       col("doc_id") % 100 === 7, threshold = 0.05)
   }
 
+  /** CCNet-style LM-perplexity quality score (Wenzek et al. 2020): train
+    * an add-k-smoothed bigram language model on the corpus itself and
+    * score each document by its mean bigram log-probability — fluent
+    * prose scores near the corpus mode, boilerplate and gibberish sit in
+    * the tails. P(w2|w1) = (C(w1w2)+k)/(C(w1)+k·V) with k=0.5 and V the
+    * corpus vocabulary size; ppl = exp(−mean ln P) over the doc's bigram
+    * OCCURRENCES (multiplicity-weighted). Both engines round the two
+    * float outputs to 6 decimals before hashing (tfidf precedent: an ulp
+    * of libm ln() must not flip the hash). Docs with <2 tokens have no
+    * bigram evidence and are excluded, mirroring DuckDB's NULL/empty
+    * propagation. Scale shape: bigram/unigram count aggregations are
+    * key-partitioned with map-side combine; the doc-bigram ⋈ model joins
+    * are key equi-joins (the model is corpus-sized, NOT broadcast); V is
+    * a single driver scalar (count, like tfidf's N). */
+  val lmPerplexity: Q = Q(
+    "text_lm_perplexity",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+      |  FROM t WHERE len(toks) >= 2),
+      |uni AS (
+      |  SELECT doc_id, unnest(toks) AS term FROM t),
+      |db AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+      |cb AS (SELECT bigram, count(*) AS cbg FROM bg GROUP BY 1),
+      |cu AS (SELECT term, count(*) AS cw FROM uni GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term) AS v FROM uni),
+      |scored AS (
+      |  SELECT db.doc_id, db.n,
+      |    ln((cb.cbg + 0.5) / (cu.cw + 0.5 * v.v)) AS logp
+      |  FROM db
+      |  JOIN cb USING (bigram)
+      |  JOIN cu ON cu.term = string_split(db.bigram, ' ')[1]
+      |  CROSS JOIN v)
+      |SELECT doc_id,
+      |  CAST(sum(n) AS INTEGER) AS n_bigrams,
+      |  round(sum(n * logp) / sum(n), 6) AS avg_logp,
+      |  round(exp(-sum(n * logp) / sum(n)), 6) AS ppl
+      |FROM scored GROUP BY 1""".stripMargin
+  ) { (s, d) => lmPerplexityVs(Tables.documents(s, d)) }
+
+  /** Library form of [[lmPerplexity]]. */
+  def lmPerplexityVs(docs: org.apache.spark.sql.DataFrame, k: Double = 0.5)
+      : org.apache.spark.sql.DataFrame = {
+    // bigrams from the token array directly (arrays_zip of shifted
+    // slices): no window, no self-join — one Generate per doc row.
+    // Multiplicity is kept (LM counts), unlike the deduping shingle path.
+    val toks = tokens(col("text"))
+    val bg = docs
+      .withColumn("_toks", toks)
+      .where(size(col("_toks")) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("_toks"), lit(1), size(col("_toks")) - 1),
+          slice(col("_toks"), lit(2), size(col("_toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val uni = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val db = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+    val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cbg"))
+    val cu = uni.groupBy("term").agg(count(lit(1)).as("cw"))
+    val vocab = uni.select("term").distinct().count().toDouble
+    db.join(cb, "bigram")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(cu.withColumnRenamed("term", "w1"), "w1")
+      .select(col("doc_id"), col("n"),
+        log((col("cbg") + lit(k)) / (col("cw") + lit(k) * lit(vocab))).as("logp"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n")).cast("int").as("n_bigrams"),
+        round(sum(col("n") * col("logp")) / sum(col("n")), 6).as("avg_logp"),
+        round(exp(-sum(col("n") * col("logp")) / sum(col("n"))), 6).as("ppl"))
+  }
+
   /** Bloom-filter form of [[contaminationVs]] — the decontamination path
     * for benchmark sets too large to broadcast as a hash-join side. The
     * exact form ships the benchmark's distinct shingle STRINGS to every
@@ -258,8 +335,8 @@ object TextQueries {
     * realized fpp, and skipping the distinct spares the wide shuffle the
     * exact form pays before its broadcast. */
   def contaminationBloomVs(docs: org.apache.spark.sql.DataFrame,
-      isBench: org.apache.spark.sql.Column, threshold: Double, fpp: Double)
-      : org.apache.spark.sql.DataFrame = {
+      isBench: org.apache.spark.sql.Column, threshold: Double, fpp: Double,
+      expectedItems: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     val sh = docs
       .where(col("text").isNotNull)
       .select(col("doc_id"),
@@ -267,7 +344,11 @@ object TextQueries {
         isBench.as("is_bench"))
       .cache()
     val bench = sh.where(col("is_bench")).select("shingle")
-    val nBench = math.max(1L, bench.count())
+    // a production caller KNOWS its eval-suite size — passing it skips a
+    // whole pass over the benchmark branch; the counting fallback exists
+    // for exploratory use. Over-estimating only lowers the realized fpp;
+    // UNDER-estimating raises it above spec, so round up.
+    val nBench = expectedItems.getOrElse(math.max(1L, bench.count()))
     val bloom = bench.stat.bloomFilter("shingle", nBench, fpp)
     val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
     // a UDF is the honest form here: membership against a driver-built
@@ -292,8 +373,12 @@ object TextQueries {
     * undercounts, and a precision floor on the flagged set (false
     * positives come only from fpp-inflated borderline docs). */
   val contaminationBloom: Q = Q.gated("text_contamination_bloom") { (s, d) =>
+    // 8192 comfortably over-sizes the fixture cohort's ~450 raw shingles
+    // (over-sizing only tightens the realized fpp) and skips the count
+    // pass a production caller wouldn't pay either
     contaminationBloomVs(Tables.documents(s, d),
-      col("doc_id") % 100 === 7, threshold = 0.05, fpp = 1e-4)
+      col("doc_id") % 100 === 7, threshold = 0.05, fpp = 1e-4,
+      expectedItems = Some(8192L))
   } { (s, d, res) =>
     val exact = contaminationVs(Tables.documents(s, d),
         col("doc_id") % 100 === 7, threshold = 0.05)
@@ -426,5 +511,5 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
-    contamination, contaminationBloom, gopherFilter, piiScrub)
+    contamination, contaminationBloom, gopherFilter, lmPerplexity, piiScrub)
 }

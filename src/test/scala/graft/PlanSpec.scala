@@ -149,6 +149,15 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning failed: $readSchema")
   }
 
+  test("text_lm_perplexity: key equi-joins with partial counts, no cartesian") {
+    val p = plan("text_lm_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // model counts must keep their map-side combine (the bigram explode
+    // multiplies rows; partial aggregation shrinks them before shuffle)
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
   test("text_contamination_bloom: membership is a filter, not a join") {
     // the exact twin carries TWO joins (bench-broadcast hit join + the
     // tot⟕hit assembly); the bloom form must replace the first with a

@@ -136,6 +136,30 @@ class TextSpec extends AnyFunSuite {
     assert(survivors(Seq(1L -> null.asInstanceOf[String])).isEmpty)
   }
 
+  // --- LM-perplexity quality score ---
+
+  test("lm perplexity: common-bigram prose scores lower ppl than unique-bigram text") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the rug",
+      3L -> "the cat sat on the hill",
+      4L -> "zebra quark flux nebula prism glimmer",  // every bigram unique
+      5L -> "single",                                  // <2 tokens: no evidence
+      6L -> null.asInstanceOf[String]
+    ).toDF("doc_id", "text")
+    val out = TextQueries.lmPerplexityVs(docs)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "docs without bigrams are excluded")
+    // n_bigrams = token count − 1 (multiplicity kept, not deduped)
+    assert(out(1L)._1 == 5 && out(4L)._1 == 5)
+    // docs 1-3 share 4 of 5 bigrams (seen 3x each in the model); doc 4's
+    // are all singletons — its mean bigram probability must be lower
+    assert(out(1L)._2 < out(4L)._2,
+      s"shared-bigram doc must have lower perplexity: ${out(1L)._2} vs ${out(4L)._2}")
+    assert(out.values.forall(_._2 > 0), "perplexity is strictly positive")
+  }
+
   // --- Bloom decontamination vs the exact broadcast twin ---
 
   test("bloom contamination matches the exact twin bit-for-bit at tight fpp") {
