@@ -2,7 +2,7 @@ package graft.examples
 
 import graft.Tables
 import graft.ops.{Corpus, Dedup, SimilaritySearch}
-import graft.text.TextFunctions
+import graft.text.{TextFunctions, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * calls — the canonical "how do the operators fit together" example:
   *
   *   documents (+ embeddings)
+  *     → TextQueries.gopherRules   (quality hygiene first: it is the
+  *                                  cheapest stage — scan-speed filter —
+  *                                  so it runs before anything that
+  *                                  shuffles)
+  *     → TextQueries.contaminationBloomVs (eval-suite decontamination:
+  *                                  drop corpus docs sharing ≥5% of their
+  *                                  trigrams with the benchmark cohort,
+  *                                  and the benchmark docs themselves)
   *     → Dedup.jaccardPairs        (lexical near-duplicate pair detection)
   *     + SimilaritySearch.semanticDupPairs (embedding-space near-dups)
   *     → Dedup.retain              (CC canonicalization over the UNION of
@@ -32,7 +40,8 @@ object CorpusPipeline {
   /** Per-stage row counts — returned (not just printed) so the smoke
     * spec can assert pipeline invariants without parsing stdout. */
   case class Counts(
-      docs: Long, dupPairs: Long, semPairs: Long, retained: Long,
+      docs: Long, qualityPass: Long, contaminated: Long, clean: Long,
+      dupPairs: Long, semPairs: Long, retained: Long,
       boilerplateDropped: Long,
       train: Long, valN: Long, test: Long,
       mixed: Long, evalSample: Long, shards: Long)
@@ -41,8 +50,37 @@ object CorpusPipeline {
   case class Result(packed: DataFrame, counts: Counts)
 
   def run(spark: SparkSession, dir: String): Result = {
-    val docs = Tables.documents(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
+    val allDocs = Tables.documents(spark, dir)
+    val allEmb = Tables.embeddings(spark, dir)
+
+    // 0. quality hygiene at scan speed: Gopher prose-band rules with the
+    //    stopword floor relaxed to 1 (the synthetic fixture text is
+    //    stopword-light; real corpora use the defaults). Runs FIRST so
+    //    every shuffling stage downstream sees a smaller corpus.
+    val quality = TextQueries.gopherRules(allDocs, minStopHits = 1)
+      .select("doc_id")
+    val qualityDocs = allDocs.join(quality, "doc_id")
+
+    // 0b. eval-suite decontamination: the doc_id % 100 == 7 cohort stands
+    //     in for a benchmark suite (as in text_contamination). Corpus
+    //     docs sharing ≥5% of their distinct trigrams with it are
+    //     dropped, as are the benchmark docs themselves — eval data must
+    //     never reach a training shard. Bloom path: a real suite's
+    //     n-gram set may not fit a broadcast join; production callers
+    //     pass expectedItems to skip the sizing count.
+    val isBench = col("doc_id") % 100 === 7
+    val contaminated = TextQueries
+      .contaminationBloomVs(qualityDocs, isBench, threshold = 0.05, fpp = 1e-4)
+      .select("doc_id")
+    val docs = qualityDocs
+      .where(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .cache()
+    // dedup evidence must come from the CLEAN corpus: a pair against a
+    // dropped doc could otherwise steal a surviving doc's cluster
+    // representative slot
+    val emb = allEmb.join(
+      docs.select(col("doc_id").as("vec_id")), "vec_id")
 
     // 1. near-duplicate pairs from TWO independent detectors — lexical
     //    (exact n-gram Jaccard over an inverted shingle index; swap in
@@ -100,8 +138,12 @@ object CorpusPipeline {
     val splitCounts = split.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nRetained = retainedDocs.count()
+    val nQuality = qualityDocs.count()
     val counts = Counts(
-      docs = docs.count(),
+      docs = allDocs.count(),
+      qualityPass = nQuality,
+      contaminated = contaminated.count(),
+      clean = docs.count(),
       dupPairs = pairs.count(),
       semPairs = semPairs.count(),
       retained = nRetained,
@@ -131,7 +173,7 @@ object CorpusPipeline {
     val r = run(spark, dir)
     val c = r.counts
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"workload":"corpus_pipeline","dir":"$dir","docs":${c.docs},"dup_pairs":${c.dupPairs},"sem_pairs":${c.semPairs},"retained":${c.retained},"boilerplate_dropped":${c.boilerplateDropped},"train":${c.train},"val":${c.valN},"test":${c.test},"mixed":${c.mixed},"eval_sample":${c.evalSample},"shards":${c.shards},"sec":$secs%.1f}""")
+    println(f"""{"workload":"corpus_pipeline","dir":"$dir","docs":${c.docs},"quality_pass":${c.qualityPass},"contaminated":${c.contaminated},"clean":${c.clean},"dup_pairs":${c.dupPairs},"sem_pairs":${c.semPairs},"retained":${c.retained},"boilerplate_dropped":${c.boilerplateDropped},"train":${c.train},"val":${c.valN},"test":${c.test},"mixed":${c.mixed},"eval_sample":${c.evalSample},"shards":${c.shards},"sec":$secs%.1f}""")
     spark.stop()
   }
 }

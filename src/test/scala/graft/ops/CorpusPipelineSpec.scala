@@ -5,10 +5,10 @@ import graft.examples.CorpusPipeline
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Smoke test for the end-to-end corpus-assembly example: runs the full
-  * (jaccardPairs ∪ semanticDupPairs) → retain → dupSpans-filter → split
-  * → mixture → stratified → packShards composition on the sf0.001
-  * fixtures and asserts the cross-stage invariants that individual
-  * operator specs can't see. */
+  * gopherRules → bloom-decontaminate → (jaccardPairs ∪ semanticDupPairs)
+  * → retain → dupSpans-filter → split → mixture → stratified →
+  * packShards composition on the sf0.001 fixtures and asserts the
+  * cross-stage invariants that individual operator specs can't see. */
 class CorpusPipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -18,10 +18,15 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val r = CorpusPipeline.run(spark, dir)
     val c = r.counts
     assert(c.docs > 0)
+    // hygiene stages only shrink the corpus, and each must keep SOME of
+    // it (a filter that empties the fixture is a bug, not hygiene)
+    assert(c.qualityPass <= c.docs && c.qualityPass > 0)
+    assert(c.contaminated >= 0)
+    assert(c.clean <= c.qualityPass && c.clean > 0)
     // dedup never grows the corpus, and a PAIR relation implies at least
     // one removal when nonempty
-    assert(c.retained <= c.docs)
-    assert(c.dupPairs == 0 || c.retained < c.docs)
+    assert(c.retained <= c.clean)
+    assert(c.dupPairs == 0 || c.retained < c.clean)
     // the detector union can only add pairs beyond the lexical ones
     assert(c.semPairs >= 0 && c.dupPairs >= c.semPairs)
     // the boilerplate filter drops from the retained set, never below it
