@@ -67,6 +67,29 @@ object Corpus {
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
+  /** Temperature-scaled source mixing (the XLM-R / multilingual-LM
+    * rebalancing rule): sampling probability p_s ∝ n_s^α, so α=1 is
+    * proportional sampling, α=0 equalizes sources, and 0<α<1 upweights
+    * low-resource sources in between. Returns one deterministic
+    * keep-rate per source value, r_s = min(1, budget·p_s/n_s), for a
+    * target corpus of ≈`budget` rows; apply via [[mixtureSample]] with
+    * the joined rate column. Rates are rounded to 6 decimals BEFORE the
+    * bucket threshold so a SQL oracle reproduces the integer cut
+    * bit-for-bit (tfidf precedent for killing ulp noise). The source
+    * count frame is |sources|-sized, so the normalizer is a bounded
+    * driver scalar (tfidf's N precedent) and the rate join back onto the
+    * corpus is a broadcast. Rates above 1 clamp: a pure filter cannot
+    * upsample — repeat-epoch logic belongs to the training loader. */
+  def temperatureRates(df: DataFrame, src: Column, alpha: Double,
+      budget: Long): DataFrame = {
+    val counts = df.groupBy(src.as("src")).agg(count(lit(1)).as("n_s")).cache()
+    val z = counts.agg(sum(pow(col("n_s"), alpha))).head.getDouble(0)
+    counts.select(col("src"),
+      round(least(lit(1.0),
+        pow(col("n_s"), alpha) / lit(z) * lit(budget.toDouble) / col("n_s")),
+        6).as("rate"))
+  }
+
   /** Pack rows into contiguous weight-budget shards: within each
     * partition key (e.g. source), order rows deterministically and chunk
     * the running weight sum at multiples of `budget` — the standard

@@ -55,6 +55,30 @@ object CorpusQueries {
       .select("doc_id", "source")
   }
 
+  /** Temperature-scaled language rebalancing (α=0.5, target ≈250 docs):
+    * the fixture's lang distribution is skewed (en 218 vs fr 64 at
+    * sf0.01), so the α<1 rule visibly upweights the low-resource
+    * languages (measured rates 0.35 en vs 0.65 fr) — proportional
+    * sampling would keep 0.5 of each. Rates are a tiny per-source
+    * aggregate broadcast back; the keep decision is the same md5 bucket
+    * filter as corpus_mixture, bit-exact in DuckDB. */
+  val temperatureMix: Q = Q(
+    "corpus_temperature_mix",
+    s"""WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+       |z AS (SELECT sum(pow(n_s, 0.5)) AS z FROM c),
+       |r AS (SELECT lang, round(least(1.0, pow(n_s, 0.5) / z.z * 250 / n_s), 6) AS rate
+       |      FROM c CROSS JOIN z)
+       |SELECT doc_id, lang, rate FROM documents JOIN r USING (lang)
+       |WHERE ${bucketSql("doc_id", "mix")} < CAST(round(rate * 65536) AS INTEGER)""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val rates = Corpus.temperatureRates(docs, col("lang"), alpha = 0.5,
+      budget = 250L).withColumnRenamed("src", "lang")
+    Corpus.mixtureSample(docs.join(broadcast(rates), "lang"),
+        col("doc_id"), col("rate"))
+      .select("doc_id", "lang", "rate")
+  }
+
   /** Exactly-3-per-(source, lang) deterministic sample — the eval-set /
     * inspection-sample builder. One exchange on the stratum key
     * (PlanSpec pins the count). */
@@ -95,5 +119,5 @@ object CorpusQueries {
       weight = col("n_bpe"), budget = 2000L)
   }
 
-  def all: Seq[Q] = Seq(split, mixture, stratified, packShards)
+  def all: Seq[Q] = Seq(split, mixture, temperatureMix, stratified, packShards)
 }

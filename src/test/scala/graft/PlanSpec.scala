@@ -139,6 +139,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("corpus_temperature_mix: per-source rates join as broadcast") {
+    val p = plan("corpus_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |sources|-row rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("text_gopher_filter: shuffle-free filter+projection, scan pruned to (doc_id, text)") {
     val p = plan("text_gopher_filter")
     assert(!p.contains("Exchange"),

@@ -130,6 +130,52 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("temperatureRates: alpha=1 proportional, alpha=0 equalizing, alpha=0.5 between") {
+    import spark.implicits._
+    // skewed two-source corpus: A has 90 rows, B has 10; budget 50
+    val df = ((1 to 90).map(i => (i.toLong, "A")) ++
+      (91 to 100).map(i => (i.toLong, "B"))).toDF("doc_id", "src")
+    def rates(alpha: Double): Map[String, Double] =
+      graft.ops.Corpus.temperatureRates(df, col("src"), alpha, 50L)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // α=1: p_s ∝ n_s → every source keeps budget/N — no rebalancing
+    assert(rates(1.0) == Map("A" -> 0.5, "B" -> 0.5))
+    // α=0: p_s equal → B's raw rate 2.5 CLAMPS to 1 (a filter cannot
+    // upsample), A keeps 50·0.5/90
+    val r0 = rates(0.0)
+    assert(r0("B") == 1.0 && math.abs(r0("A") - 25.0 / 90) < 1e-6)
+    // α=0.5: strictly between the two extremes for the big source, and
+    // the small source is upweighted relative to proportional
+    val rh = rates(0.5)
+    assert(rh("A") > r0("A") && rh("A") < 0.5)
+    assert(rh("B") == 1.0) // sqrt weighting still over-asks for tiny B
+    // p_A = √90/(√90+√10) = 0.75 → rate_A = 50·0.75/90
+    assert(math.abs(rh("A") - 50.0 * 0.75 / 90) < 1e-6)
+  }
+
+  test("temperatureRates compose with mixtureSample deterministically") {
+    import spark.implicits._
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "src")
+    val rates = graft.ops.Corpus.temperatureRates(df, col("src"), 0.5, 60L)
+    val kept = graft.ops.Corpus.mixtureSample(
+      df.join(broadcast(rates), df("src") === rates("src")),
+      col("doc_id"), col("rate"))
+    val k1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2, "hash-derived decisions are run-stable")
+    assert(k1.nonEmpty && k1.size < 100)
+    // the small source's keep FRACTION must exceed the big source's
+    val bigFrac = k1.count(_ <= 80) / 80.0
+    val smallFrac = k1.count(_ > 80) / 20.0
+    assert(smallFrac > bigFrac,
+      s"alpha<1 must upweight the small source: $smallFrac vs $bigFrac")
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
