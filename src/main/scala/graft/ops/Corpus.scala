@@ -83,7 +83,10 @@ object Corpus {
   def temperatureRates(df: DataFrame, src: Column, alpha: Double,
       budget: Long): DataFrame = {
     val counts = df.groupBy(src.as("src")).agg(count(lit(1)).as("n_s")).cache()
-    val z = counts.agg(sum(pow(col("n_s"), alpha))).head.getDouble(0)
+    // sum over ZERO groups is null (empty input): the rate frame is
+    // empty anyway, so any finite normalizer yields the right result
+    val zRow = counts.agg(sum(pow(col("n_s"), alpha))).head
+    val z = if (zRow.isNullAt(0)) 1.0 else zRow.getDouble(0)
     counts.select(col("src"),
       round(least(lit(1.0),
         pow(col("n_s"), alpha) / lit(z) * lit(budget.toDouble) / col("n_s")),

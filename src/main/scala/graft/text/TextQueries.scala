@@ -343,7 +343,14 @@ object TextQueries {
         explode(shinglesFast(3)(tokens(col("text")))).as("shingle"),
         isBench.as("is_bench"))
       .cache()
-    val bench = sh.where(col("is_bench")).select("shingle")
+    // the sentinel row keeps Spark's bloomFilter aggregate from NPEing
+    // on an EMPTY benchmark branch (it returns null over zero rows,
+    // found by EdgeCaseSpec): real shingles are lowercase alnum+space,
+    // so the sentinel string can never equal a corpus shingle and its
+    // single insertion is invisible to every real membership test
+    val sentinel = docs.sparkSession.range(1)
+      .select(lit(" graft-bloom-sentinel ").as("shingle"))
+    val bench = sh.where(col("is_bench")).select("shingle").union(sentinel)
     // a production caller KNOWS its eval-suite size — passing it skips a
     // whole pass over the benchmark branch; the counting fallback exists
     // for exploratory use. Over-estimating only lowers the realized fpp;

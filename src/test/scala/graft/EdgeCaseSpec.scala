@@ -92,6 +92,38 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(all == Set(1L), s"null-text doc must emit no rows, got ids $all")
   }
 
+  test("bloom contamination: empty benchmark cohort flags nothing (and never throws)") {
+    // the bloom aggregate over zero rows yields an empty filter; every
+    // membership test is then false and no corpus doc crosses any
+    // positive threshold — same as the exact twin on the same input
+    val docs = docsLike(Seq(
+      (1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta")))
+    assert(text.TextQueries
+      .contaminationBloomVs(docs, lit(false), 0.05, 1e-4).count() == 0)
+    assert(text.TextQueries
+      .contaminationBloomVs(docsLike(Nil), lit(false), 0.05, 1e-4).count() == 0)
+  }
+
+  test("lm perplexity: empty corpus and sub-bigram docs yield empty output, not a crash") {
+    assert(text.TextQueries.lmPerplexityVs(docsLike(Nil)).count() == 0)
+    // one-token and null docs carry no bigram evidence; a corpus of ONLY
+    // those must come back empty (vocab still counts the lone token)
+    val noEvidence = docsLike(Seq(
+      (1L, "single"), (2L, null.asInstanceOf[String]), (3L, "")))
+    assert(text.TextQueries.lmPerplexityVs(noEvidence).count() == 0)
+  }
+
+  test("temperature rates: empty input yields no rates; single source gets min(1, budget/n)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "src")
+    assert(ops.Corpus.temperatureRates(empty, col("src"), 0.5, 100L).count() == 0)
+    val one = (1 to 40).map(i => (i.toLong, "only")).toDF("doc_id", "src")
+    val r = ops.Corpus.temperatureRates(one, col("src"), 0.5, 100L).collect()
+    assert(r.length == 1 && r(0).getDouble(1) == 1.0,
+      "budget over corpus size clamps to keep-everything")
+    val r2 = ops.Corpus.temperatureRates(one, col("src"), 0.5, 10L).collect()
+    assert(r2(0).getDouble(1) == 0.25, "single source: rate = budget/n")
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))
