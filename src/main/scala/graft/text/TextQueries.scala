@@ -445,30 +445,48 @@ object TextQueries {
       |  AND repetition <= 0.05""".stripMargin
   ) { (s, d) => gopherRules(Tables.documents(s, d)) }
 
-  /** Library form of the Gopher rule filter (see [[gopherFilter]]);
-    * bounds are parameters so a production corpus can use the paper's
-    * originals (minTokens=50). */
+  /** Appends the five Gopher rule metrics to `docs` (original columns
+    * kept). Stateless projection — the same code runs batch AND
+    * streaming ([[graft.streaming.DocsStream]]). */
+  def gopherMetrics(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    // tokenize once (see langQuality: CSE skips higher-order functions)
+    docs
+      .withColumn("_toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("_toks")))
+      .withColumn("mean_tok_len",
+        length(concat_ws("", col("_toks"))).cast("double") /
+          greatest(size(col("_toks")), lit(1)))
+      .withColumn("alnum_ratio", alnumRatio(col("text")))
+      .withColumn("stop_hits", markerHits(col("_toks"), "en"))
+      .withColumn("repetition", repetitionScoreFromTokens(col("_toks")))
+      .drop("_toks")
+
+  /** The rule-band predicate over [[gopherMetrics]] columns; bounds are
+    * parameters so a production corpus can use the paper's originals
+    * (minTokens=50). */
+  def gopherPass(
+      minTokens: Int = 20, maxTokens: Int = 5000,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+      minAlnumRatio: Double = 0.6, minStopHits: Int = 2,
+      maxRepetition: Double = 0.05): org.apache.spark.sql.Column =
+    col("n_tokens").between(minTokens, maxTokens) &&
+      col("mean_tok_len").between(minMeanTokLen, maxMeanTokLen) &&
+      col("alnum_ratio") >= minAlnumRatio &&
+      col("stop_hits") >= minStopHits &&
+      col("repetition") <= maxRepetition
+
+  /** Library form of the Gopher rule filter (see [[gopherFilter]]). */
   def gopherRules(docs: org.apache.spark.sql.DataFrame,
       minTokens: Int = 20, maxTokens: Int = 5000,
       minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
       minAlnumRatio: Double = 0.6, minStopHits: Int = 2,
       maxRepetition: Double = 0.05): org.apache.spark.sql.DataFrame =
-    // tokenize once (see langQuality: CSE skips higher-order functions)
-    docs
-      .withColumn("_toks", tokens(col("text")))
-      .select(
-        col("doc_id"),
-        size(col("_toks")).as("n_tokens"),
-        (length(concat_ws("", col("_toks"))).cast("double") /
-          greatest(size(col("_toks")), lit(1))).as("mean_tok_len"),
-        alnumRatio(col("text")).as("alnum_ratio"),
-        markerHits(col("_toks"), "en").as("stop_hits"),
-        repetitionScoreFromTokens(col("_toks")).as("repetition"))
-      .where(col("n_tokens").between(minTokens, maxTokens) &&
-        col("mean_tok_len").between(minMeanTokLen, maxMeanTokLen) &&
-        col("alnum_ratio") >= minAlnumRatio &&
-        col("stop_hits") >= minStopHits &&
-        col("repetition") <= maxRepetition)
+    gopherMetrics(docs)
+      .where(gopherPass(minTokens, maxTokens, minMeanTokLen, maxMeanTokLen,
+        minAlnumRatio, minStopHits, maxRepetition))
+      .select("doc_id", "n_tokens", "mean_tok_len", "alnum_ratio",
+        "stop_hits", "repetition")
 
   /** PII scrub pass: per-document email/phone hit counts plus an md5 of
     * the redacted text — the hash proves the scrubbed OUTPUT (not just

@@ -2,7 +2,7 @@ package graft.ext
 
 import graft.TestSpark
 import graft.multimodal.{MediaItem, Multimodal}
-import graft.streaming.{EventsStream, SessionEvent}
+import graft.streaming.{DocsStream, EventsStream, SessionEvent}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -97,6 +97,29 @@ class StreamingSpec extends AnyFunSuite {
       val stream = spark.table("dtest")
         .collect()
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(stream == batch, s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
+  test("streaming document hygiene equals its batch twin (stateless plan)") {
+    val batch = DocsStream.hygiene(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(batch.nonEmpty, "fixture sanity: some docs must survive hygiene")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("docs-hygiene")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val q = DocsStream.startHygieneQuery(spark, streamDir.toString, "htest")
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("htest")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
         .toSet
       assert(stream == batch, s"stream/batch divergence: ${stream.size} vs ${batch.size}")
     } finally q.stop()
