@@ -114,7 +114,10 @@ object CorpusPipeline {
     val split = Corpus.hashSplit(filteredDocs, col("doc_id"))
 
     // 4. data mixing on the train split: keep-all / half / quarter by
-    //    source suffix (the "books 1.0 / web 0.5 / crawl 0.25" pattern)
+    //    source suffix (the "books 1.0 / web 0.5 / crawl 0.25" pattern).
+    //    For DERIVED rather than hand-set rates, swap in
+    //    Corpus.temperatureRates(train, col("lang"), alpha, budget) —
+    //    the XLM-R p_s ∝ n_s^α rebalancing (see corpus_temperature_mix).
     val suffix = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
     val rate = when(suffix % 3 === 0, 1.0)
       .when(suffix % 3 === 1, 0.5).otherwise(0.25)
