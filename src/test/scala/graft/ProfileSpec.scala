@@ -187,6 +187,54 @@ class ProfileSpec extends AnyFunSuite {
     retained.unpersist(); docs.unpersist(); pairs.unpersist()
   }
 
+  test("scale stress: bloom vs broadcast decontamination at a 1M-shingle benchmark") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // SCALING.md claims the bloom/broadcast crossover is BENCHMARK-set
+    // size, not corpus size. Measure both branches on a synthetic corpus
+    // whose contaminated set is analytic: 100k docs of 50 tokens drawn
+    // deterministically from a 50k vocab (trigram collisions across
+    // different docs ≈ 0), with every doc_id % 20 == 3 corpus doc an
+    // exact token-copy of bench doc (doc_id % 20000). Bench = ids
+    // < 20k (~960k distinct bench trigrams); contamination of a copy is
+    // 1.0, of everything else ~0 — so the flagged set must be exactly
+    // the copies, on BOTH branches.
+    val n = 100000L
+    val nBench = 20000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"),
+          pmod(xxhash64(
+            when(col("id") >= nBench && col("id") % 20 === 3,
+              col("id") % nBench).otherwise(col("id")) * 53L + i),
+            lit(50000L))))).as("text"))
+      .cache()
+    docs.count()
+    val isBench = col("doc_id") < nBench
+    val expectCopies = ((nBench until n).count(i => i % 20 == 3)).toLong
+    // time the MATERIALIZATION (construction is lazy; the bloom branch's
+    // sketch-build job and both branches' full evaluation must be inside
+    // the timer for the comparison to mean anything)
+    val exact = time("exact (broadcast join) decontaminate") {
+      val f = text.TextQueries.contaminationVs(docs, isBench, 0.5).cache()
+      f.count(); f
+    }
+    val nExact = exact.count()
+    val bloom = time("bloom (1e-4, sized) decontaminate") {
+      val f = text.TextQueries.contaminationBloomVs(docs, isBench, 0.5, 1e-4,
+        expectedItems = Some(1200000L)).cache()
+      f.count(); f
+    }
+    val nBloom = bloom.count()
+    val missed = exact.join(bloom, Seq("doc_id"), "left_anti").count()
+    println(s"[profile] decontam @100k docs / ~1M bench shingles: " +
+      s"exact=$nExact bloom=$nBloom expected=$expectCopies missed=$missed")
+    assert(nExact == expectCopies, "exact branch must flag exactly the copies")
+    assert(missed == 0, "bloom must flag every exact-contaminated doc")
+    assert(nBloom >= nExact && nBloom <= nExact + 50,
+      "bloom false-positive docs must stay within the fpp budget")
+    exact.unpersist(); bloom.unpersist(); docs.unpersist()
+  }
+
   test("scale stress: full x2p composite at 16k (approx-kNN path)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // The x2p composite (candidates → top-k → β-search) is gated at 500
