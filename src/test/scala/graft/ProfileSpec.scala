@@ -235,6 +235,35 @@ class ProfileSpec extends AnyFunSuite {
     exact.unpersist(); bloom.unpersist(); docs.unpersist()
   }
 
+  test("scale stress: LM-perplexity at 100k docs (corpus-sized bigram model)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The model (bigram + unigram count tables) is corpus-sized by
+    // design — never broadcast, never collected. Validate the composite
+    // at 100k 50-token docs over a 5k vocab (so bigrams REPEAT and the
+    // count aggregation does real combining, unlike a fixture where
+    // most bigrams are singletons).
+    val n = 100000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 53L + i), lit(5000L)))))
+        .as("text"))
+      .cache()
+    docs.count()
+    val out = time("lm perplexity @100k docs") {
+      val f = text.TextQueries.lmPerplexityVs(docs).cache()
+      f.count(); f
+    }
+    val stats = out.agg(count(lit(1)).as("rows"),
+      min("ppl").as("pmin"), max("ppl").as("pmax"),
+      sum(when(col("avg_logp") < 0, 0).otherwise(1)).as("badLogp")).head
+    println(s"[profile] lm @100k: rows=${stats.getLong(0)} " +
+      s"ppl range=[${stats.getDouble(1)}, ${stats.getDouble(2)}]")
+    assert(stats.getLong(0) == n, "every >=2-token doc must score")
+    assert(stats.getLong(3) == 0, "log-probabilities are strictly negative")
+    assert(stats.getDouble(1) > 0, "perplexity strictly positive")
+    out.unpersist(); docs.unpersist()
+  }
+
   test("scale stress: full x2p composite at 16k (approx-kNN path)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // The x2p composite (candidates → top-k → β-search) is gated at 500
