@@ -148,6 +148,34 @@ object OpsQueries {
     Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.6))
   }
 
+  /** IVF-PQ ANN — the memory-compression member of the ANN family: same
+    * cell candidates as IVF, but the index side of the join carries m=8
+    * byte codes instead of 64 doubles (64× lighter shuffle/build side),
+    * shortlisted by asymmetric distance and exact-rescored on the top
+    * k·refine. Two gates: recall@5 vs the exact twin at 0.6 (0.675
+    * measured with the defaults — same floor/headroom as ann_ivf_topk,
+    * whose cell candidates bound this operator), and ADC retention vs a
+    * same-parameter IVF run within 0.03 — the quantization may not cost
+    * a measurable slice of the candidates the cells already found
+    * (measured loss ≈ 0 at refine=20; it was 0.077 at refine=5, which
+    * is what this gate exists to catch). The quantizers differ only in
+    * training input (unit-normalized vs raw vectors — equal on the
+    * unit-norm fixture). */
+  val annPq: Q = Q.gated("ann_pq_topk") { (s, d) =>
+    SimilaritySearch.pqTopK(Tables.embeddings(s, d), k = 5)
+  } { (s, d, res) =>
+    val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
+    val (recall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
+    val ivf = SimilaritySearch.ivfTopK(Tables.embeddings(s, d), k = 5)
+    val (ivfRecall, _) = pairRecall(ivf.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
+    Seq(
+      Gate("recall_at_5_vs_exact", recall, recall >= 0.6),
+      Gate("adc_retention_vs_ivf", recall / math.max(ivfRecall, 1e-9),
+        recall >= ivfRecall - 0.03))
+  }
+
   /** SemDeDup-style semantic dedup (cluster-then-prune) — the scale path
     * for dedup_emb_cosine's all-pairs oracle form. Gated per round on
     * recall vs the exact all-pairs twin at the same threshold (floor 0.8
@@ -248,5 +276,5 @@ object OpsQueries {
 
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, annIvf, semanticDups, canonical, retained, substringSpans)
+    annLsh, annIvf, annPq, semanticDups, canonical, retained, substringSpans)
 }

@@ -216,15 +216,11 @@ object SimilaritySearch {
     centers
   }
 
-  /** Train the coarse quantizer on a deterministic bounded driver sample
-    * (TakeOrdered — no full sort); best-of-3 seeded restarts by
-    * within-cluster SSE (k-means layout quality is init-luck on
-    * near-uniform data; restarts are driver-cheap). None on empty input. */
-  private def trainQuantizer(pts: DataFrame, nlist: Int, seed: Long,
-      trainSample: Int): Option[Array[Array[Double]]] = {
-    val sample = pts.orderBy(col("id")).limit(trainSample)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    if (sample.isEmpty) return None
+  /** Best-of-3 seeded Lloyd restarts by within-cluster SSE (k-means
+    * layout quality is init-luck on near-uniform data; restarts are
+    * driver-cheap). */
+  private def bestOf3(sample: Array[Array[Double]], k: Int,
+      seed: Long): Array[Array[Double]] = {
     def sse(cs: Array[Array[Double]]): Double = {
       var total = 0.0
       var i = 0
@@ -244,8 +240,22 @@ object SimilaritySearch {
       }
       total
     }
-    Some((0 until 3).map(r => localKMeans(sample, nlist, iters = 20, seed + r))
-      .minBy(sse))
+    (0 until 3).map(r => localKMeans(sample, k, iters = 20, seed + r)).minBy(sse)
+  }
+
+  /** Deterministic bounded driver sample of the point column `colName`
+    * (TakeOrdered — no full sort). */
+  private def sampleVectors(pts: DataFrame, colName: String,
+      trainSample: Int): Array[Array[Double]] =
+    pts.orderBy(col("id")).limit(trainSample)
+      .select(col(colName)).collect().map(_.getSeq[Double](0).toArray)
+
+  /** Train the coarse quantizer on a deterministic bounded driver sample.
+    * None on empty input. */
+  private def trainQuantizer(pts: DataFrame, nlist: Int, seed: Long,
+      trainSample: Int): Option[Array[Array[Double]]] = {
+    val sample = sampleVectors(pts, "v", trainSample)
+    if (sample.isEmpty) None else Some(bestOf3(sample, nlist, seed))
   }
 
   /** Nearest `m` quantizer cells by euclidean distance, deterministic
@@ -306,6 +316,124 @@ object SimilaritySearch {
       .select(col("a.id").as("i"), col("b.id").as("j"),
         (lit(1.0) - arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("dist2"))
     topKTail(pairs, k)
+  }
+
+  /** IVF-PQ ANN (FAISS IVFADC shape, Jégou et al. 2011): the coarse
+    * quantizer routes queries to `nprobe` cells as in [[ivfTopK]], but
+    * the index side stores PRODUCT-QUANTIZED codes — each unit-normalized
+    * vector split into `m` subvectors, each encoded as its nearest
+    * centroid in a per-subspace `ksub`-entry codebook — instead of the
+    * raw floats. Candidates are shortlisted by asymmetric distance (exact
+    * query subvector vs reconstructed candidate subvector, summed over
+    * subspaces), then the top k·`refine` per query are re-scored with
+    * exact cosine so no quantization error leaves the operator.
+    *
+    * 100 TB shape — PQ is the MEMORY/SHUFFLE lever of the ANN family:
+    * the candidate join's index side carries m small ints (m bytes in
+    * parquet/UnsafeRow terms) instead of dim doubles — 64× lighter at
+    * dim=64/m=8 — so a 10⁹-vector index fits executor memory and the
+    * cell equi-join shuffles codes, not vectors. Codebooks (m·ksub·dim/m
+    * doubles = dim·ksub total) train driver-side on the same bounded
+    * sample as the quantizer and ship in the task closure like the LSH
+    * hyperplanes. Two simplifications vs full FAISS, both documented:
+    * codes quantize raw unit vectors (not per-cell residuals — residuals
+    * would need a per-(query, cell) lookup table), and ADC recomputes
+    * subspace distances per pair rather than caching per-query LUTs (the
+    * asymptotic win here is the shuffled-bytes cut, not the per-pair
+    * FLOP cut). Exactness debt is repaid by the refine stage; recall vs
+    * the exact twin is gate-measured per round, never assumed.
+    *
+    * Defaults swept on the fixture (recall@5 vs exact; the IVF candidate
+    * ceiling at these nlist/nprobe is 0.675): m=8/ksub=64 at refine
+    * 5→0.598, 10→0.658, 20→0.675 — refine=20 recovers the full ceiling
+    * (ADC retention ≈ 1.0), so with the defaults the quantization costs
+    * candidates nothing and the gate measures cell recall + ADC health
+    * jointly. m=16 or ksub=128 buy the same at refine=10 for 2× code
+    * size or codebook size (SCALING.md). */
+  def pqTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 5, m: Int = 8, ksub: Int = 64,
+      refine: Int = 20, seed: Long = 42, trainSample: Int = 16384): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    require(refine >= 1, "refine multiplies the exact-rescore shortlist")
+    val pts0 = normalizedPoints(emb, idCol, vecCol)
+    val pts = pts0.select(col("id"),
+      transform(col("v"), x => x / col("nrm")).as("u"))
+    val sample = sampleVectors(pts, "u", trainSample)
+    if (sample.isEmpty) {
+      return pts.limit(0).select(col("id").as("i"), col("id").as("j"),
+        lit(0.0).as("cosine"), lit(0).cast("int").as("rank"))
+    }
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val centers = bestOf3(sample, nlist, seed)
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val subvecs = sample.map(x => java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub))
+      localKMeans(subvecs, math.min(ksub, subvecs.length), iters = 20, seed + 1000 + j)
+    }
+
+    val cellUdf = udf { (u: Seq[Double]) => nearestCells(centers)(u, 1).head }
+    val probeUdf = udf { (u: Seq[Double]) => nearestCells(centers)(u, nprobe) }
+    val encodeUdf = udf { (u: Seq[Double]) =>
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val book = books(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var s = 0.0
+          var i = 0
+          val ctr = book(c)
+          while (i < sub) { val df = u(j * sub + i) - ctr(i); s += df * df; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        codes(j) = best
+        j += 1
+      }
+      codes.toSeq
+    }
+    // asymmetric distance: exact query side vs PQ-reconstructed candidate
+    val adcUdf = udf { (u: Seq[Double], codes: Seq[Int]) =>
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        val ctr = books(j)(codes(j))
+        var i = 0
+        while (i < sub) { val df = u(j * sub + i) - ctr(i); s += df * df; i += 1 }
+        j += 1
+      }
+      s
+    }
+
+    val indexSide = pts.select(col("id"),
+      cellUdf(col("u")).as("cell"), encodeUdf(col("u")).as("codes"))
+    val querySide = pts.select(col("id"), col("u"),
+      explode(probeUdf(col("u"))).as("cell"))
+    // the bounded heap shortlists k·refine by ADC — the only stage that
+    // sees the full candidate stream carries (id, codes), not vectors
+    val shortlist = querySide.as("a")
+      .join(indexSide.as("b"), Seq("cell"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        adcUdf(col("a.u"), col("b.codes")).as("adc"))
+      .groupBy(col("i"))
+      .agg(org.apache.spark.sql.graft.TopKNeighbors
+        .topk(k * refine, col("j"), col("adc")).as("nbrs"))
+      .select(col("i"), explode(col("nbrs")).as("nbr"))
+      .select(col("i"), col("nbr.j").as("j"))
+    // exact refine on the shortlist: unit vectors join back by id (narrow
+    // id-keyed joins of n·k·refine rows), cosine = unit dot
+    val qv = pts.select(col("id").as("i"), col("u").as("qu"))
+    val cv = pts.select(col("id").as("j"), col("u").as("cu"))
+    val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j").asc)
+    shortlist.join(qv, "i").join(cv, "j")
+      .select(col("i"), col("j"), arrayDot(col("qu"), col("cu")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("i", "j", "cosine", "rank")
   }
 
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al., "SemDeDup:

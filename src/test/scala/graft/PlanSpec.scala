@@ -117,6 +117,15 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 exchange on source, found $n:\n$p")
   }
 
+  test("ann_pq: cell equi-join with partial ADC top-k, never a cartesian") {
+    val p = plan("ann_pq_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the ADC shortlist must keep its map-side partial phase — that is
+    // what bounds the shuffle to O(n·k·refine) rows of (id, id, double)
+    assert(p.contains("partial_topk_neighbors"), p)
+  }
+
   test("dedup_semantic: candidates come from a cell equi-join, never a cartesian") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"), p)

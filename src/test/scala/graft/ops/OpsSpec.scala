@@ -228,4 +228,36 @@ class SimilaritySpec extends AnyFunSuite {
     println(s"[ops] IVF ANN recall@5 = $recall")
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("IVF-PQ: refine stage recovers the IVF candidate ceiling; deterministic") {
+    val exact = SimilaritySearch.bruteTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilaritySearch.ivfTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pqSet() = SimilaritySearch.pqTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = pqSet()
+    val pqRecall = (pq intersect exact).size.toDouble / exact.size
+    val ivfRecall = (ivf intersect exact).size.toDouble / exact.size
+    println(s"[ops] PQ recall@5 = $pqRecall (IVF ceiling $ivfRecall)")
+    // the cells bound what PQ can find; at refine=20 the ADC shortlist
+    // must not lose a measurable slice of it
+    assert(pqRecall >= ivfRecall - 0.03,
+      s"ADC shortlist lost recall: $pqRecall vs IVF $ivfRecall")
+    assert(pqSet() == pq, "seeded codebooks + deterministic ties: runs must agree")
+  }
+
+  test("IVF-PQ: starved refine budget degrades recall (the failure mode the gate catches)") {
+    val exact = SimilaritySearch.bruteTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(refine: Int) = {
+      val pq = SimilaritySearch.pqTopK(emb, k = 5, refine = refine)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pq intersect exact).size.toDouble / exact.size
+    }
+    val starved = recallAt(1)
+    val healthy = recallAt(20)
+    assert(starved < healthy,
+      s"refine=1 ($starved) must lose to refine=20 ($healthy) — if not, ADC isn't doing anything")
+  }
 }
