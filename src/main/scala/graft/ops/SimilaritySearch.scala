@@ -424,13 +424,19 @@ object SimilaritySearch {
         .topk(k * refine, col("j"), col("adc")).as("nbrs"))
       .select(col("i"), explode(col("nbrs")).as("nbr"))
       .select(col("i"), col("nbr.j").as("j"))
-    // exact refine on the shortlist: unit vectors join back by id (narrow
-    // id-keyed joins of n·k·refine rows), cosine = unit dot
-    val qv = pts.select(col("id").as("i"), col("u").as("qu"))
-    val cv = pts.select(col("id").as("j"), col("u").as("cu"))
+    // exact refine on the shortlist: RAW vectors + norms join back by id
+    // (narrow id-keyed joins of n·k·refine rows) and the cosine is
+    // dot/(na·nb) — the SAME expression, same rounding, as bruteTopK.
+    // Scoring from the unit vectors instead (dot of u's) differs in the
+    // last ulp, which is enough to scramble ranks among near-tied
+    // neighbors: the 16k replica probe measured recall 0.80 vs 1.0 from
+    // exactly that before this was aligned.
+    val qv = pts0.select(col("id").as("i"), col("v").as("qv"), col("nrm").as("na"))
+    val cv = pts0.select(col("id").as("j"), col("v").as("cv"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("i")).orderBy(col("cosine").desc, col("j").asc)
     shortlist.join(qv, "i").join(cv, "j")
-      .select(col("i"), col("j"), arrayDot(col("qu"), col("cu")).as("cosine"))
+      .select(col("i"), col("j"),
+        (arrayDot(col("qv"), col("cv")) / (col("na") * col("nb"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("i", "j", "cosine", "rank")

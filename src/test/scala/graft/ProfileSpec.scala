@@ -235,6 +235,40 @@ class ProfileSpec extends AnyFunSuite {
     exact.unpersist(); bloom.unpersist(); docs.unpersist()
   }
 
+  test("scale stress: IVF-PQ at 16k vectors (scale-adjusted nlist)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // SCALING guidance says raise nlist to keep cells executor-sized as
+    // n grows; validate recall parity vs same-parameter IVF holds above
+    // fixture scale with 8x perturbed replicas and nlist scaled 16→64.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val big = (0 until 8).map(r =>
+        emb.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(1.0 + r * 0.001)).as("embedding")))
+      .reduce(_ union _).cache()
+    val n = big.count()
+    val exact = time("exact top-5 @16k") {
+      val f = ops.SimilaritySearch.bruteTopK(big, k = 5).select("i", "j").cache()
+      f.count(); f
+    }
+    val nExact = exact.count().toDouble
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double =
+      res.join(exact, Seq("i", "j")).count() / nExact
+    val ivfRecall = time("IVF @16k (nlist=64, nprobe=8)")(recallOf(
+      ops.SimilaritySearch.ivfTopK(big, k = 5, nlist = 64, nprobe = 8)
+        .select("i", "j")))
+    val pqRecall = time("IVF-PQ @16k (nlist=64, nprobe=8, refine=20)")(recallOf(
+      ops.SimilaritySearch.pqTopK(big, k = 5, nlist = 64, nprobe = 8)
+        .select("i", "j")))
+    println(s"[profile] pq@16k: n=$n ivf_recall=$ivfRecall pq_recall=$pqRecall")
+    // the two quantizers train on different inputs (raw vs unit vectors)
+    // so their probed cell slices differ — compare each against EXACT:
+    // ADC + refine must not cost a measurable slice of what cells find
+    assert(pqRecall >= ivfRecall - 0.05,
+      s"PQ recall $pqRecall must track IVF recall $ivfRecall above fixture scale")
+    exact.unpersist(); big.unpersist()
+  }
+
   test("scale stress: LM-perplexity at 100k docs (corpus-sized bigram model)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // The model (bigram + unigram count tables) is corpus-sized by
