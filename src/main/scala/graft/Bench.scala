@@ -111,7 +111,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"$protocol","failed":$failedJson,"sf":"$sfDir"}""")
     // Opt-in regression gate (SPARK_GRAFT_BASELINE=1 or =path): compare
     // each query's reported min against its pinned steady-state time in
-    // baseline.json and exit nonzero on any 2x exceedance — the 2x rule
+    // baseline_pins.json and exit nonzero on any 2x exceedance — the 2x rule
     // lives in the repo, not just in round-verdict heads. The +0.25 s
     // absolute slack keeps sub-100 ms queries from tripping the gate on
     // scheduler jitter that a ratio alone would flag.
@@ -123,7 +123,7 @@ object Bench {
     // build: events_windowed 1.73 s in-sweep vs 0.26 s isolated) — a gate
     // that reds on that noise trains its readers to ignore it.
     val gateRc = sys.env.get("SPARK_GRAFT_BASELINE").map { bl =>
-      val path = if (bl == "1") "baseline.json" else bl
+      val path = if (bl == "1") "baseline_pins.json" else bl
       val text = scala.io.Source.fromFile(path)
       val pins =
         try """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r

@@ -65,12 +65,17 @@ object CorpusPipeline {
     //     in for a benchmark suite (as in text_contamination). Corpus
     //     docs sharing ≥5% of their distinct trigrams with it are
     //     dropped, as are the benchmark docs themselves — eval data must
-    //     never reach a training shard. Bloom path: a real suite's
-    //     n-gram set may not fit a broadcast join; production callers
-    //     pass expectedItems to skip the sizing count.
+    //     never reach a training shard. The benchmark side comes from
+    //     the UNFILTERED corpus: an eval doc the quality rules happened
+    //     to drop still contaminates — its n-grams must stay in the
+    //     filter, only the CORPUS side is quality-gated. Bloom path: a
+    //     real suite's n-gram set may not fit a broadcast join;
+    //     production callers pass expectedItems to skip the sizing count.
     val isBench = col("doc_id") % 100 === 7
+    val decontamInput = allDocs.where(isBench)
+      .unionByName(qualityDocs.where(!isBench))
     val contaminated = TextQueries
-      .contaminationBloomVs(qualityDocs, isBench, threshold = 0.05, fpp = 1e-4)
+      .contaminationBloomVs(decontamInput, isBench, threshold = 0.05, fpp = 1e-4)
       .select("doc_id")
     val docs = qualityDocs
       .where(!isBench)

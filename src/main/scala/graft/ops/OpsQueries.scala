@@ -172,8 +172,10 @@ object OpsQueries {
       exact.select("i", "j"), Seq("i", "j"))
     Seq(
       Gate("recall_at_5_vs_exact", recall, recall >= 0.6),
-      Gate("adc_retention_vs_ivf", recall / math.max(ivfRecall, 1e-9),
-        recall >= ivfRecall - 0.03))
+      // value and pass condition agree: the signed margin vs IVF is what
+      // the -0.03 floor tests, so a tripped gate shows its distance
+      Gate("pq_minus_ivf_recall", recall - ivfRecall,
+        recall - ivfRecall >= -0.03))
   }
 
   /** SemDeDup-style semantic dedup (cluster-then-prune) — the scale path

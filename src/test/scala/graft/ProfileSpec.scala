@@ -17,6 +17,17 @@ class ProfileSpec extends AnyFunSuite {
     r
   }
 
+  /** 8× perturbed replicas (±0.1% scale per replica) of the embeddings
+    * fixture, CACHED — the shared 16k-vector stress input. Exact
+    * duplicates would make every LSH bucket degenerate, which no real
+    * corpus does; unpersist when the probe is done. */
+  private def replicate8x(emb: org.apache.spark.sql.DataFrame) =
+    (0 until 8).map(r =>
+        emb.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(1.0 + r * 0.001)).as("embedding")))
+      .reduce(_ union _).cache()
+
   test("minhash stage timing") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -241,11 +252,7 @@ class ProfileSpec extends AnyFunSuite {
     // n grows; validate recall parity vs same-parameter IVF holds above
     // fixture scale with 8x perturbed replicas and nlist scaled 16→64.
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val big = (0 until 8).map(r =>
-        emb.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
-          transform(col("embedding").cast("array<double>"),
-            x => x * lit(1.0 + r * 0.001)).as("embedding")))
-      .reduce(_ union _).cache()
+    val big = replicate8x(emb)
     val n = big.count()
     val exact = time("exact top-5 @16k") {
       val f = ops.SimilaritySearch.bruteTopK(big, k = 5).select("i", "j").cache()
@@ -306,11 +313,7 @@ class ProfileSpec extends AnyFunSuite {
     // ever ran at fixture scale before this probe. Same 8x perturbed
     // replica construction as the kNN probe.
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val big = (0 until 8).map(r =>
-        emb.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
-          transform(col("embedding").cast("array<double>"),
-            x => x * lit(1.0 + r * 0.001)).as("embedding")))
-      .reduce(_ union _).cache()
+    val big = replicate8x(emb)
     val n = big.count()
     println(s"[profile] x2p input rows = $n")
     val cand = time("x2p candidates (w=0.05, 8x2)")(
@@ -343,11 +346,7 @@ class ProfileSpec extends AnyFunSuite {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     // perturbed replicas (±0.1% per replica) — exact duplicates would
     // make every LSH bucket degenerate, which no real corpus does
-    val big = (0 until 8).map(r =>
-        emb.select((col("vec_id") + lit(r * 100000L)).as("vec_id"),
-          transform(col("embedding").cast("array<double>"),
-            x => x * lit(1.0 + r * 0.001)).as("embedding")))
-      .reduce(_ union _).cache()
+    val big = replicate8x(emb)
     println(s"[profile] scaled rows = ${big.count()}")
     val t = time("exact kNN 16k x 16k")(
       tsne.KNN.knn(big, "vec_id", "embedding", 10).count())
