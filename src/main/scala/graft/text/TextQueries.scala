@@ -405,6 +405,94 @@ object TextQueries {
       Gate("precision_vs_exact", precision, precision >= 0.8))
   }
 
+  /** Span-level decontamination: WHICH character ranges of a corpus doc
+    * are verbatim copies of benchmark text, via the same fixed-width
+    * content-hash windows as [[graft.ops.Dedup.dupSpans]] restricted to
+    * (corpus, benchmark) evidence. Doc-level contamination
+    * ([[contaminationVs]]) answers "drop this doc?"; this answers "or
+    * cut just these spans?" — the surgical option of Lee et al. 2022
+    * applied to eval-overlap. Returns only contaminated docs:
+    * (doc_id, n_windows, n_contam_windows, contam_frac,
+    * first_contam_pos — 1-based char offset of the earliest hit).
+    *
+    * Stride alignment matters: a strided corpus window only matches a
+    * strided benchmark window when the copy's offset shift is ≡ 0 mod
+    * the stride — so the BENCHMARK side defaults to stride 1 (every
+    * position hashed: any-offset copies are caught) while the corpus
+    * side stays strided. Eval suites are small, so the windowChars×
+    * growth on the bench side is cheap; Lee et al.'s suffix arrays get
+    * the same sensitivity without the growth at far higher machinery
+    * cost. A unit test pins the shifted-copy case this asymmetry exists
+    * for.
+    *
+    * Scale shape: one windowing projection per side (corpus growth ≈
+    * windowChars/stride ×, fixed-width md5 keys), the benchmark hash
+    * set broadcast (small by nature, like the doc-level exact form),
+    * two key-partitioned aggregations. No all-pairs. */
+  def contaminationSpansVs(docs: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column,
+      windowChars: Int = 40, stride: Int = 10, benchStride: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    require(windowChars >= 1 && stride >= 1 && benchStride >= 1,
+      s"window parameters must be positive, got ($windowChars, $stride, $benchStride)")
+    def windows(side: org.apache.spark.sql.DataFrame, step: Int) =
+      side
+        .where(col("text").isNotNull && length(col("text")) >= windowChars)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - (windowChars - 1),
+            lit(step))).as("p"),
+          col("text"))
+        .select(col("doc_id"), col("p"),
+          md5(col("text").substr(col("p"), lit(windowChars))).as("h"))
+    val benchH = windows(docs.where(isBench), benchStride)
+      .select("h").distinct()
+    val corpus = windows(docs.where(!isBench), stride).cache()
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val hit = corpus.join(broadcast(benchH), "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_contam_windows"),
+        min(col("p")).as("first_contam_pos"))
+    // inner join: the output is the contaminated docs, with their spans
+    tot.join(hit, "doc_id")
+      .select(col("doc_id"), col("n_windows"), col("n_contam_windows"),
+        (col("n_contam_windows").cast("double") / col("n_windows"))
+          .as("contam_frac"),
+        col("first_contam_pos"))
+  }
+
+  /** Span-level decontamination query — 16-char windows, corpus stride 4,
+    * benchmark stride 1 (the library's corpus default is Lee et al.'s
+    * 40/10; the synthetic fixture's short docs need tighter windows for
+    * the query to exercise a meaningful surface: 163 docs / 300 windows
+    * here vs 1 doc at 40-char windows). */
+  val contaminationSpans: Q = Q(
+    "text_contamination_spans",
+    """WITH bh AS (
+      |  SELECT DISTINCT md5(substr(text, CAST(p AS INTEGER), 16)) AS h
+      |  FROM (
+      |    SELECT text, unnest(generate_series(1, length(text) - 15, 1)) AS p
+      |    FROM documents
+      |    WHERE doc_id % 100 = 7 AND text IS NOT NULL AND length(text) >= 16)),
+      |c AS (
+      |  SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), 16)) AS h
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(1, length(text) - 15, 4)) AS p
+      |    FROM documents
+      |    WHERE doc_id % 100 <> 7 AND text IS NOT NULL AND length(text) >= 16)),
+      |tot AS (SELECT doc_id, count(*) AS n_windows FROM c GROUP BY 1),
+      |hit AS (SELECT c.doc_id, count(*) AS n_contam_windows,
+      |               CAST(min(p) AS INTEGER) AS first_contam_pos
+      |        FROM c JOIN bh USING (h) GROUP BY 1)
+      |SELECT tot.doc_id AS doc_id, n_windows, n_contam_windows,
+      |  CAST(n_contam_windows AS DOUBLE) / n_windows AS contam_frac,
+      |  first_contam_pos
+      |FROM tot JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin
+  ) { (s, d) =>
+    contaminationSpansVs(Tables.documents(s, d),
+      col("doc_id") % 100 === 7, windowChars = 16, stride = 4)
+  }
+
   /** Gopher-style document-quality rule filter (Rae et al. 2021, §A1.1
     * "MassiveWeb" rules), the standard pre-training hygiene pass: keep a
     * document only if its token count, mean token length, alphanumeric
@@ -536,5 +624,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
-    contamination, contaminationBloom, gopherFilter, lmPerplexity, piiScrub)
+    contamination, contaminationBloom, contaminationSpans, gopherFilter,
+    lmPerplexity, piiScrub)
 }

@@ -136,6 +136,47 @@ class TextSpec extends AnyFunSuite {
     assert(survivors(Seq(1L -> null.asInstanceOf[String])).isEmpty)
   }
 
+  // --- span-level decontamination ---
+
+  test("contamination spans: a verbatim 60-char copy of benchmark text is localized") {
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog while " +
+      "the farmer watches from the barn door in the evening light"  // 109 chars
+    val copied = benchText.substring(20, 80)                         // 60-char block
+    val docs = Seq(
+      7L  -> benchText,
+      10L -> ("completely original content here with nothing shared at all " +
+        "and plenty of its own words to fill forty characters"),
+      11L -> ("intro text then " + copied + " and an original tail here")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.contaminationSpansVs(docs, col("doc_id") === 7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(4))).toMap
+    // only the copying doc appears — never the benchmark doc itself, and
+    // never the disjoint doc
+    assert(out.keySet == Set(11L), s"got ${out.keySet}")
+    val (nw, nc, firstPos) = out(11L)
+    assert(nc >= 1 && nc < nw, "some but not all windows are contaminated")
+    // the copy sits at corpus offset 17 — shifted 4 (mod 10) relative to
+    // its benchmark origin, so stride-10 windows on BOTH sides would
+    // never align and this exact case read Set() before the benchmark
+    // side defaulted to stride 1; the earliest hit must lie inside the
+    // copied region (1-based char 17, 60 chars long)
+    assert(firstPos >= 17 && firstPos <= 17 + 60 - 40,
+      s"first contaminated window at $firstPos must start inside the copy")
+  }
+
+  test("contamination spans: short and null docs are excluded, empty bench flags nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "tiny",
+      2L -> null.asInstanceOf[String],
+      3L -> ("a normal length document with plenty of words to have " +
+        "windows but no benchmark to hit")
+    ).toDF("doc_id", "text")
+    assert(TextQueries.contaminationSpansVs(docs, lit(false)).count() == 0)
+  }
+
   // --- LM-perplexity quality score ---
 
   test("lm perplexity: common-bigram prose scores lower ppl than unique-bigram text") {
