@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm, GraftBridge}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm, GraftBridge, PqAdcSum}
 
 /** Public Column API over the codegen'd vector expressions
   * (org.apache.spark.sql.graft.VectorExpressions). All kernels compute in
@@ -37,4 +37,12 @@ object VectorFunctions {
   /** cos(a, b) = a·b / (‖a‖·‖b‖) */
   def arrayCosine(a: Column, b: Column): Column =
     arrayDot(a, b) / (arrayNorm(a) * arrayNorm(b))
+
+  /** PQ asymmetric distance: Σ_j lut[j·ksub + codes_j] over a flattened
+    * per-query m×ksub lookup table — m array reads per candidate pair.
+    * `codes` is ARRAY<TINYINT> (ksub ≤ 128 by the pqTopK contract). */
+  def pqAdcSum(lut: Column, codes: Column): Column =
+    GraftBridge.column(PqAdcSum(
+      GraftBridge.expression(asDoubleArray(lut)),
+      GraftBridge.expression(codes.cast("array<tinyint>"))))
 }

@@ -149,18 +149,20 @@ object OpsQueries {
   }
 
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
-    * cell candidates as IVF, but the index side of the join carries m=8
-    * byte codes instead of 64 doubles (64× lighter shuffle/build side),
-    * shortlisted by asymmetric distance and exact-rescored on the top
-    * k·refine. Two gates: recall@5 vs the exact twin at 0.6 (0.675
-    * measured with the defaults — same floor/headroom as ann_ivf_topk,
-    * whose cell candidates bound this operator), and ADC retention vs a
+    * cell candidates as IVF, but the index side of the join carries m=16
+    * RESIDUAL code bytes (ARRAY<TINYINT>) instead of 64 doubles (32×
+    * lighter shuffle/build side), shortlisted by per-query-LUT asymmetric
+    * distance (codegen'd pq_adc_sum, m table reads per pair) and
+    * exact-rescored on the top k·refine. Two gates: recall@5 vs the
+    * exact twin at 0.65 (raised from 0.6 in r7 — residual encoding at
+    * m=16/refine=10 measures the FULL IVF cell ceiling 0.6748, so the
+    * floor tracks ann_ivf_topk's headroom), and ADC retention vs a
     * same-parameter IVF run within 0.03 — the quantization may not cost
     * a measurable slice of the candidates the cells already found
-    * (measured loss ≈ 0 at refine=20; it was 0.077 at refine=5, which
-    * is what this gate exists to catch). The quantizers differ only in
-    * training input (unit-normalized vs raw vectors — equal on the
-    * unit-norm fixture). */
+    * (measured loss 0 at refine=10 with residuals; raw-vector encoding
+    * lost 0.017 at the same refine, which is what this gate catches).
+    * The quantizers differ only in training input (unit-normalized vs
+    * raw vectors — equal on the unit-norm fixture). */
   val annPq: Q = Q.gated("ann_pq_topk") { (s, d) =>
     SimilaritySearch.pqTopK(Tables.embeddings(s, d), k = 5)
   } { (s, d, res) =>
@@ -171,7 +173,7 @@ object OpsQueries {
     val (ivfRecall, _) = pairRecall(ivf.select("i", "j"),
       exact.select("i", "j"), Seq("i", "j"))
     Seq(
-      Gate("recall_at_5_vs_exact", recall, recall >= 0.6),
+      Gate("recall_at_5_vs_exact", recall, recall >= 0.65),
       // value and pass condition agree: the signed margin vs IVF is what
       // the -0.03 floor tests, so a tripped gate shows its distance
       Gate("pq_minus_ivf_recall", recall - ivfRecall,

@@ -318,44 +318,73 @@ object SimilaritySearch {
     topKTail(pairs, k)
   }
 
-  /** IVF-PQ ANN (FAISS IVFADC shape, Jégou et al. 2011): the coarse
-    * quantizer routes queries to `nprobe` cells as in [[ivfTopK]], but
-    * the index side stores PRODUCT-QUANTIZED codes — each unit-normalized
-    * vector split into `m` subvectors, each encoded as its nearest
-    * centroid in a per-subspace `ksub`-entry codebook — instead of the
-    * raw floats. Candidates are shortlisted by asymmetric distance (exact
-    * query subvector vs reconstructed candidate subvector, summed over
-    * subspaces), then the top k·`refine` per query are re-scored with
-    * exact cosine so no quantization error leaves the operator.
+  /** Squared distance of `x` to its nearest center's index; ties go to
+    * the smaller index (same rule as [[nearestCells]]'s (dist, idx) sort,
+    * kept consistent so the UDF and local paths route identically). */
+  private def nearestCellArr(centers: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var s = 0.0
+      var i = 0
+      val ctr = centers(c)
+      while (i < ctr.length) { val df = x(i) - ctr(i); s += df * df; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-PQ ANN (full FAISS IVFADC shape, Jégou et al. 2011 §III-IV): the
+    * coarse quantizer routes queries to `nprobe` cells as in [[ivfTopK]],
+    * but the index side stores PRODUCT-QUANTIZED codes of the RESIDUAL
+    * r = u − c(u) (the offset from the vector's coarse centroid) — each
+    * residual split into `m` subvectors, each encoded as its nearest
+    * centroid in a per-subspace `ksub`-entry codebook trained on sample
+    * residuals. Residual encoding concentrates the codebooks' resolution
+    * on the within-cell spread instead of the whole sphere, which is what
+    * lets a small refine budget recover the cell ceiling. Candidates are
+    * shortlisted by asymmetric distance computed through a per-(query,
+    * probed cell) LOOKUP TABLE: the m×ksub table of
+    * ‖(q − c_cell)_subⱼ − codebookⱼ[c]‖² distances is built once per
+    * probe (m·ksub·dim/m flops) and each candidate then costs m table
+    * reads via the codegen'd [[org.apache.spark.sql.graft.PqAdcSum]] —
+    * not m·(dim/m) multiply-adds per pair (the r6 `weak` finding). The
+    * LUT amortizes whenever a cell holds more candidates than ksub rows,
+    * i.e. always at scale (n/nlist ≫ ksub). Finally the top k·`refine`
+    * per query are re-scored with exact cosine so no quantization error
+    * leaves the operator.
     *
     * 100 TB shape — PQ is the MEMORY/SHUFFLE lever of the ANN family:
-    * the candidate join's index side carries m small ints (m bytes in
-    * parquet/UnsafeRow terms) instead of dim doubles — 64× lighter at
-    * dim=64/m=8 — so a 10⁹-vector index fits executor memory and the
-    * cell equi-join shuffles codes, not vectors. Codebooks (m·ksub·dim/m
-    * doubles = dim·ksub total) train driver-side on the same bounded
-    * sample as the quantizer and ship in the task closure like the LSH
-    * hyperplanes. Two simplifications vs full FAISS, both documented:
-    * codes quantize raw unit vectors (not per-cell residuals — residuals
-    * would need a per-(query, cell) lookup table), and ADC recomputes
-    * subspace distances per pair rather than caching per-query LUTs (the
-    * asymptotic win here is the shuffled-bytes cut, not the per-pair
-    * FLOP cut). Exactness debt is repaid by the refine stage; recall vs
-    * the exact twin is gate-measured per round, never assumed.
+    * the candidate join's index side carries m CODE BYTES (ARRAY<TINYINT>
+    * — ksub ≤ 128 so a code is one byte) instead of dim doubles — 32×
+    * lighter at dim=64/m=16 — so a 10⁹-vector index fits executor memory
+    * and the cell equi-join shuffles bytes, not vectors. The query side
+    * carries the nprobe LUTs (nprobe·m·ksub doubles per query) instead
+    * of the query vector — heavier per query row, but query rows are the
+    * small side of the join by construction and the per-pair saving
+    * multiplies by candidate volume. Codebooks (m·ksub·dim/m doubles =
+    * dim·ksub total) train driver-side on the same bounded sample as the
+    * quantizer and ship in the task closure like the LSH hyperplanes.
+    * Recall vs the exact twin is gate-measured per round, never assumed.
     *
     * Defaults swept on the fixture (recall@5 vs exact; the IVF candidate
-    * ceiling at these nlist/nprobe is 0.675): m=8/ksub=64 at refine
-    * 5→0.598, 10→0.658, 20→0.675 — refine=20 recovers the full ceiling
-    * (ADC retention ≈ 1.0), so with the defaults the quantization costs
-    * candidates nothing and the gate measures cell recall + ADC health
-    * jointly. m=16 or ksub=128 buy the same at refine=10 for 2× code
-    * size or codebook size (SCALING.md). */
+    * ceiling at these nlist/nprobe is 0.6748): with residual encoding,
+    * m=8/ksub=64 at refine 5→0.618, 10→0.6624, 20→0.6748; m=16 at
+    * refine 5→0.6704, 10→0.6748 — m=16/refine=10 recovers the FULL cell
+    * ceiling (ADC retention 1.0) where the r6 raw-vector encoding needed
+    * refine=20 (its refine-10 recall was 0.658). Defaults are
+    * m=16/refine=10 accordingly; zero-norm rows are excluded up front
+    * (no direction → NaN unit vector would poison codebook training and
+    * every cosine). */
   def pqTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 5, m: Int = 8, ksub: Int = 64,
-      refine: Int = 20, seed: Long = 42, trainSample: Int = 16384): DataFrame = {
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 5, m: Int = 16, ksub: Int = 64,
+      refine: Int = 10, seed: Long = 42, trainSample: Int = 16384): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     require(refine >= 1, "refine multiplies the exact-rescore shortlist")
-    val pts0 = normalizedPoints(emb, idCol, vecCol)
+    require(ksub >= 1 && ksub <= 128, "PQ codes are stored as bytes: need 1 <= ksub <= 128")
+    val pts0 = normalizedPoints(emb, idCol, vecCol).where(col("nrm") > 0)
     val pts = pts0.select(col("id"),
       transform(col("v"), x => x / col("nrm")).as("u"))
     val sample = sampleVectors(pts, "u", trainSample)
@@ -367,15 +396,26 @@ object SimilaritySearch {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
     val centers = bestOf3(sample, nlist, seed)
+    // codebooks train on residuals to the coarse centroid — the
+    // distribution the codes will actually quantize
+    val residuals = sample.map { x =>
+      val ctr = centers(nearestCellArr(centers, x))
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = x(i) - ctr(i); i += 1 }
+      r
+    }
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-      val subvecs = sample.map(x => java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub))
+      val subvecs = residuals.map(x => java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub))
       localKMeans(subvecs, math.min(ksub, subvecs.length), iters = 20, seed + 1000 + j)
     }
-
-    val cellUdf = udf { (u: Seq[Double]) => nearestCells(centers)(u, 1).head }
-    val probeUdf = udf { (u: Seq[Double]) => nearestCells(centers)(u, nprobe) }
+    val ksubEff = books(0).length
+    // index side: home cell + PQ codes of the residual, one pass
     val encodeUdf = udf { (u: Seq[Double]) =>
-      val codes = new Array[Int](m)
+      val x = u.toArray
+      val cell = nearestCellArr(centers, x)
+      val ctr = centers(cell)
+      val codes = new Array[Byte](m)
       var j = 0
       while (j < m) {
         val book = books(j)
@@ -385,40 +425,70 @@ object SimilaritySearch {
         while (c < book.length) {
           var s = 0.0
           var i = 0
-          val ctr = book(c)
-          while (i < sub) { val df = u(j * sub + i) - ctr(i); s += df * df; i += 1 }
+          val bc = book(c)
+          while (i < sub) {
+            val df = (x(j * sub + i) - ctr(j * sub + i)) - bc(i)
+            s += df * df
+            i += 1
+          }
           if (s < bestD) { bestD = s; best = c }
           c += 1
         }
-        codes(j) = best
+        codes(j) = best.toByte
         j += 1
       }
-      codes.toSeq
+      (cell, codes.toSeq)
     }
-    // asymmetric distance: exact query side vs PQ-reconstructed candidate
-    val adcUdf = udf { (u: Seq[Double], codes: Seq[Int]) =>
-      var s = 0.0
-      var j = 0
-      while (j < m) {
-        val ctr = books(j)(codes(j))
-        var i = 0
-        while (i < sub) { val df = u(j * sub + i) - ctr(i); s += df * df; i += 1 }
-        j += 1
+    // query side: ONE pass per query row computes its nprobe nearest
+    // cells, each paired with the flattened m×ksub ADC lookup table of
+    // the query residual against that cell's codewords, and the result
+    // array is EXPLODED. The Generate materializes the UDF output once
+    // per query row; the per-probe rows then carry struct-field reads
+    // only. A separate LUT projection after the explode is NOT enough:
+    // whole-stage codegen defers projection expressions to their point
+    // of use, which for a broadcast-join stream side is inside the
+    // per-match loop — the first r7 cut measured 30 s at sf0.1 (6× the
+    // r6 pin) from exactly that, the LUT UDF re-running per candidate
+    // pair instead of once per probe.
+    val probeLutUdf = udf { (u: Seq[Double]) =>
+      val x = u.toArray
+      nearestCells(centers)(u, nprobe).map { cell =>
+        val ctr = centers(cell)
+        val lut = new Array[Double](m * ksubEff)
+        var j = 0
+        while (j < m) {
+          val book = books(j)
+          var c = 0
+          while (c < ksubEff) {
+            var s = 0.0
+            var i = 0
+            val bc = book(c)
+            while (i < sub) {
+              val df = (x(j * sub + i) - ctr(j * sub + i)) - bc(i)
+              s += df * df
+              i += 1
+            }
+            lut(j * ksubEff + c) = s
+            c += 1
+          }
+          j += 1
+        }
+        (cell, lut.toSeq)
       }
-      s
     }
 
-    val indexSide = pts.select(col("id"),
-      cellUdf(col("u")).as("cell"), encodeUdf(col("u")).as("codes"))
-    val querySide = pts.select(col("id"), col("u"),
-      explode(probeUdf(col("u"))).as("cell"))
+    val indexSide = pts.select(col("id"), encodeUdf(col("u")).as("enc"))
+      .select(col("id"), col("enc._1").as("cell"), col("enc._2").as("codes"))
+    val querySide = pts
+      .select(col("id"), explode(probeLutUdf(col("u"))).as("pl"))
+      .select(col("id"), col("pl._1").as("cell"), col("pl._2").as("lut"))
     // the bounded heap shortlists k·refine by ADC — the only stage that
-    // sees the full candidate stream carries (id, codes), not vectors
+    // sees the full candidate stream reads m codes against the LUT
     val shortlist = querySide.as("a")
       .join(indexSide.as("b"), Seq("cell"))
       .where(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        adcUdf(col("a.u"), col("b.codes")).as("adc"))
+        pqAdcSum(col("a.lut"), col("b.codes")).as("adc"))
       .groupBy(col("i"))
       .agg(org.apache.spark.sql.graft.TopKNeighbors
         .topk(k * refine, col("j"), col("adc")).as("nbrs"))

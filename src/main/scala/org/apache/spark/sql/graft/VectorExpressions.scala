@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType}
 
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -133,6 +133,60 @@ case class ArraySqNorm(child: Expression)
 }
 
 
+/** Product-quantization asymmetric distance via a per-query lookup
+  * table: Σ_j lut[j·ksub + codes_j], where `lut` is the flattened m×ksub
+  * table of ‖query_residual_subⱼ − codebookⱼ[c]‖² distances computed ONCE
+  * per (query, probed cell) and `codes` is a candidate's m PQ codes.
+  * This is FAISS's ADC formulation (Jégou et al. 2011 §IV-A): the
+  * per-candidate cost is m table reads instead of m·(dim/m) multiply-adds
+  * — the fix for the r6 `weak` finding where the UDF recomputed subspace
+  * distances per pair. ksub is derived per row (lut.length / codes.length)
+  * so the expression needs no config plumbed through the plan. */
+case class PqAdcSum(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // codes are TINYINT (PQ codes are index bytes, ksub ≤ 128 by contract)
+  // so the shuffled index side really is m BYTES per vector — an int
+  // array would quietly quadruple it
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_sum"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val m = VectorExprs.requireDivides(lut.numElements(), codes.numElements(), prettyName)
+    val ksub = lut.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += lut.getDouble(VectorExprs.requireInRange(
+        j * ksub + codes.getByte(j), lut.numElements(), prettyName))
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      s"""
+         |int m = org.apache.spark.sql.graft.VectorExprs.requireDivides(
+         |  $lut.numElements(), $codes.numElements(), "pq_adc_sum");
+         |int ksub = $lut.numElements() / m;
+         |double acc = 0.0;
+         |for (int j = 0; j < m; j++) {
+         |  acc += $lut.getDouble(org.apache.spark.sql.graft.VectorExprs.requireInRange(
+         |    j * ksub + $codes.getByte(j), $lut.numElements(), "pq_adc_sum"));
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared runtime helpers for the generated code (must be a public
   * object so Janino-compiled classes can call it). */
 object VectorExprs {
@@ -147,6 +201,27 @@ object VectorExprs {
         s"$fn requires equal-length arrays, got $a and $b")
     }
     a
+  }
+
+  /** Number of PQ subspaces, validated: a LUT whose length is not a
+    * multiple of the code count means mismatched codebook config between
+    * the index and query sides — wrong distances with no signal. */
+  def requireDivides(lutLen: Int, m: Int, fn: String): Int = {
+    if (m <= 0 || lutLen % m != 0) {
+      throw new IllegalArgumentException(
+        s"$fn requires lut length ($lutLen) divisible by code count ($m)")
+    }
+    m
+  }
+
+  /** Bounds-checked LUT index: UnsafeArrayData.getDouble does NOT bounds
+    * check, so a corrupt code (≥ ksub) would silently read garbage. */
+  def requireInRange(idx: Int, len: Int, fn: String): Int = {
+    if (idx < 0 || idx >= len) {
+      throw new IllegalArgumentException(
+        s"$fn code index $idx out of lut range [0, $len)")
+    }
+    idx
   }
 }
 

@@ -170,8 +170,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // model counts must keep their map-side combine (the bigram explode
-    // multiplies rows; partial aggregation shrinks them before shuffle)
-    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    // multiplies rows; partial aggregation shrinks them before shuffle) —
+    // assert the COUNT aggregate specifically: any catch-all partial_*
+    // disjunct would be satisfied by an unrelated partial aggregate and
+    // could never fail meaningfully
+    assert(p.contains("partial_count"), p)
   }
 
   test("text_contamination_bloom: membership is a filter, not a join") {

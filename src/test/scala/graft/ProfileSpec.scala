@@ -264,7 +264,7 @@ class ProfileSpec extends AnyFunSuite {
     val ivfRecall = time("IVF @16k (nlist=64, nprobe=8)")(recallOf(
       ops.SimilaritySearch.ivfTopK(big, k = 5, nlist = 64, nprobe = 8)
         .select("i", "j")))
-    val pqRecall = time("IVF-PQ @16k (nlist=64, nprobe=8, refine=20)")(recallOf(
+    val pqRecall = time("IVF-PQ @16k (nlist=64, nprobe=8, residual m=16/refine=10)")(recallOf(
       ops.SimilaritySearch.pqTopK(big, k = 5, nlist = 64, nprobe = 8)
         .select("i", "j")))
     println(s"[profile] pq@16k: n=$n ivf_recall=$ivfRecall pq_recall=$pqRecall")
