@@ -429,6 +429,20 @@ object TextQueries {
     * windowChars/stride ×, fixed-width md5 keys), the benchmark hash
     * set broadcast (small by nature, like the doc-level exact form),
     * two key-partitioned aggregations. No all-pairs. */
+  /** (doc_id, p, w): every `windowChars`-wide window of `side`'s text at
+    * stride `step`, 1-based positions — the shared windowing projection
+    * of the span-decontamination family. */
+  private def spanWindows(side: org.apache.spark.sql.DataFrame,
+      windowChars: Int, step: Int) =
+    side
+      .where(col("text").isNotNull && length(col("text")) >= windowChars)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (windowChars - 1),
+          lit(step))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        col("text").substr(col("p"), lit(windowChars)).as("w"))
+
   def contaminationSpansVs(docs: org.apache.spark.sql.DataFrame,
       isBench: org.apache.spark.sql.Column,
       windowChars: Int = 40, stride: Int = 10, benchStride: Int = 1)
@@ -436,14 +450,8 @@ object TextQueries {
     require(windowChars >= 1 && stride >= 1 && benchStride >= 1,
       s"window parameters must be positive, got ($windowChars, $stride, $benchStride)")
     def windows(side: org.apache.spark.sql.DataFrame, step: Int) =
-      side
-        .where(col("text").isNotNull && length(col("text")) >= windowChars)
-        .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("text")) - (windowChars - 1),
-            lit(step))).as("p"),
-          col("text"))
-        .select(col("doc_id"), col("p"),
-          md5(col("text").substr(col("p"), lit(windowChars))).as("h"))
+      spanWindows(side, windowChars, step)
+        .select(col("doc_id"), col("p"), md5(col("w")).as("h"))
     val benchH = windows(docs.where(isBench), benchStride)
       .select("h").distinct()
     val corpus = windows(docs.where(!isBench), stride).cache()
@@ -458,6 +466,93 @@ object TextQueries {
         (col("n_contam_windows").cast("double") / col("n_windows"))
           .as("contam_frac"),
         col("first_contam_pos"))
+  }
+
+  /** Bloom-sketch form of [[contaminationSpansVs]] — the span
+    * decontamination path for eval suites too large to broadcast as a
+    * hash-join side. The exact span form's benchmark side is STRIDE 1
+    * (every character position hashed, so any-offset copies are caught),
+    * which makes its broadcast set |suite chars| entries — a window-hash
+    * set that outgrows a broadcastable join side long before the
+    * doc-level shingle set does (a 1 GB suite is ~10⁹ hashes ≈ 32 GB of
+    * md5 strings). Here the benchmark windows go into a
+    * [[org.apache.spark.util.sketch.BloomFilter]] over their xxhash64
+    * (long membership — cheaper to build and probe than strings; the
+    * 64-bit pre-hash adds a ~2⁻⁶⁴-per-pair collision floor, far below
+    * any practical fpp), built by Spark's native sketch aggregate
+    * (~19 bits/item at fpp 1e-4), and the corpus side filters by
+    * membership before its aggregation. No false negatives is structural
+    * (bloom + the total-window count comes from the unfiltered corpus
+    * frame); false positives inflate per-doc hit counts by ≈ fpp·windows
+    * — both gated per round against the exact twin. `expectedItems` is
+    * the raw (pre-distinct) benchmark window count — a production caller
+    * knows |suite chars| and should pass it to skip the counting pass;
+    * over-estimating only lowers the realized fpp. Returns the same
+    * schema as the exact form. The internal corpus-window frame is
+    * cached for the tot/hit double consumption and released by storage
+    * LRU (same lifetime contract as [[contaminationVs]]/the sketch
+    * family — Bench clears cache between queries). */
+  def contaminationSpansBloomVs(docs: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column,
+      windowChars: Int = 40, stride: Int = 10, benchStride: Int = 1,
+      fpp: Double = 1e-4, expectedItems: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    require(windowChars >= 1 && stride >= 1 && benchStride >= 1,
+      s"window parameters must be positive, got ($windowChars, $stride, $benchStride)")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    def windows(side: org.apache.spark.sql.DataFrame, step: Int) =
+      spanWindows(side, windowChars, step)
+        .select(col("doc_id"), col("p"), xxhash64(col("w")).as("h"))
+    // sentinel row: Spark's bloomFilter aggregate returns null over zero
+    // rows (empty benchmark branch — same edge the doc-level bloom form
+    // guards); one extra long insertion is fpp-invisible
+    val sentinel = docs.sparkSession.range(1).select(lit(Long.MinValue).as("h"))
+    val bench = windows(docs.where(isBench), benchStride).select("h")
+      .union(sentinel)
+    val nBench = expectedItems.getOrElse(math.max(1L, bench.count()))
+    val bloom = bench.stat.bloomFilter("h", nBench, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val corpus = windows(docs.where(!isBench), stride).cache()
+    val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val hit = corpus.where(mightContain(col("h")))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_contam_windows"),
+        min(col("p")).as("first_contam_pos"))
+    tot.join(hit, "doc_id")
+      .select(col("doc_id"), col("n_windows"), col("n_contam_windows"),
+        (col("n_contam_windows").cast("double") / col("n_windows"))
+          .as("contam_frac"),
+        col("first_contam_pos"))
+  }
+
+  /** Bloom span decontamination, gated against the exact span twin
+    * ([[contaminationSpansVs]] at the same window geometry): zero missed
+    * docs (false negatives are structurally impossible), zero per-doc
+    * window undercounts, and a precision floor on the flagged set. */
+  val contaminationSpansBloom: Q = Q.gated("text_contamination_spans_bloom") { (s, d) =>
+    // fixture cohort's bench branch is ~5 docs ≈ 2.2k stride-1 windows;
+    // 65536 over-sizes it (tighter realized fpp) and skips the count pass
+    contaminationSpansBloomVs(Tables.documents(s, d),
+      col("doc_id") % 100 === 7, windowChars = 16, stride = 4,
+      fpp = 1e-4, expectedItems = Some(65536L))
+  } { (s, d, res) =>
+    val exact = contaminationSpansVs(Tables.documents(s, d),
+        col("doc_id") % 100 === 7, windowChars = 16, stride = 4)
+      .select(col("doc_id"), col("n_contam_windows").as("n_exact")).cache()
+    val nExact = exact.count()
+    val missed = exact.join(res, Seq("doc_id"), "left_anti").count()
+    val nBloom = res.count()
+    val both = res.join(exact, "doc_id").cache()
+    val nBoth = both.count()
+    val under = both.where(col("n_contam_windows") < col("n_exact")).count()
+    val precision = if (nBloom == 0) 1.0 else nBoth.toDouble / nBloom
+    exact.unpersist(); both.unpersist()
+    Seq(
+      Gate("exact_docs_flagged", nExact.toDouble, nExact > 0),
+      Gate("missed_exact_docs", missed.toDouble, missed == 0),
+      Gate("undercounted_docs", under.toDouble, under == 0),
+      Gate("precision_vs_exact", precision, precision >= 0.8))
   }
 
   /** Span-level decontamination query — 16-char windows, corpus stride 4,
@@ -624,6 +719,6 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
-    contamination, contaminationBloom, contaminationSpans, gopherFilter,
-    lmPerplexity, piiScrub)
+    contamination, contaminationBloom, contaminationSpans,
+    contaminationSpansBloom, gopherFilter, lmPerplexity, piiScrub)
 }

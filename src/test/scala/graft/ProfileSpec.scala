@@ -246,6 +246,60 @@ class ProfileSpec extends AnyFunSuite {
     exact.unpersist(); bloom.unpersist(); docs.unpersist()
   }
 
+  test("scale stress: bloom vs broadcast SPAN decontamination at a ~1M-window benchmark") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The span twin's broadcast side is |suite chars| STRIDE-1 window
+    // hashes — it outgrows a broadcastable join side far sooner than the
+    // doc-level shingle set. Measure both branches where the bench side
+    // is ~1M windows. Corpus: 50k docs; bench = ids < 5k built from
+    // "w"-tokens; every corpus id % 20 == 3 embeds a verbatim copy of
+    // bench doc (id % 5k)'s tokens 10..29 between unique "u"-token head/
+    // tail — token widths vary with the hash, so the copy lands at an
+    // id-dependent char offset: exactly the any-offset case the stride-1
+    // benchmark side exists for. Non-copy docs share nothing ("u" vs "w"
+    // prefixes), so the flagged set must be exactly the copies.
+    import org.apache.spark.sql.Column
+    val n = 50000L
+    val nBench = 5000L
+    def btok(id: Column, j: Column): Column =
+      concat(lit("w"), pmod(xxhash64(id * 53L + j), lit(50000L)))
+    def otok(id: Column, j: Column): Column =
+      concat(lit("u"), pmod(xxhash64(id * 97L + j), lit(50000L)))
+    def run(id: Column, lo: Int, hi: Int, tok: (Column, Column) => Column): Column =
+      concat_ws(" ", transform(sequence(lit(lo), lit(hi)), j => tok(id, j)))
+    val isCopy = col("id") >= nBench && col("id") % 20 === 3
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") < nBench, run(col("id"), 0, 39, btok))
+        .otherwise(concat_ws(" ",
+          run(col("id"), 0, 9, otok),
+          when(isCopy, run(col("id") % nBench, 10, 29, btok))
+            .otherwise(run(col("id"), 10, 29, otok)),
+          run(col("id"), 30, 39, otok))).as("text"))
+      .cache()
+    docs.count()
+    val isBench = col("doc_id") < nBench
+    val expectCopies = (nBench until n).count(_ % 20 == 3).toLong
+    val exact = time("exact span (broadcast ~1M-hash join) decontaminate") {
+      val f = text.TextQueries.contaminationSpansVs(docs, isBench).cache()
+      f.count(); f
+    }
+    val nExact = exact.count()
+    val bloom = time("bloom span (1e-4, sized) decontaminate") {
+      val f = text.TextQueries.contaminationSpansBloomVs(docs, isBench,
+        fpp = 1e-4, expectedItems = Some(1500000L)).cache()
+      f.count(); f
+    }
+    val nBloom = bloom.count()
+    val missed = exact.join(bloom, Seq("doc_id"), "left_anti").count()
+    println(s"[profile] span decontam @50k docs / ~1M bench windows: " +
+      s"exact=$nExact bloom=$nBloom expected=$expectCopies missed=$missed")
+    assert(nExact == expectCopies, "exact branch must flag exactly the copies")
+    assert(missed == 0, "bloom must flag every exact-contaminated doc")
+    assert(nBloom >= nExact && nBloom <= nExact + 50,
+      "bloom false-positive docs must stay within the fpp budget")
+    exact.unpersist(); bloom.unpersist(); docs.unpersist()
+  }
+
   test("scale stress: IVF-PQ at 16k vectors (scale-adjusted nlist)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // SCALING guidance says raise nlist to keep cells executor-sized as

@@ -244,4 +244,52 @@ class TextSpec extends AnyFunSuite {
     assert(exact.join(bloom, Seq("doc_id"), "left_anti").count() == 0,
       "every exact-flagged doc is bloom-flagged")
   }
+
+  test("bloom span decontamination matches the exact span twin at tight fpp, including the shifted copy") {
+    import spark.implicits._
+    // same geometry as the exact-span shifted-copy test: the copy's
+    // offset shift is not ≡ 0 mod the corpus stride, so the any-offset
+    // (stride-1) benchmark windows are what makes it findable — the
+    // bloom form must preserve exactly that sensitivity
+    val benchText = "the quick brown fox jumps over the lazy dog while " +
+      "the farmer watches from the barn door in the evening light"
+    val copied = benchText.substring(20, 80)
+    val docs = Seq(
+      7L  -> benchText,
+      10L -> ("completely original content here with nothing shared at all " +
+        "and plenty of its own words to fill forty characters"),
+      11L -> ("intro text then " + copied + " and an original tail here")
+    ).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val exact = key(TextQueries.contaminationSpansVs(docs, col("doc_id") === 7))
+    val bloom = key(TextQueries.contaminationSpansBloomVs(docs, col("doc_id") === 7,
+      fpp = 1e-6))
+    assert(exact.map(_._1) == Set(11L), "fixture sanity: only the copying doc")
+    assert(bloom == exact,
+      s"bloom spans (fpp=1e-6) must reproduce the exact twin here: $bloom vs $exact")
+  }
+
+  test("bloom span decontamination never under-reports at any fpp; empty bench flags nothing") {
+    import spark.implicits._
+    val boiler = "this exact boilerplate sentence is long enough to span windows "
+    val docs = (0L to 40L).map { i =>
+      val shared = if (i % 3 == 0) boiler else ""
+      (i, shared + s"unique body $i padded with enough original words to " +
+        s"clear the window floor w${i}a w${i}b w${i}c w${i}d w${i}e")
+    }.toDF("doc_id", "text")
+    val isBench = col("doc_id") % 10 === 0
+    val exact = TextQueries.contaminationSpansVs(docs, isBench)
+      .select(col("doc_id"), col("n_contam_windows").as("n_exact"))
+    // deliberately coarse fpp: the superset property must hold regardless
+    val bloom = TextQueries.contaminationSpansBloomVs(docs, isBench, fpp = 0.05)
+    assert(exact.join(bloom, Seq("doc_id"), "left_anti").count() == 0,
+      "every exact-flagged doc is bloom-flagged")
+    assert(bloom.join(exact, "doc_id")
+      .where(col("n_contam_windows") < col("n_exact")).count() == 0,
+      "bloom membership has no span undercounts")
+    assert(TextQueries.contaminationSpansBloomVs(docs, lit(false)).count() == 0,
+      "an empty benchmark branch flags nothing (sentinel keeps the sketch alive)")
+  }
 }
