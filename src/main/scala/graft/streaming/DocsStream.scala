@@ -52,4 +52,53 @@ object DocsStream {
       .format("memory")
       .queryName(name)
       .start()
+
+  /** Crawler-feed schema: the documents fixture plus the crawl/ingestion
+    * event time the dedup horizon is measured against. */
+  val crawlSchema: StructType = StructType(
+    docSchema.fields :+ StructField("crawl_ts", TimestampType))
+
+  /** Ingestion-time exact dedup — the streaming stage of
+    * [[graft.ops.Dedup.exactGroups]]: the same normalized content hash
+    * (lowercase + first `prefixChars` chars), deduped in-flight with
+    * `dropDuplicatesWithinWatermark` so a crawler feed sheds its re-crawls
+    * and mirror copies BEFORE they are ever written to the corpus store.
+    *
+    * Semantics, deliberately horizon-bounded: the first arrival of each
+    * content hash inside the watermark horizon is emitted with its full
+    * row; further arrivals within the horizon are dropped; rows whose
+    * event time has already fallen behind the watermark are dropped as
+    * late (never re-emitted out of order); and a re-crawl arriving AFTER
+    * the horizon passed is emitted again — at-least-once beyond the
+    * horizon by design, because unbounded exact dedup needs unbounded
+    * state, which is exactly what the batch `exactGroups`/`retain` pass
+    * downstream is for. State is therefore bounded by the horizon's key
+    * arrival rate, not corpus size — the property that holds at a
+    * 10⁹-docs/day crawl. StreamingSpec pins each branch of this contract
+    * with controlled micro-batches. */
+  def dedupByContent(docs: DataFrame, tsCol: String = "crawl_ts",
+      horizon: String = "10 minutes", prefixChars: Int = 80): DataFrame =
+    docs
+      .withColumn("h", md5(substring(lower(col("text")), 1, prefixChars)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("h")
+
+  /** Batch twin of [[dedupByContent]]'s survivor KEY set: one row per
+    * normalized content hash (what any arrival order of the stream must
+    * also produce, horizon effects aside). */
+  def dedupByContentBatchKeys(docs: DataFrame, prefixChars: Int = 80): DataFrame =
+    docs
+      .select(md5(substring(lower(col("text")), 1, prefixChars)).as("h"))
+      .distinct()
+
+  /** Start the ingestion dedup over a parquet directory file stream into
+    * a memory sink (local smoke; the transform is source-agnostic). */
+  def startContentDedupQuery(spark: SparkSession, dir: String,
+      name: String): StreamingQuery =
+    dedupByContent(spark.readStream.schema(crawlSchema).parquet(dir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
 }

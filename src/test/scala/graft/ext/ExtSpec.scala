@@ -125,6 +125,72 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming content dedup equals the batch hash set on the fixture") {
+    import spark.implicits._
+    // the fixture carries no crawl time — stage it with a synthetic one
+    // (monotone in doc_id, all inside one horizon) so the single-batch
+    // stream must reproduce the batch distinct-hash set exactly
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("crawl_ts", expr("timestamp_seconds(1700000000 + doc_id)"))
+    val batch = DocsStream.dedupByContentBatchKeys(docs)
+      .collect().map(_.getString(0)).toSet
+    assert(batch.nonEmpty && batch.size < docs.count(),
+      "fixture sanity: the documents fixture contains exact-prefix duplicates")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("docs-dedup").toString
+    docs.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = DocsStream.startContentDedupQuery(spark, streamDir, "cdtest")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cdtest").collect()
+      val streamKeys = out.map(_.getAs[String]("h")).toSet
+      assert(streamKeys == batch,
+        s"stream/batch hash-set divergence: ${streamKeys.size} vs ${batch.size}")
+      assert(out.length == batch.size,
+        "exactly one survivor row per content hash within the horizon")
+    } finally q.stop()
+  }
+
+  test("streaming content dedup: in-horizon dups drop, late rows drop, post-horizon re-crawls re-emit") {
+    import spark.implicits._
+    // controlled micro-batches against dedupByContent's documented
+    // contract (10-minute horizon). Content A/B/C... are full texts whose
+    // normalized 80-char prefixes differ.
+    def doc(id: Long, offsetMin: Long, text: String) =
+      (id, text, "en", "crawl", text.length.toLong,
+        new java.sql.Timestamp((1700000000L + offsetMin * 60L) * 1000L))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "crawl_ts")
+    val streamDir = java.nio.file.Files.createTempDirectory("docs-dedup-late").toString
+
+    // batch 1: A at t=0, B at t=112, sentinel S at t=120 → watermark 110
+    Seq(doc(1, 0, "alpha content body"), doc(2, 112, "beta content body"),
+        doc(99, 120, "sentinel content body"))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(streamDir)
+    val q = DocsStream.startContentDedupQuery(spark, streamDir, "cdlate")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdlate").count() == 3,
+        "batch 1: three fresh content hashes all emit")
+
+      // batch 2:
+      //  id=3: dup of B at t=113 — inside the horizon, state alive → DROPPED
+      //  id=4: dup of A at t=114 — A's state (event time 0) fell behind the
+      //        watermark and was evicted → RE-EMITTED (at-least-once beyond
+      //        the horizon, the documented trade)
+      //  id=5: novel content at t=2 — behind the watermark → late, dropped
+      //  id=6: novel content at t=116 — in horizon → emitted
+      Seq(doc(3, 113, "beta content body"), doc(4, 114, "alpha content body"),
+          doc(5, 2, "gamma novel body"), doc(6, 116, "delta novel body"))
+        .toDF(cols: _*).coalesce(1).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+
+      val ids = spark.table("cdlate").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids == Set(1L, 2L, 99L, 4L, 6L),
+        s"contract violation — emitted ids: $ids (expected in-horizon dup 3 " +
+          "and late row 5 dropped, post-horizon re-crawl 4 re-emitted)")
+    } finally q.stop()
+  }
+
   test("windowed dedup drops beyond-watermark late arrivals, keeps in-horizon ones") {
     import spark.implicits._
     // two controlled micro-batches: batch 1 advances the watermark to
