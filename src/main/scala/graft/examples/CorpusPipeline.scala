@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *     → Dedup.dupSpans            (boilerplate filter: drop docs that are
   *                                  mostly cross-doc duplicated substrings)
   *     → Corpus.hashSplit          (deterministic ≈80/10/10 train/val/test)
-  *     → Corpus.mixtureSample      (per-source keep rates on the train split)
+  *     → Corpus.temperatureRates   (α=0.5 XLM-R rebalancing: per-source
+  *                                  keep rates DERIVED from the train
+  *                                  split's source counts)
+  *     → Corpus.mixtureSample      (apply the broadcast-joined rates)
   *     → Corpus.stratifiedSample   (k-per-(source,lang) eval sample from val)
   *     → Corpus.packShards         (~2000-BPE-token training shards)
   *
@@ -46,8 +49,17 @@ object CorpusPipeline {
       train: Long, valN: Long, test: Long,
       mixed: Long, evalSample: Long, shards: Long)
 
-  /** Result of [[run]]: the packed training shards plus stage counts. */
-  case class Result(packed: DataFrame, counts: Counts)
+  /** Result of [[run]]: the packed training shards, stage counts, the
+    * temperature-derived per-source keep rates (|sources|-sized — lets
+    * the spec verify the mix against an independent hash oracle), and
+    * coarse per-phase wall seconds. Phase attribution in a lazy engine
+    * is by FIRST materializing action: each entry pays the upstream
+    * stages its action forced (the clean count pays quality+decontam,
+    * the pairs count pays both detectors, etc.) — honest enough for the
+    * "which stage went super-linear" question the scale probe asks. */
+  case class Result(packed: DataFrame, counts: Counts,
+      rates: Map[String, Double], train: DataFrame,
+      timings: Seq[(String, Double)])
 
   def run(spark: SparkSession, dir: String): Result = {
     val allDocs = Tables.documents(spark, dir)
@@ -118,16 +130,42 @@ object CorpusPipeline {
     // 3. deterministic train/val/test assignment
     val split = Corpus.hashSplit(filteredDocs, col("doc_id"))
 
-    // 4. data mixing on the train split: keep-all / half / quarter by
-    //    source suffix (the "books 1.0 / web 0.5 / crawl 0.25" pattern).
-    //    For DERIVED rather than hand-set rates, swap in
-    //    Corpus.temperatureRates(train, col("lang"), alpha, budget) —
-    //    the XLM-R p_s ∝ n_s^α rebalancing (see corpus_temperature_mix).
-    val suffix = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
-    val rate = when(suffix % 3 === 0, 1.0)
-      .when(suffix % 3 === 1, 0.5).otherwise(0.25)
+    // phase timing by first materializing action (see Result scaladoc) —
+    // started here because the actions below drive all upstream stages
+    val timings = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def timed[A](phase: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      timings += phase -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+
+    val nDocs = timed("scan")(allDocs.count())
+    val nClean = timed("quality+decontam")(docs.count())
+    val nQuality = qualityDocs.count()
+    val nPairs = timed("dup detectors (lex+sem)")(pairs.count())
+    val nRetained = timed("retain (CC + survivors)")(retainedDocs.count())
+
+    // 4. data mixing on the train split with TEMPERATURE-DERIVED rates
+    //    (the XLM-R p_s ∝ n_s^α rebalancing, α=0.5): low-resource sources
+    //    are upweighted relative to proportional sampling, and the rates
+    //    come from the train split's own source counts — budget = half
+    //    the split — rather than hand tuning. temperatureRates returns a
+    //    |sources|-sized local frame, so the join back is a broadcast.
+    val splitCounts = timed("spans filter + split") {
+      split.groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val nTrain = splitCounts.getOrElse("train", 0L)
     val train = split.where(col("split") === "train")
-    val mixed = Corpus.mixtureSample(train, col("doc_id"), rate)
+    val ratesDf = Corpus.temperatureRates(
+      train, col("source"), alpha = 0.5, budget = math.max(1L, nTrain / 2))
+    val rates = ratesDf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mixed = Corpus.mixtureSample(
+        train.join(broadcast(ratesDf), col("source") === col("src")),
+        col("doc_id"), col("rate"))
+      .drop("src", "rate")
 
     // 5. bounded eval sample from the val split: 3 per (source, lang)
     val evalSample = Corpus.stratifiedSample(
@@ -141,28 +179,26 @@ object CorpusPipeline {
       partitionKey = col("source"), order = col("doc_id"),
       weight = col("n_bpe"), budget = 2000L)
 
-    // count() per stage is the example's point (progress reporting); the
-    // splits are counted in one aggregation pass, not three filters
-    val splitCounts = split.groupBy("split").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nRetained = retainedDocs.count()
-    val nQuality = qualityDocs.count()
+    val nMixed = timed("temperature mix")(mixed.count())
+    val nEval = timed("stratified eval sample")(evalSample.count())
+    val nShards = timed("shard packing")(
+      packed.select("source", "shard").distinct().count())
     val counts = Counts(
-      docs = allDocs.count(),
+      docs = nDocs,
       qualityPass = nQuality,
       contaminated = contaminated.count(),
-      clean = docs.count(),
-      dupPairs = pairs.count(),
+      clean = nClean,
+      dupPairs = nPairs,
       semPairs = semPairs.count(),
       retained = nRetained,
       boilerplateDropped = nRetained - filteredDocs.count(),
-      train = splitCounts.getOrElse("train", 0L),
+      train = nTrain,
       valN = splitCounts.getOrElse("val", 0L),
       test = splitCounts.getOrElse("test", 0L),
-      mixed = mixed.count(),
-      evalSample = evalSample.count(),
-      shards = packed.select("source", "shard").distinct().count())
-    Result(packed, counts)
+      mixed = nMixed,
+      evalSample = nEval,
+      shards = nShards)
+    Result(packed, counts, rates, train, timings.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -181,7 +217,11 @@ object CorpusPipeline {
     val r = run(spark, dir)
     val c = r.counts
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"workload":"corpus_pipeline","dir":"$dir","docs":${c.docs},"quality_pass":${c.qualityPass},"contaminated":${c.contaminated},"clean":${c.clean},"dup_pairs":${c.dupPairs},"sem_pairs":${c.semPairs},"retained":${c.retained},"boilerplate_dropped":${c.boilerplateDropped},"train":${c.train},"val":${c.valN},"test":${c.test},"mixed":${c.mixed},"eval_sample":${c.evalSample},"shards":${c.shards},"sec":$secs%.1f}""")
+    val phases = r.timings
+      .map { case (p, s) => f""""$p":$s%.2f""" }.mkString("{", ",", "}")
+    val rateJson = r.rates.toSeq.sorted
+      .map { case (s, v) => s""""$s":$v""" }.mkString("{", ",", "}")
+    println(f"""{"workload":"corpus_pipeline","dir":"$dir","docs":${c.docs},"quality_pass":${c.qualityPass},"contaminated":${c.contaminated},"clean":${c.clean},"dup_pairs":${c.dupPairs},"sem_pairs":${c.semPairs},"retained":${c.retained},"boilerplate_dropped":${c.boilerplateDropped},"train":${c.train},"val":${c.valN},"test":${c.test},"mixed":${c.mixed},"eval_sample":${c.evalSample},"shards":${c.shards},"rates":$rateJson,"phase_sec":$phases,"sec":$secs%.1f}""")
     spark.stop()
   }
 }

@@ -82,15 +82,29 @@ object Corpus {
     * upsample — repeat-epoch logic belongs to the training loader. */
   def temperatureRates(df: DataFrame, src: Column, alpha: Double,
       budget: Long): DataFrame = {
+    require(budget > 0,
+      s"budget must be positive, got $budget (a non-positive target corpus has no rate interpretation)")
+    require(alpha >= 0,
+      s"alpha must be >= 0, got $alpha (a negative temperature INVERTS the rebalancing)")
     val counts = df.groupBy(src.as("src")).agg(count(lit(1)).as("n_s")).cache()
-    // sum over ZERO groups is null (empty input): the rate frame is
-    // empty anyway, so any finite normalizer yields the right result
-    val zRow = counts.agg(sum(pow(col("n_s"), alpha))).head
-    val z = if (zRow.isNullAt(0)) 1.0 else zRow.getDouble(0)
-    counts.select(col("src"),
-      round(least(lit(1.0),
-        pow(col("n_s"), alpha) / lit(z) * lit(budget.toDouble) / col("n_s")),
-        6).as("rate"))
+    try {
+      // sum over ZERO groups is null (empty input): the rate frame is
+      // empty anyway, so any finite normalizer yields the right result
+      val zRow = counts.agg(sum(pow(col("n_s"), alpha))).head
+      val z = if (zRow.isNullAt(0)) 1.0 else zRow.getDouble(0)
+      val rates = counts.select(col("src"),
+        round(least(lit(1.0),
+          pow(col("n_s"), alpha) / lit(z) * lit(budget.toDouble) / col("n_s")),
+          6).as("rate"))
+      // the rate frame is |sources|-sized by design — materialize it into
+      // a local relation so the cached counts frame is released HERE
+      // (deterministic lifetime instead of storage-LRU accumulation in a
+      // long-lived session) and the returned frame broadcasts naturally
+      // in the join back onto the corpus
+      val rows = rates.collect()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), rates.schema)
+    } finally counts.unpersist()
   }
 
   /** Pack rows into contiguous weight-budget shards: within each

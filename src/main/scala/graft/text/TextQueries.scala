@@ -301,7 +301,12 @@ object TextQueries {
     val db = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
     val cb = bg.groupBy("bigram").agg(count(lit(1)).as("cbg"))
     val cu = uni.groupBy("term").agg(count(lit(1)).as("cw"))
-    val vocab = uni.select("term").distinct().count().toDouble
+    // |V| = the row count of the unigram table already being aggregated —
+    // counting THAT (a map-side-combined count of vocab-sized partials)
+    // replaces the previous select(term).distinct().count(), which paid a
+    // second corpus-wide explode + a full distinct shuffle for the same
+    // scalar (r6 hygiene finding)
+    val vocab = cu.count().toDouble
     db.join(cb, "bigram")
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .join(cu.withColumnRenamed("term", "w1"), "w1")
@@ -333,7 +338,12 @@ object TextQueries {
     * `expectedNumItems` is the raw (pre-distinct) benchmark shingle
     * count: duplicate insertions only over-size the filter and LOWER the
     * realized fpp, and skipping the distinct spares the wide shuffle the
-    * exact form pays before its broadcast. */
+    * exact form pays before its broadcast. CACHE LIFETIME: the shingle
+    * frame backing the (lazy) returned DataFrame is cached for the
+    * sketch-build + tot/hit triple consumption and cannot be unpersisted
+    * here; it is released by storage LRU or `spark.catalog.clearCache()`
+    * (Bench clears between queries) — same contract as the Dedup sketch
+    * operators. */
   def contaminationBloomVs(docs: org.apache.spark.sql.DataFrame,
       isBench: org.apache.spark.sql.Column, threshold: Double, fpp: Double,
       expectedItems: Option[Long] = None): org.apache.spark.sql.DataFrame = {

@@ -246,6 +246,69 @@ class ProfileSpec extends AnyFunSuite {
     exact.unpersist(); bloom.unpersist(); docs.unpersist()
   }
 
+  test("scale stress: corpus-pipeline composition at 100k docs (per-phase linearity)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // Every stage has an individual probe; this one runs the FULL
+    // CorpusPipeline.run composition on synthetic fixtures at 25k and
+    // 100k docs and checks no phase scales super-linearly (4× data →
+    // each phase ≤ 8× wall, i.e. 2× linear headroom for fixed per-job
+    // overhead at the small end). Corpus shape: 5 sources with skewed
+    // sizes (temperature mixing has something to rebalance), every
+    // id % 10 == 9 doc an exact clone of id−1 (the dedup path works),
+    // stopwords at every 5th token (the Gopher rules keep prose),
+    // embeddings for the first 8k ids (the semantic detector's own
+    // scale knob — nlist — has its own probe; the composition sizes the
+    // lexical path).
+    import org.apache.spark.sql.Column
+    def genFixture(n: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"pipe$n").toString
+      val effId = when(col("id") % 10 === 9, col("id") - 1).otherwise(col("id"))
+      val stops = array(lit("the"), lit("and"), lit("of"), lit("to"), lit("is"))
+      def tok(j: Column): Column =
+        when(pmod(j, lit(5)) === 0,
+          element_at(stops, (pmod(j / 5, lit(5)) + 1).cast("int")))
+          .otherwise(concat(lit("w"),
+            pmod(xxhash64(effId * 31L + j), lit(1000000L))))
+      val srcBand = pmod(xxhash64(col("id") * 13L), lit(100L))
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(39)), j => tok(j))).as("text"),
+        lit("en").as("lang"),
+        when(srcBand < 60, "s0").when(srcBand < 85, "s1")
+          .when(srcBand < 95, "s2").when(srcBand < 99, "s3")
+          .otherwise("s4").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.parquet(s"$dir/documents.parquet")
+      spark.range(math.min(n, 8000L)).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          (pmod(xxhash64(when(col("id") % 10 === 9, col("id") - 1)
+            .otherwise(col("id")) * 71L + j), lit(2000L)).cast("float")
+            - 1000.0f) / 1000.0f).as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .write.parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def runAt(n: Long): Map[String, Double] = {
+      val dir = genFixture(n)
+      val r = time(s"pipeline @$n")(graft.examples.CorpusPipeline.run(spark, dir))
+      val c = r.counts
+      println(s"[profile] pipeline @$n: clean=${c.clean} pairs=${c.dupPairs} " +
+        s"retained=${c.retained} mixed=${c.mixed} shards=${c.shards} rates=${r.rates}")
+      r.timings.foreach { case (p, s) => println(f"[profile]   @$n $p: $s%.2f s") }
+      // composition sanity at scale: dedup actually removed the clones
+      assert(c.retained < c.clean, "clone structure must be deduped")
+      assert(c.mixed > 0 && c.shards > 0)
+      spark.catalog.clearCache()
+      r.timings.toMap
+    }
+    val t25 = runAt(25000L)
+    val t100 = runAt(100000L)
+    t100.foreach { case (phase, s100) =>
+      val s25 = t25(phase)
+      assert(s100 <= math.max(s25, 0.5) * 8,
+        f"phase '$phase' super-linear: $s25%.2f s @25k -> $s100%.2f s @100k")
+    }
+  }
+
   test("scale stress: bloom vs broadcast SPAN decontamination at a ~1M-window benchmark") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // The span twin's broadcast side is |suite chars| STRIDE-1 window

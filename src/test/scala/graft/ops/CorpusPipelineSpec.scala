@@ -35,6 +35,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(c.train + c.valN + c.test == c.retained - c.boilerplateDropped)
     // mixing only filters the train split
     assert(c.mixed <= c.train && c.mixed > 0)
+    // the mix is TEMPERATURE-DERIVED (α=0.5, budget = train/2): rates
+    // exist for every train source, live in (0, 1], and the mixed count
+    // matches applying them through an INDEPENDENT reimplementation of
+    // the unitBucket decision (jvm md5, not the Spark expression) to the
+    // train rows — the derived rates and the kept rows must agree exactly
+    assert(r.rates.nonEmpty && r.rates.values.forall(v => v > 0.0 && v <= 1.0),
+      s"derived rates out of range: ${r.rates}")
+    def bucket(key: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$key:mix".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16)
+    }
+    val expectedMixed = r.train.select("doc_id", "source").collect().count { row =>
+      val cut = math.round(r.rates(row.getString(1)) * 65536).toInt
+      bucket(row.getLong(0).toString) < cut
+    }
+    assert(c.mixed == expectedMixed.toLong,
+      s"mixed count ${c.mixed} must equal the hash-oracle expectation $expectedMixed")
+    // α=0.5 upweights low-resource sources: among train sources, smaller
+    // n_s may never get a LOWER rate than a larger n_s
+    val bySource = r.train.groupBy("source").count()
+      .collect().map(row => row.getString(0) -> row.getLong(1))
+    for ((sa, na) <- bySource; (sb, nb) <- bySource if na < nb)
+      assert(r.rates(sa) >= r.rates(sb),
+        s"temperature inversion: $sa(n=$na) rate ${r.rates(sa)} < $sb(n=$nb) rate ${r.rates(sb)}")
     // stratified sample is capped at k per (source, lang)
     val strata = r.packed.sparkSession.read
       .parquet(s"$dir/documents.parquet")
