@@ -81,32 +81,43 @@ object SimilaritySearch {
       .where(col("cosine") >= threshold)
   }
 
-  /** Random-hyperplane LSH ANN: per table t, bucket(v) = sign-bit string
-    * of ⟨v, h_t,1..b⟩. Candidates = vectors sharing any (table, bucket);
-    * exact cosine on candidates; bounded-heap top-k. Hyperplanes are
-    * seeded driver-side and ship in the task closure (L·b·dim doubles —
-    * a few KB). Collision probability for angle θ: (1 − θ/π)^b per table,
-    * 1−(1−p)^L overall. Defaults (14 tables × 5 bits) are sized for
-    * neighbors around cosine 0.5 — p_bit ≈ 0.67, overall ≈ 0.8 — because
-    * near-uniform random vectors (the fixture, and the hardest real case)
-    * have wide-angle nearest neighbors; corpora with tight clusters can
-    * raise `bits` for smaller buckets. Table count was swept on the
-    * fixture (recall@5 vs the exact twin: 11→0.597, 12→0.626, 13→0.652,
-    * 14→0.681, 16→0.734, candidate cost linear in tables — SCALING.md);
-    * 14 buys real gate headroom at ~17% more candidates than 12. Recall
-    * is measured in SimilaritySpec and the per-round gate, not assumed. */
+  /** Random-hyperplane LSH ANN with multi-probe queries: per table t,
+    * bucket(v) = sign-bit string of ⟨v, h_t,1..b⟩; the INDEX stores each
+    * vector in its home bucket only, while each QUERY probes its home
+    * bucket plus the `probes−1` single-bit flips with the smallest
+    * |margin| (Lv et al. 2007 "Multi-Probe LSH") — a near neighbor that
+    * lands one sign-flip away sits in exactly those low-margin buckets,
+    * so extra probes substitute for extra tables without paying their
+    * index build/storage/shuffle. Candidates = (table, bucket) equi-join
+    * matches; exact cosine on candidates; bounded-heap top-k with
+    * in-heap dedup. Hyperplanes are seeded driver-side and ship in the
+    * task closure (L·b·dim doubles — a few KB).
+    *
+    * Defaults swept on the fixture's near-uniform unit vectors (the LSH
+    * worst case — recall@5 vs the exact twin, SCALING.md): the r6
+    * single-probe ladder read 12 tables→0.626, 14→0.681; multi-probe at
+    * 8 tables reads probes 1→0.487, 2→0.726, 3→0.847, 4→0.903 — so the
+    * adopted 8×3 default beats 14×1 by 0.17 recall at 43% fewer index
+    * entries and comparable wall. Raise `bits` for tighter buckets on
+    * clustered corpora; recall is measured in SimilaritySpec and the
+    * per-round gate, never assumed. */
   def lshTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      k: Int = 5, tables: Int = 14, bits: Int = 5, dim: Int = 64,
-      seed: Long = 42): DataFrame = {
+      k: Int = 5, tables: Int = 8, bits: Int = 5, dim: Int = 64,
+      seed: Long = 42, probes: Int = 3): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1,
+      s"probes must be in [1, bits+1]: the probe sequence is the home bucket " +
+        s"plus up to $bits single-bit flips, got $probes")
     val rng = new java.util.Random(seed)
     val planes = Array.fill(tables, bits, dim)(rng.nextGaussian())
 
-    val bucketUdf = udf { (v: Seq[Double]) =>
+    // (t, home bucket, per-bit dots) in one pass over the planes
+    def tableDots(v: Seq[Double]): IndexedSeq[(Int, Long, Array[Double])] = {
       require(v.length == dim,
         s"lshTopK: hyperplanes were generated for dim=$dim but a vector has " +
           s"${v.length} components — pass the actual embedding dimension")
       val d = dim
       (0 until tables).map { t =>
+        val dots = new Array[Double](bits)
         var bucket = 0L
         var b = 0
         while (b < bits) {
@@ -114,23 +125,41 @@ object SimilaritySearch {
           var i = 0
           val plane = planes(t)(b)
           while (i < d) { dot += plane(i) * v(i); i += 1 }
+          dots(b) = dot
           if (dot > 0) bucket |= (1L << b)
           b += 1
         }
-        (t, bucket)
+        (t, bucket, dots)
+      }
+    }
+    // index side: one home bucket per table
+    val bucketUdf = udf { (v: Seq[Double]) =>
+      tableDots(v).map { case (t, bucket, _) => (t, bucket) }
+    }
+    // query side (multi-probe, Lv et al. 2007 "Multi-Probe LSH"): the
+    // home bucket plus the (probes−1) single-bit flips with the smallest
+    // |margin| — a neighbor that lands one sign-flip away sits in exactly
+    // one of those low-margin buckets with high probability, so extra
+    // probes substitute for extra tables (whose index they don't pay for)
+    val probeUdf = udf { (v: Seq[Double]) =>
+      tableDots(v).flatMap { case (t, bucket, dots) =>
+        val flips = dots.indices.sortBy(b => math.abs(dots(b))).take(probes - 1)
+        (bucket +: flips.map(b => bucket ^ (1L << b))).map(bk => (t, bk))
       }
     }
 
     val pts = normalizedPoints(emb, idCol, vecCol)
-    val buckets = pts
-      .select(col("id"), col("v"), col("nrm"), explode(bucketUdf(col("v"))).as("tb"))
+    def explodeBuckets(u: org.apache.spark.sql.expressions.UserDefinedFunction) = pts
+      .select(col("id"), col("v"), col("nrm"), explode(u(col("v"))).as("tb"))
       .select(col("id"), col("v"), col("nrm"), col("tb._1").as("t"), col("tb._2").as("bucket"))
+    val idxBuckets = explodeBuckets(bucketUdf)
+    val qryBuckets = if (probes == 1) idxBuckets else explodeBuckets(probeUdf)
 
-    // same (i,j) surfacing from several tables is deduped INSIDE the
-    // bounded-heap aggregator — no distinct shuffle carrying the wide
+    // same (i,j) surfacing from several tables/probes is deduped INSIDE
+    // the bounded-heap aggregator — no distinct shuffle carrying the wide
     // vector columns (at fixture scale that shuffle alone cost ~10s)
-    val pairs = buckets.as("a")
-      .join(buckets.as("b"), Seq("t", "bucket"))
+    val pairs = qryBuckets.as("a")
+      .join(idxBuckets.as("b"), Seq("t", "bucket"))
       .where(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
         (lit(1.0) - arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("dist2"))
