@@ -319,6 +319,225 @@ object TextQueries {
         round(exp(-sum(col("n") * col("logp")) / sum(col("n"))), 6).as("ppl"))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the C4
+    * heuristics): keep only lines that end in terminal punctuation
+    * (. ! ? "), carry at least `minLineWords` words, and do not mention
+    * "javascript"; drop any page whose raw text contains "lorem ipsum"
+    * or "{" (boilerplate/code sludge), and any page with fewer than
+    * `minKeptLines` surviving lines. The Gopher pass judges a DOCUMENT's
+    * prose band; this pass repairs a document by cutting its non-prose
+    * LINES first — C4 then Gopher is the standard web-crawl order.
+    * Pure codegen'd projection+filter, zero shuffles — scan speed at
+    * 100 TB like text_gopher_filter.
+    *
+    * Output: (doc_id, n_lines, n_kept, clean_md5) — the cleaned text is
+    * reported as md5 (pii_scrub precedent: hash-comparable without
+    * shipping the full string through the dump). */
+  def c4LineClean(docs: org.apache.spark.sql.DataFrame,
+      minLineWords: Int = 3, minKeptLines: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    require(minLineWords >= 1 && minKeptLines >= 1,
+      s"rule floors must be positive, got ($minLineWords, $minKeptLines)")
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => w =!= lit(""))) >= minLineWords &&
+        instr(lower(l), "javascript") === 0)
+    docs
+      .where(col("text").isNotNull &&
+        instr(lower(col("text")), "lorem ipsum") === 0 &&
+        instr(col("text"), "{") === 0)
+      .select(col("doc_id"),
+        size(lines).as("n_lines"),
+        size(kept).as("n_kept"),
+        md5(array_join(kept, "\n")).as("clean_md5"))
+      .where(col("n_kept") >= minKeptLines)
+  }
+
+  /** C4 cleaning query. The documents fixture is single-line and
+    * unpunctuated, so the query first derives a deterministic multi-line
+    * corpus from it — 6-token lines, ~75% given terminal periods by an
+    * md5 coin, a "javascript" line injected into every 11th doc and a
+    * "lorem ipsum" line into every 13th — and then applies the REAL
+    * rules. Every rule fires on a nontrivial slice (unterminated lines,
+    * short tail lines, the js line, lorem pages, the ≥5-line floor), and
+    * the oracle replicates derivation + cleaning in SQL, so the hash
+    * match covers both. */
+  val c4Clean: Q = Q(
+    "text_c4_clean",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |l0 AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 6.0) AS INTEGER), 1)),
+      |      i -> array_to_string(toks[i*6+1:i*6+6], ' ')) AS ls
+      |  FROM t),
+      |l1 AS (
+      |  SELECT doc_id, list_transform(ls, l ->
+      |    CASE WHEN CAST(concat('0x', substr(md5(l), 1, 15)) AS BIGINT) % 4 <> 0
+      |      THEN l || '.' ELSE l END) AS ls
+      |  FROM l0),
+      |page AS (
+      |  SELECT doc_id, array_to_string(
+      |    (CASE WHEN doc_id % 11 = 0
+      |       THEN ['enable javascript to view this page.'] ELSE [] END)
+      |    || ls ||
+      |    (CASE WHEN doc_id % 13 = 0
+      |       THEN ['lorem ipsum dolor sit amet.'] ELSE [] END),
+      |    chr(10)) AS txt
+      |  FROM l1),
+      |c AS (
+      |  SELECT doc_id, string_split(txt, chr(10)) AS lines,
+      |    list_filter(string_split(txt, chr(10)), l ->
+      |      regexp_matches(l, '[.!?"]$')
+      |      AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+      |      AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM page
+      |  WHERE NOT contains(lower(txt), 'lorem ipsum') AND NOT contains(txt, '{'))
+      |SELECT doc_id, CAST(len(lines) AS INTEGER) AS n_lines,
+      |  CAST(len(kept) AS INTEGER) AS n_kept,
+      |  md5(array_to_string(kept, chr(10))) AS clean_md5
+      |FROM c WHERE len(kept) >= 5""".stripMargin
+  ) { (s, d) =>
+    val toks = tokens(col("text"))
+    val nChunks = greatest(ceil(size(col("_t")) / lit(6.0)).cast("int"), lit(1))
+    val emptyArr = array().cast("array<string>")
+    val derived = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .withColumn("_t", toks)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("_t"), i * 6 + 1, lit(6)), " ")).as("_l0"))
+      .select(col("doc_id"),
+        transform(col("_l0"), l =>
+          when(pmod(md5Hash64(l), lit(4L)) =!= 0, concat(l, lit(".")))
+            .otherwise(l)).as("_l1"))
+      .select(col("doc_id"),
+        array_join(concat(
+          when(col("doc_id") % 11 === 0,
+            array(lit("enable javascript to view this page."))).otherwise(emptyArr),
+          col("_l1"),
+          when(col("doc_id") % 13 === 0,
+            array(lit("lorem ipsum dolor sit amet."))).otherwise(emptyArr)),
+          "\n").as("text"))
+    c4LineClean(derived)
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by how target-domain-like its hashed n-gram profile is.
+    * Features are unigrams+bigrams hashed into `buckets` buckets (the
+    * cross-engine md5 trick); the target cohort and the raw corpus each
+    * induce an add-α-smoothed bucket distribution, and a document's
+    * weight is log w(d) = Σ_grams [ln p_target(b) − ln p_raw(b)] —
+    * resample the raw corpus by this weight (e.g. top-k, or Gumbel
+    * noise for the paper's stochastic variant) to shift its mixture
+    * toward the target domain without training a classifier.
+    *
+    * 100 TB shape: the feature space is CAPPED at `buckets` (8192
+    * default) regardless of corpus size, so the bucket-ratio table is a
+    * bounded broadcast (the same discipline as the quantizer/hyperplane
+    * closures) and everything else is one gram explode + two
+    * key-partitioned aggregations — model never corpus-sized, no
+    * all-pairs. The gram frame is cached for the counts + scoring double
+    * consumption (storage-LRU lifetime, same contract as the sketch
+    * operators). logw is rounded to 6 decimals before output (tfidf
+    * precedent: distributed double-sum order and libm ln ulps both die
+    * at the 6th decimal, so the DuckDB oracle hash-matches).
+    *
+    * Returns (doc_id, n_grams, logw) for NON-target docs with ≥1 token;
+    * higher logw = more target-like. */
+  def dsirWeights(docs: org.apache.spark.sql.DataFrame,
+      isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 8192, alpha: Double = 1.0)
+      : org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2, s"need at least 2 hash buckets, got $buckets")
+    require(alpha > 0, s"additive smoothing must be positive, got $alpha")
+    val toks = tokens(col("text"))
+    val bigrams = zip_with(
+      slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
+      slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val grams = docs
+      .where(col("text").isNotNull)
+      .withColumn("_t", toks)
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(concat(col("_t"), bigrams)).as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(md5Hash64(col("gram")), lit(buckets.toLong)).as("b"))
+      .cache()
+    val cnt = grams.groupBy("is_target", "b").agg(count(lit(1)).as("c"))
+    val totals = cnt.groupBy("is_target").agg(sum(col("c")).as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val nt = totals.getOrElse(true, 0L).toDouble
+    val nr = totals.getOrElse(false, 0L).toDouble
+    val tgt = cnt.where(col("is_target")).select(col("b"), col("c").as("ct"))
+    val raw = cnt.where(!col("is_target")).select(col("b"), col("c").as("cr"))
+    // ≤ buckets rows: every observed bucket's smoothed log-ratio. An
+    // all-buckets table would also work; the inner join below only ever
+    // consumes raw-side buckets, which this full-outer necessarily covers.
+    val ratio = raw.join(tgt, Seq("b"), "full_outer")
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + alpha) / (nt + alpha * buckets)) -
+          log((coalesce(col("cr"), lit(0L)) + alpha) / (nr + alpha * buckets))).as("lr"))
+    grams.where(!col("is_target"))
+      .join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        round(sum(col("lr")), 6).as("logw"))
+  }
+
+  /** Deterministic DSIR resample: the `k` most target-like raw docs
+    * (ties to the smaller id). The paper's stochastic variant adds
+    * Gumbel noise to logw before the top-k; at pipeline scale both are
+    * one bounded-heap top-k, so the deterministic form is the default
+    * (hash-derived pipelines re-run identically). */
+  def dsirTopK(weights: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    weights.orderBy(col("logw").desc, col("doc_id").asc).limit(k)
+
+  /** DSIR query — the doc_id % 100 == 7 cohort stands in for the target
+    * domain (as in the contamination family). Oracle: full replication
+    * of the hashed-feature log-ratio scoring in DuckDB. */
+  val dsir: Q = Q(
+    "text_dsir_weights",
+    """WITH t AS (
+      |  SELECT doc_id, (doc_id % 100 = 7) AS is_target,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |g0 AS (
+      |  SELECT doc_id, is_target,
+      |    unnest(toks || CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(1, len(toks)),
+      |             i -> concat_ws(' ', toks[i], toks[i+1]))
+      |      ELSE [] END) AS gram
+      |  FROM t),
+      |g AS (SELECT doc_id, is_target,
+      |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) % 8192 AS b
+      |  FROM g0),
+      |cnt AS (SELECT is_target, b, count(*) AS c FROM g GROUP BY 1, 2),
+      |tgt AS (SELECT b, c AS ct FROM cnt WHERE is_target),
+      |raw AS (SELECT b, c AS cr FROM cnt WHERE NOT is_target),
+      |n AS (SELECT (SELECT coalesce(sum(c), 0) FROM cnt WHERE is_target) AS nt,
+      |             (SELECT coalesce(sum(c), 0) FROM cnt WHERE NOT is_target) AS nr),
+      |ratio AS (
+      |  SELECT coalesce(raw.b, tgt.b) AS b,
+      |    ln((coalesce(ct, 0) + 1.0) / (nt + 1.0 * 8192))
+      |      - ln((coalesce(cr, 0) + 1.0) / (nr + 1.0 * 8192)) AS lr
+      |  FROM raw FULL OUTER JOIN tgt ON raw.b = tgt.b CROSS JOIN n)
+      |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+      |  round(sum(lr), 6) AS logw
+      |FROM g JOIN ratio USING (b)
+      |WHERE NOT is_target
+      |GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    dsirWeights(Tables.documents(s, d), col("doc_id") % 100 === 7)
+  }
+
   /** Bloom-filter form of [[contaminationVs]] — the decontamination path
     * for benchmark sets too large to broadcast as a hash-join side. The
     * exact form ships the benchmark's distinct shingle STRINGS to every
@@ -730,5 +949,6 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
     contamination, contaminationBloom, contaminationSpans,
-    contaminationSpansBloom, gopherFilter, lmPerplexity, piiScrub)
+    contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
+    piiScrub)
 }

@@ -177,6 +177,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("text_c4_clean: shuffle-free line-rule projection (scan speed)") {
+    val p = plan("text_c4_clean")
+    assert(!p.contains("Exchange"),
+      s"C4 line cleaning must stay projection+filter over the scan:\n$p")
+  }
+
+  test("text_dsir_weights: bucket-ratio table joins as broadcast, no cartesian") {
+    val p = plan("text_dsir_weights")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the ≤`buckets`-row log-ratio table must broadcast onto the gram
+    // stream — a sort-merge there would shuffle the whole gram explode
+    assert(p.contains("BroadcastHashJoin"), p)
+    // gram counts must keep their map-side combine
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_contamination_bloom: membership is a filter, not a join") {
     // the exact twin carries TWO joins (bench-broadcast hit join + the
     // tot⟕hit assembly); the bloom form must replace the first with a

@@ -201,6 +201,79 @@ class TextSpec extends AnyFunSuite {
     assert(out.values.forall(_._2 > 0), "perplexity is strictly positive")
   }
 
+  // --- C4 line-level cleaning ---
+
+  test("c4 line rules: each violator class is cut, clean prose lines survive") {
+    import spark.implicits._
+    val page = Seq(
+      "this is a perfectly fine prose line.",   // kept
+      "another good line ends with a question?", // kept
+      "a third fine line with words.",           // kept
+      "and a fourth one right here!",            // kept
+      "the fifth good line of prose.",           // kept
+      "no terminal punctuation on this line",    // cut: not terminal
+      "too short.",                              // cut: <3 words
+      "please enable javascript to continue.").mkString("\n") // cut: javascript
+    val docs = Seq(
+      (1L, page),
+      (2L, "lorem ipsum dolor sit amet.\n" + page),  // page cut: lorem ipsum
+      (3L, "function() { return 0; }\n" + page),     // page cut: brace
+      (4L, "one good line is not enough."),          // page cut: <5 kept lines
+      (5L, null.asInstanceOf[String])                // page cut: null
+    ).toDF("doc_id", "text")
+    val out = TextQueries.c4LineClean(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out.keySet == Set(1L), s"survivors: ${out.keySet}")
+    assert(out(1L) == ((8, 5)), s"8 lines in, 5 prose lines kept: ${out(1L)}")
+  }
+
+  test("c4 cleaned text contains exactly the kept lines in order") {
+    import spark.implicits._
+    val keptLines = Seq("first fine prose line.", "second fine prose line.",
+      "third fine prose line.", "fourth fine prose line.", "fifth fine prose line.")
+    val page = (keptLines.take(2) ++ Seq("cut me no punct") ++ keptLines.drop(2))
+      .mkString("\n")
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(keptLines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = TextQueries.c4LineClean(Seq((1L, page)).toDF("doc_id", "text"))
+      .collect().map(r => r.getString(3)).head
+    assert(got == expectMd5, "cleaning must preserve kept-line order byte-exactly")
+  }
+
+  // --- DSIR importance weighting ---
+
+  test("dsir weights rank target-overlapping docs above disjoint docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "alpha beta gamma delta alpha beta gamma delta"),    // target
+      (107L, "alpha beta gamma epsilon alpha beta gamma zeta"), // target
+      (10L, "alpha beta gamma delta epsilon intro words"),      // overlapping raw
+      (11L, "totally different vocabulary entirely unrelated topic here"), // disjoint raw
+      (12L, null.asInstanceOf[String])                          // null: excluded
+    ).toDF("doc_id", "text")
+    val w = TextQueries.dsirWeights(docs, col("doc_id") % 100 === 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byId = w.map(x => x._1 -> x._3).toMap
+    // only raw docs with tokens are scored — never the target cohort
+    assert(byId.keySet == Set(10L, 11L), s"scored: ${byId.keySet}")
+    // n_grams = unigrams + bigrams = 2·len − 1
+    assert(w.find(_._1 == 10L).get._2 == 13)
+    assert(byId(10L) > byId(11L),
+      s"target-vocabulary overlap must raise the importance weight: $byId")
+  }
+
+  test("dsir weights: empty target cohort still yields finite scores") {
+    import spark.implicits._
+    val docs = Seq((1L, "some words here"), (2L, "other words there"))
+      .toDF("doc_id", "text")
+    val w = TextQueries.dsirWeights(docs, lit(false))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // p_target degrades to the uniform 1/B prior — weights finite, all docs scored
+    assert(w.keySet == Set(1L, 2L))
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite), s"$w")
+  }
+
   // --- Bloom decontamination vs the exact broadcast twin ---
 
   test("bloom contamination matches the exact twin bit-for-bit at tight fpp") {
