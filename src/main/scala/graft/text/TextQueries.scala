@@ -319,6 +319,94 @@ object TextQueries {
         round(exp(-sum(col("n") * col("logp")) / sum(col("n"))), 6).as("ppl"))
   }
 
+  /** BM25 ranked retrieval (Robertson-Spärck Jones, Lucene idf form):
+    * top-`k` corpus documents per query document by
+    * Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1). The retrieval member
+    * of the text family — what a curation pipeline runs to pull
+    * target-domain-relevant documents for inspection or selection (the
+    * ranked cousin of [[dsirWeights]]' distribution-level scoring).
+    *
+    * Scale shape: corpus postings (term, doc, tf, dl) joined to the
+    * queries' distinct terms on term — a posting-list equi-join like
+    * jaccardPairs', never all-pairs — then one (query, doc) aggregation
+    * and a bounded top-k window. N and avgdl are two bounded driver
+    * scalars (tfidf precedent). Ubiquitous terms have vanishing idf;
+    * cut them with a df cap upstream if a real corpus's hot posting
+    * lists dominate the join (same lever as jaccardPairs' maxDf).
+    * Scores are rounded to 6 decimals BEFORE ranking (tfidf precedent —
+    * distributed sum order and libm ln ulps die at the 6th decimal),
+    * ties break on doc_id. Output: (qid, doc_id, score, rank). */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+      isQuery: org.apache.spark.sql.Column, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), isQuery.as("is_q"), tokens(col("text")).as("_t"))
+    val corpus = base.where(!col("is_q"))
+    val stats = corpus.agg(count(lit(1)), avg(size(col("_t")))).head
+    val n = stats.getLong(0)
+    if (n == 0) {
+      return base.limit(0).select(col("doc_id").as("qid"),
+        col("doc_id").as("doc_id"), lit(0.0).as("score"),
+        lit(0).cast("int").as("rank"))
+    }
+    val avgdl = stats.getDouble(1)
+    val tf = corpus
+      .select(col("doc_id"), size(col("_t")).as("dl"), explode(col("_t")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = base.where(col("is_q"))
+      .select(col("doc_id").as("qid"), explode(array_distinct(col("_t"))).as("term"))
+    val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
+    qt.join(tf, "term").join(dfreq, "term")
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(idf * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - b + col("dl") * b / avgdl))), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** BM25 query — the doc_id % 100 == 7 cohort as the query set against
+    * the rest of the corpus, top-5 each. Oracle: full replication of the
+    * scoring, rounding, and ranking in DuckDB. */
+  val bm25: Q = Q(
+    "text_bm25_topk",
+    """WITH t AS (
+      |  SELECT doc_id, (doc_id % 100 = 7) AS is_q,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |corpus AS (SELECT doc_id, toks FROM t WHERE NOT is_q),
+      |stats AS (SELECT count(*) AS n, avg(CAST(len(toks) AS DOUBLE)) AS avgdl
+      |          FROM corpus),
+      |tf AS (
+      |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM corpus),
+      |tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      |qt AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+      |       FROM t WHERE is_q),
+      |s AS (
+      |  SELECT qid, tfc.doc_id AS doc_id,
+      |    round(sum(
+      |      ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+      |  FROM qt JOIN tfc USING (term) JOIN dfreq USING (term) CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT qid, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+      |  FROM s)
+      |SELECT qid, doc_id, score, rank FROM r WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    bm25TopK(Tables.documents(s, d), col("doc_id") % 100 === 7)
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the C4
     * heuristics): keep only lines that end in terminal punctuation
     * (. ! ? "), carry at least `minLineWords` words, and do not mention
@@ -950,5 +1038,5 @@ object TextQueries {
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
     contamination, contaminationBloom, contaminationSpans,
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
-    piiScrub)
+    bm25, piiScrub)
 }

@@ -177,6 +177,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("text_bm25_topk: posting-list equi-joins only, never a cartesian") {
+    val p = plan("text_bm25_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // tf counts must map-side combine before the term shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_c4_clean: shuffle-free line-rule projection (scan speed)") {
     val p = plan("text_c4_clean")
     assert(!p.contains("Exchange"),

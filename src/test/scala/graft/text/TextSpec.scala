@@ -201,6 +201,38 @@ class TextSpec extends AnyFunSuite {
     assert(out.values.forall(_._2 > 0), "perplexity is strictly positive")
   }
 
+  // --- BM25 ranked retrieval ---
+
+  test("bm25 ranks the topically-matching doc first; disjoint docs never retrieved") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "spark shuffle partition executor memory"),                  // query
+      (10L, "spark shuffle partition executor memory tuning guide here"), // near copy
+      (11L, "spark overview with several extra unrelated words beyond"),  // partial overlap
+      (12L, "cooking recipes for pasta and delicious tomato sauce")       // disjoint
+    ).toDF("doc_id", "text")
+    val out = TextQueries.bm25TopK(docs, col("doc_id") === 7, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(out.forall(_._1 == 7L), "only the query doc retrieves")
+    val ranked = out.sortBy(_._3).map(_._2)
+    assert(ranked.head == 10L, s"the near copy must rank first: ${ranked.toSeq}")
+    assert(!ranked.contains(12L), "a doc sharing no terms can never score")
+  }
+
+  test("bm25 length normalization: same tf prefers the shorter document") {
+    import spark.implicits._
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (7L, "target term here"),
+      (10L, "target term here plus few more words"),
+      (11L, s"target term here $filler")
+    ).toDF("doc_id", "text")
+    val out = TextQueries.bm25TopK(docs, col("doc_id") === 7, k = 2)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(out(10L) < out(11L),
+      s"b>0 must penalize the padded doc at equal tf: $out")
+  }
+
   // --- C4 line-level cleaning ---
 
   test("c4 line rules: each violator class is cut, clean prose lines survive") {
