@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm, BoundedIdList, TopKNeighbors}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm, BoundedIdList, PqAdcSum, TopKNeighbors}
 
 /** Session extension registering the engine's native expressions for SQL
   * use — `SELECT array_dot(a, b)` etc. — via
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_sq_norm"),
       info("array_sq_norm", "array_sq_norm(a) - squared L2 norm"),
       (args: Seq[Expression]) => { val a = arity("array_sq_norm", 1)(args); ArraySqNorm(a(0)) }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_sum"),
+      info("pq_adc_sum",
+        "pq_adc_sum(lut, codes) - PQ asymmetric distance: sum of lut[j*ksub + codes[j]]"),
+      (args: Seq[Expression]) => { val a = arity("pq_adc_sum", 2)(args); PqAdcSum(a(0), a(1)) }))
     // native aggregates: the first argument must be a literal bound
     ext.injectFunction((
       FunctionIdentifier("topk_neighbors"),

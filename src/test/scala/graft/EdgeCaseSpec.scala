@@ -124,6 +124,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(r2(0).getDouble(1) == 0.25, "single source: rate = budget/n")
   }
 
+  test("c4 cleaning: empty corpus, all-pages-cut corpus, and null text degrade cleanly") {
+    assert(text.TextQueries.c4LineClean(docsLike(Nil)).count() == 0)
+    // every page violates a PAGE rule (blocklist or line floor) → empty,
+    // and the null-text page must not NPE inside the line lambdas
+    val cut = docsLike(Seq(
+      (1L, "lorem ipsum dolor sit amet.\nfine prose line here."),
+      (2L, "code page { with a brace."),
+      (3L, "only one good line here."),
+      (4L, null.asInstanceOf[String])))
+    assert(text.TextQueries.c4LineClean(cut).count() == 0)
+  }
+
+  test("dsir: empty corpus yields no weights; all-target corpus yields no raw docs") {
+    assert(text.TextQueries.dsirWeights(docsLike(Nil), lit(true)).count() == 0)
+    val docs = docsLike(Seq((1L, "some words here"), (2L, "more words there")))
+    assert(text.TextQueries.dsirWeights(docs, lit(true)).count() == 0,
+      "everything in the target cohort → nothing to score")
+  }
+
+  test("bm25: empty corpus returns the typed empty frame; query-only corpus has no index") {
+    assert(text.TextQueries.bm25TopK(docsLike(Nil), lit(true)).count() == 0)
+    val docs = docsLike(Seq((1L, "query text"), (2L, "another query")))
+    assert(text.TextQueries.bm25TopK(docs, lit(true)).count() == 0,
+      "no corpus side → nothing retrievable, not a divide-by-zero on avgdl")
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))

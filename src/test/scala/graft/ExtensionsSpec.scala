@@ -37,6 +37,13 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT sqrt(array_dot(embedding, embedding)) AS n FROM emb_ext_test LIMIT 5")
         .collect()
       assert(norms.forall(r2 => math.abs(r2.getDouble(0) - 1.0) < 1e-3))
+      // PQ asymmetric distance: lut is 2 subspaces × 3 codewords flat;
+      // codes (1, 2) pick lut[0·3+1]=1.5 and lut[1·3+2]=30.0
+      val adc = spark.sql(
+        """SELECT pq_adc_sum(array(0.5d, 1.5d, 2.5d, 10.0d, 20.0d, 30.0d),
+          |                  array(CAST(1 AS TINYINT), CAST(2 AS TINYINT))) AS s""".stripMargin)
+        .collect()(0).getDouble(0)
+      assert(adc == 31.5, s"got $adc")
       // arity errors are clear, not IndexOutOfBounds
       val e = intercept[Exception](spark.sql("SELECT array_dot(array(1.0d))"))
       assert(e.getMessage.contains("expects 2 argument"), e.getMessage)

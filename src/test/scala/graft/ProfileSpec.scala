@@ -246,6 +246,39 @@ class ProfileSpec extends AnyFunSuite {
     exact.unpersist(); bloom.unpersist(); docs.unpersist()
   }
 
+  test("scale stress: DSIR weighting at 100k docs (bounded feature table)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The scale claim on dsirWeights: the model is CAPPED at `buckets`
+    // regardless of corpus size (bounded broadcast), and the weights
+    // separate domains. 100k 50-token docs over a 5k vocab; the target
+    // cohort (ids < 5k) draws from the first 500 words; raw docs with
+    // id % 10 == 1 are target-like (same sub-vocabulary), the rest draw
+    // from the disjoint tail. Target-like raw docs must score higher.
+    val n = 100000L
+    val nTarget = 5000L
+    val targetLike = col("id") < nTarget || col("id") % 10 === 1
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => concat(lit("w"), when(targetLike,
+          pmod(xxhash64(col("id") * 53L + i), lit(500L)))
+          .otherwise(pmod(xxhash64(col("id") * 53L + i), lit(4500L)) + 500L))))
+        .as("text"))
+      .cache()
+    docs.count()
+    val w = time("dsir weights @100k docs") {
+      val f = text.TextQueries.dsirWeights(docs, col("doc_id") < nTarget).cache()
+      f.count(); f
+    }
+    val stats = w.withColumn("tl", col("doc_id") % 10 === 1)
+      .groupBy("tl").agg(avg("logw").as("m"), count(lit(1)).as("c"))
+      .collect().map(r => r.getBoolean(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    println(s"[profile] dsir@100k: target-like mean=${stats(true)._1} " +
+      s"(n=${stats(true)._2}) other mean=${stats(false)._1} (n=${stats(false)._2})")
+    assert(stats(true)._1 > stats(false)._1,
+      "target-like raw docs must carry higher importance weights")
+    w.unpersist(); docs.unpersist()
+  }
+
   test("scale stress: corpus-pipeline composition at 100k docs (per-phase linearity)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // Every stage has an individual probe; this one runs the FULL
