@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm, BoundedIdList, PqAdcSum, TopKNeighbors}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArraySqDist, ArraySqNorm, BoundedIdList, KeepFirst, PqAdcSum, TopKNeighbors}
 
 /** Session extension registering the engine's native expressions for SQL
   * use — `SELECT array_dot(a, b)` etc. — via
@@ -54,6 +54,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         val a = arity("topk_neighbors", 3)(args)
         TopKNeighbors(litInt("topk_neighbors", a.head), a(1), a(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("keep_first"),
+      info("keep_first",
+        "keep_first(doc_id, p, payload) - group's earliest (doc_id, p) occurrence as a struct"),
+      (args: Seq[Expression]) => {
+        val a = arity("keep_first", 3)(args)
+        KeepFirst(a(0), a(1), a(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("bounded_id_list"),

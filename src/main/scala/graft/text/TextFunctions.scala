@@ -44,6 +44,15 @@ object TextFunctions {
   def md5Hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[md5Hash64]] — bit-identical to the column
+    * expression (first 15 hex digits of the UTF-8 md5, parsed base 16),
+    * for hashing bounded query sets against executor-built sketches. */
+  def md5Hash64Jvm(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+
   /** Modulus keeping rolling-hash arithmetic inside 2^36 (ANSI-safe). */
   val HashMod = 2147483647L // 2^31 − 1
 

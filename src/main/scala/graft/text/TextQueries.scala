@@ -988,6 +988,384 @@ object TextQueries {
       .select("doc_id", "n_tokens", "mean_tok_len", "alnum_ratio",
         "stop_hits", "repetition")
 
+  /** Corpus-level paragraph dedup (RefinedWeb / MassiveText line dedup,
+    * Penedo et al. 2023 §4.2): a paragraph occurring in many documents
+    * (boilerplate, licence footers, nav text) is kept only at its FIRST
+    * occurrence — (doc_id, position) order — and dropped everywhere
+    * else; each document is then reassembled from its surviving
+    * paragraphs in original order. `text` is split on newlines. Returns
+    * (doc_id, n_paras, n_kept, clean_md5 of the reassembled text) for
+    * every document — the md5 proves the reconstruction, not just the
+    * counts, is identical cross-engine.
+    *
+    * Scale shape: winners come from the native `keep_first` aggregate
+    * per paragraph hash — a hash-aggregating groupBy, NOT a
+    * `row_number()` window: a boilerplate line occurring 10⁹ times lands
+    * its whole partition on one task under a window sort, while the
+    * aggregate's partial phase collapses each map partition's
+    * occurrences to one buffered row before the shuffle (same skew
+    * discipline as q27_salted_agg), bounding the reduce side at
+    * #partitions rows per key. `keep_first` exists because the
+    * declarative spelling `min(struct(doc_id, p, line))` falls back to
+    * SortAggregate (struct is not a mutable buffer type) and the window
+    * spelling single-tasks the hot key — both measured and rejected on
+    * the 200k-doc skew probe (SCALING.md). Carrying the line THROUGH
+    * the aggregate (md5-equal ⟹ byte-equal, so (doc_id, p) decides)
+    * means the winner rows ARE the surviving paragraphs — no join back
+    * to the occurrence stream. What remains: two doc_id-partitioned
+    * aggregations (survivor reassembly, per-doc totals) and their
+    * co-partitioned assembly join. No all-pairs, no driver state. */
+  def paragraphDedup(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.KeepFirst
+    val lines = docs
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("p", "line")))
+    val winners = lines
+      .groupBy(md5(col("line")).as("h"))
+      .agg(KeepFirst.keepFirst(col("doc_id"), col("p"), col("line")).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.p").as("p"),
+        col("w.payload").as("line"))
+    val kept = winners.groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        // survivors reassemble in original order (p is unique per doc)
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("line")))),
+          x => x.getField("line")), "\n")).as("clean_md5"))
+    // per-doc totals come from the docs frame as a narrow projection —
+    // size(split(...)) — NOT a second pass over the exploded line stream
+    // (which would re-tokenize the corpus and shuffle |lines| rows for a
+    // |docs|-row answer)
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), "\n")).as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /** Paragraph-dedup query. The fixture is single-line, so the corpus is
+    * first derived deterministically (c4Clean precedent): 6-token chunks
+    * as paragraphs, plus a shared boilerplate line prepended to every
+    * doc_id % 3 == 0 document and another appended to every % 7 == 0 —
+    * real cross-document duplicates with known first owners, on top of
+    * whatever 6-token chunks collide naturally. The oracle replicates
+    * derivation + keep-first + reassembly; docs whose every paragraph is
+    * dropped hash the empty string on both engines. */
+  val paragraphDedupQ: Q = Q(
+    "text_paragraph_dedup",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |l0 AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 6.0) AS INTEGER), 1)),
+      |      i -> array_to_string(toks[i*6+1:i*6+6], ' ')) AS ls
+      |  FROM t),
+      |page AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 0
+      |       THEN ['subscribe to our newsletter for updates'] ELSE [] END)
+      |    || ls ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |       THEN ['all rights reserved contact us for details'] ELSE [] END) AS ls
+      |  FROM l0),
+      |lines AS (
+      |  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS p
+      |  FROM page),
+      |ranked AS (
+      |  SELECT doc_id, p, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS rn
+      |  FROM lines)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INTEGER) AS n_paras,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+      |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY p),
+      |               '')) AS clean_md5
+      |FROM ranked GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val nChunks = greatest(ceil(size(col("_t")) / lit(6.0)).cast("int"), lit(1))
+    val emptyArr = array().cast("array<string>")
+    val derived = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .withColumn("_t", tokens(col("text")))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("_t"), i * 6 + 1, lit(6)), " ")).as("_l0"))
+      .select(col("doc_id"),
+        array_join(concat(
+          when(col("doc_id") % 3 === 0,
+            array(lit("subscribe to our newsletter for updates"))).otherwise(emptyArr),
+          col("_l0"),
+          when(col("doc_id") % 7 === 0,
+            array(lit("all rights reserved contact us for details"))).otherwise(emptyArr)),
+          "\n").as("text"))
+    paragraphDedup(derived)
+  }
+
+  /** Surgical span decontamination — the ACTIONABLE half of
+    * [[contaminationSpansVs]] (Lee et al. 2022 apply the same idea to
+    * dup spans): instead of reporting which windows of a corpus document
+    * are verbatim benchmark copies, CUT them. Overlapping/adjacent
+    * contaminated windows ([p, p+windowChars−1] evidence from the same
+    * windowing as the detection pass) are merged into maximal spans via
+    * gaps-and-islands — fixed window width makes span ends monotone in
+    * p, so "new island when p > lag(p) + windowChars" is exact — and the
+    * document is rebuilt from the inter-span segments. Returns only
+    * contaminated docs: (doc_id, n_spans, chars_removed, scrub_md5); the
+    * md5 is over the rebuilt text, so the oracle verifies the cut
+    * byte-exactly, not just the span arithmetic. A doc whose entire text
+    * is contaminated hashes the empty string.
+    *
+    * Scale shape: detection is the exact-span plan (strided corpus
+    * windows, broadcast benchmark hash set); island numbering + segment
+    * derivation are doc_id-partitioned window functions over the HIT
+    * rows only (hits ≪ windows); the rebuild joins segments back to the
+    * doc text on doc_id and aggregates once. No all-pairs, no driver
+    * state. For benchmark sets past broadcast size, swap the detection
+    * join for the bloom path ([[contaminationSpansBloomVs]]) — fpp then
+    * bounds the probability of an extra cut span, never a missed one. */
+  def scrubContaminatedSpans(docs: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column,
+      windowChars: Int = 40, stride: Int = 10, benchStride: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    require(windowChars >= 1 && stride >= 1 && benchStride >= 1,
+      s"window parameters must be positive, got ($windowChars, $stride, $benchStride)")
+    import org.apache.spark.sql.expressions.Window
+    def windows(side: org.apache.spark.sql.DataFrame, step: Int) =
+      spanWindows(side, windowChars, step)
+        .select(col("doc_id"), col("p"), md5(col("w")).as("h"))
+    val benchH = windows(docs.where(isBench), benchStride).select("h").distinct()
+    val corpusDocs = docs.where(!isBench)
+    val hits = windows(corpusDocs, stride)
+      .join(broadcast(benchH), "h").select("doc_id", "p")
+    val byP = Window.partitionBy("doc_id").orderBy("p")
+    val cum = byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = hits
+      .withColumn("brk",
+        when(lag(col("p"), 1).over(byP).isNull ||
+          col("p") > lag(col("p"), 1).over(byP) + windowChars, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(cum))
+      .groupBy("doc_id", "island")
+      .agg(min(col("p")).as("s"), (max(col("p")) + (windowChars - 1)).as("e"))
+    val byS = Window.partitionBy("doc_id").orderBy("s")
+    // one kept segment BEFORE each span + one tail segment per doc; empty
+    // segments (back-to-back spans, span at either text edge) filter out
+    val pre = spans.select(col("doc_id"),
+      (coalesce(lag(col("e"), 1).over(byS), lit(0)) + 1).as("gs"),
+      (col("s") - 1).as("ge"))
+    val tail = spans.groupBy("doc_id")
+      .agg((max(col("e")) + 1).as("gs"))
+      .withColumn("ge", lit(null).cast("int"))
+    val segs = pre.unionByName(tail)
+      .join(corpusDocs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("ge", coalesce(col("ge"), length(col("text"))))
+      .where(col("ge") >= col("gs"))
+      .select(col("doc_id"), col("gs"),
+        col("text").substr(col("gs").cast("int"),
+          (col("ge") - col("gs") + 1).cast("int")).as("seg"))
+    val scrub = segs.groupBy("doc_id")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("gs"), col("seg")))),
+        x => x.getField("seg")), "")).as("scrub_md5"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(col("e") - col("s") + 1).cast("int").as("chars_removed"))
+      .join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), col("chars_removed"),
+        coalesce(col("scrub_md5"), md5(lit(""))).as("scrub_md5"))
+  }
+
+  /** Span-scrub query — same window geometry as [[contaminationSpans]]
+    * (16-char windows, corpus stride 4, benchmark stride 1) so the two
+    * queries describe the same evidence; this one performs the cut. */
+  val spanScrub: Q = Q(
+    "text_span_scrub",
+    """WITH bh AS (
+      |  SELECT DISTINCT md5(substr(text, CAST(p AS INTEGER), 16)) AS h
+      |  FROM (
+      |    SELECT text, unnest(generate_series(1, length(text) - 15, 1)) AS p
+      |    FROM documents
+      |    WHERE doc_id % 100 = 7 AND text IS NOT NULL AND length(text) >= 16)),
+      |c AS (
+      |  SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), 16)) AS h
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(1, length(text) - 15, 4)) AS p
+      |    FROM documents
+      |    WHERE doc_id % 100 <> 7 AND text IS NOT NULL AND length(text) >= 16)),
+      |hits AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+      |           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 16
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM (SELECT doc_id, p FROM c JOIN bh USING (h))),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM hits),
+      |spans AS (
+      |  SELECT doc_id, island, min(p) AS s, max(p) + 15 AS e
+      |  FROM isl GROUP BY 1, 2),
+      |segs0 AS (
+      |  SELECT doc_id,
+      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+      |    CAST(s - 1 AS BIGINT) AS ge
+      |  FROM spans
+      |  UNION ALL
+      |  SELECT doc_id, max(e) + 1 AS gs, NULL AS ge FROM spans GROUP BY doc_id),
+      |segs AS (
+      |  SELECT g.doc_id, gs,
+      |    substr(d.text, CAST(gs AS INTEGER),
+      |           CAST(coalesce(ge, length(d.text)) - gs + 1 AS INTEGER)) AS seg
+      |  FROM segs0 g JOIN documents d USING (doc_id)
+      |  WHERE coalesce(ge, length(d.text)) >= gs),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS INTEGER) AS n_spans,
+      |    CAST(sum(e - s + 1) AS INTEGER) AS chars_removed
+      |  FROM spans GROUP BY 1),
+      |scrub AS (
+      |  SELECT doc_id,
+      |    md5(coalesce(string_agg(seg, '' ORDER BY gs), '')) AS scrub_md5
+      |  FROM segs GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_id, n_spans, chars_removed,
+      |  coalesce(scrub_md5, md5('')) AS scrub_md5
+      |FROM agg a LEFT JOIN scrub USING (doc_id)""".stripMargin
+  ) { (s, d) =>
+    scrubContaminatedSpans(Tables.documents(s, d),
+      col("doc_id") % 100 === 7, windowChars = 16, stride = 4)
+  }
+
+  /** Global heavy-hitter word n-grams — the corpus-frequency census a
+    * tokenizer/vocab-induction or boilerplate-mining pass starts from.
+    * Counts OCCURRENCES (multiplicity, unlike the deduping shingle
+    * family), ranks by count with ties to the lexicographically smaller
+    * gram. Scale shape: one explode + a partially-aggregated groupBy,
+    * then the global top-k as orderBy(...).limit(k) — Spark plans that as
+    * TakeOrderedAndProject (per-partition bounded heaps + a k-row driver
+    * merge), never a single-partition global sort; the rank column is
+    * numbered AFTER the limit, so its window touches k rows, not the
+    * vocabulary. */
+  /** (gram): every word n-gram occurrence in the corpus, with
+    * multiplicity — the shared stream behind the census and the sketch. */
+  private def gramStream(docs: org.apache.spark.sql.DataFrame, n: Int) =
+    docs
+      .where(col("text").isNotNull)
+      .withColumn("_t", tokens(col("text")))
+      .where(size(col("_t")) >= n)
+      .select(explode(transform(sequence(lit(1), size(col("_t")) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("_t"), i + j)): _*))).as("gram"))
+
+  private def topFromGrams(grams: org.apache.spark.sql.DataFrame, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc).limit(k)
+      // the unpartitioned window touches only the k post-limit rows
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("gram").asc)).cast("int"))
+  }
+
+  def topNgrams(docs: org.apache.spark.sql.DataFrame, n: Int = 3, k: Int = 20)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got ($n, $k)")
+    topFromGrams(gramStream(docs, n), k)
+  }
+
+  /** Heavy-hitter trigrams query, top 20. */
+  val topNgramsQ: Q = Q(
+    "text_top_ngrams",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
+      |  FROM t WHERE len(toks) >= 3),
+      |c AS (SELECT gram, count(*) AS n FROM g GROUP BY 1),
+      |r AS (SELECT gram, n,
+      |        CAST(row_number() OVER (ORDER BY n DESC, gram ASC) AS INTEGER) AS rank
+      |      FROM c)
+      |SELECT gram, n, rank FROM r WHERE rank <= 20""".stripMargin
+  ) { (s, d) => topNgrams(Tables.documents(s, d)) }
+
+  /** Count-min-sketch n-gram frequency estimates (Cormode & Muthukrishnan
+    * 2005) — the 100 TB path for AD-HOC frequency point queries: the
+    * sketch is built in one reduce pass (mergeable fixed-size counters,
+    * no shuffle — Spark's `stat.countMinSketch` aggregates per-partition
+    * sketches), is a few MB regardless of corpus size, and afterwards
+    * answers any gram's frequency without re-scanning — where the exact
+    * census pays its groupBy shuffle again for every new question.
+    * Estimates the frequencies of `queries` grams against the corpus
+    * trigram stream: (gram, est). Deterministic: fixed seed, and CMS
+    * updates commute so partitioning order cannot change the counters. */
+  def ngramSketchEstimates(docs: org.apache.spark.sql.DataFrame,
+      queries: Seq[String], n: Int = 3,
+      eps: Double = 1e-3, confidence: Double = 0.999)
+      : org.apache.spark.sql.DataFrame =
+    sketchFromGrams(gramStream(docs, n), queries, eps, confidence)
+
+  private def sketchFromGrams(grams: org.apache.spark.sql.DataFrame,
+      queries: Seq[String], eps: Double, confidence: Double)
+      : org.apache.spark.sql.DataFrame = {
+    require(queries.nonEmpty, "need at least one query gram")
+    require(eps > 0 && eps < 1 && confidence > 0 && confidence < 1,
+      s"need eps, confidence in (0,1), got ($eps, $confidence)")
+    // sketch over the codegen'd 60-bit md5 of each gram, not the string:
+    // long insertion skips the per-row UTF-8 byte copy (measured 1.7× at
+    // sf0.1) and the driver re-hashes query grams identically below. The
+    // pre-hash adds a ~2⁻⁶⁰-per-pair collision floor — upward-only, far
+    // below any practical eps (bloom-span precedent)
+    val cms = grams.select(md5Hash64(col("gram")).as("g"))
+      .stat.countMinSketch("g", eps, confidence, seed = 42)
+    val spark = grams.sparkSession
+    import spark.implicits._
+    // |queries| is bounded by the caller (point queries, not a census):
+    // the estimates are driver-side sketch reads, not a distributed job
+    queries.map(g => (g, cms.estimateCount(md5Hash64Jvm(g)))).toDF("gram", "est")
+  }
+
+  /** CMS query — estimates the exact census's top-20 trigrams, gated on
+    * the sketch's structural guarantees vs the exact twin: no
+    * underestimates (CMS counters only ever over-count), and every
+    * overestimate within the eps·N bound the (eps, confidence) sizing
+    * promises (N = total trigram occurrences). Fixed seed makes the gate
+    * deterministic per fixture. */
+  val topNgramsCms: Q = Q.gated("text_top_ngrams_cms") { (s, d) =>
+    // census and sketch share ONE cached gram frame (the tokenize+explode
+    // pipeline dominated the two-pass cost: 11.6 → ~3 s at sf0.1); both
+    // consumers are eager (collect, sketch build), so unlike the lazy
+    // sketch operators the cache can be released before returning
+    val grams = gramStream(Tables.documents(s, d), 3).cache()
+    try {
+      val qs = topFromGrams(grams, 20).select("gram")
+        .collect().map(_.getString(0)).toSeq
+      sketchFromGrams(grams, qs, eps = 1e-3, confidence = 0.999)
+    } finally grams.unpersist()
+  } { (s, d, res) =>
+    val docs = Tables.documents(s, d)
+    val exact = topNgrams(docs).select(col("gram"), col("n"))
+    val n = docs
+      .where(col("text").isNotNull)
+      .select(greatest(tokenCount(col("text")) - 2, lit(0)).as("c"))
+      .agg(sum(col("c"))).head.getLong(0)
+    val joined = res.join(exact, "gram")
+      .select(col("est"), col("n"), (col("est") - col("n")).as("over")).collect()
+    val under = joined.count(r => r.getLong(0) < r.getLong(1))
+    val maxOver = if (joined.isEmpty) 0L else joined.map(_.getLong(2)).max
+    val bound = 1e-3 * n
+    Seq(
+      Gate("queries_estimated", joined.length.toDouble, joined.length == 20),
+      Gate("underestimates", under.toDouble, under == 0),
+      Gate("max_overcount", maxOver.toDouble, maxOver <= bound))
+  }
+
   /** PII scrub pass: per-document email/phone hit counts plus an md5 of
     * the redacted text — the hash proves the scrubbed OUTPUT (not just
     * the counts) is bit-identical across engines, without dumping the
@@ -1038,5 +1416,5 @@ object TextQueries {
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
     contamination, contaminationBloom, contaminationSpans,
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
-    bm25, piiScrub)
+    bm25, paragraphDedupQ, spanScrub, topNgramsQ, topNgramsCms, piiScrub)
 }

@@ -150,6 +150,39 @@ class EdgeCaseSpec extends AnyFunSuite {
       "no corpus side → nothing retrievable, not a divide-by-zero on avgdl")
   }
 
+  test("paragraph dedup: empty corpus and all-null text yield empty output") {
+    assert(text.TextQueries.paragraphDedup(docsLike(Nil)).count() == 0)
+    assert(text.TextQueries.paragraphDedup(
+      docsLike(Seq(1L -> null.asInstanceOf[String]))).count() == 0)
+  }
+
+  test("span scrub: empty corpus, empty bench, and bad params degrade cleanly") {
+    assert(text.TextQueries.scrubContaminatedSpans(docsLike(Nil), lit(true)).count() == 0)
+    val docs = docsLike(Seq(1L -> ("plenty of ordinary words here to clear " +
+      "the window floor without any benchmark overlap at all")))
+    assert(text.TextQueries.scrubContaminatedSpans(docs, lit(false)).count() == 0,
+      "no bench docs → nothing scrubbed")
+    intercept[IllegalArgumentException] {
+      text.TextQueries.scrubContaminatedSpans(docs, lit(false), stride = 0)
+    }
+  }
+
+  test("top n-grams: empty corpus is empty; CMS rejects empty queries and bad eps") {
+    assert(text.TextQueries.topNgrams(docsLike(Nil)).count() == 0)
+    // an empty-corpus sketch estimates zero, it doesn't crash
+    assert(text.TextQueries.ngramSketchEstimates(docsLike(Nil), Seq("a b c"))
+      .head.getLong(1) == 0L)
+    intercept[IllegalArgumentException] {
+      text.TextQueries.ngramSketchEstimates(docsLike(Nil), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      text.TextQueries.ngramSketchEstimates(docsLike(Nil), Seq("a b c"), eps = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      text.TextQueries.topNgrams(docsLike(Nil), k = 0)
+    }
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))

@@ -58,6 +58,15 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(top1 == Seq(11L, 12L), s"got $top1")
       assert(agg(0).getSeq[Long](2).sorted == Seq(10L, 11L, 12L))
       assert(agg(1).isNullAt(2), "over-cap group must evaluate to NULL")
+      // keep_first: earliest (doc, p) occurrence wins, payload rides along
+      val kf = spark.sql(
+        """SELECT h, keep_first(doc, p, s) AS w
+          |FROM VALUES ('a', 2L, 1, 'late doc'), ('a', 1L, 5, 'winner'),
+          |            ('a', 1L, 9, 'same doc later'), ('b', 3L, 0, 'solo')
+          |  AS t(h, doc, p, s)
+          |GROUP BY h ORDER BY h""".stripMargin).collect()
+      assert(kf(0).getStruct(1).getString(2) == "winner", s"got ${kf(0)}")
+      assert(kf(1).getStruct(1).getString(2) == "solo")
     } finally {
       // don't stop(): the SparkContext is shared with TestSpark sessions
       prevDefault.foreach(SparkSession.setDefaultSession)

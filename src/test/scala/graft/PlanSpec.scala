@@ -202,6 +202,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("text_paragraph_dedup: winners by partial min-aggregate, never a window sort") {
+    val p = plan("text_paragraph_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the keep-first winner must come from the native hash-aggregable
+    // keep_first WITH its map-side combine — a row_number window would
+    // sort every occurrence of a hot boilerplate line on one task, and
+    // min(struct(...)) falls back to a map-side-SORTING SortAggregate;
+    // the partial phase collapses each map partition's occurrences to
+    // one buffered row before the shuffle
+    assert(p.contains("partial_keep_first"), p)
+    assert(p.contains("ObjectHashAggregate"),
+      s"keep_first must hash-aggregate, not sort:\n$p")
+    assert(!p.contains("Window"), s"keep-first must not plan a window sort:\n$p")
+  }
+
+  test("text_span_scrub: bench hashes broadcast; per-doc windows only") {
+    val p = plan("text_span_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the benchmark window-hash set must broadcast onto the corpus stream
+    assert(p.contains("BroadcastHashJoin"), p)
+    // island/segment windows are doc_id-partitioned (hits only, never the
+    // corpus) — a global window here would single-task the merge
+    assert(p.linesIterator.filter(_.contains("Window"))
+      .forall(!_.contains("Window []")), s"unpartitioned window:\n$p")
+  }
+
+  test("text_top_ngrams: global top-k plans as TakeOrdered, counts combine map-side") {
+    val p = plan("text_top_ngrams")
+    // orderBy(...).limit(k) over the census must become per-partition
+    // bounded heaps + a k-row driver merge, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("text_contamination_bloom: membership is a filter, not a join") {
     // the exact twin carries TWO joins (bench-broadcast hit join + the
     // tot⟕hit assembly); the bloom form must replace the first with a

@@ -545,4 +545,64 @@ class ProfileSpec extends AnyFunSuite {
     println(s"[profile] BH 16k affinity-stage rows: exact=$tExactAff approx=$tApproxAff")
     big.unpersist()
   }
+
+  test("scale stress: paragraph dedup under boilerplate skew (window twin measured)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The scale claim on paragraphDedup: keep-first winners via
+    // min(struct) partial aggregation stay skew-safe where a
+    // row_number() window sorts every occurrence of the hottest
+    // paragraph on one task. 200k docs × 4 unique lines, plus ONE shared
+    // boilerplate line on every even doc — a single paragraph hash with
+    // 100k occurrences.
+    import org.apache.spark.sql.expressions.Window
+    val n = 200000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws("\n",
+        when(col("id") % 2 === 0,
+          lit("subscribe to our newsletter for updates\n")).otherwise(lit("")),
+        concat(lit("u"), col("id"), lit(" alpha line")),
+        concat(lit("u"), col("id"), lit(" bravo line")),
+        concat(lit("u"), col("id"), lit(" charlie line")),
+        concat(lit("u"), col("id"), lit(" delta line"))).as("text"))
+      .cache()
+    docs.count()
+    // NOTE the derivation above yields an extra empty line on even docs
+    // (concat_ws keeps the embedded \n) — itself a cross-doc duplicate,
+    // a second hot key. Fine: more skew is the point.
+    val thresholds = Seq("128", "1000000")
+    val aggs = thresholds.map { t =>
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", t)
+      time(s"paragraph dedup (keep_first, fallback=$t)") {
+        val f = text.TextQueries.paragraphDedup(docs)
+          .agg(sum("n_paras"), sum("n_kept"), count(lit(1))).head
+        (f.getLong(0), f.getLong(1), f.getLong(2))
+      }
+    }
+    spark.conf.unset("spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+    val agg = aggs.head
+    assert(aggs.distinct.size == 1, s"fallback threshold must not change results: $aggs")
+    // the rejected twin: identical output (reassembly md5 included),
+    // winners ranked by a row_number window over the paragraph hash
+    val winT = time("window-ranked twin") {
+      val lines = docs
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("p", "line")))
+        .withColumn("h", md5(col("line")))
+      val w = Window.partitionBy("h").orderBy("doc_id", "p")
+      val f = lines.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1, struct(col("p"), col("line"))))),
+            x => x.getField("line")), "\n")).as("clean_md5"))
+        .agg(sum("n_paras"), sum("n_kept"), count(lit(1))).head
+      (f.getLong(0), f.getLong(1), f.getLong(2))
+    }
+    assert(agg == winT, s"twin plans must agree: $agg vs $winT")
+    // 6 lines per even doc (boiler + empty + 4 unique), 5 per odd doc;
+    // survivors: all unique lines + one boiler + one empty line
+    assert(agg._1 == 6 * (n / 2) + 5 * (n / 2), s"total paras: ${agg._1}")
+    assert(agg._2 == 4 * n + 2, s"kept: ${agg._2}")
+    docs.unpersist()
+  }
 }

@@ -397,4 +397,146 @@ class TextSpec extends AnyFunSuite {
     assert(TextQueries.contaminationSpansBloomVs(docs, lit(false)).count() == 0,
       "an empty benchmark branch flags nothing (sentinel keeps the sketch alive)")
   }
+
+  // --- paragraph dedup ---
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("paragraph dedup: keep-first across docs, within docs, and full-drop hashing") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha\nbravo\ncharlie",
+      2L -> "bravo\ndelta",         // bravo owned by doc 1
+      3L -> "alpha\nalpha\necho",   // both alphas owned by doc 1
+      4L -> "alpha\nbravo",         // every paragraph already owned
+      5L -> null.asInstanceOf[String]
+    ).toDF("doc_id", "text")
+    val out = TextQueries.paragraphDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "null text excluded, rest kept")
+    assert(out(1L) == ((3, 3, md5Hex("alpha\nbravo\ncharlie"))),
+      "the first owner keeps everything")
+    assert(out(2L) == ((2, 1, md5Hex("delta"))))
+    assert(out(3L) == ((3, 1, md5Hex("echo"))),
+      "intra-doc repeats of a foreign paragraph are all dropped")
+    assert(out(4L) == ((2, 0, md5Hex(""))),
+      "a fully-duplicated doc reassembles to the empty string")
+  }
+
+  test("paragraph dedup: an intra-doc repeat whose first owner is the doc itself keeps one copy") {
+    import spark.implicits._
+    val docs = Seq(9L -> "same\nsame\nother").toDF("doc_id", "text")
+    val r = TextQueries.paragraphDedup(docs).head
+    assert((r.getInt(1), r.getInt(2)) == ((3, 2)))
+    assert(r.getString(3) == md5Hex("same\nother"))
+  }
+
+  // --- surgical span scrub ---
+
+  /** Reference model: stride-grid window hits vs the bench substring set,
+    * fixed-width interval merge, cut, for cross-checking the distributed
+    * plan byte-exactly. */
+  private def scrubModel(text: String, bench: Set[String], w: Int, stride: Int)
+      : Option[(Int, Int, String)] = {
+    if (text == null || text.length < w) return None
+    val hits = (0 to text.length - w by stride)
+      .filter(p => bench.contains(text.substring(p, p + w)))
+    if (hits.isEmpty) return None
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    hits.foreach { p =>
+      if (spans.nonEmpty && p <= spans.last(1) + 1) spans.last(1) = p + w - 1
+      else spans += Array(p, p + w - 1)
+    }
+    val kept = new StringBuilder
+    var prev = 0
+    spans.foreach { case Array(s, e) => kept ++= text.substring(prev, s); prev = e + 1 }
+    kept ++= text.substring(prev)
+    Some((spans.length, spans.map(s => s(1) - s(0) + 1).sum, md5Hex(kept.toString)))
+  }
+
+  test("span scrub: the cut text matches the reference model byte-exactly") {
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog while " +
+      "the farmer watches from the barn door in the evening light"
+    val copied = benchText.substring(20, 80)
+    val docs = Seq(
+      7L  -> benchText,
+      10L -> ("completely original content here with nothing shared at all " +
+        "and plenty of its own words to fill forty characters"),
+      11L -> ("intro text then " + copied + " and an original tail here"),
+      12L -> (copied + " " + copied)  // two copies → still one merged span?
+    ).toDF("doc_id", "text")
+    val w = 16; val stride = 4
+    val bench = (0 to benchText.length - w).map(i => benchText.substring(i, i + w)).toSet
+    val out = TextQueries.scrubContaminatedSpans(docs, col("doc_id") === 7,
+        windowChars = w, stride = stride)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val expect = Seq(10L, 11L, 12L).flatMap { id =>
+      val t = docs.where(col("doc_id") === id).head.getString(1)
+      scrubModel(t, bench, w, stride).map(id -> _)
+    }.toMap
+    assert(out == expect, s"got $out\nexpected $expect")
+    assert(out.contains(11L) && !out.contains(10L),
+      "only docs with contaminated spans are returned")
+  }
+
+  test("span scrub: a fully-contaminated doc scrubs to the empty string") {
+    import spark.implicits._
+    val benchText = "abcdefghijklmnopqrstuvwxyz0123456789 abcdefghijklmnopqrstuvwxyz"
+    val docs = Seq(
+      7L -> benchText,
+      // length 60 ≡ 0 mod stride 4: the last grid window starts at 45 and
+      // its span [45, 60] reaches the final char, so coverage is total
+      8L -> benchText.substring(0, 60)
+    ).toDF("doc_id", "text")
+    val out = TextQueries.scrubContaminatedSpans(docs, col("doc_id") === 7,
+      windowChars = 16, stride = 4).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 8L)
+    assert(out.head.getInt(2) == 60, "every char removed")
+    assert(out.head.getString(3) == md5Hex(""))
+  }
+
+  // --- heavy-hitter n-grams + CMS ---
+
+  test("top n-grams: occurrence counts with lexicographic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c a b c a b c",   // "a b c" ×3, "b c a" ×2, "c a b" ×2
+      2L -> "x y z",               // "x y z" ×1
+      3L -> "tiny doc",            // <3 tokens → no trigrams
+      4L -> null.asInstanceOf[String]
+    ).toDF("doc_id", "text")
+    val out = TextQueries.topNgrams(docs, n = 3, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("a b c", 3L, 1), ("b c a", 2L, 2), ("c a b", 2L, 3)),
+      s"got ${out.toSeq}")
+  }
+
+  test("cms estimates never undercount and respect the eps bound on the fixture") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, s"common gram here plus unique tail u${i}a u${i}b u${i}c")).toDF("doc_id", "text")
+    val est = TextQueries.ngramSketchEstimates(docs,
+        Seq("common gram here", "gram here plus", "never seen gram"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("common gram here") >= 50L)
+    assert(est("gram here plus") >= 50L)
+    // N = 50 docs × 5 trigrams = 250; eps=1e-3 → slack < 1 ⇒ exact here
+    assert(est("common gram here") == 50L && est("never seen gram") == 0L,
+      s"sub-slack fixture must be exact: $est")
+  }
+
+  test("driver md5Hash64Jvm is bit-identical to the column expression") {
+    import spark.implicits._
+    val samples = Seq("common gram here", "a", "", "üñïçôdé mix 42", "x y z")
+    val fromCol = samples.toDF("s")
+      .select(TextFunctions.md5Hash64(col("s")))
+      .collect().map(_.getLong(0))
+    assert(fromCol.toSeq == samples.map(TextFunctions.md5Hash64Jvm),
+      "sketch inserts (column) and query reads (driver) must hash alike")
+  }
 }
