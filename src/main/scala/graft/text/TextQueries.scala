@@ -1134,7 +1134,6 @@ object TextQueries {
       : org.apache.spark.sql.DataFrame = {
     require(windowChars >= 1 && stride >= 1 && benchStride >= 1,
       s"window parameters must be positive, got ($windowChars, $stride, $benchStride)")
-    import org.apache.spark.sql.expressions.Window
     def windows(side: org.apache.spark.sql.DataFrame, step: Int) =
       spanWindows(side, windowChars, step)
         .select(col("doc_id"), col("p"), md5(col("w")).as("h"))
@@ -1142,6 +1141,22 @@ object TextQueries {
     val corpusDocs = docs.where(!isBench)
     val hits = windows(corpusDocs, stride)
       .join(broadcast(benchH), "h").select("doc_id", "p")
+    scrubHitWindows(hits, corpusDocs, windowChars)
+  }
+
+  /** Shared back half of the span-scrub family: merge hit windows
+    * [p, p+windowChars−1] into maximal spans per doc (gaps-and-islands;
+    * fixed width ⇒ ends monotone in p ⇒ the lag-based break is exact),
+    * cut them, and rebuild each doc from its inter-span segments.
+    * `hits` is (doc_id, p) — the EXCEPTION rows, orders of magnitude
+    * smaller than the window stream, so every window function here is
+    * doc_id-partitioned over a small frame. Returns only docs with ≥1
+    * span: (doc_id, n_spans, chars_removed, scrub_md5); a doc cut in
+    * full hashes the empty string. */
+  private def scrubHitWindows(hits: org.apache.spark.sql.DataFrame,
+      docsSide: org.apache.spark.sql.DataFrame, windowChars: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byP = Window.partitionBy("doc_id").orderBy("p")
     val cum = byP.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val spans = hits
@@ -1161,7 +1176,7 @@ object TextQueries {
       .agg((max(col("e")) + 1).as("gs"))
       .withColumn("ge", lit(null).cast("int"))
     val segs = pre.unionByName(tail)
-      .join(corpusDocs.select(col("doc_id"), col("text")), "doc_id")
+      .join(docsSide.select(col("doc_id"), col("text")), "doc_id")
       .withColumn("ge", coalesce(col("ge"), length(col("text"))))
       .where(col("ge") >= col("gs"))
       .select(col("doc_id"), col("gs"),
@@ -1177,6 +1192,119 @@ object TextQueries {
       .join(scrub, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"), col("chars_removed"),
         coalesce(col("scrub_md5"), md5(lit(""))).as("scrub_md5"))
+  }
+
+  /** Cross-document duplicated-substring REMOVAL — the full Lee et al.
+    * 2022 semantics that [[graft.ops.Dedup.dupSpans]] only detects: every
+    * window of text that already occurred earlier in the corpus (by
+    * (doc_id, position) order, across OR within documents) is cut, and
+    * the first occurrence is kept. Ownership is the same keep-first
+    * discipline as [[paragraphDedup]], at window rather than paragraph
+    * granularity: winners per window hash via a primitive min-chain
+    * (`min(p)` per (hash, doc), then `min(doc_id)` per hash — two
+    * codegen'd HashAggregates whose map-side partials collapse a
+    * boilerplate window occurring 10⁹ times to one row per partition),
+    * losers rejoin the window stream by hash (key equi-join, AQE splits
+    * hot hashes) and feed the shared island-merge + rebuild. Same stride
+    * caveat as dupSpans: copies at offset shifts ≢ 0 (mod stride) are
+    * invisible — stride 1 catches everything at windowChars× the window
+    * volume; suffix arrays (Lee et al.) get that sensitivity cheaper on
+    * a single machine but don't shuffle. Returns only docs that lost
+    * ≥1 window: (doc_id, n_spans, chars_removed, scrub_md5). */
+  def scrubDupSpans(docs: org.apache.spark.sql.DataFrame,
+      windowChars: Int = 40, stride: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    require(windowChars >= 1 && stride >= 1,
+      s"window parameters must be positive, got ($windowChars, $stride)")
+    val w = spanWindows(docs, windowChars, stride)
+      .select(col("doc_id"), col("p"), md5(col("w")).as("h"))
+    // Ownership is a primitive-only min-chain, measured against three
+    // rejected shapes on the sf0.1 documents fixture (1.25M windows, an
+    // atypically hot 18% dup rate; identical 132,075-loser output on
+    // all four): (a) the native keep_first TypedImperativeAggregate over
+    // the full stream, 5.9-6.3 s — an object aggregate across ~1.2M
+    // near-unique groups falls back to sort-based aggregation; (b)
+    // keep_first on a count>1-prefiltered stream, 8.8 s cold — two
+    // passes over the window stream plus the TIA; (c) a
+    // row_number-over-hash window, 1.7 s here but single-tasks every
+    // boilerplate-hot hash — the exact skew this operator exists to
+    // absorb, rejected on shape; (d) this chain, ~2.0 s warm: min(p)
+    // per (h, doc) then min(doc_id) per hash, both codegen'd
+    // HashAggregates with map-side partials, so a 10⁹-copy boilerplate
+    // window costs one row per map partition and AQE splits whatever
+    // survives to the reduce side. The tot>1 prefilter keeps the
+    // winner-position join build side at |duplicated hashes| ≈ the
+    // corpus dup rate (1-3% on real crawls, Lee et al. 2022), not
+    // |distinct windows|.
+    val s1 = w.groupBy("h", "doc_id")
+      .agg(min(col("p")).as("p0"), count(lit(1)).as("cnt"))
+    val winnerDoc = s1.groupBy("h")
+      .agg(min(col("doc_id")).as("w_doc"), sum(col("cnt")).as("tot"))
+      .where(col("tot") > 1).select("h", "w_doc")
+    val winners = s1.join(winnerDoc, "h")
+      .where(col("doc_id") === col("w_doc"))
+      .select(col("h"), col("w_doc"), col("p0").as("w_p"))
+    val losers = w.join(winners, "h")
+      .where(col("doc_id") =!= col("w_doc") || col("p") =!= col("w_p"))
+      .select("doc_id", "p")
+    scrubHitWindows(losers, docs, windowChars)
+  }
+
+  /** Dup-span removal query — window geometry matched to
+    * [[contaminationSpans]] (16 chars, stride 4) for the same
+    * short-fixture reason; named into the dedup family it completes
+    * (detect: dedup_substring_spans → act: this). */
+  val dedupSpanScrub: Q = Q(
+    "dedup_span_scrub",
+    """WITH wins AS (
+      |  SELECT doc_id, p, h,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+      |  FROM (
+      |    SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), 16)) AS h
+      |    FROM (
+      |      SELECT doc_id, text, unnest(generate_series(1, length(text) - 15, 4)) AS p
+      |      FROM documents WHERE text IS NOT NULL AND length(text) >= 16))),
+      |losers AS (SELECT doc_id, p FROM wins WHERE rn > 1),
+      |hits AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+      |           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 16
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM losers),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM hits),
+      |spans AS (
+      |  SELECT doc_id, island, min(p) AS s, max(p) + 15 AS e
+      |  FROM isl GROUP BY 1, 2),
+      |segs0 AS (
+      |  SELECT doc_id,
+      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+      |    CAST(s - 1 AS BIGINT) AS ge
+      |  FROM spans
+      |  UNION ALL
+      |  SELECT doc_id, max(e) + 1 AS gs, NULL AS ge FROM spans GROUP BY doc_id),
+      |segs AS (
+      |  SELECT g.doc_id, gs,
+      |    substr(d.text, CAST(gs AS INTEGER),
+      |           CAST(coalesce(ge, length(d.text)) - gs + 1 AS INTEGER)) AS seg
+      |  FROM segs0 g JOIN documents d USING (doc_id)
+      |  WHERE coalesce(ge, length(d.text)) >= gs),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+      |    CAST(sum(e - s + 1) AS INTEGER) AS chars_removed
+      |  FROM spans GROUP BY 1),
+      |scrub AS (
+      |  SELECT doc_id,
+      |    md5(coalesce(string_agg(seg, '' ORDER BY gs), '')) AS scrub_md5
+      |  FROM segs GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_id, n_spans, chars_removed,
+      |  coalesce(scrub_md5, md5('')) AS scrub_md5
+      |FROM agg a LEFT JOIN scrub USING (doc_id)""".stripMargin
+  ) { (s, d) =>
+    scrubDupSpans(Tables.documents(s, d), windowChars = 16, stride = 4)
   }
 
   /** Span-scrub query — same window geometry as [[contaminationSpans]]
@@ -1366,6 +1494,93 @@ object TextQueries {
       Gate("max_overcount", maxOver.toDouble, maxOver <= bound))
   }
 
+  /** Exact per-source vocabulary census: documents, token occurrences,
+    * distinct terms, distinct trigrams. The exact form is the oracle
+    * anchor; at 100 TB `count(DISTINCT term)` per group is a wide
+    * shuffle of every (source, term) pair — the HLL twin
+    * ([[vocabHll]]) is the scale path. */
+  val vocabBySource: Q = Q(
+    "text_vocab_by_source",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |u AS (SELECT doc_id, source, unnest(toks) AS term FROM t),
+      |g AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS gram
+      |  FROM t WHERE len(toks) >= 3),
+      |uni AS (
+      |  SELECT source, CAST(count(DISTINCT doc_id) AS INTEGER) AS n_docs,
+      |    count(*) AS n_tokens, count(DISTINCT term) AS n_vocab
+      |  FROM u GROUP BY 1),
+      |tri AS (SELECT source, count(DISTINCT gram) AS n_trigrams FROM g GROUP BY 1)
+      |SELECT source, n_docs, n_tokens, n_vocab,
+      |  coalesce(n_trigrams, 0) AS n_trigrams
+      |FROM uni LEFT JOIN tri USING (source)""".stripMargin
+  ) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .withColumn("_t", tokens(col("text")))
+    val u = base.select(col("doc_id"), col("source"), explode(col("_t")).as("term"))
+    val g = base.where(size(col("_t")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("_t")) - 2),
+          i => concat_ws(" ", element_at(col("_t"), i),
+            element_at(col("_t"), i + 1), element_at(col("_t"), i + 2)))).as("gram"))
+    val uni = u.groupBy("source").agg(
+      countDistinct(col("doc_id")).cast("int").as("n_docs"),
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("term")).as("n_vocab"))
+    val tri = g.groupBy("source").agg(countDistinct(col("gram")).as("n_trigrams"))
+    uni.join(tri, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_vocab"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"))
+  }
+
+  /** HyperLogLog form of [[vocabBySource]] — the cardinality member of
+    * the sketch family (bloom = membership, count-min = frequency, HLL =
+    * distinct count). `approx_count_distinct` keeps a fixed ~2^p-register
+    * sketch per group, merged map-side — the per-(source, term) shuffle
+    * the exact form pays simply disappears; at any corpus size a group's
+    * state is the sketch, not its vocabulary. Gated against the exact
+    * twin at 3× the configured standard error (HLL++ is deterministic —
+    * no seed — so the gate is stable per fixture). */
+  def vocabHllVs(docs: org.apache.spark.sql.DataFrame, rsd: Double = 0.05)
+      : org.apache.spark.sql.DataFrame = {
+    require(rsd > 0 && rsd < 1, s"relative standard deviation in (0,1), got $rsd")
+    val base = docs
+      .where(col("text").isNotNull)
+      .withColumn("_t", tokens(col("text")))
+    base.select(col("doc_id"), col("source"), explode(col("_t")).as("term"))
+      .groupBy("source").agg(
+        approx_count_distinct(col("doc_id"), rsd).cast("int").as("n_docs_est"),
+        count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("term"), rsd).as("n_vocab_est"))
+  }
+
+  val vocabHll: Q = Q.gated("text_vocab_hll") { (s, d) =>
+    vocabHllVs(Tables.documents(s, d))
+  } { (s, d, res) =>
+    val exact = vocabBySource.fn(s, d)
+      .select(col("source"), col("n_docs"), col("n_vocab")).cache()
+    val nExact = exact.count()
+    val j = res.join(exact, "source")
+      .select(
+        (abs(col("n_docs_est") - col("n_docs")).cast("double") / col("n_docs"))
+          .as("e_docs"),
+        (abs(col("n_vocab_est") - col("n_vocab")).cast("double") / col("n_vocab"))
+          .as("e_vocab"))
+      .agg(count(lit(1)), max(col("e_docs")), max(col("e_vocab"))).head
+    exact.unpersist()
+    val bound = 3 * 0.05
+    Seq(
+      Gate("sources_joined", j.getLong(0).toDouble, j.getLong(0) == nExact),
+      Gate("max_rel_err_docs", j.getDouble(1), j.getDouble(1) <= bound),
+      Gate("max_rel_err_vocab", j.getDouble(2), j.getDouble(2) <= bound))
+  }
+
   /** PII scrub pass: per-document email/phone hit counts plus an md5 of
     * the redacted text — the hash proves the scrubbed OUTPUT (not just
     * the counts) is bit-identical across engines, without dumping the
@@ -1416,5 +1631,6 @@ object TextQueries {
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
     contamination, contaminationBloom, contaminationSpans,
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
-    bm25, paragraphDedupQ, spanScrub, topNgramsQ, topNgramsCms, piiScrub)
+    bm25, paragraphDedupQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
+    vocabBySource, vocabHll, piiScrub)
 }

@@ -183,6 +183,24 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-span scrub and vocab sketches degrade cleanly on empty/degenerate input") {
+    assert(text.TextQueries.scrubDupSpans(docsLike(Nil)).count() == 0)
+    // a corpus of all-unique text cuts nothing
+    assert(text.TextQueries.scrubDupSpans(docsLike(Seq(
+      1L -> "completely unique first document text with no repeats anywhere",
+      2L -> "a second document sharing not one sixteen char window with any"
+    )), windowChars = 16, stride = 4).count() == 0)
+    intercept[IllegalArgumentException] {
+      text.TextQueries.scrubDupSpans(docsLike(Nil), windowChars = 0)
+    }
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(text.TextQueries.vocabHllVs(emptySrc).count() == 0)
+    intercept[IllegalArgumentException] {
+      text.TextQueries.vocabHllVs(emptySrc, rsd = 0.0)
+    }
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))

@@ -238,6 +238,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("dedup_span_scrub: primitive min-chain ownership; windows stay doc-partitioned") {
+    val p = plan("dedup_span_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // window-hash ownership must stay on codegen'd primitive
+    // HashAggregates (the min-chain) — never the keep_first object
+    // aggregate over the near-unique hash stream (its sort fallback
+    // measured 5.9 s vs 2.0 s), and never a row_number over the
+    // boilerplate-hot hash (single-tasks hot keys; the only Window
+    // nodes belong to the doc_id-partitioned island merge). The one
+    // ObjectHashAggregate allowed is the scrub tail's doc_id-keyed
+    // collect_list reassembly, whose groups are bounded by spans/doc.
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("keep_first"), p)
+    assert(!p.contains("row_number"), s"hash-partitioned row_number crept in:\n$p")
+    assert(p.linesIterator.filter(_.contains("ObjectHashAggregate"))
+      .forall(_.contains("collect_list")), s"object agg outside reassembly:\n$p")
+    assert(p.linesIterator.filter(_.contains("Window"))
+      .forall(!_.contains("Window []")), s"unpartitioned window:\n$p")
+  }
+
+  test("text_vocab_hll: HLL sketches merge map-side; no distinct expand") {
+    val p = plan("text_vocab_hll")
+    // the whole point vs the exact twin: per-group state is a sketch with
+    // a partial (map-side) phase, not a shuffled (source, term) distinct
+    assert(p.contains("partial_approx_count_distinct"), p)
+    assert(!p.contains("Expand"), s"no count-distinct expand:\n$p")
+  }
+
   test("text_contamination_bloom: membership is a filter, not a join") {
     // the exact twin carries TWO joins (bench-broadcast hit join + the
     // tot⟕hit assembly); the bloom form must replace the first with a

@@ -530,6 +530,60 @@ class TextSpec extends AnyFunSuite {
       s"sub-slack fixture must be exact: $est")
   }
 
+  test("dup-span scrub: the first occurrence survives, every later copy is cut") {
+    import spark.implicits._
+    val block = "this exact block of text repeats verbatim across docs!!"  // 56 chars
+    // both copies start at char offset 32 — aligned mod stride, so the
+    // grids see the same windows (the operator's documented stride caveat
+    // is exercised by the detection-side dupSpans tests)
+    val docs = Seq(
+      1L -> ("the original home of the block: " + block + " and a tail"),
+      2L -> ("a later doc copying it whole".padTo(32, ' ') + block + " plus words"),
+      3L -> "a doc with entirely original content and no shared windows at all"
+    ).toDF("doc_id", "text")
+    val w = 16; val stride = 4
+    val out = TextQueries.scrubDupSpans(docs, windowChars = w, stride = stride)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 1 owns every window first (smaller doc_id) — only doc 2 is cut;
+    // doc 3 shares nothing
+    assert(out.keySet == Set(2L), s"got ${out.keySet}")
+    // reference: cut doc 2's windows that also occur in doc 1 on BOTH
+    // stride grids (copy offsets differ, so only grid-aligned shared
+    // windows are evidence — the documented stride caveat)
+    val t1 = docs.where(col("doc_id") === 1).head.getString(1)
+    val t2 = docs.where(col("doc_id") === 2).head.getString(1)
+    val owned = (0 to t1.length - w by stride).map(i => t1.substring(i, i + w)).toSet
+    val expect = scrubModel(t2, owned, w, stride).get
+    assert(out(2L) == expect, s"got ${out(2L)} expected $expect")
+  }
+
+  test("dup-span scrub: intra-doc repeats keep the earliest copy") {
+    import spark.implicits._
+    val unit = "abcdefghijklmnop"  // exactly one window at stride-aligned repeats
+    val docs = Seq(5L -> (unit + unit + unit)).toDF("doc_id", "text")
+    val out = TextQueries.scrubDupSpans(docs, windowChars = 16, stride = 16).collect()
+    assert(out.length == 1 && out.head.getInt(2) == 32,
+      s"two later copies cut: ${out.toSeq}")
+    assert(out.head.getString(3) == md5Hex(unit))
+  }
+
+  test("per-source vocab: HLL estimates agree with exact counts within 3 rsd") {
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      (i, s"src${i % 4}", s"common words everywhere plus unique u${i}a u${i}b u${i}c")
+    }.toDF("doc_id", "source", "text")
+    val est = TextQueries.vocabHllVs(docs)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(3)))).toMap
+    // exact: 50 docs per source; vocab = 4 common + 1 ("plus") + 3×50 unique
+    est.foreach { case (src, (nDocs, nVocab)) =>
+      assert(math.abs(nDocs - 50) <= math.ceil(50 * 0.15),
+        s"$src doc estimate $nDocs vs 50")
+      assert(math.abs(nVocab - 155L) <= math.ceil(155 * 0.15),
+        s"$src vocab estimate $nVocab vs 155")
+    }
+  }
+
   test("driver md5Hash64Jvm is bit-identical to the column expression") {
     import spark.implicits._
     val samples = Seq("common gram here", "a", "", "üñïçôdé mix 42", "x y z")
