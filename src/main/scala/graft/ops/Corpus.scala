@@ -43,6 +43,28 @@ object Corpus {
       when(b < TrainUpper, "train").when(b < ValUpper, "val").otherwise("test"))
   }
 
+  /** Leakage-safe split: hash on the near-dup CLUSTER representative, not
+    * the document id, so a cluster of near-duplicates can never straddle
+    * train/test — the standard eval-contamination failure of naive
+    * per-doc splitting (a test doc whose near-copy sits in train scores
+    * as memorization, not generalization). `clusters` is a
+    * (id, canonical_id) frame over the duplicate-graph members only
+    * (e.g. [[Dedup.canonicalize]] output); unclustered documents fall
+    * back to their own id, reproducing [[hashSplit]] exactly, so
+    * adopting this operator reassigns ONLY documents that have a
+    * near-duplicate. One left equi-join against the (small, but
+    * unbounded-fraction — same no-hint discipline as [[Dedup.retain]])
+    * cluster side, then the usual pure-projection bucket decision.
+    * Output: (idCol, split_key, split). */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id", salt: String = "split"): DataFrame = {
+    val c = clusters.select(col("id"), col("canonical_id"))
+    val keyed = docs.join(c, docs(idCol) === c("id"), "left")
+      .withColumn("split_key", coalesce(col("canonical_id"), col(idCol)))
+    hashSplit(keyed, col("split_key"), salt)
+      .select(col(idCol), col("split_key"), col("split"))
+  }
+
   /** Keep each row with per-row probability `rate` (a Column in [0,1]),
     * deterministically: kept iff bucket < round(rate·65536). This is the
     * data-mixing primitive — upweight/downweight sources by giving each

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object CorpusQueries {
 
   /** DuckDB twin of [[Corpus.unitBucket]]. */
-  private def bucketSql(key: String, salt: String): String =
+  private[ops] def bucketSql(key: String, salt: String): String =
     s"CAST(concat('0x', substr(md5(CAST($key AS VARCHAR) || ':$salt'), 1, 4)) AS INTEGER)"
 
   /** Deterministic ≈80/10/10 train/val/test assignment per document.

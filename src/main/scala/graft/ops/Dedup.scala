@@ -76,6 +76,79 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------- cross-source overlap
+
+  /** Exact cross-source shingle-overlap census: for every source pair,
+    * the distinct-shingle intersection size and Jaccard — the "how much
+    * does crawl B re-serve crawl A" question asked before mixing sources
+    * into one training corpus. Distinct (source, shingle) pairs feed an
+    * inverted shingle join: a shingle living in k sources contributes
+    * C(k,2) pair rows, bounded by |sources|² per shingle — never a doc
+    * pair explosion. The `distinct` on (source, shingle) is the wide
+    * shuffle that makes this the ORACLE path; [[sourceOverlapMinhashVs]]
+    * is the scale twin whose per-source state never grows.
+    *
+    * CACHE LIFETIME: the shingle frame backs all three consumers of the
+    * (lazy) result — released by storage LRU or `clearCache()`, same
+    * contract as the other sketch operators in this file. */
+  def sourceOverlap(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source", n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(srcCol).as("src"),
+        explode(shinglesFast(n)(tokens(col(textCol)))).as("shingle"))
+      .distinct()
+      .cache()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("src").as("src_a"), col("shingle"))
+    val b = sh.select(col("src").as("src_b"), col("shingle"))
+    a.join(b, "shingle").where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("src").as("src_a"), col("sz").as("sz_a")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("common"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common"))).as("jaccard"))
+  }
+
+  /** MinHash twin of [[sourceOverlap]] — the 100 TB path. The signature
+    * of a SOURCE (not a document) is the element-wise min of the
+    * universal hashes over every shingle the source contains, which is
+    * exactly a `numHashes`-column primitive min aggregate: one codegen'd
+    * projection computes h_i per shingle row, map-side partials collapse
+    * each partition to one row per source, and the per-source state is
+    * `numHashes` longs at ANY corpus size — no distinct shuffle, no
+    * per-(source, shingle) materialization. Pairwise comparison runs on
+    * the aggregated |sources|-row frame, the one place a cross join is
+    * the bounded-by-catalog right plan. Estimate: matching-component
+    * fraction; std err ≈ 1/(2·√numHashes) (0.044 at 128). */
+  def sourceOverlapMinhashVs(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source", n: Int = 3, numHashes: Int = 128,
+      seed: Long = 42): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 1024,
+      s"numHashes must be in [1, 1024], got $numHashes (the signature is a wide row)")
+    val params = hashParams(numHashes, seed)
+    val hs = docs
+      .select(col(srcCol).as("src"),
+        explode(shinglesFast(n)(tokens(col(textCol)))).as("shingle"))
+      .select(col("src"), pmod(xxhash64(col("shingle")), lit(HashMod)).as("hs"))
+    val projected = hs.select(col("src") +: params.zipWithIndex.map {
+      case ((a, b), i) => ((lit(a) * col("hs") + lit(b)) % lit(HashMod)).as(s"h_$i")
+    }.toSeq: _*)
+    val mins = params.indices.map(i => min(col(s"h_$i")).as(s"h_$i"))
+    val sigs = projected.groupBy("src")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("src"), array(params.indices.map(i => col(s"h_$i")): _*).as("sig"))
+    val a = sigs.select(col("src").as("src_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("src").as("src_b"), col("sig").as("sig_b"))
+    a.crossJoin(b).where(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m).cast("double") / numHashes)
+          .as("jaccard_est"))
+  }
+
   // ------------------------------------------------------------- MinHash+LSH
 
   /** Seeded universal-hash parameters for the MinHash permutations. */

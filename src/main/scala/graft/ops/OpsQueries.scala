@@ -279,7 +279,89 @@ object OpsQueries {
       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin
   ) { (s, d) => Dedup.dupSpans(Tables.documents(s, d)) }
 
+  /** Leakage-safe train/val/test split: the split key is the near-dup
+    * cluster representative (dedup_canonical's closure), so a cluster can
+    * never straddle train/test — the eval-contamination failure of
+    * per-doc hash splitting. Unclustered docs hash on their own id,
+    * bit-identical to corpus_split. Oracle = the reachability CTE + the
+    * same md5 bucket arithmetic. */
+  val leakageSafeSplit: Q = Q(
+    "corpus_leakage_safe_split",
+    s"""WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($JaccardSql)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |clusters AS (SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY src),
+       |keyed AS (
+       |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id)
+       |SELECT doc_id, split_key,
+       |  CASE WHEN b < ${Corpus.TrainUpper} THEN 'train'
+       |       WHEN b < ${Corpus.ValUpper} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, split_key,
+       |        ${CorpusQueries.bucketSql("split_key", "split")} AS b
+       |      FROM keyed)""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Corpus.leakageSafeSplit(docs,
+      Dedup.canonicalize(Dedup.jaccardPairs(docs, threshold = 0.8)))
+  }
+
+  /** Exact cross-source overlap census (pairs with ≥1 shared shingle). */
+  val sourceOverlapQ: Q = Q(
+    "corpus_source_overlap",
+    """WITH t AS (
+      |  SELECT source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT source,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1),
+      |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END AS sh
+      |  FROM t),
+      |e AS (SELECT DISTINCT source, unnest(sh) AS shingle FROM s),
+      |sz AS (SELECT source, count(*) AS sz FROM e GROUP BY 1),
+      |cm AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+      |  FROM e a JOIN e b USING (shingle)
+      |  WHERE a.source < b.source GROUP BY 1, 2)
+      |SELECT src_a, src_b, common,
+      |  CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+      |FROM cm
+      |JOIN sz sa ON cm.src_a = sa.source
+      |JOIN sz sb ON cm.src_b = sb.source""".stripMargin
+  ) { (s, d) => Dedup.sourceOverlap(Tables.documents(s, d)) }
+
+  /** Sketch twin of corpus_source_overlap: gated on (1) every exact pair
+    * covered, (2) estimate error ≤ 3 std err (1/(2√128) → bound 0.133)
+    * against the exact Jaccard, with zero-overlap pairs checked at
+    * truth 0. */
+  val sourceOverlapMh: Q = Q.gated("corpus_source_overlap_minhash") { (s, d) =>
+    Dedup.sourceOverlapMinhashVs(Tables.documents(s, d))
+  } { (s, d, res) =>
+    val exact = Dedup.sourceOverlap(Tables.documents(s, d))
+      .select(col("src_a"), col("src_b"), col("jaccard")).cache()
+    try {
+      val nExact = exact.count()
+      val covered = res.join(exact, Seq("src_a", "src_b")).count()
+      val maxErr = res.join(exact, Seq("src_a", "src_b"), "left")
+        .select(abs(col("jaccard_est") - coalesce(col("jaccard"), lit(0.0))).as("e"))
+        .agg(max(col("e"))).head.getDouble(0)
+      val bound = 3.0 / (2.0 * math.sqrt(128))
+      Seq(
+        Gate("exact_pairs_covered", covered.toDouble, covered == nExact),
+        Gate("max_abs_err", maxErr, maxErr <= bound))
+    } finally exact.unpersist()
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, annIvf, annPq, semanticDups, canonical, retained, substringSpans)
+    annLsh, annIvf, annPq, semanticDups, canonical, retained, substringSpans,
+    leakageSafeSplit, sourceOverlapQ, sourceOverlapMh)
 }

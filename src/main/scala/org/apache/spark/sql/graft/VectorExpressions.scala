@@ -40,14 +40,20 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // ctx.freshName on EVERY local: two instances of this expression in
+      // one whole-stage-codegen scope otherwise redeclare the same Java
+      // locals, and Janino's CompileException silently drops the whole
+      // stage to interpreted mode (same for the siblings below)
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int n = org.apache.spark.sql.graft.VectorExprs.requireSameLength(
+         |int $n = org.apache.spark.sql.graft.VectorExprs.requireSameLength(
          |  $x.numElements(), $y.numElements(), "array_dot");
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $x.getDouble(i) * $y.getDouble(i);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -82,15 +88,17 @@ case class ArraySqDist(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
       s"""
-         |int n = org.apache.spark.sql.graft.VectorExprs.requireSameLength(
+         |int $n = org.apache.spark.sql.graft.VectorExprs.requireSameLength(
          |  $x.numElements(), $y.numElements(), "array_sq_dist");
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double d = $x.getDouble(i) - $y.getDouble(i);
-         |  acc += d * d;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $x.getDouble($i) - $y.getDouble($i);
+         |  $acc += $d * $d;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -117,14 +125,16 @@ case class ArraySqNorm(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val v = ctx.freshName("v")
       s"""
-         |int n = $x.numElements();
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double v = $x.getDouble(i);
-         |  acc += v * v;
+         |int $n = $x.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $x.getDouble($i);
+         |  $acc += $v * $v;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -169,16 +179,18 @@ case class PqAdcSum(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val m = ctx.freshName("m"); val ksub = ctx.freshName("ksub")
+      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
       s"""
-         |int m = org.apache.spark.sql.graft.VectorExprs.requireDivides(
+         |int $m = org.apache.spark.sql.graft.VectorExprs.requireDivides(
          |  $lut.numElements(), $codes.numElements(), "pq_adc_sum");
-         |int ksub = $lut.numElements() / m;
-         |double acc = 0.0;
-         |for (int j = 0; j < m; j++) {
-         |  acc += $lut.getDouble(org.apache.spark.sql.graft.VectorExprs.requireInRange(
-         |    j * ksub + $codes.getByte(j), $lut.numElements(), "pq_adc_sum"));
+         |int $ksub = $lut.numElements() / $m;
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $lut.getDouble(org.apache.spark.sql.graft.VectorExprs.requireInRange(
+         |    $j * $ksub + $codes.getByte($j), $lut.numElements(), "pq_adc_sum"));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -201,6 +201,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
   }
 
+  test("source overlap and leakage split degrade cleanly on empty/degenerate input") {
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "source", "text")
+    assert(ops.Dedup.sourceOverlap(emptySrc).count() == 0)
+    assert(ops.Dedup.sourceOverlapMinhashVs(emptySrc).count() == 0)
+    intercept[IllegalArgumentException] {
+      ops.Dedup.sourceOverlapMinhashVs(emptySrc, numHashes = 0)
+    }
+    // a single source has no pairs
+    val one = Seq((1L, "only", "some text here please")).toDF("doc_id", "source", "text")
+    assert(ops.Dedup.sourceOverlap(one).count() == 0)
+    // empty cluster frame: leakageSafeSplit == hashSplit exactly
+    val docs = docsLike(Seq(1L -> "alpha text", 2L -> "beta text"))
+    val noClusters = Seq.empty[(Long, Long)].toDF("id", "canonical_id")
+    val got = ops.Corpus.leakageSafeSplit(docs, noClusters)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = ops.Corpus.hashSplit(docs, col("doc_id"))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == plain)
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))

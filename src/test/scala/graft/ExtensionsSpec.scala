@@ -73,6 +73,38 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("repeated native expressions in one projection stay codegen-compilable") {
+    // two instances of EACH custom expression inside a single
+    // whole-stage-codegen scope: a doGenCode that declares fixed Java
+    // local names (n/acc/i) redeclares them on the second instance and
+    // Janino silently drops the stage to interpreted mode — this pins
+    // ctx.freshName usage by turning the fallback into a hard failure
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      val r = df.select(
+        arrayDot(col("a"), col("b")).as("d1"),
+        arrayDot(col("b"), col("a")).as("d2"),
+        arraySqDist(col("a"), col("b")).as("s1"),
+        arraySqDist(col("b"), col("a")).as("s2"),
+        arraySqNorm(col("a")).as("n1"),
+        arraySqNorm(col("b")).as("n2")).head
+      assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 11.0)
+      assert(r.getDouble(2) == 8.0 && r.getDouble(3) == 8.0)
+      assert(r.getDouble(4) == 5.0 && r.getDouble(5) == 25.0)
+      val lut = array((0 until 6).map(i => lit(i * 1.0)): _*)
+      val codes = array(lit(1), lit(2)).cast("array<tinyint>")
+      val adc = Seq(1).toDF("x")
+        .select(pqAdcSum(lut, codes).as("p1"), pqAdcSum(lut, codes).as("p2")).head
+      assert(adc.getDouble(0) == 6.0 && adc.getDouble(1) == 6.0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
 
 class TrustworthinessSpec extends AnyFunSuite {

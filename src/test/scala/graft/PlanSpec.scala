@@ -259,6 +259,33 @@ class PlanSpec extends AnyFunSuite {
       .forall(!_.contains("Window []")), s"unpartitioned window:\n$p")
   }
 
+  test("corpus_leakage_safe_split: cluster join stays equi; bucket is a projection") {
+    val p = plan("corpus_leakage_safe_split")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the split decision itself must remain the pure md5 projection —
+    // no exchange introduced after the cluster join
+    assert(p.contains("md5"), p)
+  }
+
+  test("corpus_source_overlap: inverted shingle join, never a doc cartesian") {
+    val p = plan("corpus_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("corpus_source_overlap_minhash: signature mins combine map-side") {
+    val p = plan("corpus_source_overlap_minhash")
+    // the whole point vs the exact twin: per-source state is the
+    // 128-component min signature with a partial (map-side) phase, not a
+    // (source, shingle) distinct shuffle
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("partial_first"), p)
+    // the only cartesian is the |sources|²-bounded signature compare,
+    // which must sit ABOVE the aggregation (inputs are aggregated rows)
+    assert(!p.contains("SortMergeJoin"), s"minhash path must not shuffle-join:\n$p")
+  }
+
   test("text_vocab_hll: HLL sketches merge map-side; no distinct expand") {
     val p = plan("text_vocab_hll")
     // the whole point vs the exact twin: per-group state is a sketch with

@@ -120,6 +120,66 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == ((4L, 0L, 0.0)), s"${got(4L)}")
   }
 
+  test("leakageSafeSplit: no cluster straddles a split; singletons match hashSplit") {
+    val clusters = Dedup.canonicalize(Dedup.jaccardPairs(docs, threshold = 0.8))
+    val split = Corpus.leakageSafeSplit(docs, clusters)
+    // every near-dup cluster lands wholly inside one split
+    val straddling = split.join(clusters, split("doc_id") === clusters("id"))
+      .groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1).count()
+    assert(straddling == 0, s"$straddling clusters straddle splits")
+    // documents with no near-duplicate keep their plain hashSplit fate —
+    // adopting the operator only ever moves clustered docs
+    val naive = Corpus.hashSplit(docs.select("doc_id"), col("doc_id"))
+    val changedSingletons = split
+      .join(clusters, split("doc_id") === clusters("id"), "left_anti")
+      .join(naive.withColumnRenamed("split", "naive_split"), "doc_id")
+      .where(col("split") =!= col("naive_split")).count()
+    assert(changedSingletons == 0, s"$changedSingletons unclustered docs moved")
+    assert(split.count() == docs.count())
+  }
+
+  test("sourceOverlap: exact jaccard on planted trigram sets") {
+    import spark.implicits._
+    // srcA: {"a b c","b c d"}; srcB: {"a b c","b c e"} → common 1, union 3;
+    // srcC shares nothing; the duplicate srcA doc must not double-count
+    val df = Seq(
+      (1L, "srcA", "a b c d"),
+      (2L, "srcA", "a b c d"),
+      (3L, "srcB", "a b c e"),
+      (4L, "srcC", "x y z w")).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(("srcA", "srcB")), s"pairs: ${got.keySet}")
+    assert(got(("srcA", "srcB")) == ((1L, 1.0 / 3)), s"${got(("srcA", "srcB"))}")
+  }
+
+  test("sourceOverlapMinhash: identical sources estimate 1.0; estimates track exact") {
+    import spark.implicits._
+    val clone = "the very same document text repeated across both sources entirely"
+    val df = Seq(
+      (1L, "dup1", clone), (2L, "dup2", clone),
+      (3L, "other", "completely different content with no shared trigrams at all")
+    ).toDF("doc_id", "source", "text")
+    val est = Dedup.sourceOverlapMinhashVs(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est(("dup1", "dup2")) == 1.0, s"identical sets must match every component: $est")
+    assert(est(("dup1", "other")) <= 0.15 && est(("dup2", "other")) <= 0.15, s"$est")
+    // fixture-wide: every estimate within 3 std errors of the exact twin
+    // (the gate's bound, checked here at spec time too)
+    val exact = Dedup.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val fixtureEst = Dedup.sourceOverlapMinhashVs(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val bound = 3.0 / (2.0 * math.sqrt(128))
+    fixtureEst.foreach { case (k, e) =>
+      val t = exact.getOrElse(k, 0.0)
+      assert(math.abs(e - t) <= bound, s"$k: est $e vs exact $t")
+    }
+  }
+
   test("simhash banding finds most hamming<=5 near-dups") {
     val exact = exactPairs
     val sim = Dedup.simhashPairs(docs, maxHamming = 5)
