@@ -1581,6 +1581,132 @@ object TextQueries {
       Gate("max_rel_err_vocab", j.getDouble(2), j.getDouble(2) <= bound))
   }
 
+  /** Fixed-size overlapping character chunks — the context-window
+    * preparation pass (embedding/RAG pipelines chunk long documents
+    * before encoding; training pipelines chunk before sequence packing).
+    * Chunk starts walk a stride of `maxChars − overlap`; a final start
+    * whose chunk would add no characters beyond the previous chunk's
+    * overlap (s > len − overlap) is dropped, so chunks cover the
+    * document exactly with no fully-redundant tail. chunk_id is
+    * arithmetic ((s−1) div step — only the last start can be dropped, so
+    * ids stay dense) and the md5 is over the chunk CONTENT, proving the
+    * slicing byte-exactly. Pure projection + explode: shuffle-free,
+    * scales as a scan. */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame,
+      maxChars: Int = 40, overlap: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(maxChars >= 1 && overlap >= 0 && overlap < maxChars,
+      s"need 0 <= overlap < maxChars, got ($maxChars, $overlap)")
+    val step = maxChars - overlap
+    docs.where(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(sequence(lit(1), col("len"), lit(step))).as("s"))
+      .where(col("s") === 1 || col("s") <= col("len") - overlap)
+      .select(col("doc_id"),
+        expr(s"(s - 1) div $step").cast("int").as("chunk_id"),
+        col("s"),
+        least(col("s") + (maxChars - 1), col("len")).as("e"),
+        md5(col("text").substr(col("s"), lit(maxChars))).as("chunk_md5"))
+  }
+
+  val chunkWindowsQ: Q = Q(
+    "text_chunk_windows",
+    """WITH c AS (
+      |  SELECT doc_id, text, CAST(length(text) AS INTEGER) AS len,
+      |    unnest(generate_series(1, CAST(length(text) AS INTEGER), 30)) AS s
+      |  FROM documents WHERE text IS NOT NULL AND length(text) >= 1)
+      |SELECT doc_id, CAST((s - 1) // 30 AS INTEGER) AS chunk_id,
+      |  CAST(s AS INTEGER) AS s, CAST(least(s + 39, len) AS INTEGER) AS e,
+      |  md5(substr(text, CAST(s AS INTEGER), 40)) AS chunk_md5
+      |FROM c WHERE s = 1 OR s <= len - 10""".stripMargin
+  ) { (s, d) => chunkDocs(Tables.documents(s, d), maxChars = 40, overlap = 10) }
+
+  /** Budget-based quality selection — keep the least-repetitive
+    * `keepRate` fraction of the corpus with a deterministic (score, id)
+    * tie-break. This is the EXACT anchor: a global rank is a global
+    * sort, deliberately non-scale (documented like the other oracle
+    * anchors); the production path is [[qualityThresholdVs]], which
+    * replaces the rank with an approx-percentile cutoff whose state is
+    * a bounded sketch. Rank comparisons are integer, so the oracle
+    * hash-matches with no floating-point tie risk. */
+  val qualityBudget: Q = Q(
+    "text_quality_budget",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                             x -> x <> '') AS toks
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS DOUBLE)
+      |        / (len(toks) - 2)
+      |    ELSE 0.0 END AS repetition
+      |  FROM t),
+      |r AS (
+      |  SELECT doc_id, repetition,
+      |    row_number() OVER (ORDER BY repetition ASC, doc_id ASC) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM sc)
+      |SELECT doc_id, repetition,
+      |  CAST(CASE WHEN rk <= CAST(ceil(0.8 * n) AS BIGINT) THEN 1 ELSE 0 END AS INTEGER) AS kept
+      |FROM r""".stripMargin
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"),
+        repetitionScoreFromTokens(col("_toks")).as("repetition"))
+    val k = math.ceil(0.8 * base.count()).toLong
+    val w = Window.orderBy(col("repetition").asc, col("doc_id").asc)
+    base
+      .withColumn("kept", (row_number().over(w) <= k).cast("int"))
+      .select("doc_id", "repetition", "kept")
+  }
+
+  /** Scale path of [[qualityBudget]]: calibrate the repetition cutoff
+    * for a target keep rate with `approx_percentile` (a fixed-size
+    * mergeable sketch — map-side partials, rank error ≤ n/accuracy by
+    * contract) and apply it as a value threshold. Output carries the
+    * cutoff so downstream stages can reuse it without re-deriving.
+    * Gated in RANK space against the exact score distribution:
+    * #{score < cutoff} and #{score ≤ cutoff} must bracket the target
+    * rate within 1/accuracy + 1/n — the correct invariant under ties,
+    * where a value threshold legitimately jumps the keep rate. */
+  def qualityThresholdVs(docs: org.apache.spark.sql.DataFrame,
+      keepRate: Double = 0.8, accuracy: Int = 10000)
+      : org.apache.spark.sql.DataFrame = {
+    require(keepRate > 0 && keepRate < 1, s"keepRate in (0,1), got $keepRate")
+    require(accuracy >= 100, s"accuracy >= 100, got $accuracy")
+    val base = docs
+      .withColumn("_toks", tokens(col("text")))
+      .select(col("doc_id"),
+        repetitionScoreFromTokens(col("_toks")).as("repetition"))
+    val cut = base.agg(
+      expr(s"approx_percentile(repetition, $keepRate, $accuracy)").as("cutoff"))
+    base.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("repetition"), col("cutoff"),
+        (col("repetition") <= col("cutoff")).cast("int").as("kept"))
+  }
+
+  val qualityThreshold: Q = Q.gated("text_quality_threshold") { (s, d) =>
+    qualityThresholdVs(Tables.documents(s, d))
+  } { (s, d, res) =>
+    val nDocs = Tables.documents(s, d).count()
+    val agg = res.agg(
+      count(lit(1)).as("n"),
+      sum(col("kept")).as("n_kept"),
+      sum((col("repetition") < col("cutoff")).cast("long")).as("n_below")).head
+    val n = agg.getLong(0).toDouble
+    val slack = 1.0 / 10000 + 1.0 / n
+    val rAtMost = agg.getLong(1) / n   // #{score <= cutoff}
+    val rBelow = agg.getLong(2) / n    // #{score <  cutoff}
+    Seq(
+      Gate("totality", n, agg.getLong(0) == nDocs),
+      Gate("rank_lo", rAtMost, rAtMost >= 0.8 - slack),
+      Gate("rank_hi", rBelow, rBelow <= 0.8 + slack))
+  }
+
   /** PII scrub pass: per-document email/phone hit counts plus an md5 of
     * the redacted text — the hash proves the scrubbed OUTPUT (not just
     * the counts) is bit-identical across engines, without dumping the
@@ -1632,5 +1758,6 @@ object TextQueries {
     contamination, contaminationBloom, contaminationSpans,
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
     bm25, paragraphDedupQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
-    vocabBySource, vocabHll, piiScrub)
+    vocabBySource, vocabHll, chunkWindowsQ, qualityBudget, qualityThreshold,
+    piiScrub)
 }

@@ -222,6 +222,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got == plain)
   }
 
+  test("chunking and quality threshold degrade cleanly on empty/degenerate input") {
+    assert(text.TextQueries.chunkDocs(docsLike(Nil)).count() == 0)
+    // a doc shorter than one chunk yields exactly one chunk
+    assert(text.TextQueries.chunkDocs(docsLike(Seq(1L -> "tiny"))).count() == 1)
+    intercept[IllegalArgumentException] {
+      text.TextQueries.chunkDocs(docsLike(Nil), maxChars = 10, overlap = 10)
+    }
+    intercept[IllegalArgumentException] {
+      text.TextQueries.qualityThresholdVs(docsLike(Nil), keepRate = 1.0)
+    }
+    // empty corpus: null cutoff, zero rows kept, no crash
+    assert(text.TextQueries.qualityThresholdVs(docsLike(Nil)).count() == 0)
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))

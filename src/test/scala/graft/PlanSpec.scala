@@ -286,6 +286,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"minhash path must not shuffle-join:\n$p")
   }
 
+  test("text_chunk_windows: pure projection+explode, zero exchanges") {
+    val p = plan("text_chunk_windows")
+    assert(!p.contains("Exchange"), s"chunking must be shuffle-free:\n$p")
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("text_quality_threshold: sketch cutoff with map-side partials; 1-row broadcast") {
+    val p = plan("text_quality_threshold")
+    // the cutoff must come from the mergeable approx-percentile sketch
+    // (partial phase), applied via a single-row broadcast — never a
+    // global sort/rank like the exact anchor
+    assert(p.contains("partial_approx_percentile"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"no global rank in the scale path:\n$p")
+  }
+
   test("text_vocab_hll: HLL sketches merge map-side; no distinct expand") {
     val p = plan("text_vocab_hll")
     // the whole point vs the exact twin: per-group state is a sketch with

@@ -279,6 +279,63 @@ class ProfileSpec extends AnyFunSuite {
     w.unpersist(); docs.unpersist()
   }
 
+  test("scale stress: source overlap exact vs minhash at 100k docs / 40 sources") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The scale claim on sourceOverlapMinhashVs: removing the
+    // (source, shingle) distinct shuffle beats the exact census once
+    // shingle volume dominates, at bounded per-source state. 100k
+    // 30-token docs over 40 sources; sources 2k..2k+1 share a
+    // vocabulary slice (planted overlap), others draw from disjoint
+    // ranges — the probe checks the estimates still track exact at
+    // this scale, then compares wall time.
+    val n = 100000L
+    // sources 2k and 2k+1 share a "slice": half of each source's docs
+    // are clones drawn from the slice's 1000-text pool (trigram overlap
+    // needs shared token SEQUENCES, not just shared words), the other
+    // half is unique per doc
+    val slice = (pmod(col("id"), lit(40L)) / lit(2L)).cast("long")
+    val cloneIdx = (col("id") / lit(40L)).cast("long") % lit(1000L)
+    // parity of the per-source row index (id div 40), NOT of id itself —
+    // a source holds only ids ≡ s (mod 40), so id-parity would give odd
+    // sources zero clones
+    val tokenSeed = when(pmod((col("id") / lit(40L)).cast("long"), lit(2L)) === 0,
+      slice * lit(1000000L) + cloneIdx * lit(100L))
+      .otherwise(col("id") * lit(31L) + lit(50000000L))
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(40L))).as("source"),
+      concat_ws(" ", transform(sequence(lit(0), lit(29)),
+        i => concat(lit("w"), pmod(xxhash64(tokenSeed + i), lit(100000000L)))))
+        .as("text"))
+      .cache()
+    docs.count()
+    val exact = time("source overlap exact @100k") {
+      val f = ops.Dedup.sourceOverlap(docs)
+      val rows = f.collect(); rows
+    }
+    val est = time("source overlap minhash @100k") {
+      ops.Dedup.sourceOverlapMinhashVs(docs).collect()
+    }
+    val exactMap = exact.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val bound = 3.0 / (2.0 * math.sqrt(128))
+    var maxErr = 0.0
+    est.foreach { r =>
+      val t = exactMap.getOrElse((r.getString(0), r.getString(1)), 0.0)
+      maxErr = math.max(maxErr, math.abs(r.getDouble(2) - t))
+    }
+    println(f"[profile] overlap@100k: ${est.length} pairs, max |est-exact| $maxErr%.4f (bound $bound%.4f)")
+    assert(est.length == 40 * 39 / 2)
+    assert(maxErr <= bound, s"max err $maxErr exceeds $bound")
+    // planted same-slice pairs must rank above disjoint ones
+    val planted = est.filter(r => r.getString(0).drop(3).toInt / 2 ==
+      r.getString(1).drop(3).toInt / 2).map(_.getDouble(2))
+    val disjoint = est.filter(r => r.getString(0).drop(3).toInt / 2 !=
+      r.getString(1).drop(3).toInt / 2).map(_.getDouble(2))
+    assert(planted.min > (if (disjoint.isEmpty) 0.0 else disjoint.max),
+      "planted overlapping source pairs must dominate")
+    docs.unpersist()
+  }
+
   test("scale stress: corpus-pipeline composition at 100k docs (per-phase linearity)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // Every stage has an individual probe; this one runs the FULL

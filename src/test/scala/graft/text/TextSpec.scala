@@ -584,6 +584,68 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs: exact boundaries, redundant tail dropped, byte-exact content") {
+    import spark.implicits._
+    val t95 = "x" * 95
+    val docs = Seq(
+      1L -> "short doc",          // len 9 < max → one chunk
+      2L -> ("a" * 100),          // starts 1,31,61,91; 91 > 100−10 → dropped
+      3L -> t95                   // starts 1,31,61,91 → 91 dropped; e=95
+    ).toDF("doc_id", "text")
+    val out = TextQueries.chunkDocs(docs, maxChars = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out.keySet.count(_._1 == 1L) == 1 && out((1L, 0)) == ((1, 9, md5Hex("short doc"))))
+    // doc 2: chunks [1,40],[31,70],[61,100]; the s=91 tail adds nothing
+    // beyond chunk 2's overlap and must be dropped
+    assert(out.keySet.count(_._1 == 2L) == 3, s"${out.keySet}")
+    assert(out((2L, 2)) == ((61, 100, md5Hex("a" * 40))))
+    // doc 3: last kept chunk is cut at len
+    assert(out((3L, 2)) == ((61, 95, md5Hex("x" * 35))))
+    // coverage: kept chunks tile every character of every doc
+    out.groupBy(_._1._1).foreach { case (id, chunks) =>
+      val covered = chunks.values.flatMap { case (s, e, _) => s to e }.toSet
+      val len = Map(1L -> 9, 2L -> 100, 3L -> 95)(id)
+      assert(covered == (1 to len).toSet, s"doc $id coverage hole")
+    }
+  }
+
+  test("quality budget: ceil(0.8n) kept, selection is the lexicographic prefix") {
+    val out = TextQueries.qualityBudget.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val kept = out.filter(_._3 == 1).map(r => (r._2, r._1))
+    val dropped = out.filter(_._3 == 0).map(r => (r._2, r._1))
+    assert(kept.length == math.ceil(0.8 * out.length).toLong)
+    // deterministic (score, id) tie-break: every kept key precedes every
+    // dropped key in lexicographic order
+    val keptMax = kept.max
+    val droppedMin = dropped.min
+    assert(Ordering[(Double, Long)].lt(keptMax, droppedMin),
+      s"kept max $keptMax vs dropped min $droppedMin")
+  }
+
+  test("quality threshold: cutoff keeps ~the target fraction; ties stay one side") {
+    import spark.implicits._
+    // 100 docs: 70 clean (repetition 0 — a massive tie at the cutoff
+    // region), 30 with increasing repetition
+    val docs = (0L until 100L).map { i =>
+      val text =
+        if (i < 70) s"unique words only here ${i}a ${i}b ${i}c ${i}d ${i}e"
+        else ("repeat me now " * (i - 68).toInt).trim
+      (i, text)
+    }.toDF("doc_id", "text")
+    val res = TextQueries.qualityThresholdVs(docs, keepRate = 0.6).collect()
+    assert(res.length == 100)
+    val cutoff = res.head.getDouble(2)
+    // the 60th percentile of a 70%-zero distribution is 0 — every zero
+    // doc is kept (value threshold: ties never straddle the cut)
+    assert(cutoff == 0.0, s"cutoff $cutoff")
+    assert(res.count(_.getInt(3) == 1) == 70)
+    res.foreach { r =>
+      assert((r.getDouble(1) <= cutoff) == (r.getInt(3) == 1))
+    }
+  }
+
   test("driver md5Hash64Jvm is bit-identical to the column expression") {
     import spark.implicits._
     val samples = Seq("common gram here", "a", "", "üñïçôdé mix 42", "x y z")
