@@ -76,6 +76,44 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------- incremental novelty
+
+  /** Daily-crawl novelty filter against a FROZEN history: keep only batch
+    * documents whose normalized content hash ([[exactGroups]]'s
+    * normalization — lowercase + first `prefixChars` chars) is definitely
+    * absent from the history corpus. The history is compressed to a
+    * [[org.apache.spark.util.sketch.BloomFilter]] (~1.2 GB per 10⁹ docs
+    * at 1% fpp), so the 100 TB history never joins, never shuffles, and
+    * never rebuilds per batch — build the sketch once, persist it beside
+    * the corpus, and filter each day's crawl with a broadcast + pure
+    * projection. Bloom membership has no false negatives: a true
+    * duplicate is ALWAYS filtered (structural — gated per round); a
+    * false positive wrongly discards a novel doc with probability fpp
+    * (gated: novel recall ≥ 1 − 3·fpp). Complements
+    * [[graft.streaming.DocsStream.dedupByContent]], which dedups WITHIN
+    * the stream's watermark horizon — this operator is the unbounded
+    * cross-day memory that horizon-bounded state cannot hold.
+    * Output: the batch's surviving rows plus their content hash `h`. */
+  def novelAgainst(history: DataFrame, batch: DataFrame,
+      textCol: String = "text", prefixChars: Int = 80, fpp: Double = 1e-4,
+      expectedItems: Option[Long] = None): DataFrame = {
+    require(prefixChars >= 1, s"prefixChars >= 1, got $prefixChars")
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
+    def key = md5(substring(lower(col(textCol)), 1, prefixChars))
+    // sentinel row: the bloomFilter aggregate returns null over an empty
+    // history (md5 hex can never equal the sentinel, so it is invisible)
+    val hist = history.where(col(textCol).isNotNull).select(key.as("h"))
+      .union(history.sparkSession.range(1)
+        .select(lit(" graft-bloom-sentinel ").as("h")))
+    val nHist = expectedItems.getOrElse(math.max(1L, hist.count()))
+    val bloomB = history.sparkSession.sparkContext.broadcast(
+      hist.stat.bloomFilter("h", nHist, fpp))
+    val mightContain = udf((s: String) => bloomB.value.mightContainString(s))
+    batch.where(col(textCol).isNotNull)
+      .withColumn("h", key)
+      .where(!mightContain(col("h")))
+  }
+
   // ------------------------------------------------- cross-source overlap
 
   /** Exact cross-source shingle-overlap census: for every source pair,

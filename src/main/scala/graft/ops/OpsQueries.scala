@@ -360,8 +360,36 @@ object OpsQueries {
     } finally exact.unpersist()
   }
 
+  /** Incremental novelty vs a frozen history (the first 8 deciles of the
+    * fixture stand in for "yesterday's 100 TB corpus", the last 2 for
+    * today's crawl). Gated against the exact anti-join twin: zero true
+    * duplicates survive (bloom no-false-negatives is structural), novel
+    * recall ≥ 1 − 3·fpp. */
+  val novelBatch: Q = Q.gated("dedup_novel_batch") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isHistory = col("doc_id") % 10 < 8
+    Dedup.novelAgainst(docs.where(isHistory), docs.where(!isHistory))
+  } { (s, d, res) =>
+    val docs = Tables.documents(s, d)
+    val isHistory = col("doc_id") % 10 < 8
+    val key = md5(substring(lower(col("text")), 1, 80))
+    val hist = docs.where(isHistory && col("text").isNotNull)
+      .select(key.as("h")).distinct().cache()
+    try {
+      val batch = docs.where(!isHistory && col("text").isNotNull)
+        .select(col("doc_id"), key.as("h"))
+      val exactNovel = batch.join(hist, Seq("h"), "left_anti")
+      val nExact = exactNovel.count()
+      val dupLeaks = res.join(batch.join(hist, Seq("h")), "doc_id").count()
+      val recall = res.count().toDouble / nExact
+      Seq(
+        Gate("dup_leaks", dupLeaks.toDouble, dupLeaks == 0),
+        Gate("novel_recall", recall, recall >= 1 - 3e-4))
+    } finally hist.unpersist()
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annPq, semanticDups, canonical, retained, substringSpans,
-    leakageSafeSplit, sourceOverlapQ, sourceOverlapMh)
+    leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch)
 }

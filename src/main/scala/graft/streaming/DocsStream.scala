@@ -53,6 +53,62 @@ object DocsStream {
       .queryName(name)
       .start()
 
+  /** Driver-built benchmark-shingle bloom for streaming decontamination —
+    * the stream-shippable form of [[TextQueries.contaminationBloomVs]]'s
+    * sketch: built ONCE from the (batch) benchmark side, broadcast, and
+    * valid for the stream's lifetime (eval suites change by release, not
+    * by micro-batch). Sentinel row and expectedItems semantics as in the
+    * batch operator: over-sizing only lowers the realized fpp. */
+  def benchBloom(bench: DataFrame, fpp: Double = 1e-4,
+      expectedItems: Option[Long] = None)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
+    val sh = bench.where(col("text").isNotNull)
+      .select(explode(
+        TextFunctions.shinglesFast(3)(TextFunctions.tokens(col("text")))).as("shingle"))
+      .union(bench.sparkSession.range(1)
+        .select(lit(" graft-bloom-sentinel ").as("shingle")))
+    val n = expectedItems.getOrElse(math.max(1L, sh.count()))
+    bench.sparkSession.sparkContext.broadcast(sh.stat.bloomFilter("shingle", n, fpp))
+  }
+
+  /** Stateless streaming decontamination: per-document trigram
+    * contamination fraction against the broadcast benchmark bloom,
+    * computed inside ONE UDF over the doc's shingle array — no explode +
+    * groupBy, because an aggregation would make the stream stateful; as
+    * a pure projection+filter this runs append-mode with zero state,
+    * same code batch and stream. Docs at or above `threshold` are
+    * dropped. Bloom membership has no false negatives, so a doc the
+    * exact check would drop is ALWAYS dropped here; false positives can
+    * only inflate a fraction by ≈ fpp, wrongly dropping a borderline
+    * clean doc with probability the caller bounds via fpp — both
+    * directions gated against the exact twin per round. */
+  def decontaminate(docs: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      threshold: Double = 0.05): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val frac = udf { (sh: Seq[String]) =>
+      if (sh == null || sh.isEmpty) 0.0
+      else sh.count(bloom.value.mightContainString).toDouble / sh.size
+    }
+    docs.where(col("text").isNotNull)
+      .withColumn("contamination",
+        frac(TextFunctions.shinglesFast(3)(TextFunctions.tokens(col("text")))))
+      .where(col("contamination") < threshold)
+  }
+
+  /** Start the decontamination pass over a parquet directory file stream
+    * into a memory sink (local smoke; the transform is source-agnostic). */
+  def startDecontaminateQuery(spark: SparkSession, dir: String, name: String,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      threshold: Double = 0.05): StreamingQuery =
+    decontaminate(spark.readStream.schema(docSchema).parquet(dir), bloom, threshold)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+
   /** Crawler-feed schema: the documents fixture plus the crawl/ingestion
     * event time the dedup horizon is measured against. */
   val crawlSchema: StructType = StructType(

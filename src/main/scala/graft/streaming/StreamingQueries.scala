@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.{Q, Tables}
+import graft.{Gate, Q, Tables}
+import org.apache.spark.sql.functions._
 
 object StreamingQueries {
 
@@ -28,5 +29,35 @@ object StreamingQueries {
     EventsStream.dedupWindowedBatch(Tables.events(s, d))
   }
 
-  def all: Seq[Q] = Seq(windowed, dedupWindowed)
+  /** Batch run of the stream-shaped decontamination pass (the SAME
+    * `DocsStream.decontaminate` code runs in StreamingSpec as an actual
+    * file stream; stream ≡ batch is asserted there). Gated against the
+    * exact broadcast-join contamination twin: no contaminated doc may
+    * survive (bloom no-false-negatives is structural), and ≥ 99% of the
+    * exactly-clean docs must be kept (false positives wrongly drop a
+    * borderline doc with probability ≈ fpp). */
+  val decontaminate: Q = Q.gated("text_decontaminate") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % 100 === 7
+    val bloom = DocsStream.benchBloom(docs.where(isBench),
+      fpp = 1e-4, expectedItems = Some(8192L))
+    DocsStream.decontaminate(docs.where(!isBench), bloom, threshold = 0.05)
+  } { (s, d, res) =>
+    import graft.text.TextQueries
+    val docs = Tables.documents(s, d)
+    val isBench = col("doc_id") % 100 === 7
+    val flagged = TextQueries.contaminationVs(docs, isBench, threshold = 0.05)
+      .select("doc_id").cache()
+    try {
+      val nFlagged = flagged.count()
+      val nCorpus = docs.where(!isBench && col("text").isNotNull).count()
+      val leaks = res.join(flagged, "doc_id").count()
+      val keptRecall = res.count().toDouble / (nCorpus - nFlagged)
+      Seq(
+        Gate("contaminated_leaks", leaks.toDouble, leaks == 0),
+        Gate("kept_recall", keptRecall, keptRecall >= 0.99))
+    } finally flagged.unpersist()
+  }
+
+  def all: Seq[Q] = Seq(windowed, dedupWindowed, decontaminate)
 }

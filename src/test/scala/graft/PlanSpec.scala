@@ -302,6 +302,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no global rank in the scale path:\n$p")
   }
 
+  test("text_decontaminate / dedup_novel_batch: sketch filters are zero-exchange scans") {
+    // both replace a join against an unbounded side (benchmark shingles /
+    // the 100 TB history) with a broadcast sketch + pure projection —
+    // the plan must be a filtered scan with NO exchange at all
+    for (name <- Seq("text_decontaminate", "dedup_novel_batch")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+  }
+
   test("text_vocab_hll: HLL sketches merge map-side; no distinct expand") {
     val p = plan("text_vocab_hll")
     // the whole point vs the exact twin: per-group state is a sketch with

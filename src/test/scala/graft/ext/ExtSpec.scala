@@ -125,6 +125,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination equals its batch twin; planted copies dropped") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val isBench = col("doc_id") % 100 === 7
+    val bloom = DocsStream.benchBloom(docs.where(isBench))
+    val corpus = docs.where(!isBench)
+    val batch = DocsStream.decontaminate(corpus, bloom)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && batch.size < corpus.count(),
+      "fixture sanity: decontamination must keep some and drop some")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("docs-decon").toString
+    corpus.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = DocsStream.startDecontaminateQuery(spark, streamDir, "dctest", bloom)
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("dctest")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+
+    // a verbatim benchmark copy must never survive, stream or batch
+    val benchText = docs.where(isBench).select("text").head.getString(0)
+    val planted = Seq((900001L, benchText, "en", "srcX", benchText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(DocsStream.decontaminate(planted, bloom).count() == 0)
+  }
+
   test("streaming content dedup equals the batch hash set on the fixture") {
     import spark.implicits._
     // the fixture carries no crawl time — stage it with a synthetic one

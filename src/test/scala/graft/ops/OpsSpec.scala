@@ -180,6 +180,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("novelAgainst: history dups filtered, novel docs kept, empty history keeps all") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+      (2L, "an entirely different historical document about sailing ships")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // same 80-char normalized prefix as history doc 1 (retyped casing)
+      (10L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG IN THE MORNING SUN"),
+      (11L, "a genuinely new document the history has never seen before"),
+      (12L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val novel = Dedup.novelAgainst(history, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == Set(11L), s"got $novel")
+    val emptyHist = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val all = Dedup.novelAgainst(emptyHist, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(10L, 11L), s"empty history must keep every non-null doc: $all")
+    intercept[IllegalArgumentException] {
+      Dedup.novelAgainst(history, batch, fpp = 0.0)
+    }
+  }
+
   test("simhash banding finds most hamming<=5 near-dups") {
     val exact = exactPairs
     val sim = Dedup.simhashPairs(docs, maxHamming = 5)
