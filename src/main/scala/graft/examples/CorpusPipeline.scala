@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   *                                  both detectors + one survivor per cluster)
   *     → Dedup.dupSpans            (boilerplate filter: drop docs that are
   *                                  mostly cross-doc duplicated substrings)
-  *     → Corpus.hashSplit          (deterministic ≈80/10/10 train/val/test)
+  *     → Corpus.leakageSafeSplit   (deterministic ≈80/10/10 train/val/test
+  *                                  keyed on the residual J≥0.3 near-dup
+  *                                  cluster representative, so
+  *                                  memorization-adjacent pairs never
+  *                                  straddle train/test)
   *     → Corpus.temperatureRates   (α=0.5 XLM-R rebalancing: per-source
   *                                  keep rates DERIVED from the train
   *                                  split's source counts)
@@ -58,7 +62,7 @@ object CorpusPipeline {
     * the pairs count pays both detectors, etc.) — honest enough for the
     * "which stage went super-linear" question the scale probe asks. */
   case class Result(packed: DataFrame, counts: Counts,
-      rates: Map[String, Double], train: DataFrame,
+      rates: Map[String, Double], train: DataFrame, split: DataFrame,
       timings: Seq[(String, Double)])
 
   def run(spark: SparkSession, dir: String): Result = {
@@ -127,8 +131,16 @@ object CorpusPipeline {
       .where(coalesce(col("dup_frac"), lit(0.0)) < 0.8)
       .drop("dup_frac")
 
-    // 3. deterministic train/val/test assignment
-    val split = Corpus.hashSplit(filteredDocs, col("doc_id"))
+    // 3. LEAKAGE-SAFE train/val/test assignment: retention above already
+    //    removed near-dups at the detectors' J ≥ 0.5 band, but residual
+    //    MEDIUM-similarity pairs (J ≥ 0.3 — below the drop threshold,
+    //    still memorization-adjacent) must never straddle train/test, so
+    //    the split key is the cluster representative at the looser band.
+    //    Unclustered docs hash exactly as plain hashSplit would — the
+    //    guard only ever moves documents that have a residual near-dup.
+    val splitClusters = Dedup.canonicalize(
+      Dedup.jaccardPairs(filteredDocs, threshold = 0.3))
+    val split = Corpus.leakageSafeSplit(filteredDocs, splitClusters)
 
     // phase timing by first materializing action (see Result scaladoc) —
     // started here because the actions below drive all upstream stages
@@ -198,7 +210,7 @@ object CorpusPipeline {
       mixed = nMixed,
       evalSample = nEval,
       shards = nShards)
-    Result(packed, counts, rates, train, timings.toSeq)
+    Result(packed, counts, rates, train, split, timings.toSeq)
   }
 
   def main(args: Array[String]): Unit = {

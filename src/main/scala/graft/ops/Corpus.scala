@@ -55,14 +55,14 @@ object Corpus {
     * near-duplicate. One left equi-join against the (small, but
     * unbounded-fraction — same no-hint discipline as [[Dedup.retain]])
     * cluster side, then the usual pure-projection bucket decision.
-    * Output: (idCol, split_key, split). */
+    * Output: docs.* plus (split_key, split). */
   def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
       idCol: String = "doc_id", salt: String = "split"): DataFrame = {
     val c = clusters.select(col("id"), col("canonical_id"))
     val keyed = docs.join(c, docs(idCol) === c("id"), "left")
       .withColumn("split_key", coalesce(col("canonical_id"), col(idCol)))
     hashSplit(keyed, col("split_key"), salt)
-      .select(col(idCol), col("split_key"), col("split"))
+      .drop("id", "canonical_id")
   }
 
   /** Keep each row with per-row probability `rate` (a Column in [0,1]),

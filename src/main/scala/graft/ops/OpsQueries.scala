@@ -309,7 +309,8 @@ object OpsQueries {
   ) { (s, d) =>
     val docs = Tables.documents(s, d)
     Corpus.leakageSafeSplit(docs,
-      Dedup.canonicalize(Dedup.jaccardPairs(docs, threshold = 0.8)))
+        Dedup.canonicalize(Dedup.jaccardPairs(docs, threshold = 0.8)))
+      .select("doc_id", "split_key", "split")
   }
 
   /** Exact cross-source overlap census (pairs with ≥1 shared shingle). */

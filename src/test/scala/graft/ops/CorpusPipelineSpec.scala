@@ -60,6 +60,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
     for ((sa, na) <- bySource; (sb, nb) <- bySource if na < nb)
       assert(r.rates(sa) >= r.rates(sb),
         s"temperature inversion: $sa(n=$na) rate ${r.rates(sa)} < $sb(n=$nb) rate ${r.rates(sb)}")
+    // LEAKAGE GUARD: no residual near-dup cluster (J >= 0.3 band among
+    // the split corpus — the band the pipeline splits on) may straddle
+    // splits; memorization-adjacent pairs stay co-located
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val residualClusters = Dedup.canonicalize(
+      Dedup.jaccardPairs(r.split, threshold = 0.3))
+    val straddling = r.split.join(residualClusters,
+        r.split("doc_id") === residualClusters("id"))
+      .groupBy("canonical_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .where(col("n_splits") > 1).count()
+    assert(straddling == 0, s"$straddling near-dup clusters straddle splits")
     // stratified sample is capped at k per (source, lang)
     val strata = r.packed.sparkSession.read
       .parquet(s"$dir/documents.parquet")
