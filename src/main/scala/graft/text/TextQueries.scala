@@ -1707,6 +1707,61 @@ object TextQueries {
       Gate("rank_hi", rBelow, rBelow <= 0.8 + slack))
   }
 
+  /** BPE tokenizer training ([[BpeTrainer]]): learn 32 merges from the
+    * corpus word-frequency vocab. Gated on structure (ranks contiguous,
+    * merged = left+right) and — the real check — on the DISTRIBUTED
+    * merge loop reproducing the driver loop's merge list bit-exactly
+    * (two independent implementations of the same greedy arg-max, the
+    * canonicalize small≡dist pattern). */
+  val bpeTrain: Q = Q.gated("text_bpe_train") { (s, d) =>
+    import s.implicits._
+    BpeTrainer.train(Tables.documents(s, d), numMerges = 32)
+      .zipWithIndex
+      .map { case ((l, r), i) => (i, l, r, l + r) }
+      .toDF("rank", "left", "right", "merged")
+  } { (s, d, res) =>
+    val got = res.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val structural = got.forall { case (_, l, r, m) => m == l + r }
+    val contiguous = got.map(_._1) == got.indices
+    val dist = BpeTrainer
+      .train(Tables.documents(s, d), numMerges = 32, maxDriverVocab = 0L)
+      .zipWithIndex.map { case ((l, r), i) => (i, l, r, l + r) }
+    Seq(
+      Gate("n_merges", got.length.toDouble, got.length == 32),
+      Gate("merged_is_concat", if (structural) 1 else 0, structural),
+      Gate("ranks_contiguous", if (contiguous) 1 else 0, contiguous),
+      Gate("distributed_equals_driver", if (dist == got) 1 else 0, dist == got))
+  }
+
+  /** Token counts under the LEARNED tokenizer ([[BpeTrainer
+    * .segmentCounts]]): per doc, character symbols before merging vs
+    * subword tokens after. Gated on totality, no per-doc expansion
+    * (merges only ever shrink), corpus-level compression, and prefix
+    * monotonicity (greedy BPE is deterministic, so an 8-merge tokenizer
+    * is a prefix of the 32-merge one and can never yield FEWER tokens). */
+  val bpeLearnedTokens: Q = Q.gated("text_bpe_learned_tokens") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    BpeTrainer.segmentCounts(docs, BpeTrainer.train(docs, numMerges = 32))
+  } { (s, d, res) =>
+    val docs = Tables.documents(s, d)
+    val agg = res.agg(
+      count(lit(1)).as("n"),
+      sum(col("n_symbols")).as("sym"),
+      sum(col("n_bpe_learned")).as("tok"),
+      max((col("n_bpe_learned") > col("n_symbols")).cast("int")).as("expanded")).head
+    val short = BpeTrainer.segmentCounts(docs, BpeTrainer.train(docs, numMerges = 8))
+      .select(col("doc_id"), col("n_bpe_learned").as("tok8"))
+    val viol = res.join(short, "doc_id")
+      .where(col("n_bpe_learned") > col("tok8")).count()
+    Seq(
+      Gate("totality", agg.getLong(0).toDouble, agg.getLong(0) == docs.count()),
+      Gate("no_doc_expansion", agg.getInt(3).toDouble, agg.getInt(3) == 0),
+      Gate("corpus_compression",
+        agg.getLong(2).toDouble / agg.getLong(1), agg.getLong(2) < agg.getLong(1)),
+      Gate("prefix_monotone", viol.toDouble, viol == 0))
+  }
+
   /** PII scrub pass: per-document email/phone hit counts plus an md5 of
     * the redacted text — the hash proves the scrubbed OUTPUT (not just
     * the counts) is bit-identical across engines, without dumping the
@@ -1759,5 +1814,5 @@ object TextQueries {
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
     bm25, paragraphDedupQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
     vocabBySource, vocabHll, chunkWindowsQ, qualityBudget, qualityThreshold,
-    piiScrub)
+    bpeTrain, bpeLearnedTokens, piiScrub)
 }

@@ -236,6 +236,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(text.TextQueries.qualityThresholdVs(docsLike(Nil)).count() == 0)
   }
 
+  test("BPE training degrades cleanly on empty/degenerate input") {
+    assert(text.BpeTrainer.train(docsLike(Nil)).isEmpty)
+    // single-character words have no pairs to merge
+    assert(text.BpeTrainer.train(docsLike(Seq(1L -> "a b c d e"))).isEmpty)
+    // below minPairCount: all pairs unique → no merges at the default 2
+    assert(text.BpeTrainer.train(docsLike(Seq(1L -> "abc defg"))).isEmpty)
+    intercept[IllegalArgumentException] {
+      text.BpeTrainer.train(docsLike(Nil), numMerges = 0)
+    }
+    assert(text.BpeTrainer.segmentCounts(docsLike(Nil), Seq.empty).count() == 0)
+  }
+
   test("kNN with k larger than n returns all n-1 neighbors") {
     val pts = embLike(Seq(
       (1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)), (3L, Array(0.0, 2.0))))

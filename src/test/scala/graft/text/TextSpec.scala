@@ -646,6 +646,40 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE training reproduces the classic Sennrich merge order; encode applies it") {
+    import spark.implicits._
+    // the Sennrich et al. 2016 §3.2 example vocabulary, as a corpus whose
+    // word counts reproduce it: low×5, lower×2, newest×6, widest×3
+    val docs = Seq(
+      1L -> (("low " * 5) + ("lower " * 2)).trim,
+      2L -> (("newest " * 6) + ("widest " * 3)).trim
+    ).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, numMerges = 5, minPairCount = 1)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (w,e)=8... tie (e,s)/(s,t)
+    // broken lexicographically → (e,s); then (es,t)=9; then (l,o)=7,
+    // (lo,w)=7 → (l,o) first; then (lo,w); then (n,e)=6 vs (w,e): after
+    // "es" merge w-e survives only in "we" of newest? n-e=6, w-i=3,
+    // e-w... verify the documented greedy order:
+    assert(merges.take(2) == Seq(("e", "s"), ("es", "t")), s"got $merges")
+    assert(merges(2) == (("l", "o")) && merges(3) == (("lo", "w")), s"got $merges")
+    // encode: "lowest" was never a training word, but the learned merges
+    // segment it into the reusable subwords
+    val enc = BpeTrainer.encodeWord("lowest", merges)
+    assert(enc.sameElements(Array("low", "est")), s"got ${enc.toSeq}")
+    // segmentCounts: doc 1 = 5·"low" + 2·"lower"; with the 5 merges
+    // low→1 token, lower→2 (low+e+r → wait for merge list) — assert via
+    // the encode primitive instead of hand numbers
+    val counts = BpeTrainer.segmentCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val exp1 = 5 * BpeTrainer.encodeWord("low", merges).length +
+      2 * BpeTrainer.encodeWord("lower", merges).length
+    assert(counts(1L) == ((5 * 3 + 2 * 5, exp1)), s"${counts(1L)} vs $exp1")
+    // empty merge list: one token per character symbol
+    val noMerge = BpeTrainer.segmentCounts(docs, Seq.empty)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(noMerge(1L)._1 == noMerge(1L)._2)
+  }
+
   test("driver md5Hash64Jvm is bit-identical to the column expression") {
     import spark.implicits._
     val samples = Seq("common gram here", "a", "", "üñïçôdé mix 42", "x y z")
