@@ -119,5 +119,45 @@ object CorpusQueries {
       weight = col("n_bpe"), budget = 2000L)
   }
 
-  def all: Seq[Q] = Seq(split, mixture, temperatureMix, stratified, packShards)
+  /** Shard ASSEMBLY — the step after [[packShards]]' assignment: each
+    * (source, shard)'s documents concatenated in pack order with a
+    * double-newline separator, i.e. the actual training-sequence bytes a
+    * writer would emit. The shard md5 proves the assembled byte stream,
+    * not just the grouping. One exchange total: the pack window hashes
+    * on source, and source partitioning already satisfies the
+    * (source, shard) aggregation's clustering (PlanSpec pins the
+    * exchange count); per-group state is one shard's docs — bounded by
+    * the token budget. */
+  val shardTexts: Q = Q(
+    "corpus_shard_texts",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextFunctions.BpePattern}')) AS INTEGER) AS n_bpe
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (
+       |  SELECT doc_id, source, text, n_bpe,
+       |    CAST((sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bpe) // 2000 AS BIGINT) AS shard
+       |  FROM t)
+       |SELECT source, shard, CAST(count(*) AS INTEGER) AS n_docs,
+       |  CAST(sum(n_bpe) AS BIGINT) AS shard_tokens,
+       |  md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS shard_md5
+       |FROM p GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    val packed = Corpus.packShards(
+      Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe")),
+      partitionKey = col("source"), order = col("doc_id"),
+      weight = col("n_bpe"), budget = 2000L)
+    packed.groupBy("source", "shard")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_bpe")).cast("long").as("shard_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text")), "\n\n")).as("shard_md5"))
+  }
+
+  def all: Seq[Q] = Seq(split, mixture, temperatureMix, stratified, packShards,
+    shardTexts)
 }

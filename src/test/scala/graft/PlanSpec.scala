@@ -313,6 +313,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_shard_texts: one exchange — source partitioning serves both window and agg") {
+    val p = plan("corpus_shard_texts")
+    // the pack window hashes on source; hash(source) already clusters
+    // (source, shard), so the assembly aggregation must NOT add a second
+    // exchange
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+  }
+
   test("text_vocab_hll: HLL sketches merge map-side; no distinct expand") {
     val p = plan("text_vocab_hll")
     // the whole point vs the exact twin: per-group state is a sketch with
