@@ -135,13 +135,26 @@ object Bench {
           .filter(pin => v.nonEmpty && v.min > 2 * pin && v.min - pin > 0.25)
           .map { pin =>
             System.err.println(f"[baseline] ${name}: ${v.min}%.2f s vs pinned $pin%.2f s — isolated retry")
-            val t0 = System.nanoTime()
-            val rerun =
-              try { surface(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-                (System.nanoTime() - t0) / 1e9 }
-              catch { case _: Throwable => v.min } // transient: keep the in-sweep reading
-            spark.catalog.clearCache()
-            (name, math.min(v.min, rerun), pin)
+            // up to TWO isolated re-measurements with a GC between,
+            // judged on the best: at ~100 sweep queries the end-of-sweep
+            // heap pressure can flip a single same-JVM retry too
+            // (observed: different sub-second query flagged on each of
+            // three consecutive green-in-isolation sweeps). A true 2×
+            // regression fails all three readings.
+            val best = (1 to 2).foldLeft(v.min) { (acc, _) =>
+              if (acc <= 2 * pin || acc - pin <= 0.25) acc
+              else {
+                System.gc()
+                val t0 = System.nanoTime()
+                val rerun =
+                  try { surface(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+                    (System.nanoTime() - t0) / 1e9 }
+                  catch { case _: Throwable => acc } // transient: keep the prior reading
+                spark.catalog.clearCache()
+                math.min(acc, rerun)
+              }
+            }
+            (name, best, pin)
           }
           .filter { case (_, t, pin) => t > 2 * pin && t - pin > 0.25 }
           .map { case (n, t, pin) =>

@@ -100,15 +100,10 @@ object Dedup {
     require(prefixChars >= 1, s"prefixChars >= 1, got $prefixChars")
     require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
     def key = md5(substring(lower(col(textCol)), 1, prefixChars))
-    // sentinel row: the bloomFilter aggregate returns null over an empty
-    // history (md5 hex can never equal the sentinel, so it is invisible)
-    val hist = history.where(col(textCol).isNotNull).select(key.as("h"))
-      .union(history.sparkSession.range(1)
-        .select(lit(" graft-bloom-sentinel ").as("h")))
-    val nHist = expectedItems.getOrElse(math.max(1L, hist.count()))
-    val bloomB = history.sparkSession.sparkContext.broadcast(
-      hist.stat.bloomFilter("h", nHist, fpp))
-    val mightContain = udf((s: String) => bloomB.value.mightContainString(s))
+    val bloomB = graft.functions.Sketches.stringBloom(
+      history.where(col(textCol).isNotNull).select(key.as("h")),
+      "h", fpp, expectedItems)
+    val mightContain = graft.functions.Sketches.mightContainString(bloomB)
     batch.where(col(textCol).isNotNull)
       .withColumn("h", key)
       .where(!mightContain(col("h")))

@@ -382,7 +382,8 @@ object OpsQueries {
       val exactNovel = batch.join(hist, Seq("h"), "left_anti")
       val nExact = exactNovel.count()
       val dupLeaks = res.join(batch.join(hist, Seq("h")), "doc_id").count()
-      val recall = res.count().toDouble / nExact
+      // an empty/fully-duplicated batch is vacuously correct, not 0/0=NaN
+      val recall = if (nExact == 0) 1.0 else res.count().toDouble / nExact
       Seq(
         Gate("dup_leaks", dupLeaks.toDouble, dupLeaks == 0),
         Gate("novel_recall", recall, recall >= 1 - 3e-4))

@@ -61,16 +61,12 @@ object DocsStream {
     * batch operator: over-sizing only lowers the realized fpp. */
   def benchBloom(bench: DataFrame, fpp: Double = 1e-4,
       expectedItems: Option[Long] = None)
-      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
-    require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
-    val sh = bench.where(col("text").isNotNull)
-      .select(explode(
-        TextFunctions.shinglesFast(3)(TextFunctions.tokens(col("text")))).as("shingle"))
-      .union(bench.sparkSession.range(1)
-        .select(lit(" graft-bloom-sentinel ").as("shingle")))
-    val n = expectedItems.getOrElse(math.max(1L, sh.count()))
-    bench.sparkSession.sparkContext.broadcast(sh.stat.bloomFilter("shingle", n, fpp))
-  }
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
+    graft.functions.Sketches.stringBloom(
+      bench.where(col("text").isNotNull)
+        .select(explode(
+          TextFunctions.shinglesFast(3)(TextFunctions.tokens(col("text")))).as("shingle")),
+      "shingle", fpp, expectedItems)
 
   /** Stateless streaming decontamination: per-document trigram
     * contamination fraction against the broadcast benchmark bloom,

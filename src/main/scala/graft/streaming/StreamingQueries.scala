@@ -52,7 +52,9 @@ object StreamingQueries {
       val nFlagged = flagged.count()
       val nCorpus = docs.where(!isBench && col("text").isNotNull).count()
       val leaks = res.join(flagged, "doc_id").count()
-      val keptRecall = res.count().toDouble / (nCorpus - nFlagged)
+      // a fully-flagged corpus is vacuously correct, not 0/0=NaN
+      val keptRecall = if (nCorpus == nFlagged) 1.0
+        else res.count().toDouble / (nCorpus - nFlagged)
       Seq(
         Gate("contaminated_leaks", leaks.toDouble, leaks == 0),
         Gate("kept_recall", keptRecall, keptRecall >= 0.99))

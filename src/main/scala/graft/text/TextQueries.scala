@@ -343,7 +343,6 @@ object TextQueries {
       : org.apache.spark.sql.DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and b in [0,1], got ($k1, $b)")
-    import org.apache.spark.sql.expressions.Window
     val base = docs.where(col("text").isNotNull)
       .select(col("doc_id"), isQuery.as("is_q"), tokens(col("text")).as("_t"))
     val corpus = base.where(!col("is_q"))
@@ -362,13 +361,25 @@ object TextQueries {
     val qt = base.where(col("is_q"))
       .select(col("doc_id").as("qid"), explode(array_distinct(col("_t"))).as("term"))
     val idf = log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id").asc)
-    qt.join(tf, "term").join(dfreq, "term")
+    val scored = qt.join(tf, "term").join(dfreq, "term")
       .groupBy("qid", "doc_id")
       .agg(round(sum(idf * col("tf") * (k1 + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0) - b + col("dl") * b / avgdl))), 6).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // top-k per query via the bounded-heap aggregate (map-side partial
+    // pruning), NOT a row_number window: a query full of common terms
+    // matches an unbounded candidate list, and a window would sort all
+    // of it on one task — the hot-key shape rejected for paragraphDedup
+    // and scrubDupSpans. Heap order = ascending (−score, doc_id) ≡
+    // (score DESC, doc_id ASC), exactly the oracle's ORDER BY; negation
+    // is exact for doubles, so the round-tripped score hash-matches.
+    scored
+      .groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKNeighbors
+        .topk(k, col("doc_id"), -col("score")).as("nbrs"))
+      .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("qid"), col("nbr.j").as("doc_id"),
+        (-col("nbr.dist2")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** BM25 query — the doc_id % 100 == 7 cohort as the query set against
@@ -660,25 +671,13 @@ object TextQueries {
         explode(shinglesFast(3)(tokens(col("text")))).as("shingle"),
         isBench.as("is_bench"))
       .cache()
-    // the sentinel row keeps Spark's bloomFilter aggregate from NPEing
-    // on an EMPTY benchmark branch (it returns null over zero rows,
-    // found by EdgeCaseSpec): real shingles are lowercase alnum+space,
-    // so the sentinel string can never equal a corpus shingle and its
-    // single insertion is invisible to every real membership test
-    val sentinel = docs.sparkSession.range(1)
-      .select(lit(" graft-bloom-sentinel ").as("shingle"))
-    val bench = sh.where(col("is_bench")).select("shingle").union(sentinel)
-    // a production caller KNOWS its eval-suite size — passing it skips a
-    // whole pass over the benchmark branch; the counting fallback exists
-    // for exploratory use. Over-estimating only lowers the realized fpp;
-    // UNDER-estimating raises it above spec, so round up.
-    val nBench = expectedItems.getOrElse(math.max(1L, bench.count()))
-    val bloom = bench.stat.bloomFilter("shingle", nBench, fpp)
-    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
-    // a UDF is the honest form here: membership against a driver-built
-    // sketch has no Column encoding; the filter runs pre-aggregation so
-    // the shuffle carries only surviving (doc_id) rows
-    val mightContain = udf((s: String) => bloomB.value.mightContainString(s))
+    // sentinel / expectedItems / membership-UDF semantics live in
+    // graft.functions.Sketches (shared with the span, streaming, and
+    // novelty bloom operators); the filter runs pre-aggregation so the
+    // shuffle carries only surviving (doc_id) rows
+    val bloomB = graft.functions.Sketches.stringBloom(
+      sh.where(col("is_bench")).select(col("shingle")), "shingle", fpp, expectedItems)
+    val mightContain = graft.functions.Sketches.mightContainString(bloomB)
     val corpus = sh.where(!col("is_bench"))
     val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val hit = corpus.where(mightContain(col("shingle")))
@@ -820,16 +819,9 @@ object TextQueries {
     def windows(side: org.apache.spark.sql.DataFrame, step: Int) =
       spanWindows(side, windowChars, step)
         .select(col("doc_id"), col("p"), xxhash64(col("w")).as("h"))
-    // sentinel row: Spark's bloomFilter aggregate returns null over zero
-    // rows (empty benchmark branch — same edge the doc-level bloom form
-    // guards); one extra long insertion is fpp-invisible
-    val sentinel = docs.sparkSession.range(1).select(lit(Long.MinValue).as("h"))
-    val bench = windows(docs.where(isBench), benchStride).select("h")
-      .union(sentinel)
-    val nBench = expectedItems.getOrElse(math.max(1L, bench.count()))
-    val bloom = bench.stat.bloomFilter("h", nBench, fpp)
-    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val bloomB = graft.functions.Sketches.longBloom(
+      windows(docs.where(isBench), benchStride).select("h"), "h", fpp, expectedItems)
+    val mightContain = graft.functions.Sketches.mightContainLong(bloomB)
     val corpus = windows(docs.where(!isBench), stride).cache()
     val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
     val hit = corpus.where(mightContain(col("h")))
@@ -1250,6 +1242,51 @@ object TextQueries {
     scrubHitWindows(losers, docs, windowChars)
   }
 
+  /** Shared SQL tail of the two scrub oracles — the DuckDB mirror of
+    * [[scrubHitWindows]] (island merge over a (doc_id, p) hit CTE,
+    * segment rebuild, final assembly), in ONE place so a boundary fix
+    * cannot be applied to only one oracle. `hitsFrom` is the CTE/subquery
+    * producing the hit rows; `windowChars` fixes the width arithmetic. */
+  private def scrubTailSql(hitsFrom: String, windowChars: Int): String =
+    s"""hits AS (
+       |  SELECT doc_id, p,
+       |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+       |           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + $windowChars
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM $hitsFrom),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_id, island, min(p) AS s, max(p) + ${windowChars - 1} AS e
+       |  FROM isl GROUP BY 1, 2),
+       |segs0 AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
+       |    CAST(s - 1 AS BIGINT) AS ge
+       |  FROM spans
+       |  UNION ALL
+       |  SELECT doc_id, max(e) + 1 AS gs, NULL AS ge FROM spans GROUP BY doc_id),
+       |segs AS (
+       |  SELECT g.doc_id, gs,
+       |    substr(d.text, CAST(gs AS INTEGER),
+       |           CAST(coalesce(ge, length(d.text)) - gs + 1 AS INTEGER)) AS seg
+       |  FROM segs0 g JOIN documents d USING (doc_id)
+       |  WHERE coalesce(ge, length(d.text)) >= gs),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+       |    CAST(sum(e - s + 1) AS INTEGER) AS chars_removed
+       |  FROM spans GROUP BY 1),
+       |scrub AS (
+       |  SELECT doc_id,
+       |    md5(coalesce(string_agg(seg, '' ORDER BY gs), '')) AS scrub_md5
+       |  FROM segs GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_id, n_spans, chars_removed,
+       |  coalesce(scrub_md5, md5('')) AS scrub_md5
+       |FROM agg a LEFT JOIN scrub USING (doc_id)""".stripMargin
+
   /** Dup-span removal query — window geometry matched to
     * [[contaminationSpans]] (16 chars, stride 4) for the same
     * short-fixture reason; named into the dedup family it completes
@@ -1265,44 +1302,7 @@ object TextQueries {
       |      SELECT doc_id, text, unnest(generate_series(1, length(text) - 15, 4)) AS p
       |      FROM documents WHERE text IS NOT NULL AND length(text) >= 16))),
       |losers AS (SELECT doc_id, p FROM wins WHERE rn > 1),
-      |hits AS (
-      |  SELECT doc_id, p,
-      |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-      |           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 16
-      |         THEN 1 ELSE 0 END AS brk
-      |  FROM losers),
-      |isl AS (
-      |  SELECT doc_id, p,
-      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
-      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      |  FROM hits),
-      |spans AS (
-      |  SELECT doc_id, island, min(p) AS s, max(p) + 15 AS e
-      |  FROM isl GROUP BY 1, 2),
-      |segs0 AS (
-      |  SELECT doc_id,
-      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
-      |    CAST(s - 1 AS BIGINT) AS ge
-      |  FROM spans
-      |  UNION ALL
-      |  SELECT doc_id, max(e) + 1 AS gs, NULL AS ge FROM spans GROUP BY doc_id),
-      |segs AS (
-      |  SELECT g.doc_id, gs,
-      |    substr(d.text, CAST(gs AS INTEGER),
-      |           CAST(coalesce(ge, length(d.text)) - gs + 1 AS INTEGER)) AS seg
-      |  FROM segs0 g JOIN documents d USING (doc_id)
-      |  WHERE coalesce(ge, length(d.text)) >= gs),
-      |agg AS (
-      |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
-      |    CAST(sum(e - s + 1) AS INTEGER) AS chars_removed
-      |  FROM spans GROUP BY 1),
-      |scrub AS (
-      |  SELECT doc_id,
-      |    md5(coalesce(string_agg(seg, '' ORDER BY gs), '')) AS scrub_md5
-      |  FROM segs GROUP BY doc_id)
-      |SELECT a.doc_id AS doc_id, n_spans, chars_removed,
-      |  coalesce(scrub_md5, md5('')) AS scrub_md5
-      |FROM agg a LEFT JOIN scrub USING (doc_id)""".stripMargin
+      |""".stripMargin + scrubTailSql("losers", 16)
   ) { (s, d) =>
     scrubDupSpans(Tables.documents(s, d), windowChars = 16, stride = 4)
   }
@@ -1325,45 +1325,7 @@ object TextQueries {
       |      unnest(generate_series(1, length(text) - 15, 4)) AS p
       |    FROM documents
       |    WHERE doc_id % 100 <> 7 AND text IS NOT NULL AND length(text) >= 16)),
-      |hits AS (
-      |  SELECT doc_id, p,
-      |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
-      |           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 16
-      |         THEN 1 ELSE 0 END AS brk
-      |  FROM (SELECT doc_id, p FROM c JOIN bh USING (h))),
-      |isl AS (
-      |  SELECT doc_id, p,
-      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p
-      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      |  FROM hits),
-      |spans AS (
-      |  SELECT doc_id, island, min(p) AS s, max(p) + 15 AS e
-      |  FROM isl GROUP BY 1, 2),
-      |segs0 AS (
-      |  SELECT doc_id,
-      |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS gs,
-      |    CAST(s - 1 AS BIGINT) AS ge
-      |  FROM spans
-      |  UNION ALL
-      |  SELECT doc_id, max(e) + 1 AS gs, NULL AS ge FROM spans GROUP BY doc_id),
-      |segs AS (
-      |  SELECT g.doc_id, gs,
-      |    substr(d.text, CAST(gs AS INTEGER),
-      |           CAST(coalesce(ge, length(d.text)) - gs + 1 AS INTEGER)) AS seg
-      |  FROM segs0 g JOIN documents d USING (doc_id)
-      |  WHERE coalesce(ge, length(d.text)) >= gs),
-      |agg AS (
-      |  SELECT doc_id,
-      |    CAST(count(*) AS INTEGER) AS n_spans,
-      |    CAST(sum(e - s + 1) AS INTEGER) AS chars_removed
-      |  FROM spans GROUP BY 1),
-      |scrub AS (
-      |  SELECT doc_id,
-      |    md5(coalesce(string_agg(seg, '' ORDER BY gs), '')) AS scrub_md5
-      |  FROM segs GROUP BY doc_id)
-      |SELECT a.doc_id AS doc_id, n_spans, chars_removed,
-      |  coalesce(scrub_md5, md5('')) AS scrub_md5
-      |FROM agg a LEFT JOIN scrub USING (doc_id)""".stripMargin
+      |""".stripMargin + scrubTailSql("(SELECT doc_id, p FROM c JOIN bh USING (h))", 16)
   ) { (s, d) =>
     scrubContaminatedSpans(Tables.documents(s, d),
       col("doc_id") % 100 === 7, windowChars = 16, stride = 4)

@@ -183,6 +183,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // tf counts must map-side combine before the term shuffle
     assert(p.contains("partial_count"), p)
+    // ranking is the bounded-heap aggregate, never a row_number window
+    // sorting a common-term query's unbounded candidate list on one task
+    assert(p.contains("partial_topk_neighbors"), p)
+    assert(!p.contains("row_number"), s"hot-key window crept back in:\n$p")
   }
 
   test("text_c4_clean: shuffle-free line-rule projection (scan speed)") {

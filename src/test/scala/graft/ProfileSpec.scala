@@ -605,10 +605,11 @@ class ProfileSpec extends AnyFunSuite {
 
   test("scale stress: paragraph dedup under boilerplate skew (window twin measured)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
-    // The scale claim on paragraphDedup: keep-first winners via
-    // min(struct) partial aggregation stay skew-safe where a
-    // row_number() window sorts every occurrence of the hottest
-    // paragraph on one task. 200k docs × 4 unique lines, plus ONE shared
+    // The scale claim on paragraphDedup: keep-first winners via the
+    // hash-partialed keep_first TypedImperativeAggregate stay skew-safe
+    // where a row_number() window sorts every occurrence of the hottest
+    // paragraph on one task (min(struct) was REJECTED too — it plans a
+    // map-side-sorting SortAggregate; see KeepFirst.scala / SCALING.md). 200k docs × 4 unique lines, plus ONE shared
     // boilerplate line on every even doc — a single paragraph hash with
     // 100k occurrences.
     import org.apache.spark.sql.expressions.Window
