@@ -105,6 +105,25 @@ object DocsStream {
       .queryName(name)
       .start()
 
+  /** Start the frozen-history novelty filter over a parquet file stream —
+    * the cross-day complement of [[dedupByContent]]: the history bloom is
+    * built ONCE from the (batch) history corpus, then every micro-batch
+    * is filtered by the same stateless projection
+    * [[graft.ops.Dedup.novelAgainst]] applies in batch (zero streaming
+    * state; the sketch outlives the stream, rebuilt only when the
+    * history corpus is re-frozen). */
+  def startNoveltyQuery(spark: SparkSession, dir: String, name: String,
+      history: DataFrame, fpp: Double = 1e-4,
+      expectedItems: Option[Long] = None): StreamingQuery =
+    graft.ops.Dedup.novelAgainst(history,
+        spark.readStream.schema(docSchema).parquet(dir),
+        fpp = fpp, expectedItems = expectedItems)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+
   /** Crawler-feed schema: the documents fixture plus the crawl/ingestion
     * event time the dedup horizon is measured against. */
   val crawlSchema: StructType = StructType(

@@ -154,6 +154,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(DocsStream.decontaminate(planted, bloom).count() == 0)
   }
 
+  test("streaming novelty filter equals its batch twin; history copies never survive") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val isHistory = col("doc_id") % 10 < 8
+    val history = docs.where(isHistory)
+    val feed = docs.where(!isHistory)
+    val batch = graft.ops.Dedup.novelAgainst(history, feed)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty, "fixture sanity: the feed must contain novel docs")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("docs-novel").toString
+    feed.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = DocsStream.startNoveltyQuery(spark, streamDir, "nvtest", history)
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("nvtest")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+
+    // a verbatim copy of a history doc arriving in the feed must be shed
+    val histText = history.where(col("text").isNotNull)
+      .select("text").head.getString(0)
+    val planted = Seq((900002L, histText, "en", "srcX", histText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.ops.Dedup.novelAgainst(history, planted).count() == 0)
+  }
+
   test("streaming content dedup equals the batch hash set on the fixture") {
     import spark.implicits._
     // the fixture carries no crawl time — stage it with a synthetic one
