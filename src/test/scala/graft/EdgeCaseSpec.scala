@@ -236,6 +236,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(text.TextQueries.qualityThresholdVs(docsLike(Nil)).count() == 0)
   }
 
+  test("Sketches blooms are well-defined over empty input and reject nothing real") {
+    import spark.implicits._
+    // the sentinel guarantee the four bloom operators rely on: an empty
+    // benchmark/history side must yield a working (empty) filter, not a
+    // null-aggregate NPE
+    val emptyS = Seq.empty[String].toDF("v")
+    val bs = functions.Sketches.stringBloom(emptyS, "v", fpp = 1e-4)
+    assert(!bs.value.mightContainString("any real key"))
+    assert(!bs.value.mightContainString("md5-shaped 0123456789abcdef"))
+    val emptyL = Seq.empty[Long].toDF("v")
+    val bl = functions.Sketches.longBloom(emptyL, "v", fpp = 1e-4)
+    assert(!bl.value.mightContainLong(42L) && !bl.value.mightContainLong(0L))
+    intercept[IllegalArgumentException] {
+      functions.Sketches.stringBloom(emptyS, "v", fpp = 0.0)
+    }
+    // a populated filter has no false negatives
+    val some = Seq("alpha", "beta").toDF("v")
+    val b2 = functions.Sketches.stringBloom(some, "v", fpp = 1e-4)
+    assert(b2.value.mightContainString("alpha") && b2.value.mightContainString("beta"))
+  }
+
   test("BPE training degrades cleanly on empty/degenerate input") {
     assert(text.BpeTrainer.train(docsLike(Nil)).isEmpty)
     // single-character words have no pairs to merge
