@@ -355,10 +355,18 @@ object Dedup {
       pairs: DataFrame, maxRounds: Int = 20,
       smallGraphEdges: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // cache the PAIR frame, not just the undirected-edge union: the two
+    // union branches are separate Catalyst subtrees, so an uncached
+    // `pairs` (typically the full jaccardPairs postings join) would be
+    // evaluated once per branch — measured 2× the detector's cost on
+    // every canonicalize caller (r8; corpus_leakage_safe_split was the
+    // sweep's slowest query mostly from this double evaluation)
+    val p = pairs.select(col("id_a"), col("id_b")).cache()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     val nEdges = edges.count()
+    p.unpersist()
     lastPropagationRounds = 0
     if (nEdges <= smallGraphEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
