@@ -312,9 +312,21 @@ object SimilaritySearch {
     * candidate pair surfaces at most once (no in-heap dedup needed,
     * unlike multi-table LSH). recall ≈ probed-mass; raise `nprobe` (or
     * `nlist` resolution) to trade compute for recall — measured in
-    * SimilaritySpec/the ann_ivf_topk gate vs the exact twin. */
+    * SimilaritySpec/the ann_ivf_topk gate vs the exact twin.
+    *
+    * Default nprobe swept on the fixtures (r8, recall@5 vs exact on the
+    * near-uniform worst case; sf0.1 walls): nlist=16 at nprobe
+    * 5→0.661/1.6s, 6→0.720, 8→0.822/1.9s, 10→0.900/2.2s, 12→0.951/2.8s;
+    * finer quantizers LOSE on this distribution (nlist=32 nprobe=10 →
+    * 0.711, nlist=64 → 0.585: boundary mass grows faster than cell
+    * resolution when vectors are near-uniform). Adopted nprobe=10 — the
+    * 0.9-recall knee at 1.4× the nprobe=5 wall. At corpus scale nlist
+    * grows with n (cells stay executor-sized) and real clustered
+    * embeddings concentrate neighbor mass in fewer cells, so the
+    * fixture's probed-mass fraction (10/16) is the worst case, not the
+    * scale expectation. */
   def ivfTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 5, seed: Long = 42,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 10, seed: Long = 42,
       trainSample: Int = 16384): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     require(trainSample >= 1,
@@ -399,16 +411,19 @@ object SimilaritySearch {
     * Recall vs the exact twin is gate-measured per round, never assumed.
     *
     * Defaults swept on the fixture (recall@5 vs exact; the IVF candidate
-    * ceiling at these nlist/nprobe is 0.6748): with residual encoding,
+    * ceiling at nlist=16/nprobe=5 was 0.6748): with residual encoding,
     * m=8/ksub=64 at refine 5→0.618, 10→0.6624, 20→0.6748; m=16 at
     * refine 5→0.6704, 10→0.6748 — m=16/refine=10 recovers the FULL cell
     * ceiling (ADC retention 1.0) where the r6 raw-vector encoding needed
     * refine=20 (its refine-10 recall was 0.658). Defaults are
-    * m=16/refine=10 accordingly; zero-norm rows are excluded up front
-    * (no direction → NaN unit vector would poison codebook training and
+    * m=16/refine=10 accordingly. nprobe follows [[ivfTopK]]'s r8 move to
+    * 10 (cell ceiling 0.896 on the gate fixture; ADC+refine retain
+    * 0.893 at refine=10 — the −0.03 retention gate still bounds the
+    * quantization loss). Zero-norm rows are excluded up front (no
+    * direction → NaN unit vector would poison codebook training and
     * every cosine). */
   def pqTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
-      k: Int = 5, nlist: Int = 16, nprobe: Int = 5, m: Int = 16, ksub: Int = 64,
+      k: Int = 5, nlist: Int = 16, nprobe: Int = 10, m: Int = 16, ksub: Int = 64,
       refine: Int = 10, seed: Long = 42, trainSample: Int = 16384): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     require(refine >= 1, "refine multiplies the exact-rescore shortlist")
