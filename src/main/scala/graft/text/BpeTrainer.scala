@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   * Hybrid like [[graft.ops.Dedup.canonicalize]]: a vocab at or under
   * `maxDriverVocab` types collects to the driver and runs the classic
   * in-memory loop (exact, microseconds per merge); a larger vocab runs
-  * each merge iteration distributed — pair counting is a flatMap +
+  * the BATCHED distributed loop — pair counting is a flatMap +
   * reduceByKey over the symbolized vocab RDD (map-side combine, so the
-  * shuffle per round is |distinct pairs|, not |vocab|), the arg-max pair
-  * is a `takeOrdered(1)` under a total order, and the merge application
-  * is a narrow map. Both branches share the same merge-application
-  * primitive and the same deterministic tie-break — highest count, then
+  * shuffle per round is |distinct pairs|, not |vocab|), the top pairs
+  * come from a `takeOrdered` under a total order, and each round applies
+  * the provably-sequential-exact prefix of them in one narrow map (see
+  * [[trainDistributed]] — up to 64 merges per vocab pass, so realistic
+  * 32k-merge vocabularies cost hundreds of rounds, not 32k job
+  * barriers). Both branches share the same merge-application primitive
+  * and the same deterministic tie-break — highest count, then
   * lexicographically smallest (left, right) — and are pinned equal by
-  * the per-round gate.
+  * the per-round gate and the 1000-merge ProfileSpec probe.
   *
   * Reference surface note: the reference engine has no tokenizer
   * training; this extends the text stack the same way the dedup/ANN
@@ -90,36 +93,108 @@ object BpeTrainer {
     merges.toSeq
   }
 
-  /** Distributed merge loop for vocabularies past the driver bound. The
-    * iteration state is a plain cached RDD of (symbols, count) — 50
-    * narrow `map` steps build a cheap RDD lineage, not a Catalyst plan
-    * (the §7.4.3 hazard the canonicalize rounds hit does not apply);
-    * each round's state is materialized before the previous round's
-    * cache is dropped. */
+  /** Distributed merge loop for vocabularies past the driver bound,
+    * BATCHED: each round fetches the top-`fetchSize` pairs under the
+    * total order and applies the longest prefix that is provably
+    * identical to running the sequential greedy loop — so one vocab
+    * pass buys many merges instead of one, and the job count is
+    * sublinear in `numMerges` (measured on the 100k-doc probe,
+    * SCALING.md r8).
+    *
+    * Exactness argument for the accepted prefix: merging (l, r) only
+    * changes counts of pairs CONTAINING l, r, or the new symbol l+r
+    * ("touched" pairs) — a pair disjoint from every earlier accepted
+    * pair keeps its freshly-counted value. A merge can create or grow
+    * only pairs of the form (x, l+r) / (l+r, y), and each such
+    * occurrence consumes an occurrence of a source pair (x, l) / (r, y)
+    * that existed in THIS round's counts — so every changed pair is
+    * bounded by the count of some touched pair in this round's full
+    * ranking. Scanning the fetched list in rank order: `cap` is the
+    * highest count at which a touched pair could live — the first
+    * touched item seen, or the truncation horizon (count of the last
+    * fetched item) when the fetch came back full. Untouched items with
+    * count STRICTLY above `cap` therefore still win their sequential
+    * step against every unchanged pair (rank order) and every changed
+    * pair (≤ cap < count), tie-breaks included. If the provable prefix
+    * is empty (e.g. a tie straddles the cap), the round falls back to
+    * applying the single arg-max — plain sequential, always exact —
+    * so each round makes progress. Bit-exactness vs the driver loop is
+    * gate-pinned per round (text_bpe_train) and probed at
+    * numMerges=1000 on 100k docs (ProfileSpec).
+    *
+    * The iteration state is a plain cached RDD of (symbols, count);
+    * one narrow `map` per ROUND (not per merge) builds the lineage, and
+    * `localCheckpoint()` every `checkpointEvery` rounds truncates it so
+    * task-closure serialization stays O(1) at vocabulary-scale merge
+    * budgets (32k merges ≈ 500 rounds would otherwise serialize a
+    * 500-deep lineage per task). */
+  /** Vocab passes the last [[trainDistributed]] call took (0 when the
+    * driver branch ran) — instrumentation for the opt-in ProfileSpec
+    * jobs-sublinear-in-merges probe, not operator contract. */
+  @volatile private[graft] var lastDistributedRounds: Int = 0
+
   private def trainDistributed(wc: DataFrame, numMerges: Int,
-      minPairCount: Long): Seq[(String, String)] = {
+      minPairCount: Long, fetchSize: Int = 4096,
+      checkpointEvery: Int = 50): Seq[(String, String)] = {
     val spark = wc.sparkSession
     import spark.implicits._
     var state = wc.select(col("word"), col("cnt")).as[(String, Long)]
       .rdd.map { case (w, c) => (w.map(_.toString).toArray, c) }.cache()
     state.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var roundsSinceCheckpoint = 0
     var go = true
     while (go && merges.length < numMerges) {
-      val best = state.flatMap { case (syms, c) =>
+      rounds += 1
+      // fetch far DEEPER than we expect to accept: the truncation
+      // horizon (count of the last fetched pair) is part of `cap`, and
+      // in a zipf tail the counts 64 ranks apart are nearly equal — a
+      // shallow fetch caps acceptance at ~1 merge/round. 4096 rows
+      // through takeOrdered's per-partition heaps is driver-trivial.
+      val fetch = fetchSize
+      val top = state.flatMap { case (syms, c) =>
         (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), c))
-      }.reduceByKey(_ + _).takeOrdered(1)(bestOrdering)
-      if (best.isEmpty || best.head._2 < minPairCount) go = false
+      }.reduceByKey(_ + _).takeOrdered(fetch)(bestOrdering)
+      if (top.isEmpty || top.head._2 < minPairCount) go = false
       else {
-        val (l, r) = best.head._1
-        merges += ((l, r))
-        val next = state.map { case (syms, c) => (applyMerge(syms, l, r), c) }.cache()
+        // `cap` starts at the truncation horizon: when the fetch came
+        // back full, unseen pairs (some touched) can hold any count up
+        // to the last fetched item's
+        var cap = if (top.length == fetch) top.last._2 else 0L
+        val touched = scala.collection.mutable.HashSet.empty[String]
+        val scanned = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+        var i = 0
+        var stop = false
+        while (i < top.length && !stop) {
+          val item @ ((l, r), c) = top(i)
+          if (touched(l) || touched(r)) { cap = math.max(cap, c); stop = true }
+          else if (c < minPairCount) stop = true
+          else { scanned += item; touched += l; touched += r; touched += (l + r) }
+          i += 1
+        }
+        val accepted = scanned.takeWhile(_._2 > cap).map(_._1)
+          .take(numMerges - merges.length)
+        val batch: Seq[(String, String)] =
+          if (accepted.nonEmpty) accepted.toSeq else Seq(top.head._1)
+        merges ++= batch
+        val next = state.map { case (syms, c) =>
+          (batch.foldLeft(syms) { case (s, (l, r)) => applyMerge(s, l, r) }, c)
+        }.cache()
+        roundsSinceCheckpoint += 1
+        if (roundsSinceCheckpoint >= checkpointEvery) {
+          next.localCheckpoint() // truncate lineage (trade: recompute-on-
+          // failure is lost for these blocks — acceptable for a bounded
+          // training loop whose restart is the cheap recovery anyway)
+          roundsSinceCheckpoint = 0
+        }
         next.count()
         state.unpersist(blocking = false)
         state = next
       }
     }
     state.unpersist(blocking = false)
+    lastDistributedRounds = rounds
     merges.toSeq
   }
 
@@ -133,10 +208,11 @@ object BpeTrainer {
     require(minPairCount >= 1, s"minPairCount >= 1, got $minPairCount")
     val wc = wordCounts(docs, textCol).cache()
     try {
-      if (wc.count() <= maxDriverVocab)
+      if (wc.count() <= maxDriverVocab) {
+        lastDistributedRounds = 0
         trainLocal(wc.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq,
           numMerges, minPairCount)
-      else trainDistributed(wc, numMerges, minPairCount)
+      } else trainDistributed(wc, numMerges, minPairCount)
     } finally wc.unpersist()
   }
 
@@ -152,9 +228,11 @@ object BpeTrainer {
   /** Per-document token counts under the LEARNED tokenizer: characters
     * before merging, subword tokens after. The merge list broadcasts
     * inside the UDF closure (it is numMerges pairs — bounded by the
-    * training budget, never by data); per-word encoding is cached per
-    * partition via a local memo, so the per-row cost is bounded by the
-    * doc's DISTINCT words after the first occurrence. */
+    * training budget, never by data); per-word encoding is memoized PER
+    * DOCUMENT (the map is allocated per UDF invocation), so a doc's
+    * repeated words encode once — cross-row reuse would need a
+    * transient per-executor cache, not worth the synchronization for a
+    * memo that is cheap to rebuild. */
   def segmentCounts(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val enc = udf { (words: Seq[String]) =>

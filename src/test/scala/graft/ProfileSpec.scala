@@ -512,6 +512,51 @@ class ProfileSpec extends AnyFunSuite {
     out.unpersist(); docs.unpersist()
   }
 
+  test("scale stress: batched distributed BPE at 1000 merges / 100k docs") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The r8 batched merge loop: one vocab pass buys up to 64 merges.
+    // The probe pins (1) bit-exactness vs the driver loop at a merge
+    // budget 30x the per-round gate's, (2) vocab passes sublinear in
+    // merges — the property that makes a 32k-merge vocabulary hundreds
+    // of rounds instead of 32k job barriers.
+    // ZIPFIAN word draw (log-uniform rank over [1, 50000]) spelled in
+    // base-26 LETTERS: batching is tie- and chain-limited by design —
+    // the provable prefix stops where a changed pair could reach into
+    // the ranking — so the probe corpus must look like language, not
+    // like a counter. A "w"+digits vocab (11-char alphabet) measured
+    // 598-748 vocab passes for 1000 merges: with 11 characters the top
+    // pairs all chain through freshly created symbols, which is
+    // genuinely sequential work. Letter-diverse zipfian words are the
+    // workload the batch rule exists for.
+    val n = 100000L
+    def spell26(c: org.apache.spark.sql.Column) = {
+      // rank -> letters (base-26, a..z), 1-4 chars for ranks < 26^4
+      val d = Seq(26 * 26 * 26, 26 * 26, 26, 1).map(p => pmod(c.cast("long") / p, lit(26L)))
+      concat(d.map(x => chr(x + lit(97))): _*)
+    }
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(49)),
+        i => spell26(floor(pow(lit(50000.0),
+          pmod(xxhash64(col("id") * 53L + i), lit(1000000L)) / lit(1000000.0))))))
+        .as("text"))
+      .cache()
+    docs.count()
+    val merges = 1000
+    val driver = time("bpe driver loop @1000 merges") {
+      text.BpeTrainer.train(docs, numMerges = merges, maxDriverVocab = Long.MaxValue)
+    }
+    val dist = time("bpe batched dist loop @1000 merges") {
+      text.BpeTrainer.train(docs, numMerges = merges, maxDriverVocab = 0L)
+    }
+    val rounds = text.BpeTrainer.lastDistributedRounds
+    println(s"[profile] bpe: merges=${dist.length} vocabPasses=$rounds " +
+      s"(vs $merges sequential rounds)")
+    assert(dist == driver, "batched distributed loop must be bit-exact vs driver")
+    assert(rounds > 0 && rounds <= merges / 4,
+      s"vocab passes must be sublinear in merges: $rounds for ${dist.length}")
+    docs.unpersist()
+  }
+
   test("scale stress: full x2p composite at 16k (approx-kNN path)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // The x2p composite (candidates → top-k → β-search) is gated at 500
