@@ -519,24 +519,26 @@ class ProfileSpec extends AnyFunSuite {
     // budget 30x the per-round gate's, (2) vocab passes sublinear in
     // merges — the property that makes a 32k-merge vocabulary hundreds
     // of rounds instead of 32k job barriers.
-    // ZIPFIAN word draw (log-uniform rank over [1, 50000]) spelled in
-    // base-26 LETTERS: batching is tie- and chain-limited by design —
-    // the provable prefix stops where a changed pair could reach into
-    // the ranking — so the probe corpus must look like language, not
-    // like a counter. A "w"+digits vocab (11-char alphabet) measured
-    // 598-748 vocab passes for 1000 merges: with 11 characters the top
-    // pairs all chain through freshly created symbols, which is
+    // ZIPFIAN word draw (log-uniform rank over [1, 50000]) spelled as
+    // HASH-RANDOM 2-7 letter strings: batching is tie- and chain-limited
+    // by design — the provable prefix stops where a changed pair could
+    // reach into the ranking — so the probe corpus must look like
+    // language, not like a counter. Two rejected spellings, both
+    // measured: a "w"+digits vocab (11-char alphabet, 598-748 passes for
+    // 1000 merges) and base-26-of-rank (leading-'a' padding puts "aaa"
+    // at the head of every frequent word, 575 passes) — in both, the top
+    // pairs all chain through a handful of shared symbols, which is
     // genuinely sequential work. Letter-diverse zipfian words are the
     // workload the batch rule exists for.
     val n = 100000L
-    def spell26(c: org.apache.spark.sql.Column) = {
-      // rank -> letters (base-26, a..z), 1-4 chars for ranks < 26^4
-      val d = Seq(26 * 26 * 26, 26 * 26, 26, 1).map(p => pmod(c.cast("long") / p, lit(26L)))
-      concat(d.map(x => chr(x + lit(97))): _*)
+    def spellHash(rank: org.apache.spark.sql.Column) = {
+      val len = pmod(xxhash64(rank * 2654435761L), lit(6L)) + lit(2L)
+      concat_ws("", transform(sequence(lit(1L), len),
+        i => chr(pmod(xxhash64(rank * 31L + i * 7L), lit(26L)) + lit(97))))
     }
     val docs = spark.range(n).select(col("id").as("doc_id"),
       concat_ws(" ", transform(sequence(lit(0), lit(49)),
-        i => spell26(floor(pow(lit(50000.0),
+        i => spellHash(floor(pow(lit(50000.0),
           pmod(xxhash64(col("id") * 53L + i), lit(1000000L)) / lit(1000000.0))))))
         .as("text"))
       .cache()
