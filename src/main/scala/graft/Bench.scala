@@ -108,7 +108,26 @@ object Bench {
       case Some(n) => s"forced_reps_$n"
       case None    => s"min_of_2_all_3_under_${autoRepBelow}s"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"$protocol","failed":$failedJson,"sf":"$sfDir"}""")
+    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"$protocol","failed":$failedJson,"sf":"$sfDir"}"""
+    println(benchJson)
+    // Persist the full line to tools/bench_local/: the driver's artifact
+    // keeps only the tail ~2 KB of bench stdout, which drops the per-query
+    // times map (r8/r9's per-query data is unrecoverable for exactly this
+    // reason). Best-effort — the bench must never fail on persistence.
+    try {
+      val roundTag = try {
+        val src = scala.io.Source.fromFile("PROGRESS.jsonl")
+        val last = try src.getLines().foldLeft("")((_, l) => l) finally src.close()
+        """"round":\s*(\d+)""".r.findFirstMatchIn(last)
+          .map(m => f"r${m.group(1).toInt}%02d").getOrElse("rxx")
+      } catch { case _: Throwable => "rxx" }
+      val outDir = new java.io.File("tools/bench_local")
+      outDir.mkdirs()
+      val pw = new java.io.PrintWriter(new java.io.File(outDir, s"${roundTag}_local.json"))
+      try pw.println(benchJson) finally pw.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] persist to tools/bench_local failed: ${e.getMessage}")
+    }
     // Opt-in regression gate (SPARK_GRAFT_BASELINE=1 or =path): compare
     // each query's reported min against its pinned steady-state time in
     // baseline_pins.json and exit nonzero on any 2x exceedance — the 2x rule

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -23,20 +23,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS); Spark only reads those as
-    * LONG (spark.sql.legacy.parquet.nanosAsLong=true, set by every session
-    * builder in this repo). Normalize to a micros TIMESTAMP here with
-    * integer FLOOR division (pmod makes `div` floor instead of truncate,
-    * matching DuckDB's native nanos→micros conversion for pre-1970
-    * instants) so epoch-nanos (~1.7e18, beyond double's 53-bit mantissa)
-    * never round-trip through a double. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = table(s, d, "events")
+  /** The events fixture's `ts` encoding has varied across driver
+    * regenerations; normalize every observed encoding to a micros
+    * TIMESTAMP so downstream `unix_millis`/`unix_micros`/typed-encoder
+    * paths see one stable type:
+    *
+    *  - TIMESTAMP(NANOS): Spark only reads those as LONG
+    *    (spark.sql.legacy.parquet.nanosAsLong=true, set by every session
+    *    builder in this repo). Convert with integer FLOOR division (pmod
+    *    makes `div` floor instead of truncate, matching DuckDB's native
+    *    nanos→micros conversion for pre-1970 instants) so epoch-nanos
+    *    (~1.7e18, beyond double's 53-bit mantissa) never round-trip
+    *    through a double.
+    *  - timestamp[us] without timezone: Spark 4 reads TIMESTAMP_NTZ,
+    *    which `unix_millis`/`unix_micros` reject at analysis time. Cast
+    *    to TIMESTAMP — the session zone is pinned UTC in both the build
+    *    and the driver, so wall-clock values are preserved bit-exactly
+    *    and DuckDB (which reads the same parquet naively) stays
+    *    hash-compatible.
+    *  - timestamp[us] with UTC timezone: already TimestampType; pass
+    *    through. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** The encoding-agnostic `ts` normalization (see [[events]]); shared
+    * with the streaming file-source entry points so batch and stream
+    * reads of the same fixture can never diverge on encoding. */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-      case _        => df
+      case LongType         => df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

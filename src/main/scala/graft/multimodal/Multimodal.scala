@@ -62,6 +62,35 @@ object Multimodal {
       * real; payload is passed through truncated (marker of the stub). */
     def resizePayload(content: Array[Byte], w: Int, h: Int): Array[Byte] =
       content.take(math.max(16, math.min(content.length, w * h / 64)))
+
+    /** STUB perceptual hash. A real implementation decodes the image,
+      * downsamples to 32×32 grayscale, takes the 2D DCT, and emits one
+      * bit per low-frequency coefficient (above/below the coefficient
+      * median) — 60 bits here to match the text SimHash banding width.
+      * The fake preserves the one property the dedup operator relies on:
+      * LOCALIZED payload changes flip FEW bits. Bit b thresholds an FNV
+      * hash of payload block b (of 60 consecutive byte ranges), so k
+      * changed bytes flip at most k bits (each with probability ~1/2),
+      * while unrelated payloads differ in ~30 of 60 bits — exactly the
+      * separation a DCT pHash gives between re-encodes and distinct
+      * images. */
+    def phash(content: Array[Byte]): Long = {
+      val bits = 60
+      if (content.isEmpty) return 0L
+      var out = 0L
+      var b = 0
+      while (b < bits) {
+        val from = (b.toLong * content.length / bits).toInt
+        val until = ((b + 1).toLong * content.length / bits).toInt
+        var h = 0xcbf29ce484222325L ^ b // FNV-1a offset basis, per-block seed
+        var i = from
+        while (i < until) { h ^= content(i) & 0xff; h *= 0x100000001b3L; i += 1 }
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33 // avalanche
+        if ((h & 1L) == 1L) out |= 1L << b
+        b += 1
+      }
+      out
+    }
   }
 
   /** Deterministic synthetic media table derived from the documents
@@ -118,6 +147,21 @@ object Multimodal {
       .drop("width", "height")
       .withColumnRenamed("new_width", "width")
       .withColumnRenamed("new_height", "height")
+  }
+
+  /** Perceptual near-duplicate pairs over media payloads: pHash each
+    * asset at the codec boundary, then find all pairs within `maxHamming`
+    * bits via the pigeonhole banding join shared with the text SimHash
+    * family ([[graft.ops.Dedup.hammingPairs]]) — candidacy is an
+    * equi-join on (chunk_id, chunk_val), never an all-pairs compare, and
+    * the final `bit_count` over the full 60-bit signatures is the exact
+    * verify. At 100 TB the payload bytes never shuffle: only the
+    * (media_id, 60-bit hash) projection enters the join. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val ph = udf { (c: Array[Byte]) => Codec.phash(c) }
+    val sigs = media.select(col("media_id").as("id"), ph(col("content")).as("sim"))
+    graft.ops.Dedup.hammingPairs(sigs, maxHamming)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
   }
 
   /** Frame sampling for video rows: emit every `stride`-th frame index

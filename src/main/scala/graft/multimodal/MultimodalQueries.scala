@@ -66,5 +66,69 @@ object MultimodalQueries {
       .select(col("media_id"), col("width"), col("height"))
   }
 
-  def all: Seq[Q] = Seq(features, frameCounts, resized)
+  /** The planting offset for pHash twins — far above any fixture
+    * media_id so twins never collide with base assets. */
+  private val TwinOffset = 10000000L
+
+  /** Base media plus planted perceptual near-dups: every asset with
+    * media_id % 7 == 3 gets a twin whose payload differs in exactly 3
+    * bytes (a re-encode/recompress stand-in). Deterministic — same
+    * fixture ⇒ same planted set, so the gate can enumerate the truth. */
+  private val perturb = udf { (c: Array[Byte]) =>
+    val out = c.clone()
+    Seq(5, 23, 41).foreach { p =>
+      if (p < out.length) out(p) = (out(p) ^ 0xff).toByte
+    }
+    out
+  }
+
+  def mediaWithPlantedNearDups(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val base = Multimodal.syntheticMedia(s, d)
+    val twins = base.where(pmod(col("media_id"), lit(7)) === 3)
+      .withColumn("media_id", col("media_id") + lit(TwinOffset))
+      .withColumn("content", perturb(col("content")))
+    base.unionByName(twins)
+  }
+
+  /** Count of differing byte positions (plus any length difference) —
+    * the gate's exact ground truth for "perceptually near" payloads. */
+  private val byteDiff = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val n = math.min(a.length, b.length)
+    var diff = math.abs(a.length - b.length)
+    var i = 0
+    while (i < n) { if (a(i) != b(i)) diff += 1; i += 1 }
+    diff
+  }
+
+  /** Perceptual-hash near-dup dedup over media payloads, gated on the
+    * planted twins: recall must be ≥ 0.95 (a planted 3-byte perturbation
+    * flips at most 3 of 60 pHash bits — always within the Hamming-6
+    * budget, so missing one means the banding join dropped a true pair)
+    * and every reported pair must verify as a TRUE near-dup at the byte
+    * level (≤ 4 differing bytes: planted twins differ in exactly 3,
+    * identical-text assets in 0; random payloads differ in ~63 of 64) —
+    * zero false positives. */
+  val phashDedup: Q = Q.gated("multimodal_phash_dedup") { (s, d) =>
+    Multimodal.phashPairs(mediaWithPlantedNearDups(s, d), maxHamming = 6)
+  } { (s, d, res) =>
+    val media = mediaWithPlantedNearDups(s, d)
+      .select(col("media_id"), col("content"))
+    val planted = media.where(col("media_id") >= TwinOffset)
+      .select((col("media_id") - TwinOffset).as("media_a"),
+        col("media_id").as("media_b"))
+    val nPlanted = planted.count()
+    val hit = res.join(planted, Seq("media_a", "media_b"), "left_semi").count()
+    val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
+    val falsePos = res
+      .join(media.select(col("media_id").as("media_a"), col("content").as("_ca")), "media_a")
+      .join(media.select(col("media_id").as("media_b"), col("content").as("_cb")), "media_b")
+      .where(byteDiff(col("_ca"), col("_cb")) > 4)
+      .count()
+    Seq(
+      Gate("recall_vs_planted_neardups", recall, recall >= 0.95),
+      Gate("false_positive_pairs", falsePos.toDouble, falsePos == 0))
+  }
+
+  def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup)
 }

@@ -305,15 +305,28 @@ object Dedup {
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
     val simUdf = udf { (hs: Seq[Long]) => simhash(hs) }
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      simUdf(transform(tokens(col(textCol)), t => pmod(xxhash64(t), lit(1L << 60)))).as("sim"))
+    hammingPairs(sigs, maxHamming)
+  }
+
+  /** Pigeonhole Hamming join over 60-bit signatures — the banding
+    * machinery shared by [[simhashPairs]] (text) and the multimodal
+    * pHash near-dup family. `sigs` must carry (id: Long, sim: Long with
+    * 60 significant bits). Splitting into maxHamming+1 chunks guarantees
+    * any pair within the Hamming budget shares at least one exact chunk,
+    * so candidacy is an EQUI-join on (chunk_id, chunk_val) — never a
+    * cartesian — and the final `bit_count` verify is exact over the full
+    * signature. */
+  def hammingPairs(sigs0: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 30, s"maxHamming in [1,30), got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 60 / chunks
     // cached: the banding self-join consumes this frame on both sides
     // (same double-evaluation hazard as minhash/jaccard). Cache lifetime
     // note on jaccardPairs applies.
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      simUdf(transform(tokens(col(textCol)), t => pmod(xxhash64(t), lit(1L << 60)))).as("sim"))
-      .cache()
+    val sigs = sigs0.cache()
     // chunk value: bits [chunk_id·bitsPer, (chunk_id+1)·bitsPer)
     val withChunks = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))

@@ -19,17 +19,18 @@ case class SessionSummary(user_id: Long, n_events: Long, total_value: Double, cl
   */
 object EventsStream {
 
-  /** File-source schema for the repo's events parquet: ts is declared
-    * LONG because the fixture stores TIMESTAMP(NANOS), which Spark reads
-    * as epoch-nanos under the nanosAsLong flag every session here sets
-    * (see Tables.events); [[startWindowedQuery]] normalizes it. */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** File-source read of an events parquet directory. readStream requires
+    * a user-supplied schema, and the fixture's `ts` physical encoding has
+    * varied across driver regenerations (TIMESTAMP(NANOS)→long under the
+    * nanosAsLong flag, then timestamp[us] NTZ) — so peek at the actual
+    * on-disk schema with a batch read (metadata-only, no scan) and apply
+    * the same encoding-agnostic normalization as the batch path
+    * ([[graft.Tables.normalizeTs]]). Batch and stream can then never
+    * diverge on fixture encoding. */
+  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
+  }
 
   /** 5-minute tumbling event-time windows per event_type. */
   def windowedAgg(events: DataFrame): DataFrame =
@@ -50,11 +51,7 @@ object EventsStream {
     * an in-memory sink (local smoke; swap source/sink for Kafka/Delta in
     * production — the transform is source-agnostic). */
   def startWindowedQuery(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    val src = spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-    windowedAgg(src)
+    windowedAgg(readEvents(spark, dir))
       .writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")
@@ -87,11 +84,7 @@ object EventsStream {
   /** Start the windowed dedup from a parquet directory file stream into a
     * memory sink (same local-smoke shape as [[startWindowedQuery]]). */
   def startDedupQuery(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    val src = spark.readStream
-      .schema(eventSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-    dedupWindowed(src)
+    dedupWindowed(readEvents(spark, dir))
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory")

@@ -34,7 +34,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("q1: aggregation has a partial (map-side) phase") {
     val p = plan("q1_agg")
-    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+    assert(p.contains("partial_sum"), p)
   }
 
   test("knn: native sq-dist expression + partial top-k aggregation") {
@@ -333,6 +333,44 @@ class PlanSpec extends AnyFunSuite {
     // a partial (map-side) phase, not a shuffled (source, term) distinct
     assert(p.contains("partial_approx_count_distinct"), p)
     assert(!p.contains("Expand"), s"no count-distinct expand:\n$p")
+  }
+
+  test("multimodal_phash_dedup: candidates come from a chunk equi-join, never a cartesian") {
+    val p = plan("multimodal_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"expected an equi-join on chunk keys:\n$p")
+  }
+
+  test("unpartitioned windows are confined to the two documented sites") {
+    // A `Window.orderBy` without partitionBy plans as a single-partition
+    // WindowExec — the one shape that cannot scale. Exactly two sites are
+    // allowed, both in TextQueries.scala and both deliberate: the
+    // qualityBudget EXACT oracle anchor (global rank; production path is
+    // the approx-percentile qualityThresholdVs) and the census rank that
+    // numbers only the k post-limit rows. Any new unpartitioned window
+    // must either partition or justify itself here.
+    import scala.jdk.CollectionConverters._
+    val mainDir = java.nio.file.Paths.get("src/main/scala/graft")
+    val sites = java.nio.file.Files.walk(mainDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+        lines.zipWithIndex.collect {
+          case (l, i) if l.contains("Window.orderBy") => s"${p.getFileName}:${i + 1}"
+        }
+      }.toSeq.sorted
+    assert(sites.size == 2 && sites.forall(_.startsWith("TextQueries.scala")),
+      s"unpartitioned-window sites moved or multiplied — re-justify: $sites")
+  }
+
+  test("text_top_ngrams: census rank window runs on k limited rows, not the vocabulary") {
+    val p = plan("text_top_ngrams")
+    // global top-k must plan as TakeOrderedAndProject (bounded per-partition
+    // heaps), with the rank window AFTER the limit
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Window"), p)
   }
 
   test("text_contamination_bloom: membership is a filter, not a join") {

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.TestSpark
-import graft.multimodal.{MediaItem, Multimodal}
+import graft.multimodal.{MediaItem, Multimodal, MultimodalQueries}
 import graft.streaming.{DocsStream, EventsStream, SessionEvent}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -50,6 +50,47 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("media_id"), col("n_frames")).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1) - 1) / 24 + 1).toLong).toMap
     assert(counts == expected)
+  }
+
+  test("phash: localized byte changes flip at most that many bits; unrelated payloads split ~50/50") {
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextInt(256).toByte)
+      val b = a.clone(); Seq(5, 23, 41).foreach(p => b(p) = (b(p) ^ 0xff).toByte)
+      val d = java.lang.Long.bitCount(Multimodal.Codec.phash(a) ^ Multimodal.Codec.phash(b))
+      assert(d <= 3, s"3-byte perturbation flipped $d bits")
+      val c = Array.fill(64)(rnd.nextInt(256).toByte)
+      val d2 = java.lang.Long.bitCount(Multimodal.Codec.phash(a) ^ Multimodal.Codec.phash(c))
+      assert(d2 > 10, s"unrelated payloads must be far apart, got $d2")
+    }
+  }
+
+  test("phashPairs finds every planted twin with zero false positives on the fixture") {
+    val res = Multimodal.phashPairs(
+        MultimodalQueries.mediaWithPlantedNearDups(spark, dir), maxHamming = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val planted = Multimodal.syntheticMedia(spark, dir)
+      .where(pmod(col("media_id"), lit(7)) === 3)
+      .select("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000000L))
+      .toSet
+    assert(planted.nonEmpty, "fixture sanity: some twins must be planted")
+    assert((planted -- res).isEmpty, s"missed planted twins: ${(planted -- res).take(5)}")
+    // non-planted survivors must be near-identical payloads (duplicate
+    // fixture texts, or their twins — ≤ 2·3 perturbed bytes apart),
+    // never unrelated payloads
+    val extras = res -- planted
+    if (extras.nonEmpty) {
+      val payload = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
+        .select("media_id", "content")
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
+      extras.foreach { case (x, y) =>
+        val d = payload(x).zip(payload(y)).count { case (a, b) => a != b }
+        assert(d <= 6, s"false positive pair ($x,$y): $d bytes differ")
+      }
+    }
   }
 }
 
