@@ -114,7 +114,9 @@ object Bench {
     // keeps only the tail ~2 KB of bench stdout, which drops the per-query
     // times map (r8/r9's per-query data is unrecoverable for exactly this
     // reason). Best-effort — the bench must never fail on persistence.
-    try {
+    // ONLY full default-protocol sweeps persist: a SPARK_GRAFT_ONLY or
+    // forced-reps profiling run must not clobber the round's record.
+    if (only.isEmpty && repsEnv.isEmpty) try {
       val roundTag = try {
         val src = scala.io.Source.fromFile("PROGRESS.jsonl")
         val last = try src.getLines().foldLeft("")((_, l) => l) finally src.close()

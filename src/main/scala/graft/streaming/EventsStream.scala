@@ -107,6 +107,14 @@ object EventsStream {
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          // SCALE NOTE: the sort buffers ONE user's events from ONE
+          // trigger in memory — bounded by per-user per-trigger arrival
+          // volume (human-scale: thousands of events at worst), never by
+          // corpus or user-count size. A user hot enough to break this
+          // (a bot firehose) needs pre-aggregation upstream, not a bigger
+          // buffer here. Spark does not order the group iterator, so the
+          // sort is what makes gap detection correct under shuffled
+          // arrival; (ts, event_type) keys make it deterministic.
           val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
           var st = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer[SessionSummary]()

@@ -710,4 +710,43 @@ class ProfileSpec extends AnyFunSuite {
     assert(agg._2 == 4 * n + 2, s"kept: ${agg._2}")
     docs.unpersist()
   }
+
+  test("scale stress: pHash near-dup at 100k assets (banding join linearity)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    import graft.multimodal.Multimodal
+    // 100k synthetic 64-byte payloads + a 1-in-50 planted 3-byte twin:
+    // the banding join input is n·(maxHamming+1) 24-byte rows — the probe
+    // checks the wall tracks that (linear in n), not the payload volume
+    val n = 100000L
+    val media = spark.range(n).select(
+        col("id").as("media_id"),
+        unhex(concat(md5(col("id").cast("string")),
+          md5(concat(col("id").cast("string"), lit("x"))),
+          md5(concat(col("id").cast("string"), lit("y"))),
+          md5(concat(col("id").cast("string"), lit("z"))))).as("content"))
+    val perturb = udf { (c: Array[Byte]) =>
+      val out = c.clone()
+      Seq(5, 23, 41).foreach(p => out(p) = (out(p) ^ 0xff).toByte)
+      out
+    }
+    val twins = media.where(pmod(col("media_id"), lit(50)) === 1)
+      .select((col("media_id") + lit(10000000L)).as("media_id"),
+        perturb(col("content")).as("content"))
+    val all = media.unionByName(twins).cache()
+    val total = all.count()
+    val pairs = time(s"phashPairs n=$total")(
+      Multimodal.phashPairs(all, maxHamming = 6).cache())
+    val nPairs = pairs.count()
+    val planted = total - n
+    // every planted twin is within the Hamming budget by construction;
+    // random 60-bit signatures at 100k² pairs contribute ~0 extras
+    val hit = time("planted recall")(
+      pairs.join(
+        twins.select((col("media_id") - lit(10000000L)).as("media_a"),
+          col("media_id").as("media_b")),
+        Seq("media_a", "media_b"), "left_semi").count())
+    println(s"[profile] pairs=$nPairs planted=$planted hit=$hit")
+    assert(hit >= (planted * 0.95).toLong, s"recall ${hit.toDouble / planted}")
+    pairs.unpersist(); all.unpersist()
+  }
 }
