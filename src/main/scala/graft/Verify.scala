@@ -84,6 +84,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Round-close audit line: a dumped/registered shortfall is how the r8
+    // regression hid for two rounds (94 dumps quietly vs 97 registered).
+    // tools/round_health.py consumes the same invariant from artifacts;
+    // this prints it at the source so no Verify run can end ambiguous.
+    val dumped = surface.keys.count(n => new java.io.File(s"$outDir/$n").exists())
+    System.err.println(
+      s"[verify] dumped $dumped/${surface.size} queries" +
+        (if (dumped == surface.size) " — ALL GREEN"
+         else s" — MISSING ${surface.keys.filterNot(n => new java.io.File(s"$outDir/$n").exists()).toSeq.sorted.mkString(", ")}"))
     spark.stop()
   }
 }
