@@ -325,4 +325,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(streaming.EventsStream.windowedAggBatch(empty).count() == 0)
     assert(streaming.EventsStream.dedupWindowedBatch(empty).count() == 0)
   }
+
+  test("hammingPairs: empty input, identical signatures, budget bounds") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "sim")
+    assert(ops.Dedup.hammingPairs(empty, maxHamming = 6).count() == 0)
+    // identical signatures pair exactly once despite matching every chunk
+    val same = Seq((1L, 42L), (2L, 42L), (3L, 42L)).toDF("id", "sim")
+    val pairs = ops.Dedup.hammingPairs(same, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)), pairs.toString)
+    // a pair exactly AT the budget survives; one past it is cut
+    val atBudget = Seq((1L, 0L), (2L, (1L << 3) - 1)).toDF("id", "sim") // hamming 3
+    assert(ops.Dedup.hammingPairs(atBudget, maxHamming = 3).count() == 1)
+    assert(ops.Dedup.hammingPairs(atBudget, maxHamming = 2).count() == 0)
+    // degenerate budgets are rejected, not silently misbanded
+    intercept[IllegalArgumentException](ops.Dedup.hammingPairs(empty, 0))
+    intercept[IllegalArgumentException](ops.Dedup.hammingPairs(empty, 30))
+  }
+
+  test("phash: empty payload is the zero signature; 1-byte payload is stable") {
+    assert(multimodal.Multimodal.Codec.phash(Array.emptyByteArray) == 0L)
+    val one = multimodal.Multimodal.Codec.phash(Array[Byte](7))
+    assert(one == multimodal.Multimodal.Codec.phash(Array[Byte](7)))
+    // 60 significant bits at most — required by the banding join's chunks
+    assert((one >>> 60) == 0L)
+  }
 }
