@@ -392,8 +392,33 @@ object OpsQueries {
     } finally hist.unpersist()
   }
 
+  /** Prototype-density pruning (keep the least-prototypical 70% of every
+    * embedding cluster — the D4-recipe stage after SemDeDup). Seeded
+    * driver k-means is not SQL-expressible → gated on the operator's own
+    * exact contract: per-cluster kept counts must equal ⌈keepRate·|cell|⌉
+    * and every kept member must rank at-or-below every dropped member in
+    * (proto, id) order. */
+  val protoPrune: Q = Q.gated("corpus_prototype_prune") { (s, d) =>
+    SimilaritySearch.prototypePrune(Tables.embeddings(s, d), keepRate = 0.7)
+  } { (s, d, res) =>
+    val n = Tables.embeddings(s, d).count()
+    val perCell = res.groupBy("cell").agg(
+      count(lit(1)).as("n"),
+      sum(col("kept")).as("n_kept"),
+      max(when(col("kept") === 1, col("proto"))).as("max_kept_proto"),
+      min(when(col("kept") === 0, col("proto"))).as("min_drop_proto"))
+    val bad = perCell.where(
+      col("n_kept") =!= ceil(col("n") * 0.7) ||
+        (col("min_drop_proto").isNotNull &&
+          col("max_kept_proto") > col("min_drop_proto") + lit(1e-12))).count()
+    val total = res.count()
+    Seq(
+      Gate("rows_cover_corpus", total.toDouble, total == n),
+      Gate("cells_violating_contract", bad.toDouble, bad == 0))
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annPq, semanticDups, canonical, retained, substringSpans,
-    leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch)
+    leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune)
 }

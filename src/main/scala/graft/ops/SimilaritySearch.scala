@@ -615,4 +615,57 @@ object SimilaritySearch {
       .where(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Prototype-density pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"; applied
+    * after SemDeDup in the D4 recipe, Tirumala et al. 2023): cluster the
+    * embedding space with the IVF coarse quantizer, score each vector's
+    * PROTOTYPICALITY as cosine to its cluster centroid, and keep only
+    * the least-prototypical `keepRate` fraction of every cluster —
+    * high-density prototypical examples are the redundant ones a
+    * web-scale corpus can afford to drop. Output one row per input
+    * vector: (id, cell, proto, kept 1|0); deterministic under the fixed
+    * quantizer seed with a (proto, id) tie-break.
+    *
+    * 100 TB shape: the quantizer trains on a bounded driver sample and
+    * ships in the closure (same as [[ivfTopK]]/[[semanticDupPairs]]);
+    * assignment + scoring is a shuffle-free projection; the only
+    * exchange is the cell-PARTITIONED ranking window, whose partition
+    * size is bounded by the largest cluster — raise `nlist` to keep
+    * cells executor-sized as the corpus grows. */
+  def prototypePrune(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", keepRate: Double = 0.7,
+      nlist: Int = 16, seed: Long = 42, trainSample: Int = 16384): DataFrame = {
+    require(keepRate > 0 && keepRate <= 1, s"keepRate in (0,1], got $keepRate")
+    val pts = normalizedPoints(emb, idCol, vecCol)
+    val centersOpt = trainQuantizer(pts, nlist, seed, trainSample)
+    if (centersOpt.isEmpty) {
+      return pts.limit(0).select(col("id"), lit(0).as("cell"),
+        lit(0.0).as("proto"), lit(1).as("kept"))
+    }
+    val centers = centersOpt.get
+    // unit centroids so proto is a true cosine; a zero centroid (empty
+    // cell artifact) scores 0 — its members rank first and are kept
+    val unitCenters = centers.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+    val assignUdf = udf { (v: Seq[Double], nrm: Double) =>
+      val cell = nearestCellArr(centers, v.toArray)
+      val cu = unitCenters(cell)
+      var dot = 0.0
+      var i = 0
+      while (i < cu.length) { dot += v(i) * cu(i); i += 1 }
+      (cell, if (nrm == 0) 0.0 else dot / nrm)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cell"))
+    val byProto = w.orderBy(col("proto").asc, col("id").asc)
+    pts
+      .withColumn("_a", assignUdf(col("v"), col("nrm")))
+      .select(col("id"), col("_a._1").as("cell"), col("_a._2").as("proto"))
+      .withColumn("kept",
+        (row_number().over(byProto) <= ceil(count(lit(1)).over(w) * keepRate))
+          .cast("int"))
+  }
 }

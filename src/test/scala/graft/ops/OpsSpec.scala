@@ -358,4 +358,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(starved < healthy,
       s"refine=1 ($starved) must lose to refine=20 ($healthy) — if not, ADC isn't doing anything")
   }
+
+  test("prototypePrune: covers the corpus, honors per-cluster quota and rank order, deterministic") {
+    val n = emb.count()
+    val res = SimilaritySearch.prototypePrune(emb, keepRate = 0.7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(res.length == n, "one row per input vector")
+    assert(res.map(_._1).distinct.length == n, "no duplicated ids")
+    res.groupBy(_._2).foreach { case (cell, members) =>
+      val kept = members.filter(_._4 == 1)
+      assert(kept.length == math.ceil(members.length * 0.7).toLong,
+        s"cell $cell: ${kept.length} kept of ${members.length}")
+      val dropped = members.filter(_._4 == 0)
+      if (dropped.nonEmpty && kept.nonEmpty) {
+        // kept = least-prototypical prefix in (proto, id) order
+        val maxKept = kept.map(m => (m._3, m._1)).max
+        val minDrop = dropped.map(m => (m._3, m._1)).min
+        assert(Ordering[(Double, Long)].lt(maxKept, minDrop),
+          s"cell $cell: kept/dropped rank order violated ($maxKept vs $minDrop)")
+      }
+    }
+    val again = SimilaritySearch.prototypePrune(emb, keepRate = 0.7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    assert(res.toSet == again.toSet, "seeded quantizer: runs must agree")
+    // keepRate=1 keeps everything
+    val full = SimilaritySearch.prototypePrune(emb, keepRate = 1.0)
+    assert(full.where(col("kept") === 0).count() == 0)
+  }
+
+  test("prototypePrune: empty input yields the typed empty frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    assert(SimilaritySearch.prototypePrune(empty).count() == 0)
+  }
 }
