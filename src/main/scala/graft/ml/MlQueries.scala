@@ -56,5 +56,48 @@ object MlQueries {
       Gate("variance_monotone", if (monotone) 1.0 else 0.0, monotone))
   }
 
-  def all: Seq[Q] = Seq(standardize, pca)
+  /** Distributed k-means assignments over the embeddings table. No SQL
+    * oracle (iterative fixpoint) → quantified gates instead:
+    *
+    *  - `sse_monotone`: Lloyd's guarantees non-increasing SSE; any
+    *    increase in the trajectory means the aggregation buffer or the
+    *    update rule is wrong.
+    *  - `sse_vs_driver_rel`: the distributed run and the sequential
+    *    driver twin share init and update rule; their final-SSE gap is
+    *    pure floating-point reassociation and must be ≤1e-9 relative.
+    *  - `assign_agreement`: ≥99% of points land in the same cluster in
+    *    both runs (ulp-level center drift may flip genuine near-ties,
+    *    never more).
+    *  - `rows_complete` / `clusters_nonempty`: every input row assigned,
+    *    all k clusters populated on this fixture.
+    */
+  val kmeans: Q = Q.gated("ml_kmeans") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    KMeans.assign(emb, KMeans.train(emb, k = 8, iters = 10))
+  } { (s, d, res) =>
+    val emb = Tables.embeddings(s, d).cache()
+    try {
+      val dist = KMeans.train(emb, k = 8, iters = 10)
+      val local = KMeans.trainLocal(emb, k = 8, iters = 10)
+      val monotone = dist.sse.indices.drop(1)
+        .forall(i => dist.sse(i) <= dist.sse(i - 1) * (1 + 1e-12) + 1e-9)
+      val rel = math.abs(dist.sse.last - local.sse.last) /
+        math.max(local.sse.last, 1e-300)
+      val n = emb.count()
+      val localAssign = KMeans.assign(emb, local)
+        .select(col("vec_id"), col("cluster").as("cluster_l"))
+      val agree = res.join(localAssign, "vec_id")
+        .where(col("cluster") === col("cluster_l")).count().toDouble /
+        math.max(n, 1L)
+      val nClusters = res.select(countDistinct(col("cluster"))).head.getLong(0)
+      Seq(
+        Gate("sse_monotone", if (monotone) 1.0 else 0.0, monotone),
+        Gate("sse_vs_driver_rel", rel, rel <= 1e-9),
+        Gate("assign_agreement", agree, agree >= 0.99),
+        Gate("rows_complete", res.count().toDouble, res.count() == n),
+        Gate("clusters_nonempty", nClusters.toDouble, nClusters == 8))
+    } finally emb.unpersist(blocking = false)
+  }
+
+  def all: Seq[Q] = Seq(standardize, pca, kmeans)
 }

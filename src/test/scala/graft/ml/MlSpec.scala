@@ -36,6 +36,48 @@ class PreprocessSpec extends AnyFunSuite {
   }
 }
 
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("distributed Lloyd's: SSE non-increasing, matches the driver twin") {
+    val dist = KMeans.train(emb, k = 5, iters = 8)
+    val local = KMeans.trainLocal(emb, k = 5, iters = 8)
+    dist.sse.indices.drop(1).foreach { i =>
+      assert(dist.sse(i) <= dist.sse(i - 1) * (1 + 1e-12) + 1e-9,
+        s"SSE increased at iter $i: ${dist.sse.toSeq}")
+    }
+    val rel = math.abs(dist.sse.last - local.sse.last) / local.sse.last
+    assert(rel <= 1e-9, s"dist ${dist.sse.last} vs driver ${local.sse.last} (rel $rel)")
+    // centers agree to reassociation-level precision
+    dist.centers.zip(local.centers).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) <= 1e-9) }
+    }
+  }
+
+  test("assign: complete, deterministic, consistent with centers") {
+    val m = KMeans.train(emb, k = 5, iters = 4)
+    val a = KMeans.assign(emb, m).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.size == emb.count())
+    assert(a.values.toSet.subsetOf((0 until 5).toSet))
+    // repartitioned input gives the identical assignment map
+    val b = KMeans.assign(emb.repartition(7), m)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("empty cluster keeps its previous center (k > distinct points)") {
+    import spark.implicits._
+    // 3 identical points, k=2: one cluster must stay empty and survive
+    val df = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0)), (3L, Seq(1.0, 2.0)))
+      .toDF("vec_id", "embedding")
+    val m = KMeans.train(df, k = 2, iters = 3)
+    assert(m.k == 2)
+    assert(m.sse.last <= 1e-18)
+    assert(m.centers.exists(c => c.sameElements(Array(1.0, 2.0))))
+  }
+}
+
 class MnistIOSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
