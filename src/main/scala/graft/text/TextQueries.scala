@@ -1770,11 +1770,50 @@ object TextQueries {
         md5(scrubPii(col("_t"))).as("scrub_md5"))
   }
 
+  /** Trained quality classifier scores for every document (the fastText
+    * distillation pattern — see [[QualityClassifier]]). Train on the 80%
+    * split (doc_id % 5 ≠ 0), score everything; the gates measure what an
+    * iterative fit can't oracle:
+    *
+    *  - `dist_vs_driver_loss_rel`: the distributed treeAggregate fit and
+    *    the sequential driver twin share init/labels/update rule — their
+    *    final-loss gap is pure summation reassociation, ≤1e-9 relative.
+    *  - `loss_decreased`: final training loss < 60% of epoch-0 loss
+    *    (ln 2 at init) — the fit actually moved.
+    *  - `holdout_auc`: AUC ≥ 0.85 on the UNSEEN 20% split against
+    *    teacher labels under the training-split threshold.
+    *  - `rows_complete`: every document scored. */
+  val qualityClassifier: Q = Q.gated("text_quality_classifier") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val model = QualityClassifier.train(docs.where(pmod(col("doc_id"), lit(5)) =!= 0))
+    QualityClassifier.score(docs, model)
+  } { (s, d, res) =>
+    val docs = Tables.documents(s, d).cache()
+    try {
+      val trainSplit = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val dist = QualityClassifier.train(trainSplit)
+      val local = QualityClassifier.trainLocal(trainSplit)
+      val rel = math.abs(dist.lossHistory.last - local.lossHistory.last) /
+        math.max(local.lossHistory.last, 1e-300)
+      val decreased = dist.lossHistory.last < dist.lossHistory.head * 0.6
+      val holdout = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val auc = QualityClassifier.aucOf(
+        res, QualityClassifier.teacherLabels(holdout, dist.threshold))
+      val n = docs.count()
+      Seq(
+        Gate("dist_vs_driver_loss_rel", rel, rel <= 1e-9),
+        Gate("loss_decreased",
+          dist.lossHistory.last / dist.lossHistory.head, decreased),
+        Gate("holdout_auc", auc, auc >= 0.85),
+        Gate("rows_complete", res.count().toDouble, res.count() == n))
+    } finally docs.unpersist(blocking = false)
+  }
+
   def all: Seq[Q] = Seq(
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
     contamination, contaminationBloom, contaminationSpans,
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
     bm25, paragraphDedupQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
     vocabBySource, vocabHll, chunkWindowsQ, qualityBudget, qualityThreshold,
-    bpeTrain, bpeLearnedTokens, piiScrub)
+    bpeTrain, bpeLearnedTokens, piiScrub, qualityClassifier)
 }

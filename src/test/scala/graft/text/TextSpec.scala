@@ -690,3 +690,55 @@ class TextSpec extends AnyFunSuite {
       "sketch inserts (column) and query reads (driver) must hash alike")
   }
 }
+
+class QualityClassifierSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("distributed fit matches the sequential driver twin") {
+    val dist = QualityClassifier.train(docs, epochs = 10)
+    val local = QualityClassifier.trainLocal(docs, epochs = 10)
+    assert(dist.threshold == local.threshold)
+    val rel = math.abs(dist.lossHistory.last - local.lossHistory.last) /
+      local.lossHistory.last
+    assert(rel <= 1e-9, s"loss ${dist.lossHistory.last} vs ${local.lossHistory.last}")
+    dist.weights.zip(local.weights).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9, s"weight gap ${math.abs(a - b)}")
+    }
+  }
+
+  test("training reduces loss and separates the teacher classes") {
+    val m = QualityClassifier.train(docs)
+    assert(m.lossHistory.last < m.lossHistory.head * 0.6,
+      s"loss did not move: ${m.lossHistory.head} -> ${m.lossHistory.last}")
+    // in-sample AUC must be near-perfect if the optimizer works at all
+    val auc = QualityClassifier.aucOf(
+      QualityClassifier.score(docs, m),
+      QualityClassifier.teacherLabels(docs, m.threshold))
+    assert(auc >= 0.9, s"in-sample AUC $auc")
+  }
+
+  test("featurize is deterministic, bounded, and null-safe") {
+    val (i1, v1) = QualityClassifier.featurize("The quick brown fox", 256)
+    val (i2, v2) = QualityClassifier.featurize("The quick brown fox", 256)
+    assert(i1.toSeq == i2.toSeq && v1.toSeq == v2.toSeq)
+    assert(i1.forall(_ < 256 + QualityClassifier.DenseStats))
+    // null/empty text: no hashed n-grams, just 4 raw stats + 4 one-hot
+    // bucket slots, all finite
+    val (i0, v0) = QualityClassifier.featurize(null, 256)
+    assert(i0.length == 8 && v0.forall(!_.isNaN))
+    val (ie, ve) = QualityClassifier.featurize("", 256)
+    assert(ie.length == 8 && ve.forall(!_.isNaN))
+  }
+
+  test("auc: exact rank formula with tie handling") {
+    // perfect separation
+    assert(QualityClassifier.auc(Array((0.9, 1.0), (0.8, 1.0), (0.2, 0.0))) == 1.0)
+    // reversed
+    assert(QualityClassifier.auc(Array((0.1, 1.0), (0.9, 0.0))) == 0.0)
+    // all-tied scores -> 0.5 by average ranks
+    assert(QualityClassifier.auc(Array((0.5, 1.0), (0.5, 0.0), (0.5, 1.0))) == 0.5)
+    // degenerate single class
+    assert(QualityClassifier.auc(Array((0.5, 1.0), (0.7, 1.0))) == 0.5)
+  }
+}
