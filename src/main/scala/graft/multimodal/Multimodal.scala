@@ -67,24 +67,29 @@ object Multimodal {
       * downsamples to 32×32 grayscale, takes the 2D DCT, and emits one
       * bit per low-frequency coefficient (above/below the coefficient
       * median) — 60 bits here to match the text SimHash banding width.
-      * The fake preserves the one property the dedup operator relies on:
-      * LOCALIZED payload changes flip FEW bits. Bit b thresholds an FNV
-      * hash of payload block b (of 60 consecutive byte ranges), so k
-      * changed bytes flip at most k bits (each with probability ~1/2),
-      * while unrelated payloads differ in ~30 of 60 bits — exactly the
-      * separation a DCT pHash gives between re-encodes and distinct
-      * images. */
+      * The fake preserves the one property the dedup operators rely on:
+      * LOCALIZED payload changes flip FEW bits while unrelated payloads
+      * differ in ~30 of 60. Bit b thresholds an FNV hash of the byte
+      * STRIPE `p ≡ b (mod min(len, 60))` seeded by b, so EVERY bit is
+      * informative for any payload length — with the earlier contiguous
+      * 60-way blocking, a payload shorter than 60 bytes (e.g. a 16-byte
+      * sampled video frame) left most blocks empty and therefore
+      * constant, collapsing unrelated payloads to an expected Hamming
+      * distance of len/2 and flooding the banding join with false
+      * near-matches. Striped, k changed bytes flip at most k·⌈60/len⌉
+      * bits (3-byte perturbations of the 64-byte fixture payloads still
+      * flip ≤ 3) and unrelated payloads stay ~30 apart regardless of
+      * length. */
     def phash(content: Array[Byte]): Long = {
       val bits = 60
       if (content.isEmpty) return 0L
+      val m = math.min(content.length, bits)
       var out = 0L
       var b = 0
       while (b < bits) {
-        val from = (b.toLong * content.length / bits).toInt
-        val until = ((b + 1).toLong * content.length / bits).toInt
         var h = 0xcbf29ce484222325L ^ b // FNV-1a offset basis, per-block seed
-        var i = from
-        while (i < until) { h ^= content(i) & 0xff; h *= 0x100000001b3L; i += 1 }
+        var i = b % m
+        while (i < content.length) { h ^= content(i) & 0xff; h *= 0x100000001b3L; i += m }
         h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33 // avalanche
         if ((h & 1L) == 1L) out |= 1L << b
         b += 1
@@ -162,6 +167,69 @@ object Multimodal {
     val sigs = media.select(col("media_id").as("id"), ph(col("content")).as("sim"))
     graft.ops.Dedup.hammingPairs(sigs, maxHamming)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+  }
+
+  /** Video-level near-duplicate pairs: per-frame perceptual hashes,
+    * aggregated to a per-video signature-set overlap.
+    *
+    * Pipeline (every stage shuffle-on-key, never all-pairs):
+    *
+    *  1. [[sampleFrames]] explodes each video into its sampled frames;
+    *     each frame pHashes at the codec boundary ([[Codec.phash]]).
+    *  2. Frame signatures collapse to DISTINCT (media_id, hash) — a long
+    *     static shot contributes ONE signature, so a 2-hour fixed-camera
+    *     video doesn't get 170k identical rows into the join (and two
+    *     videos sharing a static shot don't blow up quadratically in
+    *     matched frame pairs).
+    *  3. Candidate frame matches come from the same pigeonhole banding
+    *     equi-join as the SimHash/pHash families (split 60 bits into
+    *     maxFrameHamming+1 chunks; a pair within the budget must agree on
+    *     ≥1 chunk), verified exactly with `bit_count` over the full
+    *     signatures. Temporal offsets are free: matching is on signature
+    *     content, not frame index, so a re-encode with a trimmed intro
+    *     still matches.
+    *  4. Pairs aggregate to `n_matched` distinct a-side signatures;
+    *     `match_frac = n_matched / n_sigs(a)` and pairs at or above
+    *     `minMatchFrac` are near-dups.
+    *
+    * At 100 TB the only frame payload movement is scan→hash inside one
+    * narrow stage; the banding join carries (media_id, 60-bit hash)
+    * projections only. */
+  def videoNearDupPairs(media: DataFrame, stride: Int = 24,
+      maxFrameHamming: Int = 6, minMatchFrac: Double = 0.8): DataFrame = {
+    require(maxFrameHamming >= 1 && maxFrameHamming < 30,
+      s"maxFrameHamming in [1,30), got $maxFrameHamming")
+    val ph = udf { (c: Array[Byte]) => Codec.phash(c) }
+    // cached: the banding self-join consumes this frame on both sides
+    // (same double-evaluation hazard as Dedup.hammingPairs)
+    val sigs = sampleFrames(media, stride)
+      .select(col("media_id"), ph(col("content")).as("sim"))
+      .distinct()
+      .cache()
+    val nsigs = sigs.groupBy("media_id").agg(count(lit(1)).as("n_sigs"))
+    val chunks = maxFrameHamming + 1
+    val bitsPer = 60 / chunks
+    val withChunks = sigs.select(col("media_id"), col("sim"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
+      .withColumn("chunk_val",
+        expr(s"pmod(shiftright(sim, chunk_id * $bitsPer), ${1L << bitsPer})"))
+    val frameMatches = withChunks.as("a")
+      .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
+      .where(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.sim").as("sim_a"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct() // a pair agreeing on several chunks surfaces once
+      .where(col("hamming") <= maxFrameHamming)
+    frameMatches
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(countDistinct(col("sim_a")).as("n_matched"))
+      .join(nsigs.withColumnRenamed("media_id", "media_a"), "media_a")
+      .withColumn("match_frac",
+        col("n_matched").cast("double") / col("n_sigs"))
+      .where(col("match_frac") >= minMatchFrac)
+      .select(col("media_a"), col("media_b"), col("n_matched"),
+        col("n_sigs"), col("match_frac"))
   }
 
   /** Frame sampling for video rows: emit every `stride`-th frame index

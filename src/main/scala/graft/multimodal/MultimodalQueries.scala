@@ -130,5 +130,40 @@ object MultimodalQueries {
       Gate("false_positive_pairs", falsePos.toDouble, falsePos == 0))
   }
 
-  def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup)
+  /** Video-level near-dup over sampled frame pHash signatures, gated on
+    * the planted twins that are videos (media_id % 3 == 2 in the
+    * synthesis; ∩ the % 7 == 3 planting ⇒ doc_id ≡ 17 mod 21).
+    *
+    * Why the planted twin is ALWAYS found: a sampled frame's payload is a
+    * 16-byte slice starting at pmod(frame_index·7, 32) ∈ [0, 32), and the
+    * 3 perturbed byte positions (5, 23, 41) are ≥ 16 apart pairwise, so
+    * any frame slice contains at most ONE perturbed byte — at most ~4 of
+    * the 60 per-frame pHash bits flip, inside the Hamming-6 frame budget;
+    * every base signature finds its twin signature and match_frac = 1.
+    * False-positive control is byte-exact, as in the pHash image gate. */
+  val videoNearDup: Q = Q.gated("multimodal_video_neardup") { (s, d) =>
+    Multimodal.videoNearDupPairs(mediaWithPlantedNearDups(s, d))
+  } { (s, d, res) =>
+    val media = mediaWithPlantedNearDups(s, d)
+      .select(col("media_id"), col("content"))
+    val planted = mediaWithPlantedNearDups(s, d)
+      .where(col("media_id") >= TwinOffset && col("kind") === "video" &&
+        col("n_frames") > 0)
+      .select((col("media_id") - TwinOffset).as("media_a"),
+        col("media_id").as("media_b"))
+    val nPlanted = planted.count()
+    val hit = res.join(planted, Seq("media_a", "media_b"), "left_semi").count()
+    val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
+    val falsePos = res
+      .join(media.select(col("media_id").as("media_a"), col("content").as("_ca")), "media_a")
+      .join(media.select(col("media_id").as("media_b"), col("content").as("_cb")), "media_b")
+      .where(byteDiff(col("_ca"), col("_cb")) > 4)
+      .count()
+    Seq(
+      Gate("planted_video_twins", nPlanted.toDouble, nPlanted > 0),
+      Gate("recall_vs_planted_neardups", recall, recall >= 0.95),
+      Gate("false_positive_pairs", falsePos.toDouble, falsePos == 0))
+  }
+
+  def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup)
 }

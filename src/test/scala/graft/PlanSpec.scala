@@ -373,6 +373,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("multimodal_video_neardup: frame matches come from a banded equi-join, never a cartesian") {
+    val p = plan("multimodal_video_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"frame candidacy must be the chunk equi-join:\n$p")
+    // the signature-overlap aggregation keeps a partial (map-side) phase
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("text_quality_classifier: scoring is a shuffle-free narrow map") {
+    // train driver-side first (bounded epochs at this SF), then pin the
+    // APPLY pass plan: scan -> featurize/score map, zero exchanges
+    val docs = Tables.documents(spark, dir)
+    val model = graft.text.QualityClassifier.train(docs, epochs = 2)
+    val scored = graft.text.QualityClassifier.score(docs, model)
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"the corpus-scale apply pass must not shuffle:\n$p")
+  }
+
   test("text_contamination_bloom: membership is a filter, not a join") {
     // the exact twin carries TWO joins (bench-broadcast hit join + the
     // tot⟕hit assembly); the bloom form must replace the first with a

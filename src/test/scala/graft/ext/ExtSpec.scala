@@ -92,6 +92,42 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("videoNearDupPairs: planted video twins found at match_frac 1, no unrelated pairs") {
+    val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
+    val res = Multimodal.videoNearDupPairs(media).collect()
+    val found = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = media
+      .where(col("media_id") >= 10000000L && col("kind") === "video" &&
+        col("n_frames") > 0)
+      .select((col("media_id") - 10000000L).as("a"), col("media_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty, "fixture sanity: some video twins must be planted")
+    assert((planted -- found).isEmpty, s"missed video twins: ${(planted -- found).take(5)}")
+    // every planted twin matches on its FULL signature set (each sampled
+    // frame slice contains at most one perturbed byte)
+    res.filter(r => planted((r.getLong(0), r.getLong(1)))).foreach { r =>
+      assert(r.getDouble(4) == 1.0, s"twin pair below full overlap: $r")
+    }
+    // any extra pair must be a byte-near payload, never unrelated
+    val payload = media.select("media_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
+    (found -- planted).foreach { case (x, y) =>
+      val d = payload(x).zip(payload(y)).count { case (a, b) => a != b }
+      assert(d <= 6, s"false positive video pair ($x,$y): $d bytes differ")
+    }
+  }
+
+  test("videoNearDupPairs ignores non-video assets entirely") {
+    val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
+    val ids = Multimodal.videoNearDupPairs(media)
+      .select(col("media_a").as("id"))
+      .union(Multimodal.videoNearDupPairs(media).select(col("media_b").as("id")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val nonVideo = media.where(col("kind") =!= "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(nonVideo).isEmpty)
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
