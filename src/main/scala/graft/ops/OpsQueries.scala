@@ -150,6 +150,24 @@ object OpsQueries {
     Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.8))
   }
 
+  /** IVF over a FULL-DATA distributed quantizer — [[graft.ml.KMeans]]
+    * composed with [[SimilaritySearch.ivfTopKWithCenters]]. This is the
+    * production quantizer path when the corpus outgrows a bounded driver
+    * sample's representativeness (the documented `trainSample` caveat on
+    * ann_ivf_topk); the fixture gate proves the composition reaches the
+    * same recall band as the sample-trained quantizer against the exact
+    * twin. */
+  val annIvfKmeans: Q = Q.gated("ann_ivf_kmeans_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = graft.ml.KMeans.train(emb, k = 16, iters = 10)
+    SimilaritySearch.ivfTopKWithCenters(emb, model.centers, k = 5, nprobe = 10)
+  } { (s, d, res) =>
+    val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
+    val (recall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
+    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.8))
+  }
+
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
     * cell candidates as IVF, but the index side of the join carries m=16
     * RESIDUAL code bytes (ARRAY<TINYINT>) instead of 64 doubles (32×
@@ -419,6 +437,6 @@ object OpsQueries {
 
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, annIvf, annPq, semanticDups, canonical, retained, substringSpans,
+    annLsh, annIvf, annIvfKmeans, annPq, semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune)
 }

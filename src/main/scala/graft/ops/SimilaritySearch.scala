@@ -341,9 +341,16 @@ object SimilaritySearch {
       return pts.limit(0).select(col("id").as("i"), col("id").as("j"),
         lit(0.0).as("cosine"), lit(0).cast("int").as("rank"))
     }
-    val centers = centersOpt.get
-    val withVec = pts.select(col("id"), col("v"), col("nrm"))
+    ivfSearch(pts, centersOpt.get, k, nprobe)
+  }
 
+  /** The IVF candidate join against a FIXED center table: index side in
+    * its home cell, query side exploded over its `nprobe` nearest cells,
+    * candidates from the cell equi-join, exact cosine re-score,
+    * bounded-heap top-k. */
+  private def ivfSearch(pts: DataFrame, centers: Array[Array[Double]],
+      k: Int, nprobe: Int): DataFrame = {
+    val withVec = pts.select(col("id"), col("v"), col("nrm"))
     val cellUdf = udf { (v: Seq[Double]) => nearestCells(centers)(v, 1).head }
     val probeUdf = udf { (v: Seq[Double]) => nearestCells(centers)(v, nprobe) }
 
@@ -357,6 +364,21 @@ object SimilaritySearch {
       .select(col("a.id").as("i"), col("b.id").as("j"),
         (lit(1.0) - arrayDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("dist2"))
     topKTail(pairs, k)
+  }
+
+  /** IVF search against an EXTERNALLY trained coarse quantizer — the
+    * composition point for [[graft.ml.KMeans]]: when the corpus outgrows
+    * what a bounded driver sample can represent (the documented scale
+    * caveat of [[ivfTopK]]'s `trainSample` quantizer), train the centers
+    * on the FULL distributed table with `KMeans.train(emb, k = nlist)`
+    * and search with them here. Same cell equi-join shape; `centers`
+    * ships in the closure exactly like the sample-trained table. */
+  def ivfTopKWithCenters(emb: DataFrame, centers: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5, nprobe: Int = 10): DataFrame = {
+    require(centers.nonEmpty, "ivfTopKWithCenters: empty center table")
+    require(nprobe >= 1 && nprobe <= centers.length, "need 1 <= nprobe <= nlist")
+    ivfSearch(normalizedPoints(emb, idCol, vecCol), centers, k, nprobe)
   }
 
   /** Squared distance of `x` to its nearest center's index; ties go to

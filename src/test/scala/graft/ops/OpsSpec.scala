@@ -297,6 +297,16 @@ class SimilaritySpec extends AnyFunSuite {
       s"probing low-margin flip buckets must add recall: $multi vs $single")
   }
 
+  test("IVF with distributed-kmeans centers reaches the sample-trained recall band") {
+    val exact = SimilaritySearch.bruteTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = graft.ml.KMeans.train(emb, k = 16, iters = 10)
+    val got = SimilaritySearch.ivfTopKWithCenters(emb, model.centers, k = 5, nprobe = 10)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("semantic dedup: recall >= 0.8 vs exact cosine pairs, zero false positives") {
     val exact = SimilaritySearch.cosineDupPairs(emb, threshold = 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
