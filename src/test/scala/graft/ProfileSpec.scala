@@ -749,4 +749,49 @@ class ProfileSpec extends AnyFunSuite {
     assert(hit >= (planted * 0.95).toLong, s"recall ${hit.toDouble / planted}")
     pairs.unpersist(); all.unpersist()
   }
+
+  test("scale stress: distributed k-means at 128k vectors (per-iteration scan cost)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // 128k synthetic 64-d vectors with 8 planted gaussian-ish modes: the
+    // probe checks (a) the per-iteration wall is a flat data scan (no
+    // lineage growth across the driver loop), (b) SSE still decreases
+    // monotonically at scale, (c) the found centers give a far better
+    // SSE than the seed centers (the modes are actually discovered)
+    val n = 128000L
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (pmod(col("id"), lit(8)).cast("double") * lit(3.0)) +
+          sin(col("id") * (j + lit(1)).cast("double")) ).as("embedding"))
+      .cache()
+    vecs.count()
+    val t0 = System.nanoTime()
+    val m = time(s"kmeans n=$n k=8 iters=10")(
+      graft.ml.KMeans.train(vecs, k = 8, iters = 10))
+    val perIter = (System.nanoTime() - t0) / 1e9 / 10
+    println(f"[profile] per-iter ${perIter}%.2f s; sse head=${m.sse.head}%.3e tail=${m.sse.last}%.3e")
+    m.sse.indices.drop(1).foreach(i => assert(m.sse(i) <= m.sse(i - 1) * (1 + 1e-12) + 1e-6))
+    assert(m.sse.last < m.sse.head * 0.5,
+      s"modes not discovered: ${m.sse.head} -> ${m.sse.last}")
+    vecs.unpersist()
+  }
+
+  test("scale stress: quality classifier at 100k docs (epoch = one aggregate scan)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // 20x replicated corpus with per-replica suffix tokens: 100k rows.
+    // The probe checks the training wall is epoch-bound (one treeAggregate
+    // scan per epoch; NOT quadratic in docs) and the fit still moves.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val big = (0 until 20).map(r =>
+        docs.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica token r$r")).as("text")))
+      .reduce(_ unionByName _).cache()
+    val n = big.count()
+    val m = time(s"classifier train n=$n epochs=20")(
+      graft.text.QualityClassifier.train(big, epochs = 20))
+    println(f"[profile] loss ${m.lossHistory.head}%.4f -> ${m.lossHistory.last}%.4f")
+    assert(m.lossHistory.last < m.lossHistory.head)
+    val scored = time("score 100k")(graft.text.QualityClassifier.score(big, m).count())
+    assert(scored == n)
+    big.unpersist()
+  }
 }
