@@ -53,6 +53,30 @@ object DocsStream {
       .queryName(name)
       .start()
 
+  /** Stateless streaming quality scoring: apply a TRAINED classifier to
+    * each arriving document. The model fits OFFLINE on the frozen corpus
+    * (the full-batch gradient needs every row, and a drifting threshold
+    * would silently re-label history); the apply pass is
+    * [[graft.text.QualityClassifier.score]]'s narrow map — weights in
+    * the closure, no watermark, no state, no shuffle — so it drops into
+    * a crawler feed unchanged. Model refresh = restart the query with
+    * the re-fit weights (the standard online/offline split for corpus
+    * quality models). */
+  def scoreQuality(docs: DataFrame,
+      model: graft.text.QualityClassifier.Model): DataFrame =
+    graft.text.QualityClassifier.score(docs, model)
+
+  /** Start the quality-scoring pass over a parquet directory file stream
+    * into an in-memory sink (local smoke; swap source/sink in prod). */
+  def startQualityScoreQuery(spark: SparkSession, dir: String, name: String,
+      model: graft.text.QualityClassifier.Model): StreamingQuery =
+    scoreQuality(spark.readStream.schema(docSchema).parquet(dir), model)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+
   /** Driver-built benchmark-shingle bloom for streaming decontamination —
     * the stream-shippable form of [[TextQueries.contaminationBloomVs]]'s
     * sketch: built ONCE from the (batch) benchmark side, broadcast, and

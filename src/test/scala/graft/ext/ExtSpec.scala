@@ -179,6 +179,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality scoring equals its batch twin (frozen offline model)") {
+    val docsB = spark.read.parquet(s"$dir/documents.parquet")
+    val model = graft.text.QualityClassifier.train(docsB, epochs = 5)
+    val batch = DocsStream.scoreQuality(docsB, model)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(batch.nonEmpty)
+
+    val streamDir = java.nio.file.Files.createTempDirectory("docs-quality")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val q = DocsStream.startQualityScoreQuery(spark, streamDir.toString, "qscore", model)
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("qscore")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming document hygiene equals its batch twin (stateless plan)") {
     val batch = DocsStream.hygiene(
         spark.read.parquet(s"$dir/documents.parquet"))
