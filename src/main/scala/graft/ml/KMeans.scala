@@ -71,9 +71,14 @@ object KMeans {
     pts.orderBy(xxhash64(col("id")), col("id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
 
+  /** Null-embedding rows are EXCLUDED up front (same contract as the ANN
+    * family's zero-norm exclusion): a null vector has no position, and
+    * letting it reach the distance kernel would be a partition-dependent
+    * NPE instead of a defined behavior. */
   private def toPoints(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
 
   /** One Lloyd's step over an RDD of points: returns (new centers, SSE of
     * the CURRENT centers). Shared by nothing else — kept private so the

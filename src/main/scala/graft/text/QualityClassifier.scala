@@ -114,22 +114,29 @@ object QualityClassifier {
 
   /** Approx median of the heuristic quality score over `docs` — the
     * teacher threshold (one scalable aggregation, no sort). */
-  def teacherThreshold(docs: DataFrame): Double =
-    docs.agg(percentile_approx(
-        TextFunctions.qualityScore(col("text")), lit(0.5), lit(1000)))
-      .head.getDouble(0)
+  def teacherThreshold(docs: DataFrame): Double = {
+    val row = docs.agg(percentile_approx(
+        coalesce(TextFunctions.qualityScore(col("text")), lit(0.0)),
+        lit(0.5), lit(1000)))
+      .head
+    require(!row.isNullAt(0), "quality classifier: empty corpus")
+    row.getDouble(0)
+  }
 
-  /** (doc_id, label) teacher labels under a FIXED threshold. */
+  /** (doc_id, label) teacher labels under a FIXED threshold. Null text
+    * scores null in the heuristic — coalesced to 0.0 so every document
+    * gets a defined label (a null label would NPE the gradient rows). */
   def teacherLabels(docs: DataFrame, threshold: Double): DataFrame =
     docs.select(col("doc_id").cast("long"),
-      (TextFunctions.qualityScore(col("text")) >= threshold)
+      (coalesce(TextFunctions.qualityScore(col("text")), lit(0.0)) >= threshold)
         .cast("int").as("label"))
 
   /** Teacher-labeled feature rows: (label, idx, vals). */
   private def labeled(docs: DataFrame, dim: Int,
       thr: Double): RDD[(Double, Array[Int], Array[Double])] =
     docs.select(col("text"),
-        (TextFunctions.qualityScore(col("text")) >= thr).cast("double").as("label"))
+        (coalesce(TextFunctions.qualityScore(col("text")), lit(0.0)) >= thr)
+          .cast("double").as("label"))
       .rdd.map { r =>
         val (idx, vals) = featurize(r.getString(0), dim)
         (r.getDouble(1), idx, vals)
@@ -203,7 +210,8 @@ object QualityClassifier {
     val thr = teacherThreshold(docs)
     val rows = docs.orderBy(col("doc_id"))
       .select(col("text"),
-        (TextFunctions.qualityScore(col("text")) >= thr).cast("double").as("label"))
+        (coalesce(TextFunctions.qualityScore(col("text")), lit(0.0)) >= thr)
+          .cast("double").as("label"))
       .collect().map { r =>
         val (idx, vals) = featurize(r.getString(0), dim)
         (r.getDouble(1), idx, vals)

@@ -343,6 +343,50 @@ class EdgeCaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ops.Dedup.hammingPairs(empty, 30))
   }
 
+  test("k-means: null embeddings excluded, empty input rejected clearly") {
+    val withNull = embLike(Seq(
+      (1L, Array(1.0, 2.0)), (2L, Array(3.0, 4.0)))).unionByName(
+      Seq((3L, null.asInstanceOf[Array[Double]])).toDF("vec_id", "embedding"))
+    val m = ml.KMeans.train(withNull, k = 2, iters = 2)
+    val a = ml.KMeans.assign(withNull, m)
+    assert(a.count() == 2, "the null-embedding row must be excluded, not crash")
+    val e = intercept[IllegalArgumentException] {
+      ml.KMeans.train(embLike(Nil), k = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
+  test("quality classifier: null-text rows train and score with defined labels") {
+    val docs = docsLike(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the cat"),
+      (2L, null.asInstanceOf[String]), (3L, ""),
+      (4L, "a b a b a b a b a b a b a b"))).cache()
+    val m = text.QualityClassifier.train(docs, epochs = 3)
+    assert(m.lossHistory.forall(l => !l.isNaN && !l.isInfinite))
+    val scored = text.QualityClassifier.score(docs, m)
+    assert(scored.count() == 4, "every row incl. null text must score")
+    assert(scored.agg(min(col("prob")), max(col("prob"))).collect()(0)
+      .toSeq.forall { case d: Double => d >= 0.0 && d <= 1.0 })
+    val e = intercept[IllegalArgumentException] {
+      text.QualityClassifier.train(docsLike(Nil))
+    }
+    assert(e.getMessage.contains("empty corpus"))
+    docs.unpersist()
+  }
+
+  test("video near-dup: empty media and zero-frame videos degrade cleanly") {
+    val schema = "media_id LONG, kind STRING, n_frames INT, content BINARY"
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    assert(multimodal.Multimodal.videoNearDupPairs(empty).count() == 0)
+    val zeroFrames = Seq(
+      (1L, "video", 0, Array[Byte](1, 2, 3)),
+      (2L, "video", -3, Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "n_frames", "content")
+    assert(multimodal.Multimodal.videoNearDupPairs(zeroFrames).count() == 0)
+  }
+
   test("phash: empty payload is the zero signature; 1-byte payload is stable") {
     assert(multimodal.Multimodal.Codec.phash(Array.emptyByteArray) == 0L)
     val one = multimodal.Multimodal.Codec.phash(Array[Byte](7))
