@@ -109,6 +109,141 @@ object KMeans {
     (next, agg(k * d + k))
   }
 
+  /** Deterministic per-(id, round) uniform draw in [0, 1): splitmix64
+    * finalizer over the id/round mix, top 53 bits as the mantissa. A
+    * hash-based Bernoulli makes the k-means|| sampling reproducible
+    * across partitionings and reruns — no RNG state on executors. */
+  private def hashFrac(id: Long, round: Int): Double = {
+    var z = id ^ (round.toLong * 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  /** k-means|| initialization (Bahmani et al. 2012): the SCALE init.
+    * Sampling k seeds by hash ([[seedCenters]]) is distribution-blind —
+    * on clustered data it lands ∝ mass, over-seeding dense modes and
+    * missing small ones, which Lloyd's then pays for in iterations (or
+    * never fixes: Lloyd's cannot move a center across an empty gap).
+    * k-means|| fixes seeding for O(rounds) passes:
+    *
+    *  - each round: ONE pass computes Σd²(x, C) (same treeAggregate
+    *    shape as a Lloyd's step), a second pass samples each point
+    *    independently with p = min(1, l·d²/Σd²) via the deterministic
+    *    [[hashFrac]] draw and collects the (expected ≤ l per round,
+    *    hard-capped) new candidates to the driver;
+    *  - candidates are then weighted by how many points they own (one
+    *    more pass) and reduced to k centers by weighted driver-side
+    *    Lloyd's over the ≤ rounds·cap candidate set (k-means++-free but
+    *    weighted — the candidate set is already d²-spread by
+    *    construction).
+    *
+    * Cost: 2·rounds+1 data passes ONCE, against the iterations saved in
+    * every subsequent Lloyd's round — the standard trade at corpus
+    * scale. Everything driver-side is O(rounds·cap·d). */
+  def parallelInit(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", k: Int = 8, rounds: Int = 5,
+      oversample: Double = 0.0): Array[Array[Double]] = {
+    val l = if (oversample > 0) oversample else 2.0 * k
+    val pts = toPoints(emb, idCol, vecCol)
+    val data = pts.select(col("id"), col("v")).rdd
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = pts.orderBy(xxhash64(col("id")), col("id")).limit(1)
+        .select(col("v")).collect()
+      require(first.nonEmpty, "kmeans: empty input")
+      // a candidate cap bounds the driver collect even on adversarial
+      // d² distributions (expected draw per round is l)
+      val cap = math.max(16, (4 * l).toInt)
+      var cands = scala.collection.mutable.ArrayBuffer(
+        first(0).getSeq[Double](0).toArray)
+      var r = 0
+      while (r < rounds) {
+        val cs = cands.toArray
+        val sumD2 = data.map { case (_, x) => nearest(cs, x)._2 }.sum()
+        if (sumD2 <= 0) r = rounds // every point is a candidate already
+        else {
+          val round = r
+          val drawn = data.flatMap { case (id, x) =>
+            val p = math.min(1.0, l * nearest(cs, x)._2 / sumD2)
+            if (hashFrac(id, round) < p) Some((hashFrac(id, -round - 1), x))
+            else None
+          }.takeOrdered(cap)(Ordering.by(_._1)) // deterministic cap
+          cands ++= drawn.map(_._2)
+          r += 1
+        }
+      }
+      // weight candidates by ownership, then weighted Lloyd's to k
+      val cs = cands.toArray
+      val counts = data.map { case (_, x) => nearest(cs, x)._1 }.countByValue()
+      val weights = Array.tabulate(cs.length)(i => counts.getOrElse(i, 0L).toDouble)
+      weightedLloyd(cs, weights, k, iters = 20)
+    } finally data.unpersist(blocking = false)
+  }
+
+  /** Driver-side weighted Lloyd's over the candidate set (all O(|cands|·
+    * k·d) — |cands| ≤ rounds·cap by construction). Seeds = deterministic
+    * weighted k-means++ (maxmin variant: heaviest candidate first, then
+    * repeatedly the candidate maximizing w·d² to the chosen set). Seeding
+    * by weight ALONE loses separated modes: a mode whose weight splits
+    * across several candidates ranks below a double-picked two-candidate
+    * mode, and Lloyd's can't recover a seed across an empty gap — the
+    * maxmin d² term is what guarantees every far mass gets a seed. */
+  private def weightedLloyd(cands: Array[Array[Double]], w: Array[Double],
+      k: Int, iters: Int): Array[Array[Double]] = {
+    if (cands.length <= k) return cands
+    val d = cands(0).length
+    val seedIdx = scala.collection.mutable.ArrayBuffer(
+      w.indices.maxBy(i => (w(i), -i)))
+    val minD2 = Array.fill(cands.length)(Double.MaxValue)
+    while (seedIdx.length < k) {
+      val last = cands(seedIdx.last)
+      var i = 0
+      while (i < cands.length) {
+        var s = 0.0
+        var j = 0
+        while (j < d) { val df = cands(i)(j) - last(j); s += df * df; j += 1 }
+        if (s < minD2(i)) minD2(i) = s
+        i += 1
+      }
+      seedIdx += minD2.indices.maxBy(i => (w(i) * minD2(i), -i))
+    }
+    var centers = seedIdx.map(cands(_)).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Double](k)
+      var i = 0
+      while (i < cands.length) {
+        if (w(i) > 0) {
+          val (bi, _) = nearest(centers, cands(i))
+          var j = 0
+          while (j < d) { sums(bi)(j) += w(i) * cands(i)(j); j += 1 }
+          counts(bi) += w(i)
+        }
+        i += 1
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0.0) centers(c)
+        else Array.tabulate(d)(j => sums(c)(j) / counts(c))
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Train with EXPLICIT initial centers (e.g. [[parallelInit]]'s) —
+    * same Lloyd's loop/trajectory contract as [[train]]. */
+  def trainFrom(emb: DataFrame, initCenters: Array[Array[Double]],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      iters: Int = 10): Model = {
+    require(initCenters.nonEmpty, "kmeans: empty initial centers")
+    val pts = toPoints(emb, idCol, vecCol)
+    lloydLoop(pts, initCenters, iters)
+  }
+
   /** Train on the full distributed table. The points RDD is cached for
     * the duration of the loop (MEMORY_AND_DISK — at 100 TB the working
     * set spills rather than recomputing the scan) and unpersisted on
@@ -116,8 +251,14 @@ object KMeans {
   def train(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 8, iters: Int = 10): Model = {
     val pts = toPoints(emb, idCol, vecCol)
-    var centers = seedCenters(pts, k)
+    val centers = seedCenters(pts, k)
     require(centers.nonEmpty, "kmeans: empty input")
+    lloydLoop(pts, centers, iters)
+  }
+
+  private def lloydLoop(pts: DataFrame, init: Array[Array[Double]],
+      iters: Int): Model = {
+    var centers = init
     val d = centers(0).length
     val data = pts.select(col("v")).rdd.map(_.getSeq[Double](0).toArray)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -772,6 +772,13 @@ class ProfileSpec extends AnyFunSuite {
     m.sse.indices.drop(1).foreach(i => assert(m.sse(i) <= m.sse(i - 1) * (1 + 1e-12) + 1e-6))
     assert(m.sse.last < m.sse.head * 0.5,
       s"modes not discovered: ${m.sse.head} -> ${m.sse.last}")
+    val init = time("kmeans|| init (11 passes)")(
+      graft.ml.KMeans.parallelInit(vecs, k = 8, rounds = 5))
+    val mp = time("lloyd from kmeans|| init")(
+      graft.ml.KMeans.trainFrom(vecs, init, iters = 10))
+    println(f"[profile] sse hash=${m.sse.last}%.3e parallel=${mp.sse.last}%.3e")
+    assert(mp.sse.last <= m.sse.last * 1.05,
+      s"parallel init must not lose to hash init: ${mp.sse.last} vs ${m.sse.last}")
     vecs.unpersist()
   }
 

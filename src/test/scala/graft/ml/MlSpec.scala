@@ -66,6 +66,33 @@ class KMeansSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("k-means|| init: deterministic, bounded, and beats hash init on planted modes") {
+    import spark.implicits._
+    // 12 well-separated modes x 50 points, tiny within-mode jitter: a
+    // hash-sample init lands ~proportional to mass and typically misses
+    // modes Lloyd's can never recover (a center cannot cross an empty
+    // gap); the d2-spread parallel init must find every mode
+    val pts = (0 until 600).map { i =>
+      val mode = i % 12
+      (i.toLong, Array.tabulate(4)(j =>
+        mode * 100.0 + j + 0.01 * ((i * 31 + j * 7) % 10)))
+    }.toDF("vec_id", "embedding")
+    val k = 12
+    val init1 = KMeans.parallelInit(pts, k = k, rounds = 5)
+    val init2 = KMeans.parallelInit(pts, k = k, rounds = 5)
+    assert(init1.length == k)
+    assert(init1.zip(init2).forall { case (a, b) => a.sameElements(b) },
+      "parallel init must be deterministic")
+    val par = KMeans.trainFrom(pts, init1, iters = 5)
+    val hash = KMeans.train(pts, k = k, iters = 5)
+    assert(par.sse.last <= hash.sse.last + 1e-9,
+      s"parallel init ${par.sse.last} vs hash init ${hash.sse.last}")
+    // every mode discovered: with all 12 modes seeded, within-mode
+    // variance is ~0.01-scale, so SSE collapses by orders of magnitude
+    assert(par.sse.last < 1000.0,
+      s"modes missed by parallel init: SSE ${par.sse.last}")
+  }
+
   test("empty cluster keeps its previous center (k > distinct points)") {
     import spark.implicits._
     // 3 identical points, k=2: one cluster must stay empty and survive
