@@ -56,6 +56,27 @@ object MlQueries {
       Gate("variance_monotone", if (monotone) 1.0 else 0.0, monotone))
   }
 
+  /** Int8 embedding quantization, exploded to scalar (vec_id, pos, code)
+    * rows and oracle-matched BIT-exactly — `floor(u + 0.5)` on both
+    * engines sidesteps SQL ROUND divergence. */
+  val quantizeInt8: Q = Q(
+    "ml_quantize_int8",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(i AS INTEGER) - 1 AS pos,
+      |         CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |m AS (SELECT pos, min(x) AS mn,
+      |        CASE WHEN max(x) = min(x) THEN 1.0
+      |             ELSE (max(x) - min(x)) / 255.0 END AS sc
+      |      FROM e GROUP BY pos)
+      |SELECT e.vec_id, e.pos,
+      |  CAST(floor((e.x - m.mn) / m.sc + 0.5) AS INTEGER) AS code
+      |FROM e JOIN m USING (pos)""".stripMargin
+  ) { (s, d) =>
+    Preprocess.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
+  }
+
   /** Distributed k-means assignments over the embeddings table. No SQL
     * oracle (iterative fixpoint) → quantified gates instead:
     *
@@ -99,5 +120,5 @@ object MlQueries {
     } finally emb.unpersist(blocking = false)
   }
 
-  def all: Seq[Q] = Seq(standardize, pca, kmeans)
+  def all: Seq[Q] = Seq(standardize, pca, kmeans, quantizeInt8)
 }

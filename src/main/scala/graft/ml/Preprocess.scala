@@ -31,6 +31,44 @@ object Preprocess {
         (x, ms) => (x - ms.getField("_1")) / ms.getField("_2")).as(featuresCol))
   }
 
+  /** Per-dimension affine int8 quantization — the embedding STORAGE
+    * lever at corpus scale (a 10⁹×1024-float table is 4 TB as float32,
+    * 1 TB as int8 codes + 2·D floats of dequant metadata). Same
+    * two-pass shape as [[standardize]]:
+    *
+    *  1. one distributed pass for per-dimension (min, max) — partial
+    *     min/max combine map-side, D-row shuffle;
+    *  2. codes as a pure zip_with projection against the literal
+    *     (min, scale) table — shuffle-free, codegen-friendly.
+    *
+    * code = floor((x − min_d)/scale_d + 0.5) ∈ [0, 255], with
+    * scale_d = (max_d − min_d)/255 and a constant dimension (max = min)
+    * pinned to scale 1 (all codes 0). floor(u + 0.5) instead of
+    * round(): identical arithmetic on every engine — SQL ROUND
+    * semantics differ across half-even/half-away implementations, and
+    * the DuckDB oracle must reproduce codes BIT-exactly. Max error by
+    * construction: scale/2 per coordinate. */
+  def quantizeInt8(df: DataFrame, idCol: String, featuresCol: String): DataFrame = {
+    val stats = df
+      .select(posexplode(col(featuresCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("pos")
+      .collect()
+    val mins = stats.map(_.getDouble(1))
+    val scales = stats.map { r =>
+      val s = (r.getDouble(2) - r.getDouble(1)) / 255.0
+      if (s == 0.0) 1.0 else s
+    }
+    df.select(
+      col(idCol),
+      zip_with(
+        col(featuresCol).cast("array<double>"),
+        typedLit(mins.indices.map(i => (mins(i), scales(i)))),
+        (x, ms) => floor((x - ms.getField("_1")) / ms.getField("_2") + lit(0.5))
+          .cast("int")).as("codes"))
+  }
+
   /** PCA to k dims (reference M-1/M-2: computePrincipalComponents +
     * multiply), implemented directly rather than through ml.feature.PCA:
     *

@@ -23,6 +23,29 @@ class PreprocessSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes in [0,255], extremes exact, constant dims zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0, 5.0, -1.0)),
+      (2L, Array(10.0, 5.0, 3.0)),
+      (3L, Array(2.5, 5.0, 1.0))).toDF("vec_id", "embedding")
+    val q = Preprocess.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // dim 0: min 0, max 10 -> codes 0, 255, round(2.5/10*255+...)=64
+    assert(q(1)(0) == 0 && q(2)(0) == 255)
+    assert(q(3)(0) == math.floor(2.5 / (10.0 / 255) + 0.5).toInt)
+    // dim 1 constant -> scale pinned to 1, all codes 0
+    assert(Seq(1L, 2L, 3L).forall(id => q(id)(1) == 0))
+    // dim 2: min -1 max 3 -> extremes exact
+    assert(q(1)(2) == 0 && q(2)(2) == 255)
+    // dequantization error bounded by scale/2 on the fixture
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Preprocess.quantizeInt8(emb, "vec_id", "embedding")
+    val all = codes.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).head
+    assert(all.getInt(0) >= 0 && all.getInt(1) <= 255)
+  }
+
   test("pca: k dims, components ordered by explained variance") {
     val out = Preprocess.pca(emb, "vec_id", "embedding", k = 8)
     val dims = out.select(size(col("embedding"))).distinct().collect()
