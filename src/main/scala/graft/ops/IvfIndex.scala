@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index: the production serving shape for ANN at corpus
+  * scale. [[SimilaritySearch.ivfTopK]] builds its index inline per query
+  * run — right for one-shot dedup passes, wasteful for a serving corpus
+  * queried repeatedly. Here the index is BUILT ONCE to parquet and every
+  * query run scans only the probed slice of it:
+  *
+  *  - `centers.parquet`: the coarse quantizer (nlist rows — driver-bounded
+  *    by construction), trained with the full-data distributed
+  *    [[graft.ml.KMeans]] (one treeAggregate per Lloyd's round).
+  *  - `postings.parquet`, PARTITIONED BY cell: each vector in its home
+  *    cell's directory. Partitioning is the point — a query batch probing
+  *    `nprobe` of `nlist` cells reads exactly those directories
+  *    (partition pruning at the SCAN, visible as PartitionFilters in the
+  *    plan), so per-batch IO is probed-mass · corpus-size / nlist, not a
+  *    full index scan. At 10⁹ vectors and nlist 2^14 a 10-probe query
+  *    batch touches ~0.06% of the index files.
+  *
+  * Search filters postings to the probed cell set (a bounded IN list —
+  * at most nlist values, driver-collected from the query batch) and then
+  * equi-joins on cell, exact-cosine re-scores, bounded-heap top-k — the
+  * same verified join shape as the in-memory family. */
+object IvfIndex {
+
+  /** Train the quantizer distributed and write centers + cell-partitioned
+    * postings. Returns the trained centers (also persisted). */
+  def build(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", nlist: Int = 16, iters: Int = 10)
+      : Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val model = graft.ml.KMeans.train(emb, idCol, vecCol, k = nlist, iters)
+    val centers = model.centers
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .repartition(1) // nlist rows — one small file, read whole at search
+      .write.mode("overwrite").parquet(s"$dir/centers.parquet")
+
+    val assignUdf = udf { (v: Seq[Double]) => nearestCellJvm(centers, v) }
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+      .withColumn("cell", assignUdf(col("v")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/postings.parquet")
+    centers
+  }
+
+  /** Nearest cell by euclidean distance, lowest index on ties — the same
+    * routing rule as the in-memory IVF family. */
+  private def nearestCellJvm(centers: Array[Array[Double]], v: Seq[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var s = 0.0
+      var i = 0
+      while (i < ctr.length) { val df = v(i) - ctr(i); s += df * df; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCellsJvm(centers: Array[Array[Double]], v: Seq[Double],
+      m: Int): Seq[Int] = {
+    val d2 = centers.map { c =>
+      var s = 0.0
+      var i = 0
+      while (i < c.length) { val df = v(i) - c(i); s += df * df; i += 1 }
+      s
+    }
+    d2.zipWithIndex.sortBy { case (dist, idx) => (dist, idx) }.take(m)
+      .map(_._2).toSeq
+  }
+
+  /** Load the persisted quantizer (nlist rows — bounded). */
+  def loadCenters(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centers.parquet")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Top-k neighbors of each query vector against the persisted index.
+    * Self-matches (same id) are excluded, mirroring the in-memory family
+    * so an index built from the query corpus gives identical semantics. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5, nprobe: Int = 10): DataFrame = {
+    val centers = loadCenters(spark, dir)
+    require(centers.nonEmpty, s"no centers at $dir")
+    require(nprobe >= 1 && nprobe <= centers.length, "need 1 <= nprobe <= nlist")
+    val probeUdf = udf { (v: Seq[Double]) => nearestCellsJvm(centers, v, nprobe) }
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+      .select(col("id"), col("v"), col("nrm"),
+        explode(probeUdf(col("v"))).as("cell"))
+
+    // the probed cell set is bounded by nlist — collect it and push an
+    // IN filter into the partitioned scan so only those directories are
+    // read (PartitionFilters; pinned in IvfIndexSpec)
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+
+    val pairs = q.as("a")
+      .join(postings.as("b"), Seq("cell"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        (lit(1.0) - arrayDot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("dist2"))
+    pairs
+      .groupBy(col("i"))
+      .agg(org.apache.spark.sql.graft.TopKNeighbors
+        .topk(k, col("j"), col("dist2")).as("nbrs"))
+      .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("i"), col("nbr.j").as("j"),
+        (lit(1.0) - col("nbr.dist2")).as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

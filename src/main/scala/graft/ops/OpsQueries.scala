@@ -168,6 +168,34 @@ object OpsQueries {
     Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.8))
   }
 
+  /** Persistent-IVF search ([[IvfIndex]]): build the cell-partitioned
+    * parquet index once, serve queries scanning only the probed cells
+    * (partition pruning at the scan — the serving shape for a 10⁹-vector
+    * corpus). Gates: the persisted path must return EXACTLY the
+    * in-memory [[SimilaritySearch.ivfTopKWithCenters]] result over the
+    * same persisted centers (the storage layer may not change a single
+    * neighbor), plus the family recall floor vs the exact twin. */
+  val annIvfIndex: Q = Q.gated("ann_ivf_index_search") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    IvfIndex.build(emb, dir, nlist = 16)
+    IvfIndex.search(s, dir, emb, k = 5, nprobe = 10)
+  } { (s, d, res) =>
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index-gate").toString
+    val centers = IvfIndex.build(emb, dir, nlist = 16)
+    val inMem = SimilaritySearch.ivfTopKWithCenters(emb, centers, k = 5, nprobe = 10)
+      .select("i", "j", "rank")
+    val diff = res.select("i", "j", "rank").exceptAll(inMem).count() +
+      inMem.exceptAll(res.select("i", "j", "rank")).count()
+    val exact = SimilaritySearch.bruteTopK(emb, k = 5)
+    val (recall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
+    Seq(
+      Gate("rows_diff_vs_inmemory", diff.toDouble, diff == 0),
+      Gate("recall_at_5_vs_exact", recall, recall >= 0.8))
+  }
+
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
     * cell candidates as IVF, but the index side of the join carries m=16
     * RESIDUAL code bytes (ARRAY<TINYINT>) instead of 64 doubles (32×
@@ -437,6 +465,6 @@ object OpsQueries {
 
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, annIvf, annIvfKmeans, annPq, semanticDups, canonical, retained, substringSpans,
+    annLsh, annIvf, annIvfKmeans, annIvfIndex, annPq, semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune)
 }

@@ -402,3 +402,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(SimilaritySearch.prototypePrune(empty).count() == 0)
   }
 }
+
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("persisted index search == in-memory search over the same centers") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val centers = IvfIndex.build(emb, dir, nlist = 16)
+    val persisted = IvfIndex.search(spark, dir, emb, k = 5, nprobe = 10)
+      .select("i", "j", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inMem = SimilaritySearch
+      .ivfTopKWithCenters(emb, centers, k = 5, nprobe = 10)
+      .select("i", "j", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(persisted == inMem,
+      s"persisted/in-memory divergence: ${persisted.size} vs ${inMem.size}")
+    // loadCenters roundtrips the trained quantizer bit-exactly
+    val loaded = IvfIndex.loadCenters(spark, dir)
+    assert(loaded.length == centers.length)
+    assert(loaded.zip(centers).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("search scans only probed cell partitions (partition pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
+    IvfIndex.build(emb, dir, nlist = 16)
+    // a single query vector probes 3 of 16 cells
+    val oneQuery = emb.orderBy("vec_id").limit(1)
+    val res = IvfIndex.search(spark, dir, oneQuery, k = 5, nprobe = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("postings.parquet") && l.contains("PartitionFilters"))
+      .getOrElse(plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse(""))
+    assert(scanLine.contains("cell IN") || scanLine.matches(".*PartitionFilters: \\[[^\\]].*"),
+      s"probed-cell IN filter must prune partitions at the scan:\n$plan")
+    res.collect() // executes against the pruned scan
+  }
+}
