@@ -52,6 +52,27 @@ object IvfIndex {
     centers
   }
 
+  /** Incrementally index NEW vectors against the EXISTING quantizer —
+    * the daily-crawl path: assign each new vector to its home cell under
+    * the frozen centers and append to the partitioned postings (parquet
+    * append only touches the affected cell directories). The quantizer
+    * deliberately does not move: re-training would re-route existing
+    * postings (a full rebuild); drift is handled by scheduled rebuilds,
+    * not per-batch updates — the standard IVF serving contract. */
+  def append(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val centers = loadCenters(emb.sparkSession, dir)
+    require(centers.nonEmpty, s"no centers at $dir — build() first")
+    val assignUdf = udf { (v: Seq[Double]) => nearestCellJvm(centers, v) }
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+      .withColumn("cell", assignUdf(col("v")))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/postings.parquet")
+  }
+
   /** Nearest cell by euclidean distance, lowest index on ties — the same
     * routing rule as the in-memory IVF family. */
   private def nearestCellJvm(centers: Array[Array[Double]], v: Seq[Double]): Int = {

@@ -425,6 +425,26 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(loaded.zip(centers).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("append: incremental postings under the frozen quantizer == one-shot index") {
+    val dir1 = java.nio.file.Files.createTempDirectory("ivfidx-inc").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfidx-full").toString
+    val half1 = emb.where(col("vec_id") % 2 === 0)
+    val half2 = emb.where(col("vec_id") % 2 === 1)
+    // incremental: train on half1, append half2 under the frozen centers
+    val centers = IvfIndex.build(half1, dir1, nlist = 16)
+    IvfIndex.append(half2, dir1)
+    // reference: the same centers indexing everything in one shot (write
+    // the centers, then append all postings under them)
+    IvfIndex.build(half1, dir2, nlist = 16) // same deterministic centers
+    IvfIndex.append(half2, dir2)
+    val a = IvfIndex.search(spark, dir1, emb, k = 5, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // in-memory truth over the same frozen centers and the full corpus
+    val b = SimilaritySearch.ivfTopKWithCenters(emb, centers, k = 5, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b, s"incremental index diverges: ${a.size} vs ${b.size}")
+  }
+
   test("search scans only probed cell partitions (partition pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
     IvfIndex.build(emb, dir, nlist = 16)
