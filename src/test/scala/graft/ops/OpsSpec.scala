@@ -445,6 +445,26 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a == b, s"incremental index diverges: ${a.size} vs ${b.size}")
   }
 
+  test("streaming index ingestion: file-streamed appends == one-shot index") {
+    val idxDir = java.nio.file.Files.createTempDirectory("ivfidx-stream").toString
+    val watchDir = java.nio.file.Files.createTempDirectory("ivf-watch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf-ckpt").toString
+    val half1 = emb.where(col("vec_id") % 2 === 0)
+    val half2 = emb.where(col("vec_id") % 2 === 1)
+    val centers = IvfIndex.build(half1, idxDir, nlist = 16)
+    // stage half2 as a stream source file
+    half2.write.mode("overwrite").parquet(s"$watchDir/batch1")
+    val q = graft.streaming.IndexStream.startIndexAppendQuery(
+      spark, s"$watchDir/batch1", idxDir, "idxappend", ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = IvfIndex.search(spark, idxDir, emb, k = 5, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val truth = SimilaritySearch.ivfTopKWithCenters(emb, centers, k = 5, nprobe = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(streamed == truth,
+      s"streamed index diverges: ${streamed.size} vs ${truth.size}")
+  }
+
   test("search scans only probed cell partitions (partition pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
     IvfIndex.build(emb, dir, nlist = 16)
