@@ -620,11 +620,54 @@ object RelationalQueries {
         max(col("ts")).as("session_end"))
   }
 
+  /** FULL OUTER join — the one join type the surface lacked (equi,
+    * semi, anti, range, as-of are q2/q24/q10/q16/q19). Reconciliation
+    * shape: per-user event activity vs per-customer high-value order
+    * totals, keys that only one side knows surviving with NULLs on the
+    * other. The order side is thresholded so BOTH null sides are
+    * non-empty on the fixtures (every event user also has orders; only
+    * some have a high-value one). Scale shape: both inputs are already
+    * aggregated to one row per key before the join, so the full outer
+    * is a key-partitioned merge of two deduplicated sides — never a
+    * row-level blowup; sums go through DECIMAL (exact, order-free). */
+  val q30FullOuter: Q = Q(
+    "q30_full_outer",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS event_value,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY user_id),
+      |o AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_value,
+      |    count(*) AS n_orders
+      |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+      |SELECT coalesce(user_id, o_custkey) AS ukey,
+      |  event_value, n_events, order_value, n_orders
+      |FROM e FULL OUTER JOIN o ON user_id = o_custkey""".stripMargin
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("event_value"),
+        count(lit(1)).as("n_events"))
+    val o = Tables.orders(s, d)
+      .where(col("o_totalprice") > 400000)
+      .groupBy("o_custkey")
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("order_value"),
+        count(lit(1)).as("n_orders"))
+    e.join(o, e("user_id") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(e("user_id"), o("o_custkey")).as("ukey"),
+        col("event_value"), col("n_events"), col("order_value"), col("n_orders"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
     q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
     q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg,
-    q28ApproxPercentiles, q29Sessions)
+    q28ApproxPercentiles, q29Sessions, q30FullOuter)
 }
