@@ -26,7 +26,7 @@ object SparkEntry {
       text.TextQueries.all ++ ops.OpsQueries.all ++
       ops.CorpusQueries.all ++
       multimodal.MultimodalQueries.all ++ streaming.StreamingQueries.all ++
-      ml.MlQueries.all
+      ml.MlQueries.all ++ io.LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

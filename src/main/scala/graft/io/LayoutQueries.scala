@@ -1,0 +1,152 @@
+package graft.io
+
+import graft.{Gate, Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Driver queries over managed layouts ([[Layout]]): write-side
+  * partitioning/bucketing plus the read-side proof that the layout
+  * actually changes the physical plan (directory pruning; exchange-free
+  * joins). Both are gated rather than oracled — the assertion is about
+  * the PLAN and file set as much as the values, and the value twin is
+  * the same engine reading the unmanaged fixture.
+  */
+object LayoutQueries {
+
+  private def tag(d: String) = d.replaceAll("[^A-Za-z0-9]", "_")
+  private def tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+  private def dayPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_by_date"
+  private val Day = "2024-01-15"
+
+  private def dayAgg(df: DataFrame): DataFrame =
+    df.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Date-partitioned layout + one-day pruned read. The fixture's 30
+    * days become 30 hive partitions; the day-equality predicate resolves
+    * during planning so 29/30 of the data is never listed into the scan
+    * — the layout analog of a 100 TB corpus where a daily job must not
+    * pay for the archive. Gates: (1) the pruned read aggregates
+    * bit-identically to the unmanaged fixture filtered on the same day;
+    * (2) every file the scan touches lives under the day's partition
+    * directory (directory pruning actually happened). */
+  val partitionPrune: Q = Q.gated("layout_partition_prune") { (s, d) =>
+    Layout.writeDatePartitioned(Tables.events(s, d), dayPath(d))
+    dayAgg(Layout.readDay(s, dayPath(d), Day))
+  } { (s, d, res) =>
+    val twin = dayAgg(Tables.events(s, d).where(to_date(col("ts")) === lit(Day)))
+    val diff = res.except(twin).count() + twin.except(res).count()
+    // The pruning proof must come from the SCAN's own pruned listing —
+    // DataFrame.inputFiles reports the relation's full file index before
+    // partition filters apply, so it would show all 30 days even when
+    // the executed scan reads one.
+    val pruned = Layout.readDay(s, dayPath(d), Day)
+    val scan = pruned.queryExecution.sparkPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val files = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files).map(_.getPath.toString)
+    val inDay = files.count(_.contains(s"event_date=$Day"))
+    Seq(
+      Gate("pruned_vs_fixture_diff_rows", diff.toDouble, diff == 0),
+      Gate("scan_files_total", files.length.toDouble, files.nonEmpty),
+      Gate("scan_files_outside_day", (files.length - inDay).toDouble,
+        files.length == inDay))
+  }
+
+  private def bucketedTables(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val t = tag(d)
+    Layout.writeBucketed(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+      s"graft_orders_bkt_$t", s"$tmpRoot/graft_layout/$t/orders_bkt",
+      "o_custkey", 8)
+    Layout.writeBucketed(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+      s"graft_customer_bkt_$t", s"$tmpRoot/graft_layout/$t/customer_bkt",
+      "c_custkey", 8)
+    (s.table(s"graft_orders_bkt_$t"), s.table(s"graft_customer_bkt_$t"))
+  }
+
+  private def segRevenue(o: DataFrame, c: DataFrame): DataFrame =
+    o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Bucketed co-located join: both sides written as 8-bucket tables on
+    * the join key, so the sort-merge join consumes bucket files directly
+    * — zero shuffle exchanges between scan and join (the catalog's
+    * bucket metadata is what licenses this; the same files read as plain
+    * parquet would shuffle both sides). The merge hint keeps the small
+    * fixture from taking the broadcast path that would mask the proof.
+    * Gates: (1) result ≡ the same join/agg over the unmanaged fixture;
+    * (2) the bucketed join's physical plan contains no shuffle exchange
+    * below the join. */
+  val bucketedJoin: Q = Q.gated("layout_bucketed_join") { (s, d) =>
+    val (o, c) = bucketedTables(s, d)
+    segRevenue(o, c)
+  } { (s, d, res) =>
+    val twin = segRevenue(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+    val diff = res.except(twin).count() + twin.except(res).count()
+    val (o, c) = bucketedTables(s, d)
+    val joinOnly = o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+      .select(o("o_custkey"), col("o_totalprice"), col("c_mktsegment"))
+    val plan = joinOnly.queryExecution.executedPlan.toString
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    Seq(
+      Gate("bucketed_vs_fixture_diff_rows", diff.toDouble, diff == 0),
+      Gate("shuffle_exchanges_in_bucketed_join", shuffles.toDouble, shuffles == 0))
+  }
+
+  private def fragPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_frag"
+  private def compactPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_compact"
+
+  /** Small-file compaction ([[Layout.compactDatePartitioned]]). The
+    * fragmented input models incremental appends: the fixture written
+    * with 8-way round-robin partitioning under `partitionBy(date)`, so
+    * every date directory holds ~8 small files. Compaction re-clusters
+    * by date and rewrites — each directory collapses to ONE file. The
+    * result frame reports per-date row counts and before/after file
+    * counts; gates pin row preservation (count per date identical to
+    * the fixture) and the 1-file-per-directory outcome. */
+  val compact: Q = Q.gated("layout_compact") { (s, d) =>
+    val events = Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
+    events.repartition(8)
+      .write.mode("overwrite").partitionBy("event_date").parquet(fragPath(d))
+    Layout.compactDatePartitioned(s, fragPath(d), compactPath(d))
+    val before = Layout.partitionFileCounts(s, fragPath(d))
+    val after = Layout.partitionFileCounts(s, compactPath(d))
+    val rows = s.read.parquet(compactPath(d))
+      .groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_rows"))
+    val countsDf = s.createDataFrame(
+      before.keys.toSeq.sorted.map(k =>
+        (k, before.getOrElse(k, 0), after.getOrElse(k, 0))))
+      .toDF("event_date", "files_before", "files_after")
+    rows.join(countsDf, "event_date")
+  } { (s, d, res) =>
+    val fixture = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_rows"))
+    val diff = res.select("event_date", "n_rows").except(fixture).count() +
+      fixture.except(res.select("event_date", "n_rows")).count()
+    val agg = res.agg(
+      max(col("files_after")).as("maxAfter"),
+      min(col("files_before")).as("minBefore")).head
+    Seq(
+      Gate("compacted_vs_fixture_diff_rows", diff.toDouble, diff == 0),
+      Gate("max_files_per_dir_after", agg.getInt(0).toDouble, agg.getInt(0) == 1),
+      Gate("min_files_per_dir_before", agg.getInt(1).toDouble, agg.getInt(1) > 1))
+  }
+
+  def all: Seq[Q] = Seq(partitionPrune, bucketedJoin, compact)
+}
