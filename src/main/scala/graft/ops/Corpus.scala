@@ -150,4 +150,38 @@ object Corpus {
       .withColumn("shard", expr(s"(_cum - _w) div $budget"))
       .drop("_w", "_cum")
   }
+
+  /** Concat-then-chunk sequence packing — the OTHER packing discipline
+    * (GPT-style pretraining dataloaders): per partition key, documents
+    * are laid end-to-end into one token stream and cut into fixed
+    * `seqLen`-token training sequences, documents SPLITTING across
+    * sequence boundaries (vs [[packShards]], which keeps documents whole
+    * and lets shards vary in fill). Emits each document's coordinates in
+    * that layout: its global token span [tok_start, tok_end) and the
+    * (sequence, offset) of its first and last token — exactly what a
+    * writer needs to emit packed rows, and what attention-masking needs
+    * to find document boundaries inside each sequence.
+    *
+    * Zero-token rows must be excluded upstream (they occupy no span;
+    * `(tok_end − 1)` underflows for them by construction).
+    *
+    * Scale shape: identical to [[packShards]] — one running-sum window
+    * per partition key, everything else a pure integer projection (all
+    * `div`/`pmod`, no doubles), so the only exchange is the window's
+    * hash partitioning and sequence ids never require materializing the
+    * packed stream itself. */
+  def packSequences(df: DataFrame, partitionKey: Column, order: Column,
+      weight: Column, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(partitionKey).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_w", weight)
+      .withColumn("_cum", sum(col("_w")).over(w))
+      .withColumn("tok_start", col("_cum") - col("_w"))
+      .withColumn("tok_end", col("_cum"))
+      .withColumn("seq_start", expr(s"tok_start div $seqLen"))
+      .withColumn("off_start", pmod(col("tok_start"), lit(seqLen)))
+      .withColumn("seq_end", expr(s"(tok_end - 1) div $seqLen"))
+      .withColumn("off_end", pmod(col("tok_end") - 1, lit(seqLen)) + 1)
+      .drop("_w", "_cum")
+  }
 }

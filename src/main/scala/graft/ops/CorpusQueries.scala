@@ -158,6 +158,40 @@ object CorpusQueries {
           x => x.getField("text")), "\n\n")).as("shard_md5"))
   }
 
+  /** Concat-then-chunk packing coordinates ([[Corpus.packSequences]]):
+    * every document's token span and (sequence, offset) boundaries under
+    * 1024-token fixed sequences per source. The integer-only layout
+    * arithmetic reproduces bit-for-bit in ANSI SQL, so this one is
+    * oracle-checked end-to-end (window + div/mod, no floats). */
+  val packSequences: Q = Q(
+    "corpus_pack_sequences",
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(lower(text), '${TextFunctions.BpePattern}')) AS INTEGER) AS n_bpe
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, source, n_bpe,
+       |    sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t WHERE n_bpe >= 1)
+       |SELECT doc_id, source, n_bpe,
+       |  CAST(cum - n_bpe AS BIGINT) AS tok_start,
+       |  CAST(cum AS BIGINT) AS tok_end,
+       |  CAST((cum - n_bpe) // 1024 AS BIGINT) AS seq_start,
+       |  CAST((cum - n_bpe) % 1024 AS BIGINT) AS off_start,
+       |  CAST((cum - 1) // 1024 AS BIGINT) AS seq_end,
+       |  CAST((cum - 1) % 1024 + 1 AS BIGINT) AS off_end
+       |FROM c""".stripMargin
+  ) { (s, d) =>
+    Corpus.packSequences(
+      Tables.documents(s, d).where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+        .where(col("n_bpe") >= 1),
+      partitionKey = col("source"), order = col("doc_id"),
+      weight = col("n_bpe"), seqLen = 1024L)
+  }
+
   def all: Seq[Q] = Seq(split, mixture, temperatureMix, stratified, packShards,
-    shardTexts)
+    shardTexts, packSequences)
 }
