@@ -92,6 +92,56 @@ object EventsStream {
       .start()
   }
 
+  /** The purchase side / follow side of the stream-stream range join
+    * ([[followPairsStream]]); factored so the batch twin is the SAME
+    * join over the same projections, minus only the watermarks. */
+  private def purchaseSide(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+
+  private def followSide(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("ts"), col("event_id").as("follow_id"))
+
+  private def followJoin(p: DataFrame, e: DataFrame): DataFrame =
+    p.join(e,
+        col("p_user") === col("user_id")
+          && col("ts") > col("p_ts")
+          && col("ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("follow_id"))
+
+  /** STREAM-STREAM range join: every (purchase, event) pair where the
+    * event follows the purchase by ≤ 1 hour for the same user — the
+    * incremental form of the q16 batch range join. Both sides carry a
+    * watermark and the join predicate bounds event time on both sides,
+    * which is exactly what lets Structured Streaming evict state: a
+    * buffered purchase can stop waiting once the event-side watermark
+    * passes p_ts + 1 h, so state is bounded by (watermark + 1 h) of
+    * traffic at any input scale, not by stream history. Equi-key
+    * user_id keeps the join hash-partitioned (state sharded by user),
+    * the same scale shape as the batch twin. */
+  def followPairsStream(events: DataFrame): DataFrame = {
+    val p = purchaseSide(events.withWatermark("ts", "2 hours"))
+    val e = followSide(events.withWatermark("ts", "2 hours"))
+    followJoin(p, e)
+  }
+
+  /** Batch twin: the identical join without watermarks. */
+  def followPairsBatch(events: DataFrame): DataFrame =
+    followJoin(purchaseSide(events), followSide(events))
+
+  /** Start the stream-stream follow join from a parquet directory file
+    * stream into a memory sink (StreamingSpec asserts multiset equality
+    * with [[followPairsBatch]] on the same fixture). */
+  def startFollowPairsQuery(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    followPairsStream(readEvents(spark, dir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+
   /** Per-user sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of event-time silence. Emits one summary per
     * CLOSED session (closed=true) plus the still-open session's running

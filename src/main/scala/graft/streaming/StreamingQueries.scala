@@ -61,5 +61,20 @@ object StreamingQueries {
     } finally flagged.unpersist()
   }
 
-  def all: Seq[Q] = Seq(windowed, dedupWindowed, decontaminate)
+  /** Batch twin of the stream-stream follow join
+    * ([[EventsStream.followPairsStream]]): the full (purchase, follower)
+    * pair set, oracle-checked; StreamingSpec asserts the watermarked
+    * streaming run produces the identical multiset. */
+  val followPairs: Q = Q(
+    "events_follow_pairs",
+    """SELECT p.event_id AS p_id, e.event_id AS follow_id
+      |FROM events p
+      |JOIN events e ON e.user_id = p.user_id
+      |  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+      |WHERE p.event_type = 'purchase'""".stripMargin
+  ) { (s, d) =>
+    EventsStream.followPairsBatch(Tables.events(s, d))
+  }
+
+  def all: Seq[Q] = Seq(windowed, dedupWindowed, decontaminate, followPairs)
 }
