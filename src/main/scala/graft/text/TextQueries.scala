@@ -1809,11 +1809,56 @@ object TextQueries {
     } finally docs.unpersist(blocking = false)
   }
 
+  /** CCNet-style perplexity partitioning (Wenzek et al. 2020 §4.3):
+    * each source's documents split into head/middle/tail thirds by LM
+    * perplexity (lower = more fluent = head) — the standard
+    * quality-tiering step before mixing, downstream of
+    * [[lmPerplexityVs]]. Buckets are per SOURCE so a noisy crawl and a
+    * clean one each contribute their own best third, instead of one
+    * global cutoff silently dropping entire sources.
+    *
+    * The oracle nests the full lm-perplexity oracle as a CTE, so this
+    * query end-to-end-checks model scoring AND tiering cross-engine;
+    * `ppl` is rounded to 6 decimals on both sides before ordering
+    * (tfidf precedent), ties break on doc_id.
+    *
+    * SCALE NOTE: exact per-source ntile is a total order per source
+    * (q26's caveat). The corpus-scale twin is approx_percentile
+    * cutpoints per source applied as a value filter — the same
+    * sketch-threshold swap [[qualityThresholdVs]] already ships and
+    * gates; this exact form is the oracle anchor. */
+  val perplexityBuckets: Q = Q(
+    "text_perplexity_buckets",
+    s"""WITH base AS (
+       |${lmPerplexity.oracle.get}
+       |)
+       |SELECT doc_id, source, ppl, bucket_no,
+       |  CASE bucket_no WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS ppl_bucket
+       |FROM (
+       |  SELECT d.doc_id, d.source, b.ppl,
+       |    CAST(ntile(3) OVER (PARTITION BY d.source
+       |      ORDER BY b.ppl, d.doc_id) AS INTEGER) AS bucket_no
+       |  FROM base b JOIN documents d ON b.doc_id = d.doc_id)""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("ppl"), col("doc_id"))
+    lmPerplexityVs(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"), col("ppl"),
+        ntile(3).over(w).as("bucket_no"))
+      .withColumn("ppl_bucket",
+        when(col("bucket_no") === 1, "head")
+          .when(col("bucket_no") === 2, "middle")
+          .otherwise("tail"))
+  }
+
   def all: Seq[Q] = Seq(
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
     contamination, contaminationBloom, contaminationSpans,
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
     bm25, paragraphDedupQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
     vocabBySource, vocabHll, chunkWindowsQ, qualityBudget, qualityThreshold,
-    bpeTrain, bpeLearnedTokens, piiScrub, qualityClassifier)
+    bpeTrain, bpeLearnedTokens, piiScrub, qualityClassifier, perplexityBuckets)
 }
