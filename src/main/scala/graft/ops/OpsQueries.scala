@@ -105,6 +105,22 @@ object OpsQueries {
     SimilaritySearch.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)
   }
 
+  /** Hard-negative mining ([[SimilaritySearch.hardNegatives]]): top-5
+    * nearest OTHER-label vectors per anchor, oracle-checked end-to-end
+    * (the label-mismatch predicate rides the same all-pairs + window
+    * oracle as ann_cosine_topk). */
+  val hardNegatives: Q = Q(
+    "ml_hard_negatives",
+    s"""SELECT i, j, cosine, rank FROM (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, $CosineExpr AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY $CosineExpr DESC, b.vec_id ASC) AS INTEGER) AS rank
+       |  FROM embeddings a JOIN embeddings b ON a.label <> b.label)
+       |WHERE rank <= 5""".stripMargin
+  ) { (s, d) =>
+    SimilaritySearch.hardNegatives(Tables.embeddings(s, d), k = 5)
+  }
+
   val annTopK: Q = Q(
     "ann_cosine_topk",
     s"""SELECT i, j, cosine, rank FROM (
@@ -466,5 +482,6 @@ object OpsQueries {
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annPq, semanticDups, canonical, retained, substringSpans,
-    leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune)
+    leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
+    hardNegatives)
 }

@@ -49,6 +49,37 @@ object SimilaritySearch {
       k)
   }
 
+  /** Hard-negative mining for contrastive/metric training: per anchor,
+    * the k most-similar vectors carrying a DIFFERENT label — the
+    * negatives near the decision boundary that actually move a
+    * contrastive loss (uniform-random negatives are mostly trivial at
+    * scale). Same bounded-heap top-k shape as [[bruteTopK]] with the
+    * label-mismatch predicate applied BEFORE the heap, so same-label
+    * pairs never occupy candidate slots. Rows with a NULL label produce
+    * no pairs on either side (SQL null comparison semantics — an
+    * unlabeled vector can be neither anchor nor negative).
+    *
+    * This exact all-pairs form is the oracle anchor; at corpus scale
+    * feed [[ivfTopK]]/[[lshTopK]] candidate pairs through the same
+    * label filter + heap instead (the ANN family's standard swap). */
+  def hardNegatives(emb: DataFrame, k: Int = 5, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+        asDoubleArray(col(vecCol)).as("v"), col(labelCol).as("lbl"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+    val a = graft.Partitioning.spread(
+      pts.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"),
+        col("lbl").as("la")))
+    val b = pts.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"),
+      col("lbl").as("lb"))
+    topKTail(
+      a.crossJoin(b)
+        .where(col("la") =!= col("lb"))
+        .select(col("i"), col("j"),
+          (lit(1.0) - arrayDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("dist2")),
+      k)
+  }
+
   /** Window form of the same result (declarative/oracle shape). */
   def bruteTopKWindow(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 5): DataFrame = {
