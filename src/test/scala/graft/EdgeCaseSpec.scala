@@ -394,4 +394,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     // 60 significant bits at most — required by the banding join's chunks
     assert((one >>> 60) == 0L)
   }
+
+  test("packSequences: boundary-exact, boundary-crossing and multi-seq spans") {
+    // L=1024; token stream: d1 [0,1000) · d2 [1000,1024) ends ON the
+    // boundary · d3 [1024,3072) spans 2 full sequences · d4 [3072,3073)
+    val docs = Seq((1L, 1000L), (2L, 24L), (3L, 2048L), (4L, 1L))
+      .toDF("doc_id", "n_tok")
+    val out = ops.Corpus.packSequences(docs, lit(1), col("doc_id"),
+        col("n_tok"), seqLen = 1024L)
+      .select("doc_id", "tok_start", "tok_end",
+        "seq_start", "off_start", "seq_end", "off_end")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 0L, 1000L, 0L, 0L, 0L, 1000L)))
+    // a doc ending exactly at the boundary closes seq 0 with off_end = L
+    assert(out(1) == ((2L, 1000L, 1024L, 0L, 1000L, 0L, 1024L)))
+    // a 2·L doc starting at the boundary owns sequences 1..2 end-to-end
+    assert(out(2) == ((3L, 1024L, 3072L, 1L, 0L, 2L, 1024L)))
+    assert(out(3) == ((4L, 3072L, 3073L, 3L, 0L, 3L, 1L)))
+  }
+
+  test("followPairsBatch: range semantics — strict lower, inclusive upper, same user") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def plus(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val events = Seq(
+      (1L, t0, 100L, "purchase", 1.0),        // the purchase
+      (2L, plus(30), 100L, "view", 1.0),      // inside the hour -> pair
+      (3L, plus(60), 100L, "view", 1.0),      // exactly +1h, inclusive -> pair
+      (4L, plus(61), 100L, "view", 1.0),      // beyond -> no
+      (5L, t0, 100L, "view", 1.0),            // simultaneous, strict > -> no
+      (6L, plus(30), 200L, "view", 1.0))      // other user -> no
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pairs = streaming.EventsStream.followPairsBatch(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L)))
+  }
 }

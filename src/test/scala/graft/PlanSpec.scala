@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions: the scale-critical plan properties must hold
@@ -401,5 +402,58 @@ class PlanSpec extends AnyFunSuite {
         l.contains("ShuffledHashJoin") || l.contains("CartesianProduct") ||
         l.contains("BroadcastNestedLoopJoin"))
     assert(n == 1, s"expected exactly the tot-hit assembly join, found $n:\n$p")
+  }
+
+  test("layout_partition_prune: the day scan resolves as a partition filter") {
+    // running the query fn writes the layout, so the plan below reads it
+    val df = SparkEntry.queries("layout_partition_prune")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("event_date")),
+      s"day predicate must prune partitions at planning time:\n$p")
+    // and the day predicate must NOT fall through to a row-level pushed
+    // filter — the scan line carries it ONLY in PartitionFilters
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("PushedFilters: []"), scanLine)
+  }
+
+  test("layout: bucketed join is exchange-free below the join") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_layout/planspec"
+    graft.io.Layout.writeBucketed(
+      Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
+      "planspec_orders_bkt", s"$tmp/orders", "o_custkey", 4)
+    graft.io.Layout.writeBucketed(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_mktsegment")),
+      "planspec_customer_bkt", s"$tmp/customer", "c_custkey", 4)
+    val o = spark.table("planspec_orders_bkt")
+    val c = spark.table("planspec_customer_bkt")
+    val j = o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed sides must feed the join without a shuffle:\n$p")
+  }
+
+  test("corpus_pack_sequences: exactly the window's one exchange, no joins") {
+    val p = plan("corpus_pack_sequences")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"layout math must ride the single per-source window exchange, found $exchanges:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("events_follow_pairs: stream-shaped range join stays equi-keyed") {
+    val p = plan("events_follow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"user_id must be the join key with the time range as predicate:\n$p")
+  }
+
+  test("text_perplexity_buckets: no cartesian; tiering window is per-source") {
+    val p = plan("text_perplexity_buckets")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ntile window must be hash-partitioned by source, not global
+    assert(p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("source")), p)
   }
 }

@@ -801,4 +801,46 @@ class ProfileSpec extends AnyFunSuite {
     assert(scored == n)
     big.unpersist()
   }
+
+  test("scale stress: AQE splits a skewed join partition at runtime") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // One hot key owning 70% of a 2M-row fact side — the canonical
+    // skew shape (a bot user, a boilerplate dedup hash). The engine's
+    // posture is: declare the join, let AQE re-plan the hot partition
+    // into advisory-sized splits at runtime — no hand salting needed on
+    // the JOIN path (q27 pins the salted-AGGREGATION pattern where
+    // pre-aggregation, not splitting, is the fix). Probe pins that the
+    // optimization actually fires (skew=true in the final plan) and
+    // that row multiplicity is untouched.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      import spark.implicits._
+      val fact = spark.range(2000000L)
+        .select(when(pmod(col("id"), lit(10)) < 7, 0L)
+            .otherwise(pmod(col("id"), lit(1000))).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(1000L).select(col("id").as("k"), (col("id") * 2).as("dv"))
+      val joined = fact.join(dim, "k")
+      // collect() (not count()) so THIS QueryExecution runs and its
+      // adaptive plan finalizes — count() would execute a different one
+      val n = time("skewed join 2M rows")(joined.collect().length)
+      assert(n == 2000000, s"join must preserve multiplicity, got $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not fire:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

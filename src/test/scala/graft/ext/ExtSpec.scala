@@ -179,6 +179,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream follow join equals its batch twin") {
+    val batch = EventsStream.followPairsBatch(graft.Tables.events(spark, dir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(batch.nonEmpty, "fixture sanity: some purchases must have followers")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("events-follow-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventsStream.startFollowPairsQuery(spark, streamDir.toString, "ftest")
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("ftest")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(stream == batch, s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming quality scoring equals its batch twin (frozen offline model)") {
     val docsB = spark.read.parquet(s"$dir/documents.parquet")
     val model = graft.text.QualityClassifier.train(docsB, epochs = 5)
