@@ -75,6 +75,66 @@ object Layout {
       }.toMap
   }
 
+  /** Incremental rollup maintenance: merge `days` of a date-partitioned
+    * events layout into a date-partitioned daily aggregate table WITHOUT
+    * touching any other day — the pattern that keeps a 100 TB history
+    * from being rescanned for every daily refresh. The source read is
+    * partition-pruned to the new days; the write uses DYNAMIC partition
+    * overwrite, so only the new days' directories of the rollup are
+    * replaced (no read-modify-write of the aggregate, no tmp-and-swap).
+    * Re-merging a day is idempotent by construction: its partition is
+    * simply rewritten with the same content. */
+  def mergeDailyAgg(spark: SparkSession, layoutPath: String, aggPath: String,
+      days: Seq[String]): Unit =
+    spark.read.parquet(layoutPath)
+      .where(col("event_date").isin(days: _*))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("total_value"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_date")
+      .parquet(aggPath)
+
+  /** Targeted row deletion from a date-partitioned layout (the
+    * right-to-be-forgotten / takedown primitive): remove `ids` while
+    * rewriting ONLY the partitions that contain them. At 100 TB a
+    * deletion request touches a handful of days; rewriting the whole
+    * layout for it is the naive failure mode. Three steps, all bounded
+    * by the affected slice: (1) find affected partition values with a
+    * semi join (driver list bounded by partition count, never rows);
+    * (2) anti-join ONLY those partitions against the victim ids into a
+    * staging dir; (3) swap the affected partition directories via
+    * filesystem rename (atomic per directory on HDFS; object stores
+    * substitute their own atomic-commit layer). Untouched partitions'
+    * files are never opened, listed into a job, or rewritten — the
+    * query's gate checks their file listing is byte-identical.
+    * Returns the affected partition values. */
+  def deleteRows(spark: SparkSession, layoutPath: String, ids: DataFrame,
+      idCol: String, partCol: String = "event_date"): Seq[String] = {
+    val layout = spark.read.parquet(layoutPath)
+    val affected = layout.join(ids, Seq(idCol), "left_semi")
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val staging = s"$layoutPath.staging_delete"
+      layout.where(col(partCol).cast("string").isin(affected: _*))
+        .join(ids, Seq(idCol), "left_anti")
+        .write.mode("overwrite").partitionBy(partCol).parquet(staging)
+      val root = new org.apache.hadoop.fs.Path(layoutPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { v =>
+        val live = new org.apache.hadoop.fs.Path(root, s"$partCol=$v")
+        val fresh = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(staging), s"$partCol=$v")
+        fs.delete(live, true)
+        fs.rename(fresh, live)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    affected
+  }
+
   /** Write a frame as a bucketed external table: `buckets` hash buckets
     * on `key`, sorted within buckets, files at `path`, metadata in the
     * session catalog (bucketing is catalog metadata — a plain

@@ -148,5 +148,99 @@ object LayoutQueries {
       Gate("min_files_per_dir_before", agg.getInt(1).toDouble, agg.getInt(1) > 1))
   }
 
-  def all: Seq[Q] = Seq(partitionPrune, bucketedJoin, compact)
+  private def rollupPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_rollup"
+
+  /** Incremental rollup maintenance ([[Layout.mergeDailyAgg]]): three
+    * daily merges land days 13–15 into the date-partitioned rollup, then
+    * day 14 is merged AGAIN — the re-run a production scheduler will
+    * eventually do. Gates pin (1) the rollup ≡ a direct fixture
+    * aggregate over those days (so the incremental path loses nothing),
+    * and (2) the re-merge added no duplicate rows (dynamic partition
+    * overwrite is what makes the refresh idempotent). Each merge reads
+    * ONLY its days (partition-pruned source scan) and rewrites ONLY its
+    * days' rollup partitions. */
+  val incrementalAgg: Q = Q.gated("layout_incremental_agg") { (s, d) =>
+    Layout.writeDatePartitioned(Tables.events(s, d), dayPath(d))
+    Layout.mergeDailyAgg(s, dayPath(d), rollupPath(d), Seq("2024-01-13", "2024-01-14"))
+    Layout.mergeDailyAgg(s, dayPath(d), rollupPath(d), Seq("2024-01-15"))
+    // idempotent re-merge of an already-loaded day
+    Layout.mergeDailyAgg(s, dayPath(d), rollupPath(d), Seq("2024-01-14"))
+    s.read.parquet(rollupPath(d))
+      .select(col("event_date").cast("string").as("event_date"),
+        col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))
+  } { (s, d, res) =>
+    val days = Seq("2024-01-13", "2024-01-14", "2024-01-15")
+    val twin = Tables.events(s, d)
+      .withColumn("event_date", to_date(col("ts")).cast("string"))
+      .where(col("event_date").isin(days: _*))
+      .groupBy("event_date", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    val diff = res.except(twin).count() + twin.except(res).count()
+    val dups = res.groupBy("event_date", "event_type").count()
+      .where(col("count") > 1).count()
+    Seq(
+      Gate("rollup_vs_fixture_diff_rows", diff.toDouble, diff == 0),
+      Gate("duplicate_keys_after_remerge", dups.toDouble, dups == 0))
+  }
+
+  private def delPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_delete"
+
+  /** Targeted deletion ([[Layout.deleteRows]]): victims are every 10th
+    * event of exactly two days, so 2 of 30 partitions must be rewritten
+    * and 28 must remain byte-identical (same file names and sizes — the
+    * fn snapshots the listing before the delete and reports per-date
+    * whether it changed). Gates: victims gone everywhere, survivors of
+    * touched days intact, untouched days' row counts AND file listings
+    * unchanged. */
+  val targetedDelete: Q = Q.gated("layout_targeted_delete") { (s, d) =>
+    import org.apache.hadoop.fs.Path
+    val victims = Tables.events(s, d)
+      .where(to_date(col("ts")).cast("string").isin("2024-01-05", "2024-01-20")
+        && col("event_id") % 10 === 0)
+      .select("event_id")
+    Layout.writeDatePartitioned(Tables.events(s, d), delPath(d))
+    val root = new Path(delPath(d))
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Seq[(String, Long)]] =
+      fs.listStatus(root).toSeq.filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("event_date=")).map { st =>
+        st.getPath.getName.stripPrefix("event_date=") ->
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1)
+      }.toMap
+    val before = listing()
+    val affected = Layout.deleteRows(s, delPath(d), victims, "event_id")
+    val after = listing()
+    val unchanged = before.keySet.map(k =>
+      k -> (before(k) == after.getOrElse(k, Nil))).toMap
+    val rows = s.read.parquet(delPath(d))
+      .groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_rows"))
+    val meta = s.createDataFrame(before.keySet.toSeq.sorted.map(k =>
+        (k, affected.contains(k), unchanged(k))))
+      .toDF("event_date", "touched", "files_unchanged")
+    rows.join(meta, "event_date")
+  } { (s, d, res) =>
+    val expected = Tables.events(s, d)
+      .withColumn("event_date", to_date(col("ts")).cast("string"))
+      .where(!(col("event_date").isin("2024-01-05", "2024-01-20")
+        && col("event_id") % 10 === 0))
+      .groupBy("event_date").agg(count(lit(1)).as("n_rows"))
+    val diff = res.select("event_date", "n_rows").except(expected).count() +
+      expected.except(res.select("event_date", "n_rows")).count()
+    val touched = res.where(col("touched")).count()
+    val staleUntouched = res.where(!col("touched") && !col("files_unchanged")).count()
+    val rewrittenTouched = res.where(col("touched") && col("files_unchanged")).count()
+    Seq(
+      Gate("post_delete_vs_expected_diff_rows", diff.toDouble, diff == 0),
+      Gate("partitions_touched", touched.toDouble, touched == 2),
+      Gate("untouched_partitions_rewritten", staleUntouched.toDouble,
+        staleUntouched == 0),
+      Gate("touched_partitions_not_rewritten", rewrittenTouched.toDouble,
+        rewrittenTouched == 0))
+  }
+
+  def all: Seq[Q] = Seq(partitionPrune, bucketedJoin, compact, incrementalAgg,
+    targetedDelete)
 }
