@@ -141,6 +141,24 @@ object OpsQueries {
     * roughly one probe of headroom (the probe ladder at 8 tables reads
     * 2→0.726, 3→0.847). The r6 single-probe config (14×1) measured
     * 0.681 against a 0.62 floor; multi-probe raised both. */
+  /** PCA-candidate two-stage retrieval ([[SimilaritySearch.pcaTopK]]) —
+    * gated on recall@5 vs the exact twin. Operating point 24 dims / 60
+    * candidates: the fixture's near-uniform 64-dim vectors are PCA's
+    * WORST case (variance spread evenly, so r dims keep only ~r/64 of
+    * it — the dims/recall ladder at 60 candidates measures 8→0.584,
+    * 16→0.797, 24→0.913, 32→0.974); clustered real corpora concentrate
+    * variance far faster and reach the same recall at far fewer dims.
+    * Floor 0.8 ≈ one 8-dim step of headroom below the measured 0.913. */
+  val annPca: Q = Q.gated("ann_pca_topk") { (s, d) =>
+    SimilaritySearch.pcaTopK(Tables.embeddings(s, d), k = 5,
+      pcaDims = 24, candidates = 60)
+  } { (s, d, res) =>
+    val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
+    val (recall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
+    Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.8))
+  }
+
   val annLsh: Q = Q.gated("ann_lsh_topk") { (s, d) =>
     SimilaritySearch.lshTopK(Tables.embeddings(s, d), k = 5)
   } { (s, d, res) =>
@@ -483,5 +501,5 @@ object OpsQueries {
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annPq, semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
-    hardNegatives)
+    hardNegatives, annPca)
 }

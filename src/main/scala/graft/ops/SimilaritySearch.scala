@@ -80,6 +80,32 @@ object SimilaritySearch {
       k)
   }
 
+  /** Two-stage retrieval with a DIMENSION-REDUCED candidate stage: PCA
+    * projects the corpus to `pcaDims` (one treeAggregate fit, pure
+    * projection apply — [[graft.ml.Preprocess.pca]]), a coarse top-
+    * `candidates` search runs in the cheap low-dim space, and only those
+    * candidate pairs are re-scored with exact full-dimension cosine —
+    * the rerank reads n·candidates pairs, never n². This is the
+    * dimension-reduction member of the candidate-generation family
+    * (IVF partitions space, LSH hashes it, PQ compresses it, PCA
+    * shrinks it); at corpus scale compose them — run the coarse stage
+    * itself as IVF over the projected vectors. Gated on recall@k vs
+    * the exact twin. */
+  def pcaTopK(emb: DataFrame, k: Int = 5, pcaDims: Int = 8,
+      candidates: Int = 30, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val proj = graft.ml.Preprocess.pca(emb, idCol, vecCol, pcaDims)
+    val coarse = bruteTopK(proj, idCol, vecCol, candidates).select(col("i"), col("j"))
+    val pts = normalizedPoints(emb, idCol, vecCol)
+    val a = pts.select(col("id").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = pts.select(col("id").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+    topKTail(
+      coarse.join(a, "i").join(b, "j")
+        .select(col("i"), col("j"),
+          (lit(1.0) - arrayDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("dist2")),
+      k)
+  }
+
   /** Window form of the same result (declarative/oracle shape). */
   def bruteTopKWindow(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", k: Int = 5): DataFrame = {
