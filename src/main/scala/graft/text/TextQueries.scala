@@ -1037,6 +1037,111 @@ object TextQueries {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** Per-source boilerplate line removal (the CCNet/RefinedWeb
+    * boilerplate heuristic, distinct from [[paragraphDedup]]'s
+    * keep-first): a line is boilerplate WITHIN a source when it appears
+    * in at least `minDf` documents AND in more than `ratioNum/ratioDen`
+    * of the source's documents — template headers, cookie banners,
+    * nav text. Unlike keep-first dedup, EVERY occurrence is cut
+    * (including the first): boilerplate is noise, not content with an
+    * owner. The ratio test is integer cross-multiplication
+    * (`df·den > nd·num`), so both engines decide identically with no
+    * float division.
+    *
+    * Scale shape: line doc-frequency is a per-(source, line-hash)
+    * distinct-doc aggregation (hashes, not raw lines, through the
+    * shuffle); per-source doc counts are a catalog-sized side that AQE
+    * broadcasts; the flag join is a (source, hash) equi-join; rebuild
+    * is one doc-keyed aggregation. A 10⁹-doc hot line costs its
+    * distinct-partial per map task, never a driver collect. Output:
+    * (doc_id, n_lines, n_removed, clean_md5) — md5 of the rebuilt text
+    * so the cut is verified byte-exactly; a fully-boilerplate doc
+    * hashes the empty string. */
+  def boilerplateScrub(docs: org.apache.spark.sql.DataFrame, minDf: Int = 3,
+      ratioNum: Int = 1, ratioDen: Int = 10): org.apache.spark.sql.DataFrame = {
+    val base = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+    val lines = base
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\n")).as(Seq("p", "line")))
+      .withColumn("h", md5(col("line")))
+    val srcDocs = base.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val boiler = lines.groupBy("source", "h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(srcDocs, "source")
+      .where(col("df") >= minDf && col("df") * ratioDen > col("nd") * ratioNum)
+      .select(col("source"), col("h"), lit(1).as("_b"))
+    lines.join(boiler, Seq("source", "h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("_b").isNotNull, 1).otherwise(0)).cast("int").as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            when(col("_b").isNull, struct(col("p"), col("line"))))),
+          x => x.getField("line")), "\n")).as("clean_md5"))
+  }
+
+  /** Boilerplate-scrub query over the same derived multi-line corpus as
+    * [[paragraphDedupQ]] (planted header in every doc_id%3 == 0 doc,
+    * footer in every %7 == 0 — both far above the 10% source threshold),
+    * oracle-replicated end-to-end including the byte-exact rebuild. */
+  val boilerplateScrubQ: Q = Q(
+    "text_boilerplate_scrub",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |l0 AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 6.0) AS INTEGER), 1)),
+      |      i -> array_to_string(toks[i*6+1:i*6+6], ' ')) AS ls
+      |  FROM t),
+      |page AS (
+      |  SELECT doc_id, source,
+      |    (CASE WHEN doc_id % 3 = 0
+      |       THEN ['subscribe to our newsletter for updates'] ELSE [] END)
+      |    || ls ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |       THEN ['all rights reserved contact us for details'] ELSE [] END) AS ls
+      |  FROM l0),
+      |lines AS (
+      |  SELECT doc_id, source, unnest(ls) AS line, generate_subscripts(ls, 1) AS p
+      |  FROM page),
+      |nd AS (SELECT source, count(DISTINCT doc_id) AS nd FROM page GROUP BY 1),
+      |ldf AS (SELECT source, line, count(DISTINCT doc_id) AS df
+      |        FROM lines GROUP BY 1, 2),
+      |b AS (SELECT ldf.source, ldf.line FROM ldf JOIN nd USING (source)
+      |      WHERE df >= 3 AND df * 10 > nd * 1)
+      |SELECT l.doc_id,
+      |  CAST(count(*) AS INTEGER) AS n_lines,
+      |  CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+      |  md5(coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+      |      chr(10) ORDER BY l.p), '')) AS clean_md5
+      |FROM lines l LEFT JOIN b ON l.source = b.source AND l.line = b.line
+      |GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val nChunks = greatest(ceil(size(col("_t")) / lit(6.0)).cast("int"), lit(1))
+    val emptyArr = array().cast("array<string>")
+    val derived = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .withColumn("_t", tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("_t"), i * 6 + 1, lit(6)), " ")).as("_l0"))
+      .select(col("doc_id"), col("source"),
+        array_join(concat(
+          when(col("doc_id") % 3 === 0,
+            array(lit("subscribe to our newsletter for updates"))).otherwise(emptyArr),
+          col("_l0"),
+          when(col("doc_id") % 7 === 0,
+            array(lit("all rights reserved contact us for details"))).otherwise(emptyArr)),
+          "\n").as("text"))
+    boilerplateScrub(derived)
+  }
+
   /** Paragraph-dedup query. The fixture is single-line, so the corpus is
     * first derived deterministically (c4Clean precedent): 6-token chunks
     * as paragraphs, plus a shared boilerplate line prepended to every
@@ -1860,5 +1965,6 @@ object TextQueries {
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
     bm25, paragraphDedupQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
     vocabBySource, vocabHll, chunkWindowsQ, qualityBudget, qualityThreshold,
-    bpeTrain, bpeLearnedTokens, piiScrub, qualityClassifier, perplexityBuckets)
+    bpeTrain, bpeLearnedTokens, piiScrub, qualityClassifier, perplexityBuckets,
+    boilerplateScrubQ)
 }
