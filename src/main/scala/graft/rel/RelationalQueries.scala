@@ -663,11 +663,39 @@ object RelationalQueries {
         col("event_value"), col("n_events"), col("order_value"), col("n_orders"))
   }
 
+  /** Correlated scalar subquery — orders strictly above their own
+    * customer's average order value. The oracle keeps the correlated
+    * form (DuckDB decorrelates it); the Spark program IS the
+    * decorrelated plan, written declaratively: one per-customer
+    * aggregate joined back on the key — exactly what Catalyst's
+    * subquery decorrelation produces, so the equivalence of the two
+    * formulations is what this query checks. The avg comparison is
+    * integer-safe cross-multiplication (price·count > total in
+    * DECIMAL), never a float division, so both engines make identical
+    * keep decisions on ties. */
+  val q31ScalarSubquery: Q = Q(
+    "q31_scalar_subquery",
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+      |    * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |     FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val stats = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+    o.join(stats, "o_custkey")
+      .where(col("o_totalprice").cast("decimal(18,2)") * col("cnt") > col("tot"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
     q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
     q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg,
-    q28ApproxPercentiles, q29Sessions, q30FullOuter)
+    q28ApproxPercentiles, q29Sessions, q30FullOuter, q31ScalarSubquery)
 }
