@@ -449,6 +449,19 @@ class PlanSpec extends AnyFunSuite {
       s"user_id must be the join key with the time range as predicate:\n$p")
   }
 
+  test("text_boilerplate_scrub: hash-keyed equi-joins only, partial distinct phases") {
+    val p = plan("text_boilerplate_scrub")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // line doc-frequency must keep its partial (map-side) phase
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q31: the correlated-subquery twin plans as one aggregate + equi-join") {
+    val p = plan("q31_scalar_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("text_perplexity_buckets: no cartesian; tiering window is per-source") {
     val p = plan("text_perplexity_buckets")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

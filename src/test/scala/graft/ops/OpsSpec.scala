@@ -355,6 +355,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pqSet() == pq, "seeded codebooks + deterministic ties: runs must agree")
   }
 
+  test("pcaTopK: full-rank projection + full candidate budget recovers exact top-k") {
+    // with pcaDims = d the projection is an orthonormal rotation (inner
+    // products preserved bit-for-bit up to float assoc), and with
+    // candidates covering the corpus the rerank sees every pair — so the
+    // two-stage path must reproduce the exact result; anything else
+    // means the rerank or candidate join drops pairs
+    val exact = SimilaritySearch.bruteTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = SimilaritySearch.pcaTopK(emb, k = 5, pcaDims = 64, candidates = 499)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"ceiling not recovered: ${(exact diff full).size} lost")
+  }
+
+  test("pcaTopK: starved dimensions degrade recall (what the gate catches)") {
+    val exact = SimilaritySearch.bruteTopK(emb, k = 5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(dims: Int) = {
+      val s = SimilaritySearch.pcaTopK(emb, k = 5, pcaDims = dims)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (s intersect exact).size.toDouble / exact.size
+    }
+    val starved = recallAt(2)
+    val healthy = recallAt(16)
+    println(s"[ops] pca recall@5: dims=2 $starved, dims=16 $healthy")
+    assert(starved < healthy,
+      s"2 dims ($starved) must lose to 16 ($healthy) — else the coarse stage is inert")
+  }
+
+  test("hardNegatives: every pair crosses labels; k bound respected") {
+    val hn = SimilaritySearch.hardNegatives(emb, k = 5)
+    val lbl = emb.select(col("vec_id").as("i"), col("label").as("la"))
+    val lblB = emb.select(col("vec_id").as("j"), col("label").as("lb"))
+    val crossed = hn.join(lbl, "i").join(lblB, "j")
+    assert(crossed.where(col("la") === col("lb")).count() == 0,
+      "a same-label pair survived the negative filter")
+    val maxPerAnchor = hn.groupBy("i").count().agg(max("count")).head.getLong(0)
+    assert(maxPerAnchor <= 5)
+  }
+
   test("IVF-PQ: starved refine budget degrades recall (the failure mode the gate catches)") {
     val exact = SimilaritySearch.bruteTopK(emb, k = 5)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -434,6 +434,44 @@ class TextSpec extends AnyFunSuite {
     assert(r.getString(3) == md5Hex("same\nother"))
   }
 
+  // --- boilerplate scrub ---
+
+  test("boilerplate scrub: every occurrence cut, per-source scope, minDf floor") {
+    import spark.implicits._
+    // source A: 10 docs; "cookie banner" in 4 of them (df=4 >= 3,
+    // 4*10 > 10*1) -> boilerplate, cut EVERYWHERE including doc 0.
+    // "rare note" in 2 docs: df=2 < minDf -> kept.
+    // source B: 3 docs all sharing "cookie banner" — but that's B's own
+    // df=3, 3*10 > 3*1 -> boilerplate IN B independently.
+    val a = (0L until 10L).map { i =>
+      val banner = if (i < 4) "cookie banner\n" else ""
+      val rare = if (i >= 8) "rare note\n" else ""
+      (i, "A", s"${banner}${rare}content line $i")
+    }
+    val b = (10L until 13L).map(i => (i, "B", s"cookie banner\nbody $i"))
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val out = TextQueries.boilerplateScrub(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 0: banner cut (even though it "owns" it), content kept
+    assert(out(0L) == ((2, 1, md5Hex("content line 0"))))
+    // doc 8 (no banner): rare note survives (below minDf), nothing cut
+    assert(out(8L) == ((2, 0, md5Hex("rare note\ncontent line 8"))))
+    // source B docs: banner cut under B's own threshold
+    assert(out(10L) == ((2, 1, md5Hex("body 10"))))
+  }
+
+  test("boilerplate scrub: a fully-boilerplate doc hashes the empty string") {
+    import spark.implicits._
+    val docs = ((0L until 5L).map(i => (i, "S", "only line")) :+
+      ((9L, "S", "only line")))
+      .toDF("doc_id", "source", "text")
+    val out = TextQueries.boilerplateScrub(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.values.toSet == Set(md5Hex("")),
+      "a doc that is entirely source-wide boilerplate reassembles empty")
+  }
+
   // --- surgical span scrub ---
 
   /** Reference model: stride-grid window hits vs the bench substring set,
