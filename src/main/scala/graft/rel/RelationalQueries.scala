@@ -691,11 +691,40 @@ object RelationalQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** Event-time RANGE window frame — the sliding-interval complement of
+    * q14's ROWS frame: per user, the count and DECIMAL sum of activity
+    * in the trailing hour BEFORE each event (exclusive of it, so the
+    * frame is lag-like and self-count can't mask an off-by-one). Spark's
+    * rangeBetween is numeric, so the order key is epoch millis — which
+    * is also what makes the oracle's RANGE frame arithmetic identical.
+    * Scale shape: one hash partition by user feeding one sort, same as
+    * every per-user window here. */
+  val q32TimeRangeWindow: Q = Q(
+    "q32_time_range_window",
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_prev_hour,
+      |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,6))) OVER w, 0) AS DOUBLE) AS v_prev_hour
+      |FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS tms FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+      |  RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING)""".stripMargin
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+      .rangeBetween(-3600000L, -1L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_millis(col("ts")).as("tms"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_prev_hour"),
+        coalesce(sum(col("value").cast("decimal(18,6)")).over(w), lit(0))
+          .cast("double").as("v_prev_hour"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
     q11SemiJoin, q12Rollup, q13Json, q14RunningSum, q15LagGap,
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
     q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg,
-    q28ApproxPercentiles, q29Sessions, q30FullOuter, q31ScalarSubquery)
+    q28ApproxPercentiles, q29Sessions, q30FullOuter, q31ScalarSubquery,
+    q32TimeRangeWindow)
 }
