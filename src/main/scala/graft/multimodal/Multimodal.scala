@@ -197,31 +197,60 @@ object Multimodal {
     * projections only. */
   def videoNearDupPairs(media: DataFrame, stride: Int = 24,
       maxFrameHamming: Int = 6, minMatchFrac: Double = 0.8): DataFrame = {
-    require(maxFrameHamming >= 1 && maxFrameHamming < 30,
-      s"maxFrameHamming in [1,30), got $maxFrameHamming")
     val ph = udf { (c: Array[Byte]) => Codec.phash(c) }
+    sigOverlapPairs(
+      sampleFrames(media, stride)
+        .select(col("media_id"), ph(col("content")).as("sim")),
+      maxFrameHamming, minMatchFrac)
+  }
+
+  /** Audio-level near-duplicate pairs: the acoustic analog of
+    * [[videoNearDupPairs]] — fixed-size windows over the sample stream
+    * fingerprinted at the codec boundary (a real implementation hashes
+    * spectrogram peaks, Shazam-style; the stub hashes the window bytes),
+    * then the same distinct-signature overlap machinery: banding
+    * equi-join candidacy, exact Hamming verify, per-pair matched-window
+    * fraction. Trims/re-encodes that preserve window content still
+    * match because matching is on signature content, not position. */
+  def audioNearDupPairs(media: DataFrame, windowBytes: Int = 16,
+      stride: Int = 16, maxWindowHamming: Int = 6,
+      minMatchFrac: Double = 0.9): DataFrame = {
+    val ph = udf { (c: Array[Byte]) => Codec.phash(c) }
+    sigOverlapPairs(
+      sampleAudioWindows(media, windowBytes, stride)
+        .select(col("media_id"), ph(col("content")).as("sim")),
+      maxWindowHamming, minMatchFrac)
+  }
+
+  /** Signature-set overlap core shared by the video and audio near-dup
+    * paths (steps 2–4 of the pipeline documented on
+    * [[videoNearDupPairs]]): distinct per-media signatures, pigeonhole
+    * banding candidacy, exact bit_count verify, match-fraction
+    * aggregation against the a-side signature count. Input: one row per
+    * (media_id, sim) occurrence; multiplicity is collapsed here. */
+  private def sigOverlapPairs(rawSigs: DataFrame, maxHamming: Int,
+      minMatchFrac: Double): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 30,
+      s"maxHamming in [1,30), got $maxHamming")
     // cached: the banding self-join consumes this frame on both sides
     // (same double-evaluation hazard as Dedup.hammingPairs)
-    val sigs = sampleFrames(media, stride)
-      .select(col("media_id"), ph(col("content")).as("sim"))
-      .distinct()
-      .cache()
+    val sigs = rawSigs.distinct().cache()
     val nsigs = sigs.groupBy("media_id").agg(count(lit(1)).as("n_sigs"))
-    val chunks = maxFrameHamming + 1
+    val chunks = maxHamming + 1
     val bitsPer = 60 / chunks
     val withChunks = sigs.select(col("media_id"), col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
       .withColumn("chunk_val",
         expr(s"pmod(shiftright(sim, chunk_id * $bitsPer), ${1L << bitsPer})"))
-    val frameMatches = withChunks.as("a")
+    val sigMatches = withChunks.as("a")
       .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
       .where(col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         col("a.sim").as("sim_a"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .distinct() // a pair agreeing on several chunks surfaces once
-      .where(col("hamming") <= maxFrameHamming)
-    frameMatches
+      .where(col("hamming") <= maxHamming)
+    sigMatches
       .groupBy(col("media_a"), col("media_b"))
       .agg(countDistinct(col("sim_a")).as("n_matched"))
       .join(nsigs.withColumnRenamed("media_id", "media_a"), "media_a")
@@ -246,4 +275,21 @@ object Multimodal {
       .withColumn("content",
         // STUB: a real impl decodes the frame; we slice bytes deterministically
         expr("substring(content, cast(pmod(frame_index * 7, 32) as int) + 1, 16)"))
+
+  /** Window sampling for audio rows: fixed `windowBytes` slices at
+    * `stride` over the payload (1-based substring offsets). Assets
+    * shorter than one window yield no rows. Real explode shape — one
+    * row per window, payload-bounded, same as [[sampleFrames]]. */
+  def sampleAudioWindows(media: DataFrame, windowBytes: Int = 16,
+      stride: Int = 16): DataFrame = {
+    require(windowBytes >= 1 && stride >= 1,
+      s"window parameters must be positive, got ($windowBytes, $stride)")
+    media
+      .where(col("kind") === "audio" && length(col("content")) >= windowBytes)
+      .select(col("media_id"),
+        explode(sequence(lit(1),
+          length(col("content")) - lit(windowBytes) + 1, lit(stride))).as("off"),
+        col("content"))
+      .withColumn("content", expr(s"substring(content, off, $windowBytes)"))
+  }
 }

@@ -165,5 +165,38 @@ object MultimodalQueries {
       Gate("false_positive_pairs", falsePos.toDouble, falsePos == 0))
   }
 
-  def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup)
+  /** Audio-level near-dup over windowed fingerprints, gated on the
+    * planted twins that are audio (media_id % 3 == 1 in the synthesis,
+    * ∩ the % 7 == 3 planting). Same always-found argument as the video
+    * gate: 16-byte windows at stride 16 are disjoint, so each of the 3
+    * perturbed bytes lands in exactly one window and flips at most ~4
+    * of its 60 striped bits — inside the Hamming-6 window budget;
+    * every base window finds its twin window and match_frac = 1.
+    * False-positive control is byte-exact as in the image/video gates. */
+  val audioNearDup: Q = Q.gated("multimodal_audio_neardup") { (s, d) =>
+    Multimodal.audioNearDupPairs(mediaWithPlantedNearDups(s, d))
+  } { (s, d, res) =>
+    val media = mediaWithPlantedNearDups(s, d)
+      .select(col("media_id"), col("content"))
+    val planted = mediaWithPlantedNearDups(s, d)
+      .where(col("media_id") >= TwinOffset && col("kind") === "audio" &&
+        length(col("content")) >= 16)
+      .select((col("media_id") - TwinOffset).as("media_a"),
+        col("media_id").as("media_b"))
+    val nPlanted = planted.count()
+    val hit = res.join(planted, Seq("media_a", "media_b"), "left_semi").count()
+    val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
+    val falsePos = res
+      .join(media.select(col("media_id").as("media_a"), col("content").as("_ca")), "media_a")
+      .join(media.select(col("media_id").as("media_b"), col("content").as("_cb")), "media_b")
+      .where(byteDiff(col("_ca"), col("_cb")) > 4)
+      .count()
+    Seq(
+      Gate("planted_audio_twins", nPlanted.toDouble, nPlanted > 0),
+      Gate("recall_vs_planted_neardups", recall, recall >= 0.95),
+      Gate("false_positive_pairs", falsePos.toDouble, falsePos == 0))
+  }
+
+  def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,
+    audioNearDup)
 }
