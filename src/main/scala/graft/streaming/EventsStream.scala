@@ -130,6 +130,51 @@ object EventsStream {
   def followPairsBatch(events: DataFrame): DataFrame =
     followJoin(purchaseSide(events), followSide(events))
 
+  private def followJoinOuter(p: DataFrame, e: DataFrame): DataFrame =
+    p.join(e,
+        col("p_user") === col("user_id")
+          && col("ts") > col("p_ts")
+          && col("ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("p_id"), col("follow_id"))
+
+  /** LEFT OUTER stream-stream join: like [[followPairsStream]] but a
+    * purchase with NO follower inside its hour still emits — with a
+    * null follow_id — once the event-side watermark passes p_ts + 1 h
+    * and the engine can PROVE no matching event is still coming. That
+    * proof is the whole semantics: outer results are necessarily
+    * watermark-delayed (a purchase near the head of the stream
+    * null-extends only after a later trigger advances the watermark
+    * past its horizon), which StreamingSpec exercises with a two-file
+    * staged feed. State bounds are the inner join's. */
+  def followPairsOuterStream(events: DataFrame): DataFrame = {
+    val p = purchaseSide(events.withWatermark("ts", "2 hours"))
+    val e = followSide(events.withWatermark("ts", "2 hours"))
+    followJoinOuter(p, e)
+  }
+
+  /** Batch twin of the outer variant (no watermark, so every
+    * unmatched purchase null-extends immediately). */
+  def followPairsOuterBatch(events: DataFrame): DataFrame =
+    followJoinOuter(purchaseSide(events), followSide(events))
+
+  /** Start the outer follow join as a file stream, one file per
+    * trigger, so staged multi-file directories replay as multiple
+    * batches and the watermark actually advances between them (outer
+    * null-extension needs that — a single mega-batch would emit no
+    * outer rows at all). */
+  def startFollowPairsOuterQuery(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val schema = spark.read.parquet(dir).schema
+    val src = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir))
+    followPairsOuterStream(src)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+  }
+
   /** Start the stream-stream follow join from a parquet directory file
     * stream into a memory sink (StreamingSpec asserts multiset equality
     * with [[followPairsBatch]] on the same fixture). */

@@ -76,5 +76,21 @@ object StreamingQueries {
     EventsStream.followPairsBatch(Tables.events(s, d))
   }
 
-  def all: Seq[Q] = Seq(windowed, dedupWindowed, decontaminate, followPairs)
+  /** Batch twin of the LEFT OUTER stream-stream follow join
+    * ([[EventsStream.followPairsOuterStream]]): followerless purchases
+    * surface with a null follow_id. StreamingSpec's two-file staged
+    * replay asserts the watermark-delayed outer semantics. */
+  val followPairsOuter: Q = Q(
+    "events_follow_pairs_outer",
+    """SELECT p.event_id AS p_id, e.event_id AS follow_id
+      |FROM events p
+      |LEFT JOIN events e ON e.user_id = p.user_id
+      |  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+      |WHERE p.event_type = 'purchase'""".stripMargin
+  ) { (s, d) =>
+    EventsStream.followPairsOuterBatch(Tables.events(s, d))
+  }
+
+  def all: Seq[Q] = Seq(windowed, dedupWindowed, decontaminate, followPairs,
+    followPairsOuter)
 }
