@@ -128,6 +128,36 @@ class MultimodalSpec extends AnyFunSuite {
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(ids.intersect(nonVideo).isEmpty)
   }
+
+  test("audioNearDupPairs: planted audio twins found, audio-only, trims still match") {
+    val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
+    val res = Multimodal.audioNearDupPairs(media).collect()
+    val found = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = media
+      .where(col("media_id") >= 10000000L && col("kind") === "audio" &&
+        length(col("content")) >= 16)
+      .select((col("media_id") - 10000000L).as("a"), col("media_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty, "fixture sanity: some audio twins must be planted")
+    assert((planted -- found).isEmpty, s"missed audio twins: ${(planted -- found).take(5)}")
+    // non-audio assets never appear
+    val nonAudio = media.where(col("kind") =!= "audio")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(found.flatMap(p => Set(p._1, p._2)).intersect(nonAudio).isEmpty)
+    // a stride-aligned trim (drop the first window) still matches: every
+    // remaining window signature exists in the original
+    import spark.implicits._
+    val one = media.where(col("kind") === "audio" && length(col("content")) >= 64)
+      .select("media_id", "kind", "content").head
+    val bytes = one.getAs[Array[Byte]]("content")
+    val trimmed = Seq(
+      (one.getLong(0), "audio", bytes),
+      (999999999L, "audio", bytes.drop(16)))
+      .toDF("media_id", "kind", "content")
+    val tr = Multimodal.audioNearDupPairs(trimmed, minMatchFrac = 0.5).collect()
+    assert(tr.exists(r => r.getLong(0) == one.getLong(0) && r.getLong(1) == 999999999L),
+      s"stride-aligned trim must still match: ${tr.mkString(",")}")
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
@@ -198,6 +228,59 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1)))
         .toSet
       assert(stream == batch, s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
+  test("outer stream-stream join: matched pairs exact, old followerless purchases null-extend") {
+    val events = graft.Tables.events(spark, dir).cache()
+    val maxTs = events.agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val splitTs = new java.sql.Timestamp(maxTs - 15L * 24 * 3600 * 1000)
+
+    // stage the fixture as TWO parquet files; one file per trigger means
+    // two micro-batches, so batch 2 runs with batch 1's watermark and
+    // can null-extend batch-1-era followerless purchases
+    val streamDir = java.nio.file.Files.createTempDirectory("events-follow-outer")
+    events.where(col("ts") <= splitTs).coalesce(1)
+      .write.parquet(streamDir.resolve("a_first").toString)
+    events.where(col("ts") > splitTs).coalesce(1)
+      .write.parquet(streamDir.resolve("b_second").toString)
+    // file source lists files, not dirs — flatten the two part files up
+    val files = java.nio.file.Files.walk(streamDir).iterator()
+    val parts = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+    while (files.hasNext) { val f = files.next(); if (f.toString.endsWith(".parquet")) parts += f }
+    val flat = java.nio.file.Files.createTempDirectory("events-follow-outer-flat")
+    parts.sortBy(_.toString).zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f, flat.resolve(f"part$i%02d.parquet"))
+    }
+
+    val batchOuter = EventsStream.followPairsOuterBatch(events)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val batchInner = batchOuter.filter(_._2 != -1L)
+
+    val q = EventsStream.startFollowPairsOuterQuery(spark, flat.toString, "fouter")
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("fouter")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // 1. every matched pair arrives, none fabricated
+      assert(stream.filter(_._2 != -1L) == batchInner,
+        s"inner pairs diverge: ${stream.count(_._2 != -1L)} vs ${batchInner.size}")
+      // 2. null-extensions are only ever for truly followerless purchases
+      val streamNulls = stream.filter(_._2 == -1L).map(_._1)
+      val batchNulls = batchOuter.filter(_._2 == -1L).map(_._1)
+      assert(streamNulls.subsetOf(batchNulls),
+        s"null-extended a purchase that HAS followers: ${(streamNulls -- batchNulls).take(5)}")
+      // 3. and purchases that are followerless in the FULL data and
+      // provably past the watermark batch 2 ran with (split − 2 h delay,
+      // minus the 1 h join horizon) MUST have null-extended
+      val safeTs = new java.sql.Timestamp(splitTs.getTime - 3L * 3600 * 1000)
+      val oldPurchases = events
+        .where(col("event_type") === "purchase" && col("ts") <= safeTs)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      val due = batchNulls intersect oldPurchases
+      assert(due.subsetOf(streamNulls),
+        s"old followerless purchases failed to null-extend: ${(due -- streamNulls).take(5)}")
+      assert(due.nonEmpty, "fixture sanity: some old purchases must be followerless")
     } finally q.stop()
   }
 
