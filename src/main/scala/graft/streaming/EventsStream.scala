@@ -187,6 +187,55 @@ object EventsStream {
       .start()
   }
 
+  /** Exactly-once streaming ingestion into a date-partitioned parquet
+    * layout: the file sink + checkpoint pair. The sink commits each
+    * micro-batch atomically into the `_spark_metadata` manifest;
+    * readers of the output path resolve files THROUGH the manifest, so
+    * a torn write, a speculative duplicate task file, or any stray file
+    * in the directory is invisible — and a restart from the checkpoint
+    * re-emits nothing (offsets + committed batches are both durable).
+    * This is how the [[graft.io.Layout]] batch maintenance operators
+    * (compaction, rollup, delete) get their input at a streaming
+    * boundary without a dedup pass. StreamingSpec pins all three
+    * properties: ingest ≡ batch, restart adds nothing, stray files are
+    * ignored. */
+  def startParquetIngest(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    readEvents(spark, srcDir)
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Sessionization via Spark's BUILT-IN session_window — the
+    * declarative twin of both [[sessionize]] (custom
+    * flatMapGroupsWithState) and the batch gaps-and-islands form (q29):
+    * `session_window(ts, gap)` merges a user's events whose gaps are
+    * under the threshold into one window at the AGGREGATION layer, no
+    * window functions, no hand-rolled state. This is the form to prefer
+    * when the per-session aggregate is expressible as standard
+    * aggregates: Catalyst plans it as one merging aggregation keyed on
+    * (user, session), streaming gets watermark-evicted session state
+    * for free, and the same expression runs batch and stream. DECIMAL
+    * value sums keep the result hash order-free. The q29-shaped oracle
+    * (lag → island numbering → group) must agree exactly — that
+    * equivalence is this query's point. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        col("session_start"), col("session_end"))
+
   /** Per-user sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of event-time silence. Emits one summary per
     * CLOSED session (closed=true) plus the still-open session's running

@@ -91,6 +91,38 @@ object StreamingQueries {
     EventsStream.followPairsOuterBatch(Tables.events(s, d))
   }
 
+  /** Built-in session_window sessionization
+    * ([[EventsStream.sessionWindowAgg]]) against the gaps-and-islands
+    * oracle (q29's shape). Boundary semantics differ subtly from q29
+    * itself: session_window merges iff the gap is STRICTLY under the
+    * threshold, so the oracle's island rule is `>= gap ⇒ new session`
+    * in MICROSECONDS (epoch_us — an epoch_ms rule would misclassify
+    * sub-millisecond boundary gaps that the engine resolves at full
+    * precision). */
+  val sessionWindow: Q = Q(
+    "events_session_window",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+      |  FROM o
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY user_id, sn""".stripMargin
+  ) { (s, d) =>
+    EventsStream.sessionWindowAgg(Tables.events(s, d))
+  }
+
   def all: Seq[Q] = Seq(windowed, dedupWindowed, decontaminate, followPairs,
-    followPairsOuter)
+    followPairsOuter, sessionWindow)
 }
