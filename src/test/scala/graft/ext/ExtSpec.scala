@@ -516,6 +516,61 @@ class StreamingSpec extends AnyFunSuite {
       s"paradigm divergence: ${relational.size} vs ${stateful.size} distinct sessions")
   }
 
+  test("exactly-once parquet ingest: manifest-committed, restart-safe, stray-file-proof") {
+    val src = java.nio.file.Files.createTempDirectory("ingest-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("ingest-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ckpt").toString
+
+    val q1 = EventsStream.startParquetIngest(spark, src.toString, out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val expected = graft.Tables.events(spark, dir).count()
+    assert(spark.read.parquet(out).count() == expected, "ingest must equal batch")
+
+    // restart from the same checkpoint with no new source files: the
+    // committed-batch log must prevent any re-emission
+    val q2 = EventsStream.startParquetIngest(spark, src.toString, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == expected, "restart re-emitted rows")
+
+    // a stray parquet dropped into a partition dir (torn write, stale
+    // task attempt) is NOT in the manifest and must stay invisible
+    val someDay = new java.io.File(out).listFiles()
+      .find(f => f.isDirectory && f.getName.startsWith("event_date=")).get
+    val stray = graft.Tables.events(spark, dir).limit(100)
+      .withColumn("event_date", to_date(col("ts")))
+    val tmpStray = java.nio.file.Files.createTempDirectory("stray").toString
+    stray.drop("event_date").coalesce(1).write.mode("overwrite").parquet(tmpStray)
+    val part = new java.io.File(tmpStray).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      someDay.toPath.resolve("part-stray.parquet"))
+    assert(spark.read.parquet(out).count() == expected,
+      "a file outside the sink manifest leaked into reads")
+  }
+
+  test("built-in session_window equals the gaps-and-islands twin") {
+    // third paradigm, same 30-min rule: Catalyst's native session_window
+    // aggregation vs the q29 relational form. (Boundary nuance: the
+    // built-in merges gaps STRICTLY under the threshold, q29 also merges
+    // exact-threshold gaps — the fixture's microsecond timestamps make an
+    // exact 30:00.000000 gap impossible, so the multisets must agree.)
+    val relational = graft.rel.RelationalQueries.q29Sessions.fn(spark, dir)
+      .select("user_id", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val builtin = EventsStream.sessionWindowAgg(graft.Tables.events(spark, dir))
+      .select("user_id", "n_events", "total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(relational == builtin,
+      s"paradigm divergence: ${relational.size} vs ${builtin.size} distinct sessions")
+  }
+
   test("sessionize conserves events across closed + open sessions") {
     import spark.implicits._
     val events = graft.Tables.events(spark, dir)
