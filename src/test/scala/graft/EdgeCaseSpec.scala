@@ -416,6 +416,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out(3) == ((4L, 3072L, 3073L, 3L, 0L, 3L, 1L)))
   }
 
+  test("layout: no-victim delete is a no-op; absent-day merge leaves the rollup unchanged") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_layout/edgecases"
+    val layout = s"$base/events"
+    val rollup = s"$base/rollup"
+    io.Layout.writeDatePartitioned(
+      Tables.events(spark, "/root/testdata/sf0.001"), layout)
+    def listing(p: String): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(q: org.apache.hadoop.fs.Path): Seq[String] =
+        fs.listStatus(q).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else Seq(s.getPath.toString + ":" + s.getLen)
+        }
+      walk(root).toSet
+    }
+    val before = listing(layout)
+    val affected = io.Layout.deleteRows(spark, layout,
+      Seq(-1L, -2L).toDF("event_id"), "event_id")
+    assert(affected.isEmpty, "phantom ids must touch no partition")
+    assert(listing(layout) == before, "no-op delete rewrote files")
+
+    io.Layout.mergeDailyAgg(spark, layout, rollup, Seq("2024-01-03"))
+    val rows = spark.read.parquet(rollup).collect().toSet
+    io.Layout.mergeDailyAgg(spark, layout, rollup, Seq("1999-12-31"))
+    assert(spark.read.parquet(rollup).collect().toSet == rows,
+      "merging a day absent from the layout changed the rollup")
+  }
+
+  test("packSequences on an empty frame yields an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tok")
+    assert(ops.Corpus.packSequences(empty, lit(1), col("doc_id"),
+      col("n_tok"), 1024L).count() == 0)
+  }
+
   test("followPairsBatch: range semantics — strict lower, inclusive upper, same user") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
     def plus(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)

@@ -802,6 +802,31 @@ class ProfileSpec extends AnyFunSuite {
     big.unpersist()
   }
 
+  test("scale stress: layout maintenance at 4x events (400k rows / 30 partitions)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_layout/profile4x"
+    val events = (0 until 4).map(r =>
+        graft.Tables.events(spark, dir)
+          .withColumn("event_id", col("event_id") + lit(r * 10000000L)))
+      .reduce(_ unionByName _).cache()
+    val n = events.count()
+    time(s"write partitioned n=$n")(
+      graft.io.Layout.writeDatePartitioned(events, s"$base/events"))
+    time("compact 30 dirs")(
+      graft.io.Layout.compactDatePartitioned(spark, s"$base/events", s"$base/compact"))
+    assert(spark.read.parquet(s"$base/compact").count() == n)
+    time("merge 5-day rollup")(
+      graft.io.Layout.mergeDailyAgg(spark, s"$base/events", s"$base/rollup",
+        (11 to 15).map(d => f"2024-01-$d%02d")))
+    val victims = events.where(col("event_id") % 1000 === 0).select("event_id")
+    val nv = victims.count()
+    val affected = time(s"targeted delete $nv victims")(
+      graft.io.Layout.deleteRows(spark, s"$base/events", victims, "event_id"))
+    println(s"[profile] delete touched ${affected.size}/30 partitions")
+    assert(spark.read.parquet(s"$base/events").count() == n - nv)
+    events.unpersist()
+  }
+
   test("scale stress: AQE splits a skewed join partition at runtime") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // One hot key owning 70% of a 2M-row fact side — the canonical
