@@ -135,6 +135,25 @@ object Layout {
     affected
   }
 
+  /** Retention expiry: drop every partition directory strictly OLDER
+    * than `cutoff` (ISO date string compare — hive partition names sort
+    * lexically = chronologically for ISO dates). Pure metadata + file
+    * ops: no partition is ever scanned, no surviving file is touched —
+    * the O(expired-days) complement of [[deleteRows]]' O(affected-days)
+    * row surgery. Returns the expired partition values. */
+  def expirePartitions(spark: SparkSession, layoutPath: String,
+      cutoff: String, partCol: String = "event_date"): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(layoutPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val expired = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix(partCol + "=") < cutoff)
+      .sortBy(_.getName)
+    expired.foreach(fs.delete(_, true))
+    expired.map(_.getName.stripPrefix(partCol + "="))
+  }
+
   /** Write a frame as a bucketed external table: `buckets` hash buckets
     * on `key`, sorted within buckets, files at `path`, metadata in the
     * session catalog (bucketing is catalog metadata — a plain

@@ -241,6 +241,50 @@ object LayoutQueries {
         rewrittenTouched == 0))
   }
 
+  private def retPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_retention"
+
+  /** Retention expiry ([[Layout.expirePartitions]]): the first 10 days
+    * of the 30-day layout are dropped by directory, survivors are never
+    * opened (file-listing snapshot proves it). Gates pin the surviving
+    * row set ≡ the fixture filtered at the cutoff, exactly 10 expired
+    * partitions, and zero survivor-file rewrites. */
+  val retention: Q = Q.gated("layout_retention") { (s, d) =>
+    import org.apache.hadoop.fs.Path
+    Layout.writeDatePartitioned(Tables.events(s, d), retPath(d))
+    val root = new Path(retPath(d))
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Seq[(String, Long)]] =
+      fs.listStatus(root).toSeq.filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("event_date=")).map { st =>
+        st.getPath.getName.stripPrefix("event_date=") ->
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1)
+      }.toMap
+    val before = listing()
+    val expired = Layout.expirePartitions(s, retPath(d), "2024-01-11")
+    val after = listing()
+    val survivorsIntact = after.keySet.forall(k => before(k) == after(k))
+    val rows = s.read.parquet(retPath(d))
+      .groupBy(col("event_date").cast("string").as("event_date"))
+      .agg(count(lit(1)).as("n_rows"))
+    rows
+      .withColumn("n_expired", lit(expired.length))
+      .withColumn("survivors_intact", lit(survivorsIntact))
+  } { (s, d, res) =>
+    val twin = Tables.events(s, d)
+      .withColumn("event_date", to_date(col("ts")).cast("string"))
+      .where(col("event_date") >= "2024-01-11")
+      .groupBy("event_date").agg(count(lit(1)).as("n_rows"))
+    val diff = res.select("event_date", "n_rows").except(twin).count() +
+      twin.except(res.select("event_date", "n_rows")).count()
+    val head = res.select("n_expired", "survivors_intact").head
+    Seq(
+      Gate("surviving_vs_fixture_diff_rows", diff.toDouble, diff == 0),
+      Gate("partitions_expired", head.getInt(0).toDouble, head.getInt(0) == 10),
+      Gate("survivor_files_untouched", if (head.getBoolean(1)) 1.0 else 0.0,
+        head.getBoolean(1)))
+  }
+
   def all: Seq[Q] = Seq(partitionPrune, bucketedJoin, compact, incrementalAgg,
-    targetedDelete)
+    targetedDelete, retention)
 }
