@@ -456,6 +456,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q30: the outer join reuses both aggregations' partitioning") {
+    val p = plan("q30_full_outer")
+    // one exchange per side for its keyed aggregation — and NONE for the
+    // join itself: both sides arrive already hash-partitioned on the key
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 exchanges (agg sides only), got $exchanges:\n$p")
+    assert(p.contains("FullOuter"), p)
+    // the price threshold reaches the orders scan
+    assert(p.contains("GreaterThan(o_totalprice"), p)
+  }
+
   test("q31: the correlated-subquery twin plans as one aggregate + equi-join") {
     val p = plan("q31_scalar_subquery")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
