@@ -176,18 +176,7 @@ object Dedup {
     // claim is the bounded per-source state and the removed corpus-wide
     // distinct shuffle, which bind at real vocabulary sizes, not a
     // constant-factor win at probe scale.
-    val sigUdf = udf { (hs: Seq[Long]) => minhashSig(hs.toArray, params) }
-    val docSigs = docs
-      .where(col(textCol).isNotNull)
-      .select(col(srcCol).as("src"),
-        sigUdf(transform(shinglesFast(n)(tokens(col(textCol))),
-          s => pmod(xxhash64(s), lit(HashMod)))).as("sig"))
-    val sigs = docSigs
-      .select(col("src"), posexplode(col("sig")).as(Seq("i", "v")))
-      .groupBy("src", "i").agg(min(col("v")).as("v"))
-      .groupBy("src")
-      .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("iv"))
-      .select(col("src"), transform(col("iv"), x => x.getField("v")).as("sig"))
+    val sigs = sourceSignatures(docs, textCol, srcCol, n, numHashes, seed)
     val a = sigs.select(col("src").as("src_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("src").as("src_b"), col("sig").as("sig_b"))
     a.crossJoin(b).where(col("src_a") < col("src_b"))
@@ -211,6 +200,48 @@ object Dedup {
   /** MinHash signature from a doc's shingle-hash set:
     * sig_p = min_x (a_p·x + b_p mod 2^31−1). Primitive-array loop —
     * the per-doc cost is |shingles|·numHashes multiply-mods. */
+  /** Per-SOURCE MinHash signature frame: (src, sig ARRAY<LONG>[numHashes])
+    * — element-wise min of the universal-hash family over every shingle
+    * the source has ever contributed (the bounded-state per-source
+    * sketch [[sourceOverlapMinhashVs]] compares pairwise). Exposed
+    * because the signature is a MERGEABLE summary — see
+    * [[mergeSourceSignatures]]. */
+  def sourceSignatures(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source", n: Int = 3, numHashes: Int = 128,
+      seed: Long = 42): DataFrame = {
+    val params = hashParams(numHashes, seed)
+    val sigUdf = udf { (hs: Seq[Long]) => minhashSig(hs.toArray, params) }
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(srcCol).as("src"),
+        sigUdf(transform(shinglesFast(n)(tokens(col(textCol))),
+          s => pmod(xxhash64(s), lit(HashMod)))).as("sig"))
+      .select(col("src"), posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy("src", "i").agg(min(col("v")).as("v"))
+      .groupBy("src")
+      .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("iv"))
+      .select(col("src"), transform(col("iv"), x => x.getField("v")).as("sig"))
+  }
+
+  /** Merge two per-source signature frames — the INCREMENTAL maintenance
+    * step a daily pipeline runs: sig(history ∪ day) is the element-wise
+    * min of sig(history) and sig(day), EXACTLY (min is associative,
+    * commutative, idempotent), so yesterday's persisted signatures plus
+    * one pass over today's documents replace any recomputation over the
+    * full history. A source present on only one side keeps its
+    * signature unchanged. One full-outer key join over |sources| rows —
+    * catalog-sized, never corpus-sized. */
+  def mergeSourceSignatures(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("src"), col("sig").as("_sa"))
+    val r = b.select(col("src"), col("sig").as("_sb"))
+    l.join(r, Seq("src"), "full_outer")
+      .select(col("src"),
+        when(col("_sa").isNull, col("_sb"))
+          .when(col("_sb").isNull, col("_sa"))
+          .otherwise(zip_with(col("_sa"), col("_sb"), (x, y) => least(x, y)))
+          .as("sig"))
+  }
+
   private[ops] def minhashSig(hs: Array[Long], params: Array[(Long, Long)]): Array[Long] =
     params.map { case (a, b) =>
       var m = Long.MaxValue

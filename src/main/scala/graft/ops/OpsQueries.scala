@@ -497,9 +497,34 @@ object OpsQueries {
       Gate("cells_violating_contract", bad.toDouble, bad == 0))
   }
 
+  /** Incremental signature maintenance
+    * ([[Dedup.mergeSourceSignatures]]): the corpus is split into a
+    * "history" and a "day" half, each summarized independently, and the
+    * merge must reproduce the whole-corpus signature BIT-EXACTLY —
+    * element-wise min is associative/commutative/idempotent, so this is
+    * an exact algebraic gate, not an approximation bound. This is what
+    * lets a daily pipeline maintain per-source sketches with one pass
+    * over the new day instead of recomputing over the full history. */
+  val signatureMerge: Q = Q.gated("corpus_signature_merge") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val history = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val day = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    Dedup.mergeSourceSignatures(
+        Dedup.sourceSignatures(history), Dedup.sourceSignatures(day))
+      .select(col("src"), posexplode(col("sig")).as(Seq("i", "v")))
+  } { (s, d, res) =>
+    val direct = Dedup.sourceSignatures(Tables.documents(s, d))
+      .select(col("src"), posexplode(col("sig")).as(Seq("i", "v")))
+    val n = direct.count()
+    val diff = res.except(direct).count() + direct.except(res).count()
+    Seq(
+      Gate("merged_vs_direct_diff_rows", diff.toDouble, diff == 0),
+      Gate("signature_rows", n.toDouble, n > 0 && res.count() == n))
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annPq, semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
-    hardNegatives, annPca)
+    hardNegatives, annPca, signatureMerge)
 }
