@@ -355,6 +355,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pqSet() == pq, "seeded codebooks + deterministic ties: runs must agree")
   }
 
+  test("mergeSourceSignatures: associative, idempotent, one-sided sources pass through") {
+    import graft.TestSpark.spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "A"),
+      (2L, "eta theta iota kappa lambda mu", "A"),
+      (3L, "nu xi omicron pi rho sigma", "B"),
+      (4L, "tau upsilon phi chi psi omega", "C"))
+      .toDF("doc_id", "text", "source")
+    def sigs(f: org.apache.spark.sql.DataFrame) =
+      Dedup.sourceSignatures(f, numHashes = 16)
+    def asMap(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val whole = asMap(sigs(docs))
+    // split A across the halves; B only left; C only right
+    val left = sigs(docs.where(col("doc_id") <= 2 || col("doc_id") === 3))
+    val right = sigs(docs.where(col("doc_id") === 2 || col("doc_id") === 4))
+    val merged = asMap(Dedup.mergeSourceSignatures(left, right))
+    assert(merged == whole, "merge must reproduce the whole-corpus signatures")
+    // idempotent: merging a side with itself changes nothing
+    assert(asMap(Dedup.mergeSourceSignatures(left, left)) == asMap(left))
+  }
+
   test("pcaTopK: full-rank projection + full candidate budget recovers exact top-k") {
     // with pcaDims = d the projection is an orthonormal rotation (inner
     // products preserved bit-for-bit up to float assoc), and with
