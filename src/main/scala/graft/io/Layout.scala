@@ -63,16 +63,34 @@ object Layout {
     * (dates), never by file or row counts within them. Uses the Hadoop
     * FileSystem API so the same call works on HDFS/object stores. */
   def partitionFileCounts(spark: SparkSession, path: String,
-      partCol: String = "event_date"): Map[String, Int] = {
+      partCol: String = "event_date"): Map[String, Int] =
+    partitionFileListing(spark, path, partCol).view
+      .mapValues(_.count(_._1.endsWith(".parquet"))).toMap
+
+  /** Per-partition-directory (fileName, length) listing of a hive
+    * layout — the byte-identity snapshot the delete/retention gates
+    * diff before/after a maintenance operation. Same bounds as
+    * [[partitionFileCounts]]. */
+  def partitionFileListing(spark: SparkSession, path: String,
+      partCol: String = "event_date"): Map[String, Seq[(String, Long)]] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(partCol + "="))
       .map { s =>
-        val n = fs.listStatus(s.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        s.getPath.getName.stripPrefix(partCol + "=") -> n
+        s.getPath.getName.stripPrefix(partCol + "=") ->
+          fs.listStatus(s.getPath).toSeq.filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1)
       }.toMap
+  }
+
+  /** Recursive delete of a layout path (missing path is a no-op) —
+    * the reset the gated layout queries run so a stale prior run can
+    * never leak partitions into a fresh verification. */
+  def resetPath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
   }
 
   /** Incremental rollup maintenance: merge `days` of a date-partitioned

@@ -96,7 +96,11 @@ object LayoutQueries {
       Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
       Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
     val diff = res.except(twin).count() + twin.except(res).count()
-    val (o, c) = bucketedTables(s, d)
+    // the query fn already wrote both bucketed tables this session —
+    // read them from the catalog rather than paying a second full
+    // bucketed rewrite just to rebuild the join plan
+    val t = tag(d)
+    val (o, c) = (s.table(s"graft_orders_bkt_$t"), s.table(s"graft_customer_bkt_$t"))
     val joinOnly = o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
       .select(o("o_custkey"), col("o_totalprice"), col("c_mktsegment"))
     val plan = joinOnly.queryExecution.executedPlan.toString
@@ -161,6 +165,10 @@ object LayoutQueries {
     * days' rollup partitions. */
   val incrementalAgg: Q = Q.gated("layout_incremental_agg") { (s, d) =>
     Layout.writeDatePartitioned(Tables.events(s, d), dayPath(d))
+    // dynamic overwrite only ever REPLACES the merged days, so a stale
+    // rollup from an earlier run with a different day set would leak
+    // its partitions into this verification — start from nothing
+    Layout.resetPath(s, rollupPath(d))
     Layout.mergeDailyAgg(s, dayPath(d), rollupPath(d), Seq("2024-01-13", "2024-01-14"))
     Layout.mergeDailyAgg(s, dayPath(d), rollupPath(d), Seq("2024-01-15"))
     // idempotent re-merge of an already-loaded day
@@ -194,24 +202,14 @@ object LayoutQueries {
     * touched days intact, untouched days' row counts AND file listings
     * unchanged. */
   val targetedDelete: Q = Q.gated("layout_targeted_delete") { (s, d) =>
-    import org.apache.hadoop.fs.Path
     val victims = Tables.events(s, d)
       .where(to_date(col("ts")).cast("string").isin("2024-01-05", "2024-01-20")
         && col("event_id") % 10 === 0)
       .select("event_id")
     Layout.writeDatePartitioned(Tables.events(s, d), delPath(d))
-    val root = new Path(delPath(d))
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def listing(): Map[String, Seq[(String, Long)]] =
-      fs.listStatus(root).toSeq.filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("event_date=")).map { st =>
-        st.getPath.getName.stripPrefix("event_date=") ->
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-            .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1)
-      }.toMap
-    val before = listing()
+    val before = Layout.partitionFileListing(s, delPath(d))
     val affected = Layout.deleteRows(s, delPath(d), victims, "event_id")
-    val after = listing()
+    val after = Layout.partitionFileListing(s, delPath(d))
     val unchanged = before.keySet.map(k =>
       k -> (before(k) == after.getOrElse(k, Nil))).toMap
     val rows = s.read.parquet(delPath(d))
@@ -249,20 +247,10 @@ object LayoutQueries {
     * row set ≡ the fixture filtered at the cutoff, exactly 10 expired
     * partitions, and zero survivor-file rewrites. */
   val retention: Q = Q.gated("layout_retention") { (s, d) =>
-    import org.apache.hadoop.fs.Path
     Layout.writeDatePartitioned(Tables.events(s, d), retPath(d))
-    val root = new Path(retPath(d))
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def listing(): Map[String, Seq[(String, Long)]] =
-      fs.listStatus(root).toSeq.filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith("event_date=")).map { st =>
-        st.getPath.getName.stripPrefix("event_date=") ->
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-            .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1)
-      }.toMap
-    val before = listing()
+    val before = Layout.partitionFileListing(s, retPath(d))
     val expired = Layout.expirePartitions(s, retPath(d), "2024-01-11")
-    val after = listing()
+    val after = Layout.partitionFileListing(s, retPath(d))
     val survivorsIntact = after.keySet.forall(k => before(k) == after(k))
     val rows = s.read.parquet(retPath(d))
       .groupBy(col("event_date").cast("string").as("event_date"))

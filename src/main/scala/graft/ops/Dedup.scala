@@ -197,9 +197,6 @@ object Dedup {
       (math.abs(rng.nextLong()) % (HashMod - 1) + 1, math.abs(rng.nextLong()) % HashMod))
   }
 
-  /** MinHash signature from a doc's shingle-hash set:
-    * sig_p = min_x (a_p·x + b_p mod 2^31−1). Primitive-array loop —
-    * the per-doc cost is |shingles|·numHashes multiply-mods. */
   /** Per-SOURCE MinHash signature frame: (src, sig ARRAY<LONG>[numHashes])
     * — element-wise min of the universal-hash family over every shingle
     * the source has ever contributed (the bounded-state per-source
@@ -238,10 +235,22 @@ object Dedup {
       .select(col("src"),
         when(col("_sa").isNull, col("_sb"))
           .when(col("_sb").isNull, col("_sa"))
+          // signatures from different hash families (numHashes/seed)
+          // must never merge silently: zip_with null-pads the shorter
+          // array and least() skips nulls, which would fabricate a
+          // plausible-looking garbage signature — fail the job instead
+          .when(size(col("_sa")) =!= size(col("_sb")),
+            raise_error(concat(lit("mergeSourceSignatures: signature width mismatch for src="),
+              col("src").cast("string"), lit(" ("), size(col("_sa")).cast("string"),
+              lit(" vs "), size(col("_sb")).cast("string"),
+              lit(") — both sides must use the same numHashes/seed"))))
           .otherwise(zip_with(col("_sa"), col("_sb"), (x, y) => least(x, y)))
           .as("sig"))
   }
 
+  /** MinHash signature from a doc's shingle-hash set:
+    * sig_p = min_x (a_p·x + b_p mod 2^31−1). Primitive-array loop —
+    * the per-doc cost is |shingles|·numHashes multiply-mods. */
   private[ops] def minhashSig(hs: Array[Long], params: Array[(Long, Long)]): Array[Long] =
     params.map { case (a, b) =>
       var m = Long.MaxValue

@@ -133,14 +133,6 @@ object OpsQueries {
     SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
   }
 
-  /** Hyperplane-LSH ANN — gated per round on recall@5 vs the exact
-    * brute-force twin. Threshold 0.75: the r7 multi-probe default
-    * (8 tables × 5 bits × 3 probes) measures 0.847 on the fixture's
-    * near-uniform unit vectors (the LSH worst case — real clustered
-    * corpora do better), so a silent regression of ≥0.097 goes red —
-    * roughly one probe of headroom (the probe ladder at 8 tables reads
-    * 2→0.726, 3→0.847). The r6 single-probe config (14×1) measured
-    * 0.681 against a 0.62 floor; multi-probe raised both. */
   /** PCA-candidate two-stage retrieval ([[SimilaritySearch.pcaTopK]]) —
     * gated on recall@5 vs the exact twin. Operating point 24 dims / 60
     * candidates: the fixture's near-uniform 64-dim vectors are PCA's
@@ -159,6 +151,14 @@ object OpsQueries {
     Seq(Gate("recall_at_5_vs_exact", recall, recall >= 0.8))
   }
 
+  /** Hyperplane-LSH ANN — gated per round on recall@5 vs the exact
+    * brute-force twin. Threshold 0.75: the r7 multi-probe default
+    * (8 tables × 5 bits × 3 probes) measures 0.847 on the fixture's
+    * near-uniform unit vectors (the LSH worst case — real clustered
+    * corpora do better), so a silent regression of ≥0.097 goes red —
+    * roughly one probe of headroom (the probe ladder at 8 tables reads
+    * 2→0.726, 3→0.847). The r6 single-probe config (14×1) measured
+    * 0.681 against a 0.62 floor; multi-probe raised both. */
   val annLsh: Q = Q.gated("ann_lsh_topk") { (s, d) =>
     SimilaritySearch.lshTopK(Tables.embeddings(s, d), k = 5)
   } { (s, d, res) =>

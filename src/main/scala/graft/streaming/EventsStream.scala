@@ -27,9 +27,12 @@ object EventsStream {
     * the same encoding-agnostic normalization as the batch path
     * ([[graft.Tables.normalizeTs]]). Batch and stream can then never
     * diverge on fixture encoding. */
-  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  private def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    graft.Tables.normalizeTs(reader.parquet(dir))
   }
 
   /** 5-minute tumbling event-time windows per event_type. */
@@ -164,10 +167,7 @@ object EventsStream {
     * null-extension needs that — a single mega-batch would emit no
     * outer rows at all). */
   def startFollowPairsOuterQuery(spark: SparkSession, dir: String, name: String): StreamingQuery = {
-    val schema = spark.read.parquet(dir).schema
-    val src = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir))
-    followPairsOuterStream(src)
+    followPairsOuterStream(readEvents(spark, dir, maxFilesPerTrigger = Some(1)))
       .writeStream
       .outputMode(OutputMode.Append())
       .format("memory")
