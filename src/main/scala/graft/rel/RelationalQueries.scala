@@ -719,6 +719,34 @@ object RelationalQueries {
           .cast("double").as("v_prev_hour"))
   }
 
+  /** Explicit GROUPING SETS — the custom-combination form rollup (q12)
+    * and cube (q20) are shorthands for: per-status totals, per-priority
+    * totals, and the grand total in ONE Expand pass, WITHOUT the
+    * (status, priority) cross cells a cube would add. Null group cells
+    * are disambiguated from genuine nulls by grouping() flags computed
+    * per column on both engines (Spark's grouping_id bit order is
+    * API-dependent; per-column flags are not). DECIMAL money sums. */
+  val q33GroupingSets: Q = Q(
+    "q33_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
@@ -726,5 +754,5 @@ object RelationalQueries {
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
     q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg,
     q28ApproxPercentiles, q29Sessions, q30FullOuter, q31ScalarSubquery,
-    q32TimeRangeWindow)
+    q32TimeRangeWindow, q33GroupingSets)
 }
