@@ -45,18 +45,34 @@ object Layout {
     * few files per trigger leaves each date directory fragmented into
     * dozens of small files, and small files are the classic 100 TB
     * scan-throughput killer: per-file open/footer costs dominate and
-    * task counts explode). Reads the layout, re-clusters rows by the
-    * partition column (hash repartition ⇒ each partition value lands
-    * wholly in one task ⇒ exactly one output file per partition
-    * directory), rewrites under the same partitioning. Row-preserving by
-    * construction — one shuffle, no aggregation, no filter. */
+    * task counts explode). Reads the layout, re-clusters rows by
+    * (partition column, content salt) and rewrites under the same
+    * partitioning. Row-preserving by construction — one shuffle, no
+    * aggregation, no filter.
+    *
+    * Why the salt: repartitioning on the partition column ALONE funnels
+    * each partition value into ONE task and one output file — fine at
+    * fixture scale, but at 100 TB a hot day is terabytes and the
+    * compaction job single-threads it (and a single multi-TB file is its
+    * own problem). The salt spreads each partition value across up to
+    * `saltBuckets` tasks (content-hash, so deterministic for a given
+    * input), and `maxRecordsPerFile` caps any one file regardless —
+    * post-compaction file count per directory is bounded by
+    * saltBuckets · ⌈rows-per-task / maxRecordsPerFile⌉, not 1. */
   def compactDatePartitioned(spark: SparkSession, path: String,
-      outPath: String, partCol: String = "event_date"): Unit =
-    spark.read.parquet(path)
-      .repartition(col(partCol))
+      outPath: String, partCol: String = "event_date",
+      saltBuckets: Int = 4, maxRecordsPerFile: Long = 5000000L): Unit = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    val df = spark.read.parquet(path)
+    val dataCols = df.columns.filter(_ != partCol).map(col)
+    df.withColumn("_salt", pmod(hash(dataCols: _*), lit(saltBuckets)))
+      .repartition(col(partCol), col("_salt"))
+      .drop("_salt")
       .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCol)
       .parquet(outPath)
+  }
 
   /** Per-partition-directory parquet file counts of a hive layout —
     * driver-side listing, bounded by the number of partition values
@@ -122,12 +138,19 @@ object Layout {
     * by the affected slice: (1) find affected partition values with a
     * semi join (driver list bounded by partition count, never rows);
     * (2) anti-join ONLY those partitions against the victim ids into a
-    * staging dir; (3) swap the affected partition directories via
-    * filesystem rename (atomic per directory on HDFS; object stores
-    * substitute their own atomic-commit layer). Untouched partitions'
-    * files are never opened, listed into a job, or rewritten — the
-    * query's gate checks their file listing is byte-identical.
-    * Returns the affected partition values. */
+    * staging dir (suffixed with the Spark application id, so two
+    * concurrent deletes on one layout cannot collide on staging paths);
+    * (3) swap each affected partition directory via a trash-ordered
+    * rename pair — live→trash, fresh→live, then drop trash — so a crash
+    * at ANY point leaves either the old or the new directory live, never
+    * neither (renames are atomic per directory on HDFS; object stores
+    * substitute their own atomic-commit layer). Every rename/cleanup
+    * return value is CHECKED and a failure throws: this is a
+    * takedown / right-to-be-forgotten primitive, and a silently-lost
+    * rename here means silently-lost surviving rows. Untouched
+    * partitions' files are never opened, listed into a job, or
+    * rewritten — the query's gate checks their file listing is
+    * byte-identical. Returns the affected partition values. */
   def deleteRows(spark: SparkSession, layoutPath: String, ids: DataFrame,
       idCol: String, partCol: String = "event_date"): Seq[String] = {
     val layout = spark.read.parquet(layoutPath)
@@ -135,20 +158,29 @@ object Layout {
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (affected.nonEmpty) {
-      val staging = s"$layoutPath.staging_delete"
+      val token = spark.sparkContext.applicationId
+      val staging = s"$layoutPath.staging_delete_$token"
       layout.where(col(partCol).cast("string").isin(affected: _*))
         .join(ids, Seq(idCol), "left_anti")
         .write.mode("overwrite").partitionBy(partCol).parquet(staging)
       val root = new org.apache.hadoop.fs.Path(layoutPath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"deleteRows: rename $src -> $dst failed")
       affected.foreach { v =>
         val live = new org.apache.hadoop.fs.Path(root, s"$partCol=$v")
         val fresh = new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(staging), s"$partCol=$v")
-        fs.delete(live, true)
-        fs.rename(fresh, live)
+        val trash = new org.apache.hadoop.fs.Path(root,
+          s".trash_delete_${token}_$partCol=$v")
+        move(live, trash)
+        move(fresh, live)
+        if (!fs.delete(trash, true))
+          throw new java.io.IOException(s"deleteRows: cleanup of $trash failed")
       }
-      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+        throw new java.io.IOException(s"deleteRows: cleanup of $staging failed")
     }
     affected
   }

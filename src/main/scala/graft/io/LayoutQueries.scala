@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object LayoutQueries {
 
+  /** Layout roots and catalog table names carry the Spark application id
+    * alongside the dataset tag: two concurrent processes benchmarking the
+    * same dataset (CI + a local profile run) must not overwrite each
+    * other's layouts or bucketed tables mid-gate. One process reuses its
+    * own paths across queries, which is what the gates want. */
   private def tag(d: String) = d.replaceAll("[^A-Za-z0-9]", "_")
+  private def procTag(s: org.apache.spark.sql.SparkSession, d: String) =
+    tag(d) + "_" + s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
   private def tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-  private def dayPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_by_date"
+  private def dayPath(s: org.apache.spark.sql.SparkSession, d: String) =
+    s"$tmpRoot/graft_layout/${procTag(s, d)}/events_by_date"
   private val Day = "2024-01-15"
 
   private def dayAgg(df: DataFrame): DataFrame =
@@ -34,8 +42,8 @@ object LayoutQueries {
     * (2) every file the scan touches lives under the day's partition
     * directory (directory pruning actually happened). */
   val partitionPrune: Q = Q.gated("layout_partition_prune") { (s, d) =>
-    Layout.writeDatePartitioned(Tables.events(s, d), dayPath(d))
-    dayAgg(Layout.readDay(s, dayPath(d), Day))
+    Layout.writeDatePartitioned(Tables.events(s, d), dayPath(s, d))
+    dayAgg(Layout.readDay(s, dayPath(s, d), Day))
   } { (s, d, res) =>
     val twin = dayAgg(Tables.events(s, d).where(to_date(col("ts")) === lit(Day)))
     val diff = res.except(twin).count() + twin.except(res).count()
@@ -43,7 +51,7 @@ object LayoutQueries {
     // DataFrame.inputFiles reports the relation's full file index before
     // partition filters apply, so it would show all 30 days even when
     // the executed scan reads one.
-    val pruned = Layout.readDay(s, dayPath(d), Day)
+    val pruned = Layout.readDay(s, dayPath(s, d), Day)
     val scan = pruned.queryExecution.sparkPlan.collectFirst {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.get
@@ -60,7 +68,7 @@ object LayoutQueries {
 
   private def bucketedTables(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val t = tag(d)
+    val t = procTag(s, d)
     Layout.writeBucketed(
       Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice")),
       s"graft_orders_bkt_$t", s"$tmpRoot/graft_layout/$t/orders_bkt",
@@ -99,7 +107,7 @@ object LayoutQueries {
     // the query fn already wrote both bucketed tables this session —
     // read them from the catalog rather than paying a second full
     // bucketed rewrite just to rebuild the join plan
-    val t = tag(d)
+    val t = procTag(s, d)
     val (o, c) = (s.table(s"graft_orders_bkt_$t"), s.table(s"graft_customer_bkt_$t"))
     val joinOnly = o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
       .select(o("o_custkey"), col("o_totalprice"), col("c_mktsegment"))
@@ -111,25 +119,36 @@ object LayoutQueries {
       Gate("shuffle_exchanges_in_bucketed_join", shuffles.toDouble, shuffles == 0))
   }
 
-  private def fragPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_frag"
-  private def compactPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_compact"
+  private def fragPath(s: org.apache.spark.sql.SparkSession, d: String) = s"$tmpRoot/graft_layout/${procTag(s, d)}/events_frag"
+  private def compactPath(s: org.apache.spark.sql.SparkSession, d: String) = s"$tmpRoot/graft_layout/${procTag(s, d)}/events_compact"
+
+  /** Files-per-directory bound the compact gate enforces: the default
+    * saltBuckets of [[Layout.compactDatePartitioned]] (fixture rows never
+    * approach maxRecordsPerFile, so salt spread is the only multiplier). */
+  private val CompactSalt = 4
 
   /** Small-file compaction ([[Layout.compactDatePartitioned]]). The
     * fragmented input models incremental appends: the fixture written
     * with 8-way round-robin partitioning under `partitionBy(date)`, so
     * every date directory holds ~8 small files. Compaction re-clusters
-    * by date and rewrites — each directory collapses to ONE file. The
-    * result frame reports per-date row counts and before/after file
-    * counts; gates pin row preservation (count per date identical to
-    * the fixture) and the 1-file-per-directory outcome. */
+    * by (date, content salt) and rewrites — each directory collapses to
+    * at most `saltBuckets` files (NOT one: a single file per date would
+    * single-thread a hot multi-TB day at production scale — the salt is
+    * the scale-safety, and ProfileSpec separately probes that one date's
+    * rows really do compact across >1 task). The result frame reports
+    * per-date row counts and before/after file counts; gates pin row
+    * preservation (count per date identical to the fixture) and the
+    * ≤ saltBuckets files-per-directory outcome with strict shrinkage
+    * from the fragmented input. */
   val compact: Q = Q.gated("layout_compact") { (s, d) =>
     val events = Tables.events(s, d).withColumn("event_date", to_date(col("ts")))
     events.repartition(8)
-      .write.mode("overwrite").partitionBy("event_date").parquet(fragPath(d))
-    Layout.compactDatePartitioned(s, fragPath(d), compactPath(d))
-    val before = Layout.partitionFileCounts(s, fragPath(d))
-    val after = Layout.partitionFileCounts(s, compactPath(d))
-    val rows = s.read.parquet(compactPath(d))
+      .write.mode("overwrite").partitionBy("event_date").parquet(fragPath(s, d))
+    Layout.compactDatePartitioned(s, fragPath(s, d), compactPath(s, d),
+      saltBuckets = CompactSalt)
+    val before = Layout.partitionFileCounts(s, fragPath(s, d))
+    val after = Layout.partitionFileCounts(s, compactPath(s, d))
+    val rows = s.read.parquet(compactPath(s, d))
       .groupBy(col("event_date").cast("string").as("event_date"))
       .agg(count(lit(1)).as("n_rows"))
     val countsDf = s.createDataFrame(
@@ -145,14 +164,19 @@ object LayoutQueries {
       fixture.except(res.select("event_date", "n_rows")).count()
     val agg = res.agg(
       max(col("files_after")).as("maxAfter"),
-      min(col("files_before")).as("minBefore")).head
+      min(col("files_before")).as("minBefore"),
+      max(when(col("files_after") >= col("files_before"), 1).otherwise(0))
+        .as("anyNotShrunk")).head
     Seq(
       Gate("compacted_vs_fixture_diff_rows", diff.toDouble, diff == 0),
-      Gate("max_files_per_dir_after", agg.getInt(0).toDouble, agg.getInt(0) == 1),
-      Gate("min_files_per_dir_before", agg.getInt(1).toDouble, agg.getInt(1) > 1))
+      Gate("max_files_per_dir_after", agg.getInt(0).toDouble,
+        agg.getInt(0) <= CompactSalt),
+      Gate("min_files_per_dir_before", agg.getInt(1).toDouble, agg.getInt(1) > 1),
+      Gate("dirs_not_shrunk_by_compaction", agg.getInt(2).toDouble,
+        agg.getInt(2) == 0))
   }
 
-  private def rollupPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_rollup"
+  private def rollupPath(s: org.apache.spark.sql.SparkSession, d: String) = s"$tmpRoot/graft_layout/${procTag(s, d)}/events_rollup"
 
   /** Incremental rollup maintenance ([[Layout.mergeDailyAgg]]): three
     * daily merges land days 13–15 into the date-partitioned rollup, then
@@ -164,16 +188,16 @@ object LayoutQueries {
     * ONLY its days (partition-pruned source scan) and rewrites ONLY its
     * days' rollup partitions. */
   val incrementalAgg: Q = Q.gated("layout_incremental_agg") { (s, d) =>
-    Layout.writeDatePartitioned(Tables.events(s, d), dayPath(d))
+    Layout.writeDatePartitioned(Tables.events(s, d), dayPath(s, d))
     // dynamic overwrite only ever REPLACES the merged days, so a stale
     // rollup from an earlier run with a different day set would leak
     // its partitions into this verification — start from nothing
-    Layout.resetPath(s, rollupPath(d))
-    Layout.mergeDailyAgg(s, dayPath(d), rollupPath(d), Seq("2024-01-13", "2024-01-14"))
-    Layout.mergeDailyAgg(s, dayPath(d), rollupPath(d), Seq("2024-01-15"))
+    Layout.resetPath(s, rollupPath(s, d))
+    Layout.mergeDailyAgg(s, dayPath(s, d), rollupPath(s, d), Seq("2024-01-13", "2024-01-14"))
+    Layout.mergeDailyAgg(s, dayPath(s, d), rollupPath(s, d), Seq("2024-01-15"))
     // idempotent re-merge of an already-loaded day
-    Layout.mergeDailyAgg(s, dayPath(d), rollupPath(d), Seq("2024-01-14"))
-    s.read.parquet(rollupPath(d))
+    Layout.mergeDailyAgg(s, dayPath(s, d), rollupPath(s, d), Seq("2024-01-14"))
+    s.read.parquet(rollupPath(s, d))
       .select(col("event_date").cast("string").as("event_date"),
         col("event_type"), col("n"), col("total_value").cast("double").as("total_value"))
   } { (s, d, res) =>
@@ -192,7 +216,7 @@ object LayoutQueries {
       Gate("duplicate_keys_after_remerge", dups.toDouble, dups == 0))
   }
 
-  private def delPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_delete"
+  private def delPath(s: org.apache.spark.sql.SparkSession, d: String) = s"$tmpRoot/graft_layout/${procTag(s, d)}/events_delete"
 
   /** Targeted deletion ([[Layout.deleteRows]]): victims are every 10th
     * event of exactly two days, so 2 of 30 partitions must be rewritten
@@ -206,13 +230,13 @@ object LayoutQueries {
       .where(to_date(col("ts")).cast("string").isin("2024-01-05", "2024-01-20")
         && col("event_id") % 10 === 0)
       .select("event_id")
-    Layout.writeDatePartitioned(Tables.events(s, d), delPath(d))
-    val before = Layout.partitionFileListing(s, delPath(d))
-    val affected = Layout.deleteRows(s, delPath(d), victims, "event_id")
-    val after = Layout.partitionFileListing(s, delPath(d))
+    Layout.writeDatePartitioned(Tables.events(s, d), delPath(s, d))
+    val before = Layout.partitionFileListing(s, delPath(s, d))
+    val affected = Layout.deleteRows(s, delPath(s, d), victims, "event_id")
+    val after = Layout.partitionFileListing(s, delPath(s, d))
     val unchanged = before.keySet.map(k =>
       k -> (before(k) == after.getOrElse(k, Nil))).toMap
-    val rows = s.read.parquet(delPath(d))
+    val rows = s.read.parquet(delPath(s, d))
       .groupBy(col("event_date").cast("string").as("event_date"))
       .agg(count(lit(1)).as("n_rows"))
     val meta = s.createDataFrame(before.keySet.toSeq.sorted.map(k =>
@@ -239,7 +263,7 @@ object LayoutQueries {
         rewrittenTouched == 0))
   }
 
-  private def retPath(d: String) = s"$tmpRoot/graft_layout/${tag(d)}/events_retention"
+  private def retPath(s: org.apache.spark.sql.SparkSession, d: String) = s"$tmpRoot/graft_layout/${procTag(s, d)}/events_retention"
 
   /** Retention expiry ([[Layout.expirePartitions]]): the first 10 days
     * of the 30-day layout are dropped by directory, survivors are never
@@ -247,12 +271,12 @@ object LayoutQueries {
     * row set ≡ the fixture filtered at the cutoff, exactly 10 expired
     * partitions, and zero survivor-file rewrites. */
   val retention: Q = Q.gated("layout_retention") { (s, d) =>
-    Layout.writeDatePartitioned(Tables.events(s, d), retPath(d))
-    val before = Layout.partitionFileListing(s, retPath(d))
-    val expired = Layout.expirePartitions(s, retPath(d), "2024-01-11")
-    val after = Layout.partitionFileListing(s, retPath(d))
+    Layout.writeDatePartitioned(Tables.events(s, d), retPath(s, d))
+    val before = Layout.partitionFileListing(s, retPath(s, d))
+    val expired = Layout.expirePartitions(s, retPath(s, d), "2024-01-11")
+    val after = Layout.partitionFileListing(s, retPath(s, d))
     val survivorsIntact = after.keySet.forall(k => before(k) == after(k))
-    val rows = s.read.parquet(retPath(d))
+    val rows = s.read.parquet(retPath(s, d))
       .groupBy(col("event_date").cast("string").as("event_date"))
       .agg(count(lit(1)).as("n_rows"))
     rows

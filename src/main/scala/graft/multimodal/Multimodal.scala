@@ -226,15 +226,27 @@ object Multimodal {
     * paths (steps 2–4 of the pipeline documented on
     * [[videoNearDupPairs]]): distinct per-media signatures, pigeonhole
     * banding candidacy, exact bit_count verify, match-fraction
-    * aggregation against the a-side signature count. Input: one row per
+    * aggregation. `match_frac` divides the matched a-side signature
+    * count by `least(n_sigs_a, n_sigs_b)` — CONTAINMENT semantics, so a
+    * trim of a longer original scores 1.0 regardless of which side has
+    * the smaller id (the previous a-side denominator made the result
+    * depend on id ordering: the pair is canonicalized media_a < media_b,
+    * so a long original with the smaller id diluted the trim's perfect
+    * overlap by its own extra signatures). Input: one row per
     * (media_id, sim) occurrence; multiplicity is collapsed here. */
   private def sigOverlapPairs(rawSigs: DataFrame, maxHamming: Int,
       minMatchFrac: Double): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30,
       s"maxHamming in [1,30), got $maxHamming")
-    // cached: the banding self-join consumes this frame on both sides
-    // (same double-evaluation hazard as Dedup.hammingPairs)
-    val sigs = rawSigs.distinct().cache()
+    // NOT cached: the banding self-join and both n_sigs joins consume
+    // this frame, but all consumers sit above the distinct's shuffle
+    // exchange, and the self-join/nsigs subtrees are identical plans —
+    // Spark's ReuseExchange computes that shuffle ONCE and reads it from
+    // every consumer (pinned in MultimodalSpec), so the earlier
+    // `.cache()` bought nothing except a frame pinned in executor
+    // storage for the session (two sweeps × video+audio queries
+    // accumulated four such pins before this was removed).
+    val sigs = rawSigs.distinct()
     val nsigs = sigs.groupBy("media_id").agg(count(lit(1)).as("n_sigs"))
     val chunks = maxHamming + 1
     val bitsPer = 60 / chunks
@@ -253,12 +265,15 @@ object Multimodal {
     sigMatches
       .groupBy(col("media_a"), col("media_b"))
       .agg(countDistinct(col("sim_a")).as("n_matched"))
-      .join(nsigs.withColumnRenamed("media_id", "media_a"), "media_a")
+      .join(nsigs.select(col("media_id").as("media_a"),
+        col("n_sigs").as("n_sigs_a")), "media_a")
+      .join(nsigs.select(col("media_id").as("media_b"),
+        col("n_sigs").as("n_sigs_b")), "media_b")
       .withColumn("match_frac",
-        col("n_matched").cast("double") / col("n_sigs"))
+        col("n_matched").cast("double") / least(col("n_sigs_a"), col("n_sigs_b")))
       .where(col("match_frac") >= minMatchFrac)
       .select(col("media_a"), col("media_b"), col("n_matched"),
-        col("n_sigs"), col("match_frac"))
+        col("n_sigs_a"), col("n_sigs_b"), col("match_frac"))
   }
 
   /** Frame sampling for video rows: emit every `stride`-th frame index

@@ -107,7 +107,7 @@ class MultimodalSpec extends AnyFunSuite {
     // every planted twin matches on its FULL signature set (each sampled
     // frame slice contains at most one perturbed byte)
     res.filter(r => planted((r.getLong(0), r.getLong(1)))).foreach { r =>
-      assert(r.getDouble(4) == 1.0, s"twin pair below full overlap: $r")
+      assert(r.getDouble(5) == 1.0, s"twin pair below full overlap: $r")
     }
     // any extra pair must be a byte-near payload, never unrelated
     val payload = media.select("media_id", "content")
@@ -116,6 +116,22 @@ class MultimodalSpec extends AnyFunSuite {
       val d = payload(x).zip(payload(y)).count { case (a, b) => a != b }
       assert(d <= 6, s"false positive video pair ($x,$y): $d bytes differ")
     }
+  }
+
+  test("sigOverlapPairs computes the signature distinct once (exchange reuse, no cache)") {
+    // the overlap core deliberately does NOT cache the distinct signature
+    // frame (a session-lifetime storage pin): its three consumers (both
+    // self-join sides + the n_sigs counts) must instead read the
+    // distinct's shuffle output via ReusedExchange, so the pHash UDF and
+    // frame explode still run exactly once
+    val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
+    val pairs = Multimodal.videoNearDupPairs(media)
+    pairs.collect() // materialize so AQE finalizes the reused exchanges
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("InMemoryTableScan"),
+      s"signature subtree must be computed once:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      "no cached frames may back the overlap core")
   }
 
   test("videoNearDupPairs ignores non-video assets entirely") {
@@ -144,19 +160,29 @@ class MultimodalSpec extends AnyFunSuite {
     val nonAudio = media.where(col("kind") =!= "audio")
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(found.flatMap(p => Set(p._1, p._2)).intersect(nonAudio).isEmpty)
-    // a stride-aligned trim (drop the first window) still matches: every
-    // remaining window signature exists in the original
+    // a stride-aligned trim (drop the first window) still matches in
+    // BOTH id orderings at the strict default-grade threshold: the
+    // least(n_sigs_a, n_sigs_b) denominator makes match_frac containment
+    // semantics, so whether the LONGER original carries the smaller id
+    // (ordering A — the case the old a-side denominator diluted to 0.75)
+    // or the larger id (ordering B) the trim pair scores 1.0
     import spark.implicits._
     val one = media.where(col("kind") === "audio" && length(col("content")) >= 64)
       .select("media_id", "kind", "content").head
     val bytes = one.getAs[Array[Byte]]("content")
-    val trimmed = Seq(
-      (one.getLong(0), "audio", bytes),
-      (999999999L, "audio", bytes.drop(16)))
-      .toDF("media_id", "kind", "content")
-    val tr = Multimodal.audioNearDupPairs(trimmed, minMatchFrac = 0.5).collect()
-    assert(tr.exists(r => r.getLong(0) == one.getLong(0) && r.getLong(1) == 999999999L),
-      s"stride-aligned trim must still match: ${tr.mkString(",")}")
+    for ((longId, shortId) <- Seq((1L, 999999999L), (999999999L, 1L))) {
+      val trimmed = Seq(
+        (longId, "audio", bytes),
+        (shortId, "audio", bytes.drop(16)))
+        .toDF("media_id", "kind", "content")
+      val tr = Multimodal.audioNearDupPairs(trimmed, minMatchFrac = 0.9).collect()
+      val (a, b) = (math.min(longId, shortId), math.max(longId, shortId))
+      val hit = tr.find(r => r.getLong(0) == a && r.getLong(1) == b)
+      assert(hit.isDefined,
+        s"trim must match with long=$longId short=$shortId: ${tr.mkString(",")}")
+      assert(hit.get.getDouble(5) == 1.0,
+        s"containment match_frac must be 1.0: ${hit.get}")
+    }
   }
 }
 
