@@ -108,42 +108,26 @@ object Bench {
       case Some(n) => s"forced_reps_$n"
       case None    => s"min_of_2_all_3_under_${autoRepBelow}s"
     }
-    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"$protocol","failed":$failedJson,"sf":"$sfDir"}"""
-    println(benchJson)
-    // Persist the full line to tools/bench_local/: the driver's artifact
-    // keeps only the tail ~2 KB of bench stdout, which drops the per-query
-    // times map (r8/r9's per-query data is unrecoverable for exactly this
-    // reason). Best-effort — the bench must never fail on persistence.
-    // ONLY full default-protocol sweeps persist: a SPARK_GRAFT_ONLY or
-    // forced-reps profiling run must not clobber the round's record.
-    if (only.isEmpty && repsEnv.isEmpty) try {
-      val roundTag = try {
-        val src = scala.io.Source.fromFile("PROGRESS.jsonl")
-        val last = try src.getLines().foldLeft("")((_, l) => l) finally src.close()
-        """"round":\s*(\d+)""".r.findFirstMatchIn(last)
-          .map(m => f"r${m.group(1).toInt}%02d").getOrElse("rxx")
-      } catch { case _: Throwable => "rxx" }
-      val outDir = new java.io.File("tools/bench_local")
-      outDir.mkdirs()
-      val pw = new java.io.PrintWriter(new java.io.File(outDir, s"${roundTag}_local.json"))
-      try pw.println(benchJson) finally pw.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] persist to tools/bench_local failed: ${e.getMessage}")
-    }
     // Opt-in regression gate (SPARK_GRAFT_BASELINE=1 or =path): compare
     // each query's reported min against its pinned steady-state time in
-    // baseline_pins.json and exit nonzero on any 2x exceedance — the 2x rule
+    // baseline_pins.json and fail on any 2x exceedance — the 2x rule
     // lives in the repo, not just in round-verdict heads. The +0.25 s
     // absolute slack keeps sub-100 ms queries from tripping the gate on
     // scheduler jitter that a ratio alone would flag.
     //
-    // Runs BEFORE spark.stop(): a query whose in-sweep reading trips the
-    // 2x line gets ONE fresh isolated re-measurement and is judged on the
-    // better time. A 69-query sequential sweep carries host-contention
-    // noise that can flip untouched queries past 2x (measured, same
-    // build: events_windowed 1.73 s in-sweep vs 0.26 s isolated) — a gate
-    // that reds on that noise trains its readers to ignore it.
-    val gateRc = sys.env.get("SPARK_GRAFT_BASELINE").map { bl =>
+    // Runs BEFORE the JSON is emitted/persisted so the bench artifact
+    // CONTAINS its own adjudication (`baseline_gate`): r10's committed
+    // sweep carried four unexplained >2x in-sweep readings precisely
+    // because the gate ran in heads, not artifacts — round_health now
+    // REDs a bench line whose gate did not run or did not pass.
+    //
+    // A query whose in-sweep reading trips the 2x line gets isolated
+    // re-measurement and is judged on the better time. A ~100-query
+    // sequential sweep carries host-contention noise that can flip
+    // untouched queries past 2x (measured, same build: events_windowed
+    // 1.73 s in-sweep vs 0.26 s isolated) — a gate that reds on that
+    // noise trains its readers to ignore it.
+    val gateResult: Option[(Seq[String], Int)] = sys.env.get("SPARK_GRAFT_BASELINE").map { bl =>
       val path = if (bl == "1") "baseline_pins.json" else bl
       val text = scala.io.Source.fromFile(path)
       val pins =
@@ -187,13 +171,42 @@ object Bench {
       if (violations.nonEmpty || failed.nonEmpty) {
         (violations ++ failed.map(f => s"$f: FAILED to run")).foreach(v =>
           System.err.println(s"[baseline] REGRESSION $v"))
-        1
+        (violations, 1)
       } else {
         System.err.println(s"[baseline] OK: ${pins.size} pins, 0 regressions")
-        0
+        (Seq.empty[String], 0)
       }
     }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val gateJson = gateResult match {
+      case None => """{"status":"not_run"}"""
+      case Some((viol, rc)) =>
+        val status = if (rc == 0) "ok" else "violations"
+        s"""{"status":"$status","violations":${viol.map(jstr).mkString("[", ",", "]")}}"""
+    }
+    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"$protocol","failed":$failedJson,"baseline_gate":$gateJson,"sf":"$sfDir"}"""
+    println(benchJson)
+    // Persist the full line to tools/bench_local/: the driver's artifact
+    // keeps only the tail ~2 KB of bench stdout, which drops the per-query
+    // times map (r8/r9's per-query data is unrecoverable for exactly this
+    // reason). Best-effort — the bench must never fail on persistence.
+    // ONLY full default-protocol sweeps persist: a SPARK_GRAFT_ONLY or
+    // forced-reps profiling run must not clobber the round's record.
+    if (only.isEmpty && repsEnv.isEmpty) try {
+      val roundTag = try {
+        val src = scala.io.Source.fromFile("PROGRESS.jsonl")
+        val last = try src.getLines().foldLeft("")((_, l) => l) finally src.close()
+        """"round":\s*(\d+)""".r.findFirstMatchIn(last)
+          .map(m => f"r${m.group(1).toInt}%02d").getOrElse("rxx")
+      } catch { case _: Throwable => "rxx" }
+      val outDir = new java.io.File("tools/bench_local")
+      outDir.mkdirs()
+      val pw = new java.io.PrintWriter(new java.io.File(outDir, s"${roundTag}_local.json"))
+      try pw.println(benchJson) finally pw.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] persist to tools/bench_local failed: ${e.getMessage}")
+    }
     spark.stop()
-    gateRc.filter(_ != 0).foreach(_ => sys.exit(1))
+    gateResult.map(_._2).filter(_ != 0).foreach(_ => sys.exit(1))
   }
 }

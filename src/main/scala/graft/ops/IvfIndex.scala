@@ -73,6 +73,56 @@ object IvfIndex {
       .parquet(s"$dir/postings.parquet")
   }
 
+  /** Postings compaction — the index-side twin of
+    * [[graft.io.Layout.compactDatePartitioned]], keyed on `cell`. Many
+    * [[append]] batches fragment each cell directory (every batch writes
+    * ≥1 file into every cell it touches — a daily crawl leaves each of
+    * nlist directories with one small file per day), and probing then
+    * pays per-file open/footer costs on the exact directories the
+    * partition pruning worked to isolate. Rewrites the postings with the
+    * same salted clustering (hot cells still compact across multiple
+    * tasks; files bounded by saltBuckets · maxRecordsPerFile) and swaps
+    * the WHOLE postings directory via the trash-ordered rename pair, so
+    * a crash at any point leaves either the old or the new postings
+    * live. Search results are byte-identical before/after by
+    * construction — compaction moves rows between files, never across
+    * cells (gated in ann_ivf_index_maintain). */
+  def compactPostings(spark: SparkSession, dir: String,
+      saltBuckets: Int = 4, maxRecordsPerFile: Long = 5000000L): Unit = {
+    val postings = s"$dir/postings.parquet"
+    val token = spark.sparkContext.applicationId
+    val staging = s"$postings.compact_$token"
+    graft.io.Layout.compactDatePartitioned(spark, postings, staging,
+      partCol = "cell", saltBuckets = saltBuckets,
+      maxRecordsPerFile = maxRecordsPerFile)
+    val fs = new org.apache.hadoop.fs.Path(postings)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def move(src: String, dst: String): Unit = {
+      val (sp, dp) = (new org.apache.hadoop.fs.Path(src),
+        new org.apache.hadoop.fs.Path(dst))
+      if (!fs.rename(sp, dp))
+        throw new java.io.IOException(s"compactPostings: rename $src -> $dst failed")
+    }
+    val trash = s"$postings.trash_$token"
+    move(postings, trash)
+    move(staging, postings)
+    if (!fs.delete(new org.apache.hadoop.fs.Path(trash), true))
+      throw new java.io.IOException(s"compactPostings: cleanup of $trash failed")
+  }
+
+  /** Targeted vector deletion — the embedding-side right-to-be-forgotten
+    * primitive: remove the given vector ids from the postings while
+    * rewriting ONLY the cells that contain them (a takedown touches a
+    * handful of home cells; every other cell's files are never opened).
+    * Delegates to [[graft.io.Layout.deleteRows]] keyed on `cell`, which
+    * carries the checked trash-ordered directory swap. The quantizer is
+    * untouched: centers are statistics, not content, and re-training on
+    * deletion would re-route every live posting (a full rebuild) for no
+    * retrieval gain. Returns the affected cell values. */
+  def deleteVectors(spark: SparkSession, dir: String, ids: DataFrame): Seq[String] =
+    graft.io.Layout.deleteRows(spark, s"$dir/postings.parquet",
+      ids.select(col(ids.columns.head).cast("long").as("id")), "id", "cell")
+
   /** Nearest cell by euclidean distance, lowest index on ties — the same
     * routing rule as the in-memory IVF family. */
   private def nearestCellJvm(centers: Array[Array[Double]], v: Seq[Double]): Int = {

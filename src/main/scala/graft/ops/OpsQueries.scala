@@ -230,6 +230,89 @@ object OpsQueries {
       Gate("recall_at_5_vs_exact", recall, recall >= 0.8))
   }
 
+  /** Persistent-index LIFECYCLE ([[IvfIndex.compactPostings]] /
+    * [[IvfIndex.deleteVectors]]) — the maintenance half of the serving
+    * contract, exercised end-to-end in one run:
+    *
+    *  1. build from 4/10 of the corpus, then six [[IvfIndex.append]]
+    *     batches (the fragmenting daily-crawl shape — every batch adds
+    *     files to every cell it touches, so cells arrive at ~7 files);
+    *  2. compact the postings: per-cell file counts must DROP to the
+    *     salted bound, and the search results may not move by a single
+    *     neighbor (compaction relocates rows between files, never
+    *     across cells);
+    *  3. delete a victim id set (takedown): victims vanish from the
+    *     postings AND from every neighbor list, only their home cells
+    *     are rewritten (untouched cells' file listings byte-identical),
+    *     and the surviving search still clears the family recall floor
+    *     vs the exact twin over the surviving corpus.
+    *
+    * The result frame is the final post-maintenance search plus literal
+    * metric columns (the layout-query pattern) so the gate adjudicates
+    * from the dump. */
+  val annIvfIndexMaintain: Q = Q.gated("ann_ivf_index_maintain") { (s, d) =>
+    import graft.io.Layout
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-maintain").toString
+    IvfIndex.build(emb.where(pmod(col("vec_id"), lit(10)) < 4), dir, nlist = 16)
+    (4 to 9).foreach(b =>
+      IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === b), dir))
+    val postings = s"$dir/postings.parquet"
+    val filesBefore = Layout.partitionFileCounts(s, postings, "cell")
+    // snapshot is bounded by queries·k and must be pinned to the CURRENT
+    // files — the compaction below moves them under this lazy plan
+    val pre = IvfIndex.search(s, dir, emb, k = 5, nprobe = 10)
+      .select("i", "j", "rank").localCheckpoint(true)
+    IvfIndex.compactPostings(s, dir)
+    val filesAfter = Layout.partitionFileCounts(s, postings, "cell")
+    val post = IvfIndex.search(s, dir, emb, k = 5, nprobe = 10)
+      .select("i", "j", "rank").localCheckpoint(true)
+    val compactDiff = pre.exceptAll(post).count() + post.exceptAll(pre).count()
+    val victims = emb.where(pmod(col("vec_id"), lit(97)) === 0).select("vec_id")
+    val nVictims = victims.count()
+    val listingPre = Layout.partitionFileListing(s, postings, "cell")
+    val affected = IvfIndex.deleteVectors(s, dir, victims)
+    val listingPost = Layout.partitionFileListing(s, postings, "cell")
+    val untouchedChanged = listingPre.keySet.count(c =>
+      !affected.contains(c) && listingPre(c) != listingPost.getOrElse(c, Nil))
+    val victimRowsLeft = s.read.parquet(postings)
+      .join(victims.withColumnRenamed("vec_id", "id"), Seq("id"), "left_semi")
+      .count()
+    IvfIndex.search(s, dir, emb.join(victims, Seq("vec_id"), "left_anti"),
+        k = 5, nprobe = 10)
+      .withColumn("files_max_before_compact", lit(filesBefore.values.max))
+      .withColumn("files_max_after_compact", lit(filesAfter.values.max))
+      .withColumn("search_diff_after_compact", lit(compactDiff))
+      .withColumn("n_victims", lit(nVictims))
+      .withColumn("victim_rows_left", lit(victimRowsLeft))
+      .withColumn("victim_cells_touched", lit(affected.length.toLong))
+      .withColumn("untouched_cells_changed", lit(untouchedChanged.toLong))
+  } { (s, d, res) =>
+    val head = res.select("files_max_before_compact", "files_max_after_compact",
+      "search_diff_after_compact", "n_victims", "victim_rows_left",
+      "victim_cells_touched", "untouched_cells_changed").head
+    val emb = Tables.embeddings(s, d)
+    val victims = emb.where(pmod(col("vec_id"), lit(97)) === 0).select("vec_id")
+    val victimNeighbors = res
+      .join(victims.withColumnRenamed("vec_id", "j"), Seq("j"), "left_semi")
+      .count()
+    val surviving = emb.join(victims, Seq("vec_id"), "left_anti")
+    val exact = SimilaritySearch.bruteTopK(surviving, k = 5)
+    val (recall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
+    Seq(
+      Gate("files_max_before_compact", head.getInt(0).toDouble, head.getInt(0) > 4),
+      Gate("files_max_after_compact", head.getInt(1).toDouble, head.getInt(1) <= 4),
+      Gate("search_diff_after_compact", head.getLong(2).toDouble, head.getLong(2) == 0),
+      Gate("n_victims", head.getLong(3).toDouble, head.getLong(3) > 0),
+      Gate("victim_rows_left_in_postings", head.getLong(4).toDouble, head.getLong(4) == 0),
+      Gate("victim_cells_touched", head.getLong(5).toDouble,
+        head.getLong(5) > 0 && head.getLong(5) <= 16),
+      Gate("untouched_cells_changed", head.getLong(6).toDouble, head.getLong(6) == 0),
+      Gate("victims_in_neighbor_lists", victimNeighbors.toDouble, victimNeighbors == 0),
+      Gate("recall_at_5_vs_exact_surviving", recall, recall >= 0.8))
+  }
+
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
     * cell candidates as IVF, but the index side of the join carries m=16
     * RESIDUAL code bytes (ARRAY<TINYINT>) instead of 64 doubles (32×
@@ -524,7 +607,8 @@ object OpsQueries {
 
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, annIvf, annIvfKmeans, annIvfIndex, annPq, semanticDups, canonical, retained, substringSpans,
+    annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain, annPq,
+    semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
     hardNegatives, annPca, signatureMerge)
 }

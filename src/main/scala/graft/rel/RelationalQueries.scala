@@ -747,6 +747,40 @@ object RelationalQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Correlated LATERAL join — per-BUILDING-customer top-2 orders via a
+    * correlated ORDER BY ... LIMIT subquery, the decorrelation twin of
+    * q31 (scalar subquery → aggregate+join) for the per-group-top-k
+    * shape: the lateral's row-generating correlated limit is what q3
+    * writes directly as a rank window. The Spark program runs Spark 4's
+    * own SQL `JOIN LATERAL` (DataFrames have no lateral operator), so
+    * this query checks Catalyst's lateral decorrelation end-to-end
+    * against DuckDB executing the same LATERAL natively — and PlanSpec
+    * pins that the decorrelated plan is a window + ONE equi-join, never
+    * a per-row nested-loop re-execution (which is precisely the
+    * at-scale failure a naive lateral implementation hits). Ties are
+    * broken by (o_totalprice DESC, o_orderkey), so both engines pick
+    * identical top-2 sets. */
+  val q34Lateral: Q = Q(
+    "q34_lateral",
+    """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice
+      |  FROM orders WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin
+  ) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q34_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q34_orders")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        |FROM graft_q34_customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM graft_q34_orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
@@ -754,5 +788,5 @@ object RelationalQueries {
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
     q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg,
     q28ApproxPercentiles, q29Sessions, q30FullOuter, q31ScalarSubquery,
-    q32TimeRangeWindow, q33GroupingSets)
+    q32TimeRangeWindow, q33GroupingSets, q34Lateral)
 }

@@ -473,6 +473,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("q34: the lateral correlated limit decorrelates to a window + one join") {
+    // Catalyst must rewrite the per-customer LATERAL ... LIMIT 2 into a
+    // per-key rank filter joined ONCE with the outer side — a per-row
+    // nested-loop re-execution of the subquery (the naive lateral
+    // strategy) would be the classic at-scale killer
+    val p = plan("q34_lateral")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val joins = p.linesIterator.count(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    assert(joins == 1, s"expected exactly one equi-join, got $joins:\n$p")
+    assert(p.contains("Window"), s"correlated limit must become a rank window:\n$p")
+  }
+
   test("text_perplexity_buckets: no cartesian; tiering window is per-source") {
     val p = plan("text_perplexity_buckets")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -58,8 +58,15 @@ def salvage(text):
     names -= {"metric", "value", "sf"}
     m = re.search(r'"failed":\s*(\[[^\]]*\])', text)
     failed = json.loads(m.group(1)) if m else None
+    g = re.search(r'"baseline_gate":\s*(\{.*?\})', text)
+    gate = None
+    if g:
+        try:
+            gate = json.loads(g.group(1))
+        except json.JSONDecodeError:
+            pass
     return {"queries": dict.fromkeys(names, None), "failed": failed,
-            "_truncated": True}
+            "baseline_gate": gate, "_truncated": True}
 
 
 def parse_bench(path):
@@ -97,6 +104,23 @@ def main():
         rc = 1
     else:
         print(f"OK  {os.path.basename(bench_path)}: failed == []")
+
+    # The bench artifact must contain its own regression-gate verdict
+    # (r10 committed four unadjudicated >2x in-sweep readings because the
+    # gate only ran in judge heads): a sweep without SPARK_GRAFT_BASELINE=1
+    # is not a valid round-close artifact.
+    gate = bench.get("baseline_gate")
+    status = (gate or {}).get("status")
+    if status == "ok":
+        print(f"OK  {os.path.basename(bench_path)}: baseline_gate ok")
+    elif status == "violations":
+        print(f"RED {os.path.basename(bench_path)}: baseline_gate violations "
+              f"{gate.get('violations')}")
+        rc = 1
+    else:
+        print(f"RED {os.path.basename(bench_path)}: no baseline_gate verdict — "
+              "re-run the sweep with SPARK_GRAFT_BASELINE=1")
+        rc = 1
 
     bad = [name for name, e in corr.items()
            if e.get("err") != "no_oracle"
