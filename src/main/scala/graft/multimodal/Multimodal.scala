@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One media asset: opaque binary payload + typed metadata. The payload is
@@ -13,7 +13,7 @@ case class MediaItem(
     media_id: Long,
     kind: String,          // "image" | "audio" | "video"
     mime: String,
-    width: Int,            // images/video
+    width: Int,            // images; video frame dims
     height: Int,
     n_frames: Int,         // video: frame count; audio: samples
     sample_rate: Int,      // audio
@@ -23,150 +23,212 @@ case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
 
 case class FrameSample(media_id: Long, frame_index: Int, content: Array[Byte])
 
-/** Multimodal-column plumbing with a STUBBED codec layer.
+/** Multimodal-column operators over the REAL codec boundary ([[Codec]]:
+  * JDK ImageIO for PNG/JPEG, javax.sound WAV, a PNG-frame container for
+  * video). Everything Spark-side — schemas, lazy per-partition batching,
+  * metadata pushdown, payload-free projections, banding joins — is the
+  * production shape; every decode tolerates corrupt payloads by skipping
+  * the row (a 100 TB crawl always contains some).
   *
-  * The container has no image/audio libraries, so the byte-level
-  * decode/resize/extract kernels are deterministic fakes (clearly marked);
-  * everything Spark-side — schemas, lazy per-partition batching, metadata
-  * pushdown, payload-free projections — is real and tested. Swapping in a
-  * real codec means replacing the bodies of [[Codec.decodeImage]] /
-  * [[Codec.decodeAudio]] only.
-  */
+  * Scale contract shared by the near-dup family: payload bytes never
+  * shuffle. Hashing happens in the scan stage; only (media_id, 64-bit
+  * signature) projections enter any join. */
 object Multimodal {
 
-  /** STUB boundary. Real implementations would call an image/audio codec
-    * (e.g. libjpeg/ffmpeg via JNI); these fakes derive deterministic
-    * pseudo-features from the payload bytes so pipelines are testable
-    * end-to-end (same bytes ⇒ same features). */
-  object Codec {
-    /** STUB: pretend-decode an image payload to a `dim`-float embedding. */
-    def decodeImage(content: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
-      var h = 1125899906842597L
-      var i = 0
-      while (i < content.length) { h = h * 31 + content(i); i += 1 }
-      i = 0
-      while (i < dim) {
-        h ^= h << 13; h ^= h >>> 7; h ^= h << 17 // xorshift
-        out(i) = (h % 1000L) / 1000.0f
-        i += 1
-      }
-      out
-    }
-
-    /** STUB: pretend-decode audio to a fixed-size spectrogram-ish vector. */
-    def decodeAudio(content: Array[Byte], dim: Int): Array[Float] =
-      decodeImage(content, dim) // same deterministic fake
-
-    /** STUB: pretend-resize; real impl re-encodes pixels. Metadata math is
-      * real; payload is passed through truncated (marker of the stub). */
-    def resizePayload(content: Array[Byte], w: Int, h: Int): Array[Byte] =
-      content.take(math.max(16, math.min(content.length, w * h / 64)))
-
-    /** STUB perceptual hash. A real implementation decodes the image,
-      * downsamples to 32×32 grayscale, takes the 2D DCT, and emits one
-      * bit per low-frequency coefficient (above/below the coefficient
-      * median) — 60 bits here to match the text SimHash banding width.
-      * The fake preserves the one property the dedup operators rely on:
-      * LOCALIZED payload changes flip FEW bits while unrelated payloads
-      * differ in ~30 of 60. Bit b thresholds an FNV hash of the byte
-      * STRIPE `p ≡ b (mod min(len, 60))` seeded by b, so EVERY bit is
-      * informative for any payload length — with the earlier contiguous
-      * 60-way blocking, a payload shorter than 60 bytes (e.g. a 16-byte
-      * sampled video frame) left most blocks empty and therefore
-      * constant, collapsing unrelated payloads to an expected Hamming
-      * distance of len/2 and flooding the banding join with false
-      * near-matches. Striped, k changed bytes flip at most k·⌈60/len⌉
-      * bits (3-byte perturbations of the 64-byte fixture payloads still
-      * flip ≤ 3) and unrelated payloads stay ~30 apart regardless of
-      * length. */
-    def phash(content: Array[Byte]): Long = {
-      val bits = 60
-      if (content.isEmpty) return 0L
-      val m = math.min(content.length, bits)
-      var out = 0L
-      var b = 0
-      while (b < bits) {
-        var h = 0xcbf29ce484222325L ^ b // FNV-1a offset basis, per-block seed
-        var i = b % m
-        while (i < content.length) { h ^= content(i) & 0xff; h *= 0x100000001b3L; i += m }
-        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33 // avalanche
-        if ((h & 1L) == 1L) out |= 1L << b
-        b += 1
-      }
-      out
-    }
-  }
-
-  /** Deterministic synthetic media table derived from the documents
-    * fixture (the container ships no real media): payload = md5-derived
-    * bytes, metadata = deterministic functions of doc_id. Same doc_id ⇒
-    * identical row, any engine. */
-  def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
+  /** Deterministic synthetic media table with REAL encoded payloads
+    * (PNG / WAV / PNG-frame container), derived from the documents
+    * fixture: the payload seed is the first 8 bytes of md5(text), so
+    * identical texts ⇒ byte-identical media (the fixture's planted
+    * duplicate texts become genuine duplicate assets), and all metadata
+    * are CLOSED-FORM functions of doc_id — which is what lets DuckDB
+    * oracle the metadata queries without decoding anything:
+    *
+    *  - image (doc_id%3==0): w=(doc_id·37)%48+16, h=(doc_id·53)%40+16
+    *  - audio (doc_id%3==1): n_frames = 1024+(doc_id%5)·256 samples @16k
+    *  - video (doc_id%3==2): n_frames = (doc_id·17)%7+2 frames of 32×32
+    */
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val payload = udf { (kind: String, seed: Long, w: Int, h: Int, nf: Int) =>
+      kind match {
+        case "image" => Codec.synthImageBytes(seed, w, h)
+        case "audio" => Codec.synthWavBytes(seed, nf, 16000)
+        case _       => Codec.synthVideoBytes(seed, nf)
+      }
+    }
     docs.select(
-      col("doc_id").as("media_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
-      (pmod(col("doc_id") * 37, lit(1024)) + 64).cast("int").as("width"),
-      (pmod(col("doc_id") * 53, lit(768)) + 64).cast("int").as("height"),
-      (pmod(col("doc_id") * 17, lit(240)) + 1).cast("int").as("n_frames"),
-      lit(16000).as("sample_rate"),
-      // payload: 64 deterministic bytes from the doc text hash
-      unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x"))),
-        md5(concat(col("text"), lit("y"))), md5(concat(col("text"), lit("z")))))
-        .as("content"))
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        element_at(typedLit(Seq("image/png", "audio/wav", "video/x-graft-frames")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            (pmod(col("doc_id") * 37, lit(48)) + 16))
+          .when(pmod(col("doc_id"), lit(3)) === 2, lit(32))
+          .otherwise(lit(0)).cast("int").as("width"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            (pmod(col("doc_id") * 53, lit(40)) + 16))
+          .when(pmod(col("doc_id"), lit(3)) === 2, lit(32))
+          .otherwise(lit(0)).cast("int").as("height"),
+        when(pmod(col("doc_id"), lit(3)) === 1,
+            lit(1024) + pmod(col("doc_id"), lit(5)) * 256)
+          .when(pmod(col("doc_id"), lit(3)) === 2,
+            pmod(col("doc_id") * 17, lit(7)) + 2)
+          .otherwise(lit(1)).cast("int").as("n_frames"),
+        when(pmod(col("doc_id"), lit(3)) === 1, lit(16000))
+          .otherwise(lit(0)).cast("int").as("sample_rate"),
+        // seed: first 8 md5(text) bytes — content-derived, engine-free
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("_seed"))
+      .withColumn("content",
+        payload(col("kind"), col("_seed"), col("width"), col("height"), col("n_frames")))
+      .drop("_seed")
   }
 
-  /** Feature extraction: lazy per-partition batch over the typed Dataset —
-    * the payload bytes stream through the iterator one partition at a
-    * time (never collected), which is the Scala analog of a Pandas-batch
-    * UDF. Metadata-only columns stay prunable upstream. */
+  /** Feature extraction through the real codec: lazy per-partition batch
+    * over the typed Dataset — payload bytes stream through the iterator
+    * one partition at a time (never collected), the Scala analog of a
+    * Pandas-batch UDF. 32 features per asset, all in [0,1]:
+    *
+    *  - image: per-row means of the 32×32 luma plane / 255;
+    *  - video: same, over the first decodable frame;
+    *  - audio: 32 linear sub-band energy FRACTIONS of a Hann DFT over
+    *    the clip head (they sum to 1 — a gain-free spectral shape).
+    *
+    * Undecodable payloads are SKIPPED, not errored. */
   def extractFeatures(media: Dataset[MediaItem], dim: Int = 32): Dataset[MediaFeatures] = {
+    require(dim == 32, s"feature layout is fixed at 32 dims, got $dim")
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        val f = m.kind match {
-          case "audio" => Codec.decodeAudio(m.content, dim)
-          case _       => Codec.decodeImage(m.content, dim)
+      it.flatMap { m =>
+        val feats: Option[Array[Float]] = m.kind match {
+          case "audio" =>
+            Codec.decodeWavSamples(m.content).filter(_.length >= 256).map { s =>
+              audioBandFractions(s)
+            }
+          case "video" =>
+            Codec.decodeFrames(m.content).iterator
+              .flatMap(Codec.decodeImage(_)).take(1).toSeq.headOption
+              .map(imageRowMeans)
+          case _ => Codec.decodeImage(m.content).map(imageRowMeans)
         }
-        MediaFeatures(m.media_id, m.kind, f)
+        feats.map(MediaFeatures(m.media_id, m.kind, _))
       }
     }
   }
 
-  /** Resize: REAL metadata arithmetic (aspect-preserving fit into a
-    * bounding box) + stub payload transform. */
+  private def imageRowMeans(img: java.awt.image.BufferedImage): Array[Float] = {
+    val l = Codec.luma32(img)
+    Array.tabulate(32) { y =>
+      var s = 0.0
+      var x = 0
+      while (x < 32) { s += l(y * 32 + x); x += 1 }
+      (s / (32 * 255.0)).toFloat
+    }
+  }
+
+  private def audioBandFractions(samples: Array[Short]): Array[Float] = {
+    val window = math.min(1024, samples.length)
+    val half = window / 2
+    val re = new Array[Double](half)
+    val im = new Array[Double](half)
+    var k = 1
+    while (k < half) {
+      var c = 0.0; var s = 0.0
+      var i = 0
+      while (i < window) {
+        val hann = 0.5 - 0.5 * math.cos(2 * math.Pi * i / (window - 1))
+        val v = samples(i) * hann
+        val ang = -2 * math.Pi * k * i / window
+        c += v * math.cos(ang); s += v * math.sin(ang)
+        i += 1
+      }
+      re(k) = c; im(k) = s
+      k += 1
+    }
+    val bands = new Array[Double](32)
+    k = 1
+    while (k < half) {
+      bands(math.min(31, (k - 1) * 32 / math.max(1, half - 1))) +=
+        re(k) * re(k) + im(k) * im(k)
+      k += 1
+    }
+    val tot = bands.sum + 1e-12
+    bands.map(b => (b / tot).toFloat)
+  }
+
+  /** Aspect-preserving resize into a bounding box — REAL re-encode:
+    * image payloads are decoded, bilinear-rescaled and PNG-re-encoded so
+    * the output payload's pixel dimensions EQUAL the metadata (pinned in
+    * MultimodalSpec). Non-image rows and undecodable payloads pass
+    * through with their metadata untouched. */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val isImage = col("kind") === "image"
     val scale = least(
       lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"), lit(1.0))
     val resizeUdf = udf { (content: Array[Byte], w: Int, h: Int) =>
-      Codec.resizePayload(content, w, h)
+      Codec.decodeImage(content)
+        .map(img => Codec.encodePng(Codec.scaleTo(img, w, h)))
+        .getOrElse(content)
     }
     media
-      .withColumn("new_width", floor(col("width") * scale).cast("int"))
-      .withColumn("new_height", floor(col("height") * scale).cast("int"))
-      .withColumn("content", resizeUdf(col("content"), col("new_width"), col("new_height")))
+      .withColumn("new_width",
+        when(isImage, floor(col("width") * scale).cast("int")).otherwise(col("width")))
+      .withColumn("new_height",
+        when(isImage, floor(col("height") * scale).cast("int")).otherwise(col("height")))
+      .withColumn("content",
+        when(isImage, resizeUdf(col("content"), col("new_width"), col("new_height")))
+          .otherwise(col("content")))
       .drop("width", "height")
       .withColumnRenamed("new_width", "width")
       .withColumnRenamed("new_height", "height")
   }
 
-  /** Perceptual near-duplicate pairs over media payloads: pHash each
-    * asset at the codec boundary, then find all pairs within `maxHamming`
-    * bits via the pigeonhole banding join shared with the text SimHash
-    * family ([[graft.ops.Dedup.hammingPairs]]) — candidacy is an
-    * equi-join on (chunk_id, chunk_val), never an all-pairs compare, and
-    * the final `bit_count` over the full 60-bit signatures is the exact
-    * verify. At 100 TB the payload bytes never shuffle: only the
-    * (media_id, 60-bit hash) projection enters the join. */
-  def phashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val ph = udf { (c: Array[Byte]) => Codec.phash(c) }
-    val sigs = media.select(col("media_id").as("id"), ph(col("content")).as("sim"))
-    graft.ops.Dedup.hammingPairs(sigs, maxHamming)
-      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+  /** Perceptual near-duplicate pairs over IMAGE payloads — the same
+    * two-stage candidacy-then-exact-verify shape as the MinHash-LSH →
+    * exact-Jaccard dedup family:
+    *
+    *  1. CANDIDACY: each asset decodes and pHashes once at the codec
+    *     boundary (classic 64-bit DCT pHash, [[Codec.phash64]];
+    *     undecodable payloads drop out), and pairs within `maxHamming`
+    *     bits surface via the pigeonhole banding join shared with the
+    *     text SimHash family ([[graft.ops.Dedup.hammingPairs]],
+    *     bits=64) — an equi-join on (chunk_id, chunk_val) carrying
+    *     16-byte rows, never an all-pairs compare, never payload bytes.
+    *  2. VERIFY: candidates join back to their payloads and the pair is
+    *     kept only if the canonical 32×32 luma planes agree to
+    *     `maxLumaMae` mean absolute error. pHash compares DCT
+    *     coefficient SIGNS, so two structurally-aligned but
+    *     visibly-different images can land a few bits apart (measured:
+    *     a cross-content fixture pair at Hamming 6 with luma MAE 13.5,
+    *     vs ≤ 1.0 for JPEG/resize twins and ≥ 14.8 for unrelated
+    *     pairs) — the pixel-level verify is what makes the operator's
+    *     positives exact. Decode cost is paid only on candidate pairs,
+    *     which are bounded by real near-dup mass. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 7,
+      maxLumaMae: Double = 5.0): DataFrame = {
+    val ph = udf { (c: Array[Byte]) => Codec.phash64(c) } // Option ⇒ null skips
+    val images = media.where(col("kind") === "image")
+    val sigs = images
+      .select(col("media_id").as("id"), ph(col("content")).as("sim"))
+      .where(col("sim").isNotNull)
+    val cands = graft.ops.Dedup.hammingPairs(sigs, maxHamming, bits = 64)
+    val mae = udf { (a: Array[Byte], b: Array[Byte]) =>
+      (for { ia <- Codec.decodeImage(a); ib <- Codec.decodeImage(b) } yield {
+        val la = Codec.luma32(ia); val lb = Codec.luma32(ib)
+        var s = 0.0
+        var i = 0
+        while (i < la.length) { s += math.abs(la(i) - lb(i)); i += 1 }
+        s / la.length
+      }).getOrElse(Double.MaxValue)
+    }
+    val payload = images.select(col("media_id"), col("content"))
+    cands
+      .join(payload.select(col("media_id").as("id_a"), col("content").as("_ca")), "id_a")
+      .join(payload.select(col("media_id").as("id_b"), col("content").as("_cb")), "id_b")
+      .withColumn("luma_mae", mae(col("_ca"), col("_cb")))
+      .where(col("luma_mae") <= maxLumaMae)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+        col("hamming"), col("luma_mae"))
   }
 
   /** Video-level near-duplicate pairs: per-frame perceptual hashes,
@@ -174,86 +236,83 @@ object Multimodal {
     *
     * Pipeline (every stage shuffle-on-key, never all-pairs):
     *
-    *  1. [[sampleFrames]] explodes each video into its sampled frames;
-    *     each frame pHashes at the codec boundary ([[Codec.phash]]).
+    *  1. [[sampleFrames]] parses each video container and explodes every
+    *     `stride`-th REAL frame; each frame decodes and pHashes at the
+    *     codec boundary ([[Codec.phash64]]).
     *  2. Frame signatures collapse to DISTINCT (media_id, hash) — a long
     *     static shot contributes ONE signature, so a 2-hour fixed-camera
     *     video doesn't get 170k identical rows into the join (and two
-    *     videos sharing a static shot don't blow up quadratically in
-    *     matched frame pairs).
-    *  3. Candidate frame matches come from the same pigeonhole banding
-    *     equi-join as the SimHash/pHash families (split 60 bits into
-    *     maxFrameHamming+1 chunks; a pair within the budget must agree on
-    *     ≥1 chunk), verified exactly with `bit_count` over the full
-    *     signatures. Temporal offsets are free: matching is on signature
-    *     content, not frame index, so a re-encode with a trimmed intro
-    *     still matches.
-    *  4. Pairs aggregate to `n_matched` distinct a-side signatures;
-    *     `match_frac = n_matched / n_sigs(a)` and pairs at or above
-    *     `minMatchFrac` are near-dups.
-    *
-    * At 100 TB the only frame payload movement is scan→hash inside one
-    * narrow stage; the banding join carries (media_id, 60-bit hash)
-    * projections only. */
-  def videoNearDupPairs(media: DataFrame, stride: Int = 24,
-      maxFrameHamming: Int = 6, minMatchFrac: Double = 0.8): DataFrame = {
-    val ph = udf { (c: Array[Byte]) => Codec.phash(c) }
+    *     videos sharing a static shot don't blow up quadratically).
+    *  3. Candidate frame matches come from the pigeonhole banding
+    *     equi-join (64-bit chunks), verified exactly with `bit_count`.
+    *     Temporal offsets are free: matching is on signature content,
+    *     not frame index, so a re-encode with a trimmed intro matches.
+    *  4. Pairs aggregate to matched-signature counts; `match_frac`
+    *     divides by least(n_sigs_a, n_sigs_b) — containment semantics
+    *     ([[sigOverlapPairs]]). */
+  def videoNearDupPairs(media: DataFrame, stride: Int = 2,
+      maxFrameHamming: Int = 7, minMatchFrac: Double = 0.8): DataFrame = {
+    val ph = udf { (c: Array[Byte]) => Codec.phash64(c) }
     sigOverlapPairs(
       sampleFrames(media, stride)
-        .select(col("media_id"), ph(col("content")).as("sim")),
-      maxFrameHamming, minMatchFrac)
+        .select(col("media_id"), ph(col("content")).as("sim"))
+        .where(col("sim").isNotNull),
+      maxFrameHamming, minMatchFrac, bits = 64)
   }
 
-  /** Audio-level near-duplicate pairs: the acoustic analog of
-    * [[videoNearDupPairs]] — fixed-size windows over the sample stream
-    * fingerprinted at the codec boundary (a real implementation hashes
-    * spectrogram peaks, Shazam-style; the stub hashes the window bytes),
-    * then the same distinct-signature overlap machinery: banding
-    * equi-join candidacy, exact Hamming verify, per-pair matched-window
-    * fraction. Trims/re-encodes that preserve window content still
-    * match because matching is on signature content, not position. */
-  def audioNearDupPairs(media: DataFrame, windowBytes: Int = 16,
-      stride: Int = 16, maxWindowHamming: Int = 6,
+  /** Audio-level near-duplicate pairs: Haitsma–Kalker-style sub-band
+    * fingerprints over the REAL decoded sample stream
+    * ([[Codec.audioFingerprints]]: per 256-sample window, 32 sign bits
+    * of adjacent-band log-energy differences — gain-invariant, so a
+    * volume-scaled re-master fingerprints identically), then the same
+    * distinct-signature overlap machinery as video: banding equi-join
+    * candidacy (32-bit chunks), exact Hamming verify, containment
+    * match-fraction. Stride-aligned trims still match because matching
+    * is on signature content, not position. */
+  def audioNearDupPairs(media: DataFrame, maxWindowHamming: Int = 3,
       minMatchFrac: Double = 0.9): DataFrame = {
-    val ph = udf { (c: Array[Byte]) => Codec.phash(c) }
+    val fp = udf { (c: Array[Byte]) => Codec.audioFingerprints(c) }
     sigOverlapPairs(
-      sampleAudioWindows(media, windowBytes, stride)
-        .select(col("media_id"), ph(col("content")).as("sim")),
-      maxWindowHamming, minMatchFrac)
+      media.where(col("kind") === "audio")
+        .select(col("media_id"), explode(fp(col("content"))).as("sim")),
+      maxWindowHamming, minMatchFrac, bits = 32)
   }
 
   /** Signature-set overlap core shared by the video and audio near-dup
     * paths (steps 2–4 of the pipeline documented on
     * [[videoNearDupPairs]]): distinct per-media signatures, pigeonhole
-    * banding candidacy, exact bit_count verify, match-fraction
-    * aggregation. `match_frac` divides the matched a-side signature
-    * count by `least(n_sigs_a, n_sigs_b)` — CONTAINMENT semantics, so a
-    * trim of a longer original scores 1.0 regardless of which side has
-    * the smaller id (the previous a-side denominator made the result
-    * depend on id ordering: the pair is canonicalized media_a < media_b,
-    * so a long original with the smaller id diluted the trim's perfect
-    * overlap by its own extra signatures). Input: one row per
-    * (media_id, sim) occurrence; multiplicity is collapsed here. */
+    * banding candidacy over `bits`-bit signatures (last chunk absorbs
+    * the remainder; unsigned shifts), exact bit_count verify,
+    * match-fraction aggregation. `match_frac` divides the matched
+    * a-side signature count by `least(n_sigs_a, n_sigs_b)` —
+    * CONTAINMENT semantics, so a trim of a longer original scores 1.0
+    * regardless of which side has the smaller id (an a-side denominator
+    * would make the result depend on id ordering, because the pair is
+    * canonicalized media_a < media_b). Input: one row per
+    * (media_id, sim) occurrence; multiplicity is collapsed here.
+    *
+    * NOT cached: the banding self-join and both n_sigs joins consume
+    * the distinct frame, but all consumers sit above the distinct's
+    * shuffle exchange and the subtrees are identical plans — Spark's
+    * ReuseExchange computes that shuffle ONCE (pinned in
+    * MultimodalSpec), so a `.cache()` here would only pin executor
+    * storage for the session. */
   private def sigOverlapPairs(rawSigs: DataFrame, maxHamming: Int,
-      minMatchFrac: Double): DataFrame = {
+      minMatchFrac: Double, bits: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30,
       s"maxHamming in [1,30), got $maxHamming")
-    // NOT cached: the banding self-join and both n_sigs joins consume
-    // this frame, but all consumers sit above the distinct's shuffle
-    // exchange, and the self-join/nsigs subtrees are identical plans —
-    // Spark's ReuseExchange computes that shuffle ONCE and reads it from
-    // every consumer (pinned in MultimodalSpec), so the earlier
-    // `.cache()` bought nothing except a frame pinned in executor
-    // storage for the session (two sweeps × video+audio queries
-    // accumulated four such pins before this was removed).
+    require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
     val sigs = rawSigs.distinct()
     val nsigs = sigs.groupBy("media_id").agg(count(lit(1)).as("n_sigs"))
     val chunks = maxHamming + 1
-    val bitsPer = 60 / chunks
+    val bitsPer = bits / chunks
     val withChunks = sigs.select(col("media_id"), col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
       .withColumn("chunk_val",
-        expr(s"pmod(shiftright(sim, chunk_id * $bitsPer), ${1L << bitsPer})"))
+        expr(s"""CASE WHEN chunk_id = ${chunks - 1}
+                 THEN shiftrightunsigned(sim, ${(chunks - 1) * bitsPer})
+                 ELSE pmod(shiftrightunsigned(sim, chunk_id * $bitsPer), ${1L << bitsPer})
+                 END"""))
     val sigMatches = withChunks.as("a")
       .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
       .where(col("a.media_id") < col("b.media_id"))
@@ -276,35 +335,20 @@ object Multimodal {
         col("n_sigs_a"), col("n_sigs_b"), col("match_frac"))
   }
 
-  /** Frame sampling for video rows: emit every `stride`-th frame index
-    * with a deterministic per-frame payload slice. Real explode shape —
-    * one output row per sampled frame, payload-bounded. */
-  def sampleFrames(media: DataFrame, stride: Int = 24): DataFrame =
+  /** Frame sampling for video rows: REAL container parse
+    * ([[Codec.decodeFrames]]) emitting every `stride`-th frame's PNG
+    * payload with its index. One output row per sampled frame,
+    * payload-bounded; corrupt/empty containers yield no rows. */
+  def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    val sample = udf { (content: Array[Byte]) =>
+      val frames = Codec.decodeFrames(content)
+      (0 until frames.length by stride).map(i => (i, frames(i)))
+    }
     media
-      // n_frames <= 0 (corrupt/empty asset) yields no rows rather than an
-      // illegal sequence(0, -1) boundary error
-      .where(col("kind") === "video" && col("n_frames") > 0)
-      .select(col("media_id"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_index"),
-        col("content"))
-      .withColumn("content",
-        // STUB: a real impl decodes the frame; we slice bytes deterministically
-        expr("substring(content, cast(pmod(frame_index * 7, 32) as int) + 1, 16)"))
-
-  /** Window sampling for audio rows: fixed `windowBytes` slices at
-    * `stride` over the payload (1-based substring offsets). Assets
-    * shorter than one window yield no rows. Real explode shape — one
-    * row per window, payload-bounded, same as [[sampleFrames]]. */
-  def sampleAudioWindows(media: DataFrame, windowBytes: Int = 16,
-      stride: Int = 16): DataFrame = {
-    require(windowBytes >= 1 && stride >= 1,
-      s"window parameters must be positive, got ($windowBytes, $stride)")
-    media
-      .where(col("kind") === "audio" && length(col("content")) >= windowBytes)
-      .select(col("media_id"),
-        explode(sequence(lit(1),
-          length(col("content")) - lit(windowBytes) + 1, lit(stride))).as("off"),
-        col("content"))
-      .withColumn("content", expr(s"substring(content, off, $windowBytes)"))
+      .where(col("kind") === "video")
+      .select(col("media_id"), explode(sample(col("content"))).as("f"))
+      .select(col("media_id"), col("f._1").as("frame_index"),
+        col("f._2").as("content"))
   }
 }

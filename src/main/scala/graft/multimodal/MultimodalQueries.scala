@@ -1,16 +1,21 @@
 package graft.multimodal
 
 import graft.{Gate, Q}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Multimodal query surface over the REAL codec ([[Codec]]). Metadata
+  * queries stay DuckDB-oracled (all metadata are closed-form in doc_id);
+  * the perceptual queries are gated on planted twins built by real lossy
+  * transforms — JPEG re-encode, bilinear upscale, trim + gain — i.e. the
+  * perturbations perceptual hashing/fingerprinting exist to survive. */
 object MultimodalQueries {
 
-  /** Feature extraction over the synthetic media table: binary payloads →
-    * fixed-dim float vectors via the (stubbed) codec, streamed lazily per
-    * partition. Deterministic but byte-level → rows-only check. Exploded
-    * to scalar (media_id, kind, pos, feature) rows — the driver's
-    * rows-only comparator sorts with pandas, which cannot sort array
-    * cells. */
+  /** Feature extraction over the synthetic media table: real payloads →
+    * 32 floats in [0,1] via the codec, streamed lazily per partition.
+    * Byte-level → rows-only check + shape gates. Exploded to scalar
+    * (media_id, kind, pos, feature) rows — the driver's rows-only
+    * comparator sorts with pandas, which cannot sort array cells. */
   val features: Q = Q.gated("multimodal_features") { (s, d) =>
     import s.implicits._
     Multimodal.extractFeatures(
@@ -18,37 +23,45 @@ object MultimodalQueries {
       .toDF()
       .select(col("media_id"), col("kind"),
         posexplode(col("features")).as(Seq("pos", "feature")))
-  } { (_, _, res) =>
-    // batch-shape contract: every asset yields exactly dim=32 features,
-    // each in the codec's output range (-1, 1)
+  } { (s, d, res) =>
+    // batch-shape contract: every asset decodes (the synthesizer only
+    // emits valid payloads) and yields exactly 32 features in [0,1]
+    val nAssets = res.select("media_id").distinct().count()
+    val expected = s.read.parquet(s"$d/documents.parquet").count()
     val dims = res.groupBy("media_id").agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("mn"), max(col("n")).as("mx")).head
     val fr = res.agg(
-      avg(when(abs(col("feature")) < 1.0, 1.0).otherwise(0.0)).as("fr"))
+      avg(when(col("feature") >= 0.0 && col("feature") <= 1.0, 1.0).otherwise(0.0)))
       .head.getDouble(0)
     Seq(
+      Gate("assets_with_features", nAssets.toDouble, nAssets == expected),
       Gate("min_dims_per_asset", dims.getLong(0).toDouble, dims.getLong(0) == 32),
       Gate("max_dims_per_asset", dims.getLong(1).toDouble, dims.getLong(1) == 32),
       Gate("frac_feature_in_range", fr, fr == 1.0))
   }
 
-  /** Frame-sampling metadata path: one row per sampled video frame,
-    * counted per asset. The count is pure metadata arithmetic
-    * (⌊(n_frames−1)/stride⌋+1 for video rows), so DuckDB can oracle it
-    * from the synthesis formula — the payload stub is not involved. */
+  /** Frame-sampling metadata path: one row per sampled video frame via
+    * the REAL container parse, counted per asset. The synthesis pins
+    * the container's frame count to the closed-form metadata
+    * (n_frames = (doc_id·17)%7+2), so DuckDB can oracle the count of a
+    * stride-2 sample without decoding anything — and a parse that
+    * dropped or duplicated frames would hash-mismatch. */
   val frameCounts: Q = Q(
     "multimodal_frame_counts",
     """SELECT doc_id AS media_id,
-      |  CAST(floor((((doc_id * 17) % 240 + 1) - 1) / 24) + 1 AS BIGINT) AS n_sampled
+      |  CAST(floor((((doc_id * 17) % 7 + 2) - 1) / 2) + 1 AS BIGINT) AS n_sampled
       |FROM documents WHERE doc_id % 3 = 2""".stripMargin
   ) { (s, d) =>
-    Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d), stride = 24)
+    Multimodal.sampleFrames(Multimodal.syntheticMedia(s, d), stride = 2)
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled"))
   }
 
-  /** Aspect-preserving resize metadata (real arithmetic, stub payload):
-    * every output fits 256×256 with aspect ratio preserved. */
+  /** Aspect-preserving resize metadata over image assets (the payload is
+    * REALLY re-encoded at the new dims — MultimodalSpec decodes the
+    * output and checks pixel dims == metadata; the oracle checks the
+    * metadata arithmetic). Box 24×24 so both branches run: 16-px assets
+    * pass through (scale clamps at 1), larger ones shrink. */
   val resized: Q = Q(
     "multimodal_resize_meta",
     """SELECT doc_id AS media_id,
@@ -56,145 +69,176 @@ object MultimodalQueries {
       |  CAST(floor(h * s) AS INTEGER) AS height
       |FROM (
       |  SELECT doc_id, w, h,
-      |    least(256.0 / w, 256.0 / h, 1.0) AS s
+      |    least(24.0 / w, 24.0 / h, 1.0) AS s
       |  FROM (SELECT doc_id,
-      |          (doc_id * 37) % 1024 + 64 AS w,
-      |          (doc_id * 53) % 768 + 64 AS h
-      |        FROM documents))""".stripMargin
+      |          (doc_id * 37) % 48 + 16 AS w,
+      |          (doc_id * 53) % 40 + 16 AS h
+      |        FROM documents WHERE doc_id % 3 = 0))""".stripMargin
   ) { (s, d) =>
-    Multimodal.resize(Multimodal.syntheticMedia(s, d), 256, 256)
+    Multimodal.resize(Multimodal.syntheticMedia(s, d), 24, 24)
+      .where(col("kind") === "image")
       .select(col("media_id"), col("width"), col("height"))
   }
 
-  /** The planting offset for pHash twins — far above any fixture
-    * media_id so twins never collide with base assets. */
-  private val TwinOffset = 10000000L
+  /** Twin id offsets: re-encode twins (+10M), resized image twins
+    * (+20M) — far above any fixture media_id so twins never collide
+    * with base assets, and recoverable by subtraction. */
+  private val ReencodeOffset = 10000000L
+  private val ResizeOffset = 20000000L
+
+  /** Base id of any asset (twin ids map back to their original). */
+  private def baseId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c >= ResizeOffset, c - ResizeOffset)
+      .when(c >= ReencodeOffset, c - ReencodeOffset)
+      .otherwise(c)
+
+  /** Kind-aware lossy re-encode — the realistic "same content,
+    * different bytes" transform per modality:
+    *  - image: JPEG re-encode at quality 0.75 (pHash's home turf);
+    *  - video: every container frame JPEG-re-encoded at 0.8;
+    *  - audio: stride-aligned trim (drop the first 256-sample window)
+    *    PLUS a 0.97 gain — exercising both the position-independence
+    *    and the gain-invariance of the fingerprint. */
+  private val reencode = udf { (kind: String, content: Array[Byte]) =>
+    kind match {
+      case "image" =>
+        Codec.decodeImage(content)
+          .map(i => Codec.encodeJpeg(i, 0.75f)).getOrElse(content)
+      case "video" =>
+        Codec.encodeFrames(Codec.decodeFrames(content).map(f =>
+          Codec.decodeImage(f).map(i => Codec.encodeJpeg(i, 0.8f)).getOrElse(f)))
+      case _ =>
+        Codec.decodeWavSamples(content).map { samples =>
+          Codec.encodeWav(
+            samples.drop(256).map(v => (v * 0.97).toShort), 16000)
+        }.getOrElse(content)
+    }
+  }
+
+  /** 1.5× bilinear upscale, PNG re-encoded — the resize twin. */
+  private val upscale = udf { (content: Array[Byte]) =>
+    Codec.decodeImage(content).map { img =>
+      Codec.encodePng(Codec.scaleTo(img,
+        img.getWidth * 3 / 2, img.getHeight * 3 / 2))
+    }.getOrElse(content)
+  }
 
   /** Base media plus planted perceptual near-dups: every asset with
-    * media_id % 7 == 3 gets a twin whose payload differs in exactly 3
-    * bytes (a re-encode/recompress stand-in). Deterministic — same
-    * fixture ⇒ same planted set, so the gate can enumerate the truth. */
-  private val perturb = udf { (c: Array[Byte]) =>
-    val out = c.clone()
-    Seq(5, 23, 41).foreach { p =>
-      if (p < out.length) out(p) = (out(p) ^ 0xff).toByte
-    }
-    out
-  }
-
-  def mediaWithPlantedNearDups(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+    * media_id % 7 == 3 gets a lossy re-encoded twin (+10M), and every
+    * IMAGE with media_id % 7 == 5 additionally a 1.5×-upscaled twin
+    * (+20M). Deterministic — same fixture ⇒ same planted set, so the
+    * gates can enumerate the truth. */
+  def mediaWithPlantedNearDups(s: SparkSession, d: String): DataFrame = {
     val base = Multimodal.syntheticMedia(s, d)
     val twins = base.where(pmod(col("media_id"), lit(7)) === 3)
-      .withColumn("media_id", col("media_id") + lit(TwinOffset))
-      .withColumn("content", perturb(col("content")))
-    base.unionByName(twins)
+      .withColumn("media_id", col("media_id") + lit(ReencodeOffset))
+      .withColumn("content", reencode(col("kind"), col("content")))
+      .withColumn("mime",
+        when(col("kind") === "image", lit("image/jpeg")).otherwise(col("mime")))
+    val resizedTwins = base
+      .where(col("kind") === "image" && pmod(col("media_id"), lit(7)) === 5)
+      .withColumn("media_id", col("media_id") + lit(ResizeOffset))
+      .withColumn("content", upscale(col("content")))
+      .withColumn("width", expr("cast(width * 3 / 2 as int)"))
+      .withColumn("height", expr("cast(height * 3 / 2 as int)"))
+    base.unionByName(twins).unionByName(resizedTwins)
   }
 
-  /** Count of differing byte positions (plus any length difference) —
-    * the gate's exact ground truth for "perceptually near" payloads. */
-  private val byteDiff = udf { (a: Array[Byte], b: Array[Byte]) =>
-    val n = math.min(a.length, b.length)
-    var diff = math.abs(a.length - b.length)
-    var i = 0
-    while (i < n) { if (a(i) != b(i)) diff += 1; i += 1 }
-    diff
-  }
+  /** Content seed per BASE asset (first md5(text) chunk): two assets
+    * share payload content iff they share a seed, which is the exact
+    * ground truth the false-positive gates verify against — a reported
+    * pair must be a planted twin pair or a duplicate-text pair. */
+  private def seedTable(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id").as("base_id"), md5(col("text")).as("seed"))
 
-  /** Perceptual-hash near-dup dedup over media payloads, gated on the
-    * planted twins: recall must be ≥ 0.95 (a planted 3-byte perturbation
-    * flips at most 3 of 60 pHash bits — always within the Hamming-6
-    * budget, so missing one means the banding join dropped a true pair)
-    * and every reported pair must verify as a TRUE near-dup at the byte
-    * level (≤ 4 differing bytes: planted twins differ in exactly 3,
-    * identical-text assets in 0; random payloads differ in ~63 of 64) —
-    * zero false positives. */
-  val phashDedup: Q = Q.gated("multimodal_phash_dedup") { (s, d) =>
-    Multimodal.phashPairs(mediaWithPlantedNearDups(s, d), maxHamming = 6)
-  } { (s, d, res) =>
-    val media = mediaWithPlantedNearDups(s, d)
-      .select(col("media_id"), col("content"))
-    val planted = media.where(col("media_id") >= TwinOffset)
-      .select((col("media_id") - TwinOffset).as("media_a"),
-        col("media_id").as("media_b"))
-    val nPlanted = planted.count()
-    val hit = res.join(planted, Seq("media_a", "media_b"), "left_semi").count()
-    val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
-    val falsePos = res
-      .join(media.select(col("media_id").as("media_a"), col("content").as("_ca")), "media_a")
-      .join(media.select(col("media_id").as("media_b"), col("content").as("_cb")), "media_b")
-      .where(byteDiff(col("_ca"), col("_cb")) > 4)
+  /** Pairs in `res` (media_a, media_b) whose BASE assets carry different
+    * content seeds — perceptual false positives by construction. */
+  private def falsePositives(s: SparkSession, d: String, res: DataFrame): Long = {
+    val seeds = seedTable(s, d)
+    res
+      .withColumn("ba", baseId(col("media_a")))
+      .withColumn("bb", baseId(col("media_b")))
+      .join(seeds.select(col("base_id").as("ba"), col("seed").as("seed_a")), "ba")
+      .join(seeds.select(col("base_id").as("bb"), col("seed").as("seed_b")), "bb")
+      .where(col("seed_a") =!= col("seed_b"))
       .count()
-    Seq(
-      Gate("recall_vs_planted_neardups", recall, recall >= 0.95),
-      Gate("false_positive_pairs", falsePos.toDouble, falsePos == 0))
   }
 
-  /** Video-level near-dup over sampled frame pHash signatures, gated on
-    * the planted twins that are videos (media_id % 3 == 2 in the
-    * synthesis; ∩ the % 7 == 3 planting ⇒ doc_id ≡ 17 mod 21).
-    *
-    * Why the planted twin is ALWAYS found: a sampled frame's payload is a
-    * 16-byte slice starting at pmod(frame_index·7, 32) ∈ [0, 32), and the
-    * 3 perturbed byte positions (5, 23, 41) are ≥ 16 apart pairwise, so
-    * any frame slice contains at most ONE perturbed byte — at most ~4 of
-    * the 60 per-frame pHash bits flip, inside the Hamming-6 frame budget;
-    * every base signature finds its twin signature and match_frac = 1.
-    * False-positive control is byte-exact, as in the pHash image gate. */
+  private def recallOf(res: DataFrame, planted: DataFrame): (Long, Double) = {
+    val n = planted.count()
+    val hit = res.join(planted, Seq("media_a", "media_b"), "left_semi").count()
+    (n, if (n == 0) 1.0 else hit.toDouble / n)
+  }
+
+  /** Perceptual-hash near-dup dedup over REAL image payloads, gated on
+    * both planted twin families: the JPEG re-encode and the 1.5×
+    * upscale must each be recalled at ≥ 0.95 (these are exactly the
+    * perturbations the 64-bit DCT pHash is designed to survive — a
+    * miss means either the hash or the banding join broke), and every
+    * reported pair must share a content seed (planted twin or
+    * duplicate-text asset) — zero perceptual false positives. */
+  val phashDedup: Q = Q.gated("multimodal_phash_dedup") { (s, d) =>
+    Multimodal.phashPairs(mediaWithPlantedNearDups(s, d), maxHamming = 7)
+  } { (s, d, res) =>
+    val imageIds = Multimodal.syntheticMedia(s, d)
+      .where(col("kind") === "image").select(col("media_id"))
+    val jpeg = imageIds.where(pmod(col("media_id"), lit(7)) === 3)
+      .select(col("media_id").as("media_a"),
+        (col("media_id") + ReencodeOffset).as("media_b"))
+    val up = imageIds.where(pmod(col("media_id"), lit(7)) === 5)
+      .select(col("media_id").as("media_a"),
+        (col("media_id") + ResizeOffset).as("media_b"))
+    val (nJpeg, jpegRecall) = recallOf(res, jpeg)
+    val (nUp, upRecall) = recallOf(res, up)
+    val fp = falsePositives(s, d, res)
+    Seq(
+      Gate("planted_jpeg_twins", nJpeg.toDouble, nJpeg > 0),
+      Gate("recall_jpeg_reencode", jpegRecall, jpegRecall >= 0.95),
+      Gate("planted_resize_twins", nUp.toDouble, nUp > 0),
+      Gate("recall_resized", upRecall, upRecall >= 0.95),
+      Gate("false_positive_pairs", fp.toDouble, fp == 0))
+  }
+
+  /** Video-level near-dup over REAL sampled-frame pHash signatures,
+    * gated on the planted twins that are videos (frame-wise JPEG
+    * re-encodes): every twin must be found — each re-encoded frame
+    * pHashes within the per-frame Hamming budget of its original, so
+    * the containment match_frac reaches the 0.8 floor — with zero
+    * different-seed pairs. */
   val videoNearDup: Q = Q.gated("multimodal_video_neardup") { (s, d) =>
     Multimodal.videoNearDupPairs(mediaWithPlantedNearDups(s, d))
   } { (s, d, res) =>
-    val media = mediaWithPlantedNearDups(s, d)
-      .select(col("media_id"), col("content"))
-    val planted = mediaWithPlantedNearDups(s, d)
-      .where(col("media_id") >= TwinOffset && col("kind") === "video" &&
-        col("n_frames") > 0)
-      .select((col("media_id") - TwinOffset).as("media_a"),
-        col("media_id").as("media_b"))
-    val nPlanted = planted.count()
-    val hit = res.join(planted, Seq("media_a", "media_b"), "left_semi").count()
-    val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
-    val falsePos = res
-      .join(media.select(col("media_id").as("media_a"), col("content").as("_ca")), "media_a")
-      .join(media.select(col("media_id").as("media_b"), col("content").as("_cb")), "media_b")
-      .where(byteDiff(col("_ca"), col("_cb")) > 4)
-      .count()
+    val planted = Multimodal.syntheticMedia(s, d)
+      .where(col("kind") === "video" && pmod(col("media_id"), lit(7)) === 3)
+      .select(col("media_id").as("media_a"),
+        (col("media_id") + ReencodeOffset).as("media_b"))
+    val (nPlanted, recall) = recallOf(res, planted)
+    val fp = falsePositives(s, d, res)
     Seq(
       Gate("planted_video_twins", nPlanted.toDouble, nPlanted > 0),
       Gate("recall_vs_planted_neardups", recall, recall >= 0.95),
-      Gate("false_positive_pairs", falsePos.toDouble, falsePos == 0))
+      Gate("false_positive_pairs", fp.toDouble, fp == 0))
   }
 
-  /** Audio-level near-dup over windowed fingerprints, gated on the
-    * planted twins that are audio (media_id % 3 == 1 in the synthesis,
-    * ∩ the % 7 == 3 planting). Same always-found argument as the video
-    * gate: 16-byte windows at stride 16 are disjoint, so each of the 3
-    * perturbed bytes lands in exactly one window and flips at most ~4
-    * of its 60 striped bits — inside the Hamming-6 window budget;
-    * every base window finds its twin window and match_frac = 1.
-    * False-positive control is byte-exact as in the image/video gates. */
+  /** Audio-level near-dup over REAL decoded sample streams, gated on
+    * the planted trim+gain twins: the sub-band fingerprint is
+    * gain-invariant and the overlap join position-independent, so every
+    * twin must be found (its window set is a gain-scaled suffix of the
+    * original's); zero different-seed pairs. */
   val audioNearDup: Q = Q.gated("multimodal_audio_neardup") { (s, d) =>
     Multimodal.audioNearDupPairs(mediaWithPlantedNearDups(s, d))
   } { (s, d, res) =>
-    val media = mediaWithPlantedNearDups(s, d)
-      .select(col("media_id"), col("content"))
-    val planted = mediaWithPlantedNearDups(s, d)
-      .where(col("media_id") >= TwinOffset && col("kind") === "audio" &&
-        length(col("content")) >= 16)
-      .select((col("media_id") - TwinOffset).as("media_a"),
-        col("media_id").as("media_b"))
-    val nPlanted = planted.count()
-    val hit = res.join(planted, Seq("media_a", "media_b"), "left_semi").count()
-    val recall = if (nPlanted == 0) 1.0 else hit.toDouble / nPlanted
-    val falsePos = res
-      .join(media.select(col("media_id").as("media_a"), col("content").as("_ca")), "media_a")
-      .join(media.select(col("media_id").as("media_b"), col("content").as("_cb")), "media_b")
-      .where(byteDiff(col("_ca"), col("_cb")) > 4)
-      .count()
+    val planted = Multimodal.syntheticMedia(s, d)
+      .where(col("kind") === "audio" && pmod(col("media_id"), lit(7)) === 3)
+      .select(col("media_id").as("media_a"),
+        (col("media_id") + ReencodeOffset).as("media_b"))
+    val (nPlanted, recall) = recallOf(res, planted)
+    val fp = falsePositives(s, d, res)
     Seq(
       Gate("planted_audio_twins", nPlanted.toDouble, nPlanted > 0),
       Gate("recall_vs_planted_neardups", recall, recall >= 0.95),
-      Gate("false_positive_pairs", falsePos.toDouble, falsePos == 0))
+      Gate("false_positive_pairs", fp.toDouble, fp == 0))
   }
 
   def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,

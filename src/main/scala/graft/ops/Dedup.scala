@@ -351,27 +351,35 @@ object Dedup {
     hammingPairs(sigs, maxHamming)
   }
 
-  /** Pigeonhole Hamming join over 60-bit signatures — the banding
-    * machinery shared by [[simhashPairs]] (text) and the multimodal
-    * pHash near-dup family. `sigs` must carry (id: Long, sim: Long with
-    * 60 significant bits). Splitting into maxHamming+1 chunks guarantees
-    * any pair within the Hamming budget shares at least one exact chunk,
-    * so candidacy is an EQUI-join on (chunk_id, chunk_val) — never a
-    * cartesian — and the final `bit_count` verify is exact over the full
-    * signature. */
-  def hammingPairs(sigs0: DataFrame, maxHamming: Int): DataFrame = {
+  /** Pigeonhole Hamming join over `bits`-bit signatures — the banding
+    * machinery shared by [[simhashPairs]] (60-bit text SimHash) and the
+    * multimodal pHash near-dup family (full 64-bit perceptual hashes).
+    * `sigs` must carry (id: Long, sim: Long). Splitting into
+    * maxHamming+1 disjoint chunks guarantees any pair within the
+    * Hamming budget shares at least one exact chunk, so candidacy is an
+    * EQUI-join on (chunk_id, chunk_val) — never a cartesian — and the
+    * final `bit_count` verify is exact over the full signature. When
+    * `bits` doesn't divide evenly the LAST chunk absorbs the remainder
+    * (pigeonhole only needs disjoint cover); shifts are UNSIGNED so a
+    * 64-bit signature with the sign bit set chunks correctly. */
+  def hammingPairs(sigs0: DataFrame, maxHamming: Int, bits: Int = 60): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30, s"maxHamming in [1,30), got $maxHamming")
+    require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
     val chunks = maxHamming + 1
-    val bitsPer = 60 / chunks
+    val bitsPer = bits / chunks
     // cached: the banding self-join consumes this frame on both sides
     // (same double-evaluation hazard as minhash/jaccard). Cache lifetime
     // note on jaccardPairs applies.
     val sigs = sigs0.cache()
-    // chunk value: bits [chunk_id·bitsPer, (chunk_id+1)·bitsPer)
+    // chunk value: bits [chunk_id·bitsPer, (chunk_id+1)·bitsPer), with
+    // the last chunk running to the top bit
     val withChunks = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
       .withColumn("chunk_val",
-        expr(s"pmod(shiftright(sim, chunk_id * $bitsPer), ${1L << bitsPer})"))
+        expr(s"""CASE WHEN chunk_id = ${chunks - 1}
+                 THEN shiftrightunsigned(sim, ${(chunks - 1) * bitsPer})
+                 ELSE pmod(shiftrightunsigned(sim, chunk_id * $bitsPer), ${1L << bitsPer})
+                 END"""))
     withChunks.as("a")
       .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
       .where(col("a.id") < col("b.id"))

@@ -374,25 +374,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
-  test("video near-dup: empty media and zero-frame videos degrade cleanly") {
+  test("video near-dup: empty media and corrupt containers degrade cleanly") {
     val schema = "media_id LONG, kind STRING, n_frames INT, content BINARY"
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(schema))
     assert(multimodal.Multimodal.videoNearDupPairs(empty).count() == 0)
-    val zeroFrames = Seq(
+    // bad magic, truncated container, empty payload: parse yields no
+    // frames, never throws
+    val corrupt = Seq(
       (1L, "video", 0, Array[Byte](1, 2, 3)),
-      (2L, "video", -3, Array[Byte](1, 2, 3)))
+      (2L, "video", -3, Array[Byte]('G', 'F', 'R', 'M', 0, 0, 0, 9)),
+      (3L, "video", 2, Array.emptyByteArray))
       .toDF("media_id", "kind", "n_frames", "content")
-    assert(multimodal.Multimodal.videoNearDupPairs(zeroFrames).count() == 0)
+    assert(multimodal.Multimodal.videoNearDupPairs(corrupt).count() == 0)
   }
 
-  test("phash: empty payload is the zero signature; 1-byte payload is stable") {
-    assert(multimodal.Multimodal.Codec.phash(Array.emptyByteArray) == 0L)
-    val one = multimodal.Multimodal.Codec.phash(Array[Byte](7))
-    assert(one == multimodal.Multimodal.Codec.phash(Array[Byte](7)))
-    // 60 significant bits at most — required by the banding join's chunks
-    assert((one >>> 60) == 0L)
+  test("codec: corrupt payloads decode to None/empty, never throw") {
+    import multimodal.Codec
+    assert(Codec.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Codec.decodeImage(Array[Byte](7, 8, 9)).isEmpty)
+    assert(Codec.phash64(Array[Byte](7, 8, 9)).isEmpty)
+    assert(Codec.decodeWavSamples(Array[Byte](1, 2)).isEmpty)
+    assert(Codec.audioFingerprints(Array[Byte](1, 2)).isEmpty)
+    assert(Codec.decodeFrames(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).isEmpty)
+    // truncated mid-frame: magic ok, frame length lies past the end
+    val lying = Codec.encodeFrames(Seq(Array[Byte](1, 2, 3))).dropRight(2)
+    assert(Codec.decodeFrames(lying).isEmpty)
   }
 
   test("packSequences: boundary-exact, boundary-crossing and multi-seq spans") {

@@ -719,35 +719,35 @@ class ProfileSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
-  test("scale stress: pHash near-dup at 100k assets (banding join linearity)") {
+  test("scale stress: pHash near-dup at 100k real-PNG assets (banding join linearity)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
-    import graft.multimodal.Multimodal
-    // 100k synthetic 64-byte payloads + a 1-in-50 planted 3-byte twin:
-    // the banding join input is n·(maxHamming+1) 24-byte rows — the probe
-    // checks the wall tracks that (linear in n), not the payload volume
+    import graft.multimodal.{Codec, Multimodal}
+    // 100k REAL 24×20 PNG payloads + a 1-in-50 planted JPEG-re-encode
+    // twin: the decode+DCT hash runs once per asset in the scan stage
+    // (timed separately via the cached sig materialization), and the
+    // banding join input is n·(maxHamming+1) 24-byte rows — the probe
+    // checks the join wall tracks that (linear in n), never payload
+    // volume
     val n = 100000L
+    val synth = udf { (id: Long) => Codec.synthImageBytes(id * 2654435761L, 24, 20) }
     val media = spark.range(n).select(
-        col("id").as("media_id"),
-        unhex(concat(md5(col("id").cast("string")),
-          md5(concat(col("id").cast("string"), lit("x"))),
-          md5(concat(col("id").cast("string"), lit("y"))),
-          md5(concat(col("id").cast("string"), lit("z"))))).as("content"))
-    val perturb = udf { (c: Array[Byte]) =>
-      val out = c.clone()
-      Seq(5, 23, 41).foreach(p => out(p) = (out(p) ^ 0xff).toByte)
-      out
+        col("id").as("media_id"), lit("image").as("kind"),
+        synth(col("id")).as("content"))
+    val jpegTwin = udf { (c: Array[Byte]) =>
+      Codec.decodeImage(c).map(i => Codec.encodeJpeg(i, 0.75f)).getOrElse(c)
     }
     val twins = media.where(pmod(col("media_id"), lit(50)) === 1)
       .select((col("media_id") + lit(10000000L)).as("media_id"),
-        perturb(col("content")).as("content"))
+        col("kind"), jpegTwin(col("content")).as("content"))
     val all = media.unionByName(twins).cache()
     val total = all.count()
-    val pairs = time(s"phashPairs n=$total")(
-      Multimodal.phashPairs(all, maxHamming = 6).cache())
+    val pairs = time(s"phashPairs n=$total (decode+hash+join)")(
+      Multimodal.phashPairs(all, maxHamming = 7).cache())
     val nPairs = pairs.count()
     val planted = total - n
-    // every planted twin is within the Hamming budget by construction;
-    // random 60-bit signatures at 100k² pairs contribute ~0 extras
+    // every planted twin is within the Hamming budget (JPEG re-encode
+    // is pHash's design case); unrelated 64-bit signatures at 100k²
+    // pairs contribute ~0 extras
     val hit = time("planted recall")(
       pairs.join(
         twins.select((col("media_id") - lit(10000000L)).as("media_a"),

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.TestSpark
-import graft.multimodal.{MediaItem, Multimodal, MultimodalQueries}
+import graft.multimodal.{Codec, MediaItem, Multimodal, MultimodalQueries}
 import graft.streaming.{DocsStream, EventsStream, SessionEvent}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -10,7 +10,7 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("synthetic media schema and determinism") {
+  test("synthetic media: real payloads, deterministic, metadata matches pixels") {
     val a = Multimodal.syntheticMedia(spark, dir)
     assert(a.schema("content").dataType.typeName == "binary")
     val r1 = a.orderBy("media_id").collect()
@@ -19,9 +19,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.zip(r2).forall { case (x, y) =>
       x.getAs[Array[Byte]]("content").sameElements(y.getAs[Array[Byte]]("content"))
     })
+    // payloads are REAL media: every image decodes via ImageIO at the
+    // metadata dims, every wav decodes to the metadata sample count,
+    // every container parses to the metadata frame count
+    r1.foreach { r =>
+      val content = r.getAs[Array[Byte]]("content")
+      r.getAs[String]("kind") match {
+        case "image" =>
+          val img = Codec.decodeImage(content).get
+          assert(img.getWidth == r.getAs[Int]("width"))
+          assert(img.getHeight == r.getAs[Int]("height"))
+        case "audio" =>
+          val samples = Codec.decodeWavSamples(content).get
+          assert(samples.length == r.getAs[Int]("n_frames"))
+        case "video" =>
+          val frames = Codec.decodeFrames(content)
+          assert(frames.length == r.getAs[Int]("n_frames"))
+          frames.foreach(f => assert(Codec.decodeImage(f).nonEmpty))
+      }
+    }
   }
 
-  test("feature extraction is deterministic, fixed-dim, partition-streamed") {
+  test("feature extraction is deterministic, fixed-dim, in-range, partition-streamed") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(spark, dir).as[MediaItem]
     def feats = Multimodal.extractFeatures(media, dim = 32)
@@ -29,93 +48,121 @@ class MultimodalSpec extends AnyFunSuite {
     val f1 = feats
     assert(f1.size == 500)
     assert(f1.values.forall(_.length == 32))
+    assert(f1.values.forall(_.forall(v => v >= 0f && v <= 1f)))
     assert(f1 == feats, "same payload must give identical features")
   }
 
-  test("resize preserves aspect ratio within bounding box") {
-    val out = Multimodal.resize(Multimodal.syntheticMedia(spark, dir), 256, 256)
-      .select("media_id", "width", "height").collect()
+  test("resize really re-encodes: output pixel dims equal the metadata") {
+    val out = Multimodal.resize(Multimodal.syntheticMedia(spark, dir), 24, 24)
+      .where(col("kind") === "image")
+      .select("media_id", "width", "height", "content").collect()
+    assert(out.nonEmpty)
+    var shrunk = 0
     out.foreach { r =>
-      assert(r.getInt(1) <= 256 && r.getInt(2) <= 256)
-      assert(r.getInt(1) >= 16 && r.getInt(2) >= 16)
+      assert(r.getInt(1) <= 24 && r.getInt(2) <= 24)
+      val img = Codec.decodeImage(r.getAs[Array[Byte]]("content")).get
+      assert(img.getWidth == r.getInt(1), s"payload width vs metadata: $r")
+      assert(img.getHeight == r.getInt(2), s"payload height vs metadata: $r")
+      if (r.getInt(1) < 24 || r.getInt(2) < 24) shrunk += 1
     }
+    assert(shrunk > 0, "some assets must actually shrink into the box")
   }
 
-  test("frame sampling emits ceil(n_frames/stride) rows per video") {
+  test("frame sampling parses the real container: ceil(n_frames/stride) rows per video") {
     val media = Multimodal.syntheticMedia(spark, dir)
-    val counts = Multimodal.sampleFrames(media, stride = 24)
+    val counts = Multimodal.sampleFrames(media, stride = 2)
       .groupBy("media_id").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = media.where(col("kind") === "video")
       .select(col("media_id"), col("n_frames")).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1) - 1) / 24 + 1).toLong).toMap
+      .map(r => r.getLong(0) -> ((r.getInt(1) - 1) / 2 + 1).toLong).toMap
     assert(counts == expected)
   }
 
-  test("phash: localized byte changes flip at most that many bits; unrelated payloads split ~50/50") {
-    val rnd = new scala.util.Random(7)
-    (0 until 50).foreach { _ =>
-      val a = Array.fill(64)(rnd.nextInt(256).toByte)
-      val b = a.clone(); Seq(5, 23, 41).foreach(p => b(p) = (b(p) ^ 0xff).toByte)
-      val d = java.lang.Long.bitCount(Multimodal.Codec.phash(a) ^ Multimodal.Codec.phash(b))
-      assert(d <= 3, s"3-byte perturbation flipped $d bits")
-      val c = Array.fill(64)(rnd.nextInt(256).toByte)
-      val d2 = java.lang.Long.bitCount(Multimodal.Codec.phash(a) ^ Multimodal.Codec.phash(c))
-      assert(d2 > 10, s"unrelated payloads must be far apart, got $d2")
+  test("phash64: survives JPEG re-encode and 1.5x upscale, separates distinct images") {
+    (1L to 30L).foreach { seed =>
+      val img = Codec.synthImage(seed * 7919, 40, 32)
+      val base = Codec.phash64(img)
+      val jpeg = Codec.phash64(Codec.encodeJpeg(img, 0.75f)).get
+      val dJpeg = java.lang.Long.bitCount(base ^ jpeg)
+      assert(dJpeg <= 7, s"seed $seed: JPEG re-encode moved pHash $dJpeg bits")
+      val up = Codec.phash64(Codec.scaleTo(img, 60, 48))
+      val dUp = java.lang.Long.bitCount(base ^ up)
+      assert(dUp <= 7, s"seed $seed: 1.5x upscale moved pHash $dUp bits")
+      val other = Codec.phash64(Codec.synthImage(seed * 7919 + 1, 40, 32))
+      val dOther = java.lang.Long.bitCount(base ^ other)
+      assert(dOther > 12, s"seed $seed: unrelated images only $dOther bits apart")
     }
   }
 
-  test("phashPairs finds every planted twin with zero false positives on the fixture") {
+  test("wav roundtrip is sample-exact; fingerprints are gain-invariant") {
+    val bytes = Codec.synthWavBytes(424242L, 2048, 16000)
+    val samples = Codec.decodeWavSamples(bytes).get
+    assert(samples.length == 2048)
+    assert(Codec.decodeWavSamples(Codec.encodeWav(samples, 16000)).get
+      .sameElements(samples))
+    val sigs = Codec.audioFingerprints(samples)
+    assert(sigs.length == 8)
+    // a pure gain change must move each window fingerprint at most the
+    // query budget (exact invariance up to 16-bit requantization)
+    val scaled = samples.map(v => (v * 0.9).toShort)
+    val sigsScaled = Codec.audioFingerprints(scaled)
+    sigs.zip(sigsScaled).foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 3, s"gain flipped ${java.lang.Long.bitCount(a ^ b)} bits")
+    }
+    // different windows of the chirped clip carry different spectra
+    assert(sigs.distinct.length > 1, "fingerprints must vary across windows")
+  }
+
+  test("frame container roundtrip") {
+    val frames = (0 until 5).map(i => Codec.encodePng(Codec.synthImage(9L, 16, 16, i * 0.3)))
+    val packed = Codec.encodeFrames(frames)
+    val back = Codec.decodeFrames(packed)
+    assert(back.length == 5)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("phashPairs finds every planted JPEG and resize twin with zero false positives") {
     val res = Multimodal.phashPairs(
-        MultimodalQueries.mediaWithPlantedNearDups(spark, dir), maxHamming = 6)
+        MultimodalQueries.mediaWithPlantedNearDups(spark, dir), maxHamming = 7)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
-    val planted = Multimodal.syntheticMedia(spark, dir)
-      .where(pmod(col("media_id"), lit(7)) === 3)
-      .select("media_id").collect()
-      .map(r => (r.getLong(0), r.getLong(0) + 10000000L))
-      .toSet
+    val images = Multimodal.syntheticMedia(spark, dir)
+      .where(col("kind") === "image").select("media_id").collect().map(_.getLong(0))
+    val planted =
+      images.filter(_ % 7 == 3).map(id => (id, id + 10000000L)).toSet ++
+        images.filter(_ % 7 == 5).map(id => (id, id + 20000000L)).toSet
     assert(planted.nonEmpty, "fixture sanity: some twins must be planted")
     assert((planted -- res).isEmpty, s"missed planted twins: ${(planted -- res).take(5)}")
-    // non-planted survivors must be near-identical payloads (duplicate
-    // fixture texts, or their twins — ≤ 2·3 perturbed bytes apart),
-    // never unrelated payloads
-    val extras = res -- planted
-    if (extras.nonEmpty) {
-      val payload = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
-        .select("media_id", "content")
-        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
-      extras.foreach { case (x, y) =>
-        val d = payload(x).zip(payload(y)).count { case (a, b) => a != b }
-        assert(d <= 6, s"false positive pair ($x,$y): $d bytes differ")
-      }
+    // any extra pair must be a duplicate-text asset pair (identical
+    // seed => identical pixels), never different content
+    val seeds = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("seed")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def base(id: Long) = if (id >= 20000000L) id - 20000000L
+      else if (id >= 10000000L) id - 10000000L else id
+    (res -- planted).foreach { case (x, y) =>
+      assert(seeds(base(x)) == seeds(base(y)), s"false positive pair ($x,$y)")
     }
   }
 
-  test("videoNearDupPairs: planted video twins found at match_frac 1, no unrelated pairs") {
+  test("videoNearDupPairs: planted frame-reencoded twins found at match_frac 1, video-only") {
     val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
     val res = Multimodal.videoNearDupPairs(media).collect()
     val found = res.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val planted = media
-      .where(col("media_id") >= 10000000L && col("kind") === "video" &&
-        col("n_frames") > 0)
-      .select((col("media_id") - 10000000L).as("a"), col("media_id").as("b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Multimodal.syntheticMedia(spark, dir)
+      .where(col("kind") === "video" && pmod(col("media_id"), lit(7)) === 3)
+      .select("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
     assert(planted.nonEmpty, "fixture sanity: some video twins must be planted")
     assert((planted -- found).isEmpty, s"missed video twins: ${(planted -- found).take(5)}")
-    // every planted twin matches on its FULL signature set (each sampled
-    // frame slice contains at most one perturbed byte)
     res.filter(r => planted((r.getLong(0), r.getLong(1)))).foreach { r =>
       assert(r.getDouble(5) == 1.0, s"twin pair below full overlap: $r")
     }
-    // any extra pair must be a byte-near payload, never unrelated
-    val payload = media.select("media_id", "content")
-      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
-    (found -- planted).foreach { case (x, y) =>
-      val d = payload(x).zip(payload(y)).count { case (a, b) => a != b }
-      assert(d <= 6, s"false positive video pair ($x,$y): $d bytes differ")
-    }
+    val nonVideo = media.where(col("kind") =!= "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(found.flatMap(p => Set(p._1, p._2)).intersect(nonVideo).isEmpty)
   }
 
   test("sigOverlapPairs computes the signature distinct once (exchange reuse, no cache)") {
@@ -134,48 +181,35 @@ class MultimodalSpec extends AnyFunSuite {
       "no cached frames may back the overlap core")
   }
 
-  test("videoNearDupPairs ignores non-video assets entirely") {
-    val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
-    val ids = Multimodal.videoNearDupPairs(media)
-      .select(col("media_a").as("id"))
-      .union(Multimodal.videoNearDupPairs(media).select(col("media_b").as("id")))
-      .distinct().collect().map(_.getLong(0)).toSet
-    val nonVideo = media.where(col("kind") =!= "video")
-      .select("media_id").collect().map(_.getLong(0)).toSet
-    assert(ids.intersect(nonVideo).isEmpty)
-  }
-
-  test("audioNearDupPairs: planted audio twins found, audio-only, trims still match") {
+  test("audioNearDupPairs: planted trim+gain twins found, audio-only, both id orderings") {
     val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
     val res = Multimodal.audioNearDupPairs(media).collect()
     val found = res.map(r => (r.getLong(0), r.getLong(1))).toSet
-    val planted = media
-      .where(col("media_id") >= 10000000L && col("kind") === "audio" &&
-        length(col("content")) >= 16)
-      .select((col("media_id") - 10000000L).as("a"), col("media_id").as("b"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Multimodal.syntheticMedia(spark, dir)
+      .where(col("kind") === "audio" && pmod(col("media_id"), lit(7)) === 3)
+      .select("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 10000000L)).toSet
     assert(planted.nonEmpty, "fixture sanity: some audio twins must be planted")
     assert((planted -- found).isEmpty, s"missed audio twins: ${(planted -- found).take(5)}")
-    // non-audio assets never appear
     val nonAudio = media.where(col("kind") =!= "audio")
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(found.flatMap(p => Set(p._1, p._2)).intersect(nonAudio).isEmpty)
-    // a stride-aligned trim (drop the first window) still matches in
-    // BOTH id orderings at the strict default-grade threshold: the
-    // least(n_sigs_a, n_sigs_b) denominator makes match_frac containment
-    // semantics, so whether the LONGER original carries the smaller id
-    // (ordering A — the case the old a-side denominator diluted to 0.75)
-    // or the larger id (ordering B) the trim pair scores 1.0
+    // a stride-aligned trim still matches in BOTH id orderings at the
+    // strict default threshold: the least(n_sigs_a, n_sigs_b)
+    // denominator makes match_frac containment semantics, so whether
+    // the LONGER original carries the smaller id (the case an a-side
+    // denominator would dilute) or the larger id, the pair scores 1.0
     import spark.implicits._
-    val one = media.where(col("kind") === "audio" && length(col("content")) >= 64)
-      .select("media_id", "kind", "content").head
+    val one = media.where(col("kind") === "audio").select("content").head
     val bytes = one.getAs[Array[Byte]]("content")
+    val samples = Codec.decodeWavSamples(bytes).get
+    val trimmedWav = Codec.encodeWav(samples.drop(256), 16000)
     for ((longId, shortId) <- Seq((1L, 999999999L), (999999999L, 1L))) {
-      val trimmed = Seq(
+      val two = Seq(
         (longId, "audio", bytes),
-        (shortId, "audio", bytes.drop(16)))
+        (shortId, "audio", trimmedWav))
         .toDF("media_id", "kind", "content")
-      val tr = Multimodal.audioNearDupPairs(trimmed, minMatchFrac = 0.9).collect()
+      val tr = Multimodal.audioNearDupPairs(two).collect()
       val (a, b) = (math.min(longId, shortId), math.max(longId, shortId))
       val hit = tr.find(r => r.getLong(0) == a && r.getLong(1) == b)
       assert(hit.isDefined,
