@@ -127,26 +127,20 @@ object Multimodal {
   }
 
   private def audioBandFractions(samples: Array[Short]): Array[Float] = {
-    val window = math.min(1024, samples.length)
+    // largest power-of-two window that fits the clip head (FFT input)
+    val window = math.min(1024, Integer.highestOneBit(samples.length))
     val half = window / 2
-    val re = new Array[Double](half)
-    val im = new Array[Double](half)
-    var k = 1
-    while (k < half) {
-      var c = 0.0; var s = 0.0
-      var i = 0
-      while (i < window) {
-        val hann = 0.5 - 0.5 * math.cos(2 * math.Pi * i / (window - 1))
-        val v = samples(i) * hann
-        val ang = -2 * math.Pi * k * i / window
-        c += v * math.cos(ang); s += v * math.sin(ang)
-        i += 1
-      }
-      re(k) = c; im(k) = s
-      k += 1
+    val re = new Array[Double](window)
+    val im = new Array[Double](window)
+    var i = 0
+    while (i < window) {
+      val hann = 0.5 - 0.5 * math.cos(2 * math.Pi * i / (window - 1))
+      re(i) = samples(i) * hann; im(i) = 0.0
+      i += 1
     }
+    Codec.fft(re, im)
     val bands = new Array[Double](32)
-    k = 1
+    var k = 1
     while (k < half) {
       bands(math.min(31, (k - 1) * 32 / math.max(1, half - 1))) +=
         re(k) * re(k) + im(k) * im(k)
