@@ -175,6 +175,46 @@ object Codec {
   def phash64(content: Array[Byte]): Option[Long] =
     decodeImage(content).map(phash64)
 
+  /** 8×8 mean-pooled luma thumbnail (row-major, rounded to unsigned
+    * bytes) — the compact EXACT-VERIFY payload for perceptual lookups:
+    * pHash compares DCT coefficient signs, so structurally-aligned but
+    * visibly-different images can land inside a small Hamming budget
+    * (the fixture family measures such collisions at ~7e-5 per pair);
+    * a candidate must also agree pixel-wise before it counts as a dup.
+    * 64 bytes/asset keeps a 10⁷-image history index under a GB. */
+  def lumaThumb8(img: BufferedImage): Array[Byte] = {
+    val l = luma32(img)
+    val out = new Array[Byte](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var s = 0.0
+        var y = by * 4
+        while (y < by * 4 + 4) {
+          var x = bx * 4
+          while (x < bx * 4 + 4) { s += l(y * 32 + x); x += 1 }
+          y += 1
+        }
+        out(by * 8 + bx) = math.round(s / 16.0).toInt.min(255).toByte
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** Mean absolute error between two 8×8 luma thumbnails (unsigned
+    * byte semantics); MaxValue on shape mismatch. */
+  def thumbMae(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a == null || b == null || a.length != 64 || b.length != 64)
+      return Double.MaxValue
+    var s = 0
+    var i = 0
+    while (i < 64) { s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+    s / 64.0
+  }
+
   // -------------------------------------------------------------- audio
 
   /** Decode a WAV payload to PCM16 mono samples (multi-channel input is

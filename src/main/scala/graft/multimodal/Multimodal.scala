@@ -245,13 +245,17 @@ object Multimodal {
     *     divides by least(n_sigs_a, n_sigs_b) — containment semantics
     *     ([[sigOverlapPairs]]). */
   def videoNearDupPairs(media: DataFrame, stride: Int = 2,
-      maxFrameHamming: Int = 7, minMatchFrac: Double = 0.8): DataFrame = {
-    val ph = udf { (c: Array[Byte]) => Codec.phash64(c) }
+      maxFrameHamming: Int = 7, minMatchFrac: Double = 0.8,
+      maxThumbMae: Double = 6.0): DataFrame = {
+    val sigThumb = udf { (c: Array[Byte]) =>
+      Codec.decodeImage(c).map(img => (Codec.phash64(img), Codec.lumaThumb8(img)))
+    }
     sigOverlapPairs(
       sampleFrames(media, stride)
-        .select(col("media_id"), ph(col("content")).as("sim"))
-        .where(col("sim").isNotNull),
-      maxFrameHamming, minMatchFrac, bits = 64)
+        .select(col("media_id"), sigThumb(col("content")).as("st"))
+        .where(col("st").isNotNull)
+        .select(col("media_id"), col("st._1").as("sim"), col("st._2").as("vfy")),
+      maxFrameHamming, minMatchFrac, bits = 64, vfyMae = Some(maxThumbMae))
   }
 
   /** Audio-level near-duplicate pairs: Haitsma–Kalker-style sub-band
@@ -292,24 +296,43 @@ object Multimodal {
     * MultimodalSpec), so a `.cache()` here would only pin executor
     * storage for the session. */
   private def sigOverlapPairs(rawSigs: DataFrame, maxHamming: Int,
-      minMatchFrac: Double, bits: Int): DataFrame = {
+      minMatchFrac: Double, bits: Int,
+      vfyMae: Option[Double] = None): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30,
       s"maxHamming in [1,30), got $maxHamming")
     require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
+    require(vfyMae.isEmpty || rawSigs.columns.contains("vfy"),
+      "vfyMae verification needs a `vfy` column on the signatures")
     val sigs = rawSigs.distinct()
-    val nsigs = sigs.groupBy("media_id").agg(count(lit(1)).as("n_sigs"))
+    // signature count = distinct SIM values (a sig carrying several
+    // verify payloads — e.g. drifted frames sharing a pHash — is one
+    // signature for the match-fraction denominator)
+    val nsigs = sigs.groupBy("media_id").agg(countDistinct("sim").as("n_sigs"))
     val chunks = maxHamming + 1
     val bitsPer = bits / chunks
-    val withChunks = sigs.select(col("media_id"), col("sim"),
-        explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
+    val carried = col("media_id") +: col("sim") +:
+      (if (vfyMae.isDefined) Seq(col("vfy")) else Nil)
+    val withChunks = sigs.select(carried :+
+        explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"): _*)
       .withColumn("chunk_val",
         expr(s"""CASE WHEN chunk_id = ${chunks - 1}
                  THEN shiftrightunsigned(sim, ${(chunks - 1) * bitsPer})
                  ELSE pmod(shiftrightunsigned(sim, chunk_id * $bitsPer), ${1L << bitsPer})
                  END"""))
+    // optional exact verify on the candidate signature pair: near-budget
+    // Hamming collisions DO occur across unrelated content (measured at
+    // sf0.1: 17 cross-content video pairs from frame-sig collisions —
+    // a drifting clip is a CLUSTER of near-identical signatures, so one
+    // colliding frame pair inflates the whole pair's match fraction);
+    // the verify payload (8×8 luma thumbnail) must also agree
+    val thumbOk = udf { (a: Array[Byte], b: Array[Byte]) => Codec.thumbMae(a, b) }
+    val verified = vfyMae match {
+      case Some(mae) => thumbOk(col("a.vfy"), col("b.vfy")) <= mae
+      case None      => lit(true)
+    }
     val sigMatches = withChunks.as("a")
       .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
-      .where(col("a.media_id") < col("b.media_id"))
+      .where(col("a.media_id") < col("b.media_id") && verified)
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         col("a.sim").as("sim_a"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
@@ -327,6 +350,65 @@ object Multimodal {
       .where(col("match_frac") >= minMatchFrac)
       .select(col("media_a"), col("media_b"), col("n_matched"),
         col("n_sigs_a"), col("n_sigs_b"), col("match_frac"))
+  }
+
+  /** Frozen-history perceptual novelty — the media analog of the docs
+    * novelty filter: drop every incoming IMAGE asset that is a
+    * perceptual near-dup (pHash Hamming ≤ maxHamming) of ANY history
+    * asset; non-image and undecodable rows pass through (novelty is
+    * image-scoped, and an unprovable dup must not be dropped). This is
+    * the batch/scale form: incoming and history signatures meet in the
+    * pigeonhole banding EQUI-join (a near pair must agree on ≥1 of
+    * maxHamming+1 disjoint chunks), Hamming-verified with bit_count,
+    * then EXACT-verified on candidates only via the compact 8×8 luma
+    * thumbnails ([[Codec.thumbMae]]) before matched ids leave via
+    * anti-join — history can be any size, the banding join shuffles
+    * 16-byte signature rows, and payload decode is paid only on
+    * candidate pairs. The streaming twin
+    * ([[graft.streaming.MediaStream]]) broadcasts a banded (sig, thumb)
+    * index of the same history for a stateless per-row filter using the
+    * SAME verify function and threshold; MultimodalSpec gates the two
+    * forms identical. */
+  def perceptualNoveltyBatch(incoming: DataFrame, history: DataFrame,
+      maxHamming: Int = 7, maxThumbMae: Double = 6.0): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 30,
+      s"maxHamming in [1,30), got $maxHamming")
+    val ph = udf { (c: Array[Byte]) => Codec.phash64(c) }
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    def chunked(df: DataFrame, idCol: String): DataFrame =
+      df.where(col("kind") === "image")
+        .select(col("media_id").as(idCol), ph(col("content")).as("sim"))
+        .where(col("sim").isNotNull)
+        .select(col(idCol), col("sim"),
+          explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
+        .withColumn("chunk_val",
+          expr(s"""CASE WHEN chunk_id = ${chunks - 1}
+                   THEN shiftrightunsigned(sim, ${(chunks - 1) * bitsPer})
+                   ELSE pmod(shiftrightunsigned(sim, chunk_id * $bitsPer), ${1L << bitsPer})
+                   END"""))
+    val candidates = chunked(incoming, "media_id").as("a")
+      .join(chunked(history, "hist_id").as("b"), Seq("chunk_id", "chunk_val"))
+      .where(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)
+      .select(col("media_id"), col("hist_id")).distinct()
+    // exact verify on candidates only (the fixture family measures pHash
+    // collisions at ~7e-5 per pair — candidacy alone would shed novel
+    // assets): both payloads decode to the compact 8×8 luma thumbnail
+    // and must agree to maxThumbMae. The SAME Codec.thumbMae runs in the
+    // streaming index form, so the two implementations cannot diverge
+    // on a borderline pair.
+    val thumbPass = udf { (a: Array[Byte], b: Array[Byte]) =>
+      (for { ia <- Codec.decodeImage(a); ib <- Codec.decodeImage(b) } yield
+        Codec.thumbMae(Codec.lumaThumb8(ia), Codec.lumaThumb8(ib)) <= maxThumbMae
+      ).getOrElse(false)
+    }
+    val matched = candidates
+      .join(incoming.select(col("media_id"), col("content").as("_ci")), "media_id")
+      .join(history.select(col("media_id").as("hist_id"),
+        col("content").as("_ch")), "hist_id")
+      .where(thumbPass(col("_ci"), col("_ch")))
+      .select(col("media_id")).distinct()
+    incoming.join(matched, Seq("media_id"), "left_anti")
   }
 
   /** Frame sampling for video rows: REAL container parse

@@ -241,6 +241,63 @@ object MultimodalQueries {
       Gate("false_positive_pairs", fp.toDouble, fp == 0))
   }
 
+  private val FreshOffset = 30000000L
+
+  /** Incoming feed for the novelty filter: every planted twin (all
+    * kinds — the image ones are known near-dups of history, the
+    * audio/video ones probe the image-scoped pass-through) plus
+    * genuinely FRESH images (unrelated seeds, +30M ids). */
+  def noveltyIncoming(s: SparkSession, d: String): DataFrame = {
+    val twins = mediaWithPlantedNearDups(s, d)
+      .where(col("media_id") >= ReencodeOffset)
+    val freshUdf = udf { (seed: Long, w: Int, h: Int) =>
+      Codec.synthImageBytes(seed, w, h)
+    }
+    val fresh = Multimodal.syntheticMedia(s, d)
+      .where(col("kind") === "image" && pmod(col("media_id"), lit(7)) === 1)
+      .withColumn("media_id", col("media_id") + lit(FreshOffset))
+      .withColumn("content",
+        freshUdf(col("media_id") * 1000003L, col("width"), col("height")))
+    twins.unionByName(fresh)
+  }
+
+  /** Frozen-history perceptual novelty
+    * ([[Multimodal.perceptualNoveltyBatch]]): history = the base media,
+    * incoming = [[noveltyIncoming]]. Gates: every IMAGE twin
+    * (JPEG-re-encode or resize of a history asset) is shed, every fresh
+    * image survives, non-image rows pass through untouched, and the
+    * STREAMING form's broadcast banded index
+    * ([[graft.streaming.MediaStream]]) produces the identical survivor
+    * set — the two implementations of the same contract may not diverge
+    * on a single asset. */
+  val phashNovelty: Q = Q.gated("multimodal_phash_novelty") { (s, d) =>
+    Multimodal.perceptualNoveltyBatch(
+        noveltyIncoming(s, d), Multimodal.syntheticMedia(s, d))
+      .select(col("media_id"), col("kind"))
+  } { (s, d, res) =>
+    val incoming = noveltyIncoming(s, d)
+    val imageTwinsLeaked = res.where(col("kind") === "image" &&
+      col("media_id") >= ReencodeOffset && col("media_id") < FreshOffset).count()
+    val freshTotal = incoming.where(col("media_id") >= FreshOffset).count()
+    val freshKept = res.where(col("media_id") >= FreshOffset).count()
+    val nonImageTotal = incoming.where(col("kind") =!= "image").count()
+    val nonImageKept = res.where(col("kind") =!= "image").count()
+    val index = graft.streaming.MediaStream.buildHistoryIndex(
+      Multimodal.syntheticMedia(s, d), maxHamming = 7)
+    val streamForm = graft.streaming.MediaStream
+      .perceptualNovelty(incoming, index).select("media_id")
+    val diff = res.select("media_id").exceptAll(streamForm).count() +
+      streamForm.exceptAll(res.select("media_id")).count()
+    Seq(
+      Gate("image_twins_leaked", imageTwinsLeaked.toDouble, imageTwinsLeaked == 0),
+      Gate("fresh_total", freshTotal.toDouble, freshTotal > 0),
+      Gate("fresh_dropped", (freshTotal - freshKept).toDouble,
+        freshKept == freshTotal),
+      Gate("non_image_passthrough_diff", (nonImageTotal - nonImageKept).toDouble,
+        nonImageKept == nonImageTotal && nonImageTotal > 0),
+      Gate("index_vs_join_form_diff", diff.toDouble, diff == 0))
+  }
+
   def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,
-    audioNearDup)
+    audioNearDup, phashNovelty)
 }

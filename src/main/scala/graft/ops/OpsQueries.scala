@@ -134,16 +134,20 @@ object OpsQueries {
   }
 
   /** PCA-candidate two-stage retrieval ([[SimilaritySearch.pcaTopK]]) —
-    * gated on recall@5 vs the exact twin. Operating point 24 dims / 60
-    * candidates: the fixture's near-uniform 64-dim vectors are PCA's
+    * gated on recall@5 vs the exact twin. Operating point 32 dims / 100
+    * candidates: the fixtures' near-uniform 64-dim vectors are PCA's
     * WORST case (variance spread evenly, so r dims keep only ~r/64 of
-    * it — the dims/recall ladder at 60 candidates measures 8→0.584,
-    * 16→0.797, 24→0.913, 32→0.974); clustered real corpora concentrate
-    * variance far faster and reach the same recall at far fewer dims.
-    * Floor 0.8 ≈ one 8-dim step of headroom below the measured 0.913. */
+    * it), and the round-11 sf0.1 oracle sweep showed the sf0.1 sample
+    * is MORE uniform still — the r10 point (24 dims / 60 cands) that
+    * measured 0.913 at sf0.01 collapsed to 0.640 at sf0.1. The ladder
+    * at sf0.1: (24,60)→0.640, (32,60)→0.807, (32,100)→0.894,
+    * (40,100)→0.965; at sf0.01 (32,100)→0.997. The chosen point clears
+    * the 0.8 floor at BOTH scales with ~0.09 headroom; clustered real
+    * corpora concentrate variance far faster and reach the same recall
+    * at far fewer dims. */
   val annPca: Q = Q.gated("ann_pca_topk") { (s, d) =>
     SimilaritySearch.pcaTopK(Tables.embeddings(s, d), k = 5,
-      pcaDims = 24, candidates = 60)
+      pcaDims = 32, candidates = 100)
   } { (s, d, res) =>
     val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
     val (recall, _) = pairRecall(res.select("i", "j"),

@@ -494,16 +494,19 @@ object SimilaritySearch {
     * m=8/ksub=64 at refine 5→0.618, 10→0.6624, 20→0.6748; m=16 at
     * refine 5→0.6704, 10→0.6748 — m=16/refine=10 recovers the FULL cell
     * ceiling (ADC retention 1.0) where the r6 raw-vector encoding needed
-    * refine=20 (its refine-10 recall was 0.658). Defaults are
-    * m=16/refine=10 accordingly. nprobe follows [[ivfTopK]]'s r8 move to
-    * 10 (cell ceiling 0.896 on the gate fixture; ADC+refine retain
-    * 0.893 at refine=10 — the −0.03 retention gate still bounds the
-    * quantization loss). Zero-norm rows are excluded up front (no
-    * direction → NaN unit vector would poison codebook training and
-    * every cosine). */
+    * refine=20 (its refine-10 recall was 0.658). nprobe follows
+    * [[ivfTopK]]'s r8 move to 10 (cell ceiling 0.896 on the gate
+    * fixture). The refine default moved 10→20 in round 11: the sf0.1
+    * oracle sweep measured refine-10 ADC retention at −0.038 vs IVF on
+    * that sample's distribution (outside the −0.03 retention gate),
+    * while refine-20 retains −0.006 at sf0.1 and −0.000 at sf0.01 — the
+    * shortlist rescore is the cheap stage, so the wider budget is the
+    * right default. Zero-norm rows are excluded up front (no direction
+    * → NaN unit vector would poison codebook training and every
+    * cosine). */
   def pqTopK(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
       k: Int = 5, nlist: Int = 16, nprobe: Int = 10, m: Int = 16, ksub: Int = 64,
-      refine: Int = 10, seed: Long = 42, trainSample: Int = 16384): DataFrame = {
+      refine: Int = 20, seed: Long = 42, trainSample: Int = 16384): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     require(refine >= 1, "refine multiplies the exact-rescore shortlist")
     require(ksub >= 1 && ksub <= 128, "PQ codes are stored as bytes: need 1 <= ksub <= 128")

@@ -446,6 +446,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ops.Dedup.novelAgainst(history, planted).count() == 0)
   }
 
+  test("streaming perceptual novelty equals its batch twin; history twins never survive") {
+    import graft.multimodal.{Multimodal, MultimodalQueries}
+    import graft.streaming.MediaStream
+    val history = Multimodal.syntheticMedia(spark, dir)
+    val incoming = MultimodalQueries.noveltyIncoming(spark, dir)
+    val index = MediaStream.buildHistoryIndex(history, maxHamming = 7)
+    val batch = MediaStream.perceptualNovelty(incoming, index)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty, "fixture sanity: some incoming assets must be novel")
+    // the banding-JOIN form (the at-scale batch pass) agrees exactly
+    val joinForm = Multimodal.perceptualNoveltyBatch(incoming, history)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(joinForm == batch,
+      s"index/join divergence: ${(joinForm diff batch) ++ (batch diff joinForm)}")
+    // image twins of history assets are shed; fresh images survive
+    val imageTwins = incoming.where(col("kind") === "image" &&
+        col("media_id") < 30000000L)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(imageTwins.intersect(batch).isEmpty, "a history twin survived")
+    val streamDir = java.nio.file.Files.createTempDirectory("media-novel").toString
+    incoming.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = MediaStream.startPerceptualNoveltyQuery(spark, streamDir, "mediaNovel", index)
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("mediaNovel")
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming content dedup equals the batch hash set on the fixture") {
     import spark.implicits._
     // the fixture carries no crawl time — stage it with a synthetic one
