@@ -411,6 +411,63 @@ object Multimodal {
     incoming.join(matched, Seq("media_id"), "left_anti")
   }
 
+  /** Per-image quality statistics from REAL pixels — the image analog of
+    * the text quality heuristics (the LAION-style "filter blank and
+    * low-information assets" pass a training-data pipeline runs before
+    * paying for captioning/embedding): decode → 32×32 luma →
+    *
+    *  - `mean_luma` / `std_luma`: exposure and CONTRAST (a blank or
+    *    near-constant frame has σ≈0);
+    *  - `edge_energy`: mean absolute horizontal+vertical gradient —
+    *    structure/sharpness (flat gradients ⇒ no content);
+    *  - `aspect`: metadata width/height ratio (extreme aspect ratios are
+    *    the classic banner-ad signature);
+    *  - `low_information`: σ or edge energy below floors.
+    *
+    * One narrow projection per asset, no shuffle; undecodable payloads
+    * are skipped (they are a different filter's job). Thresholds are
+    * parameters; defaults sit far below the fixture family's measured
+    * range (σ ≈ 20–35, edge ≈ 8–20) and far above blanks (both ≈ 0). */
+  def imageQualityStats(media: DataFrame, minStd: Double = 8.0,
+      minEdge: Double = 2.0): DataFrame = {
+    val statsUdf = udf { (c: Array[Byte]) =>
+      Codec.decodeImage(c).map { img =>
+        val l = Codec.luma32(img)
+        val n = l.length
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += l(i); i += 1 }
+        val mean = s / n
+        var v = 0.0
+        i = 0
+        while (i < n) { val d = l(i) - mean; v += d * d; i += 1 }
+        var e = 0.0
+        var cnt = 0
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            if (x + 1 < 32) { e += math.abs(l(y * 32 + x + 1) - l(y * 32 + x)); cnt += 1 }
+            if (y + 1 < 32) { e += math.abs(l((y + 1) * 32 + x) - l(y * 32 + x)); cnt += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        (mean, math.sqrt(v / n), e / cnt)
+      }
+    }
+    media.where(col("kind") === "image")
+      .withColumn("st", statsUdf(col("content")))
+      .where(col("st").isNotNull)
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("st._1"), 6).as("mean_luma"),
+        round(col("st._2"), 6).as("std_luma"),
+        round(col("st._3"), 6).as("edge_energy"),
+        round(col("width").cast("double") / col("height"), 6).as("aspect"))
+      .withColumn("low_information",
+        col("std_luma") < minStd || col("edge_energy") < minEdge)
+  }
+
   /** Frame sampling for video rows: REAL container parse
     * ([[Codec.decodeFrames]]) emitting every `stride`-th frame's PNG
     * payload with its index. One output row per sampled frame,

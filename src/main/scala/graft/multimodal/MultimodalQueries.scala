@@ -298,6 +298,98 @@ object MultimodalQueries {
       Gate("index_vs_join_form_diff", diff.toDouble, diff == 0))
   }
 
+  private val BlankOffset = 40000000L
+
+  /** Base media plus planted BLANK images (constant mid-gray PNGs, +40M
+    * ids) — the known-low-information truth set for the quality gate. */
+  def mediaWithPlantedBlanks(s: SparkSession, d: String): DataFrame = {
+    val blankUdf = udf { (w: Int, h: Int) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(128, 128, 128)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      Codec.encodePng(img)
+    }
+    val base = Multimodal.syntheticMedia(s, d)
+    val blanks = base.where(col("kind") === "image" && pmod(col("media_id"), lit(7)) === 2)
+      .withColumn("media_id", col("media_id") + lit(BlankOffset))
+      .withColumn("content", blankUdf(col("width"), col("height")))
+    base.unionByName(blanks)
+  }
+
+  /** Image quality statistics ([[Multimodal.imageQualityStats]]) over
+    * base images + planted blanks. Gates: every planted blank is
+    * flagged low-information (σ ≈ 0, edge ≈ 0), at most 5% of the real
+    * sinusoid-field images are flagged (their measured σ is 20–35,
+    * edge 8–20 — far above the floors), every stat is finite, and every
+    * decodable image emits exactly one row. */
+  val imageQuality: Q = Q.gated("multimodal_image_quality") { (s, d) =>
+    Multimodal.imageQualityStats(mediaWithPlantedBlanks(s, d))
+  } { (s, d, res) =>
+    val blanksFlagged = res.where(col("media_id") >= BlankOffset)
+    val nBlank = blanksFlagged.count()
+    val blankUnflagged = blanksFlagged.where(!col("low_information")).count()
+    val realTotal = res.where(col("media_id") < BlankOffset).count()
+    val realFlagged = res.where(col("media_id") < BlankOffset &&
+      col("low_information")).count()
+    val nonFinite = res.where(
+      isnan(col("mean_luma")) || isnan(col("std_luma")) ||
+        isnan(col("edge_energy")) || isnan(col("aspect"))).count()
+    val expected = Multimodal.syntheticMedia(s, d)
+      .where(col("kind") === "image").count()
+    Seq(
+      Gate("planted_blanks", nBlank.toDouble, nBlank > 0),
+      Gate("blanks_not_flagged", blankUnflagged.toDouble, blankUnflagged == 0),
+      Gate("real_images_flagged_frac",
+        if (realTotal == 0) 1.0 else realFlagged.toDouble / realTotal,
+        realTotal > 0 && realFlagged.toDouble / realTotal <= 0.05),
+      Gate("non_finite_stats", nonFinite.toDouble, nonFinite == 0),
+      Gate("rows_vs_base_images", realTotal.toDouble, realTotal == expected))
+  }
+
+  /** WebDataset-style media shard packing — pure REUSE of
+    * [[graft.ops.Corpus.packShards]] with payload BYTES as the weight:
+    * per kind, assets in deterministic media_id order pack into
+    * contiguous ~budget-byte shards (an asset straddling a boundary
+    * belongs to the shard where its prefix sum started — whole assets,
+    * never split). Gates pin the packing contract: complete coverage
+    * (every asset sharded exactly once), per-shard fill ≤ budget +
+    * max-single-asset (the straddle rule's worst case), shards
+    * contiguous per kind (ids 0..max with no gaps), and determinism
+    * (two runs identical). */
+  val shardPack: Q = Q.gated("multimodal_shard_pack") { (s, d) =>
+    val budget = 64L * 1024
+    graft.ops.Corpus.packShards(
+        Multimodal.syntheticMedia(s, d)
+          .select(col("media_id"), col("kind"), length(col("content")).as("nbytes")),
+        col("kind"), col("media_id"), col("nbytes").cast("long"), budget)
+      .select(col("media_id"), col("kind"), col("nbytes"), col("shard"))
+  } { (s, d, res) =>
+    val budget = 64L * 1024
+    val expected = Multimodal.syntheticMedia(s, d).count()
+    val nRows = res.count()
+    val dupAssets = res.groupBy("media_id").count().where(col("count") > 1).count()
+    val fills = res.groupBy("kind", "shard")
+      .agg(sum(col("nbytes")).as("fill"), max(col("nbytes")).as("mx"))
+    val overfilled = fills.where(col("fill") > lit(budget) + col("mx")).count()
+    val gaps = res.groupBy("kind")
+      .agg(countDistinct(col("shard")).as("n"), max(col("shard")).as("mx"))
+      .where(col("n") =!= col("mx") + 1).count()
+    val rerun = graft.ops.Corpus.packShards(
+        Multimodal.syntheticMedia(s, d)
+          .select(col("media_id"), col("kind"), length(col("content")).as("nbytes")),
+        col("kind"), col("media_id"), col("nbytes").cast("long"), budget)
+      .select(col("media_id"), col("kind"), col("nbytes"), col("shard"))
+    val drift = res.exceptAll(rerun).count() + rerun.exceptAll(res).count()
+    Seq(
+      Gate("assets_packed", nRows.toDouble, nRows == expected),
+      Gate("assets_packed_twice", dupAssets.toDouble, dupAssets == 0),
+      Gate("shards_overfilled", overfilled.toDouble, overfilled == 0),
+      Gate("kinds_with_shard_gaps", gaps.toDouble, gaps == 0),
+      Gate("rerun_drift_rows", drift.toDouble, drift == 0))
+  }
+
   def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,
-    audioNearDup, phashNovelty)
+    audioNearDup, phashNovelty, imageQuality, shardPack)
 }

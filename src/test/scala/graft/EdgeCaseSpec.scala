@@ -390,6 +390,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(multimodal.Multimodal.videoNearDupPairs(corrupt).count() == 0)
   }
 
+  test("perceptual novelty: empty history keeps everything; corrupt images pass through") {
+    import multimodal.{Codec, Multimodal}
+    import graft.streaming.MediaStream
+    val media = Seq(
+      (1L, "image", Codec.synthImageBytes(11L, 20, 20)),
+      (2L, "image", Array[Byte](9, 9, 9)), // corrupt: unprovable dup, must pass
+      (3L, "audio", Array[Byte](1, 2, 3))) // non-image: out of scope, must pass
+      .toDF("media_id", "kind", "content")
+    val emptyHistory = media.where(lit(false))
+    assert(Multimodal.perceptualNoveltyBatch(media, emptyHistory).count() == 3)
+    val idx = MediaStream.buildHistoryIndex(emptyHistory)
+    assert(MediaStream.perceptualNovelty(media, idx).count() == 3)
+    // history containing asset 1's image sheds it in both forms, keeps 2 and 3
+    val history = Seq((100L, "image", Codec.synthImageBytes(11L, 20, 20)))
+      .toDF("media_id", "kind", "content")
+    assert(Multimodal.perceptualNoveltyBatch(media, history)
+      .select("media_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(MediaStream.perceptualNovelty(media, MediaStream.buildHistoryIndex(history))
+      .select("media_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("codec: corrupt payloads decode to None/empty, never throw") {
     import multimodal.Codec
     assert(Codec.decodeImage(Array.emptyByteArray).isEmpty)

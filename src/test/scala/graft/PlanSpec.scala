@@ -486,6 +486,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"correlated limit must become a rank window:\n$p")
   }
 
+  test("multimodal_phash_novelty: history candidacy is a chunk equi-join, never a cartesian") {
+    val p = plan("multimodal_phash_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty candidacy must be the banding equi-join:\n$p")
+  }
+
   test("text_perplexity_buckets: no cartesian; tiering window is per-source") {
     val p = plan("text_perplexity_buckets")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
