@@ -781,6 +781,37 @@ object RelationalQueries {
         |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
   }
 
+  /** UNPIVOT / melt — wide-to-long reshaping (the inverse of q25's
+    * pivot): lineitem's four numeric measures melt into (measure, value)
+    * rows, then aggregate per (flag, measure). Spark's `Dataset.unpivot`
+    * and DuckDB's SQL-standard UNPIVOT both emit the source COLUMN NAME
+    * as the measure value, so the grouping keys match cross-engine
+    * byte-for-byte. Scale shape: unpivot is a zero-shuffle projection
+    * (each input row explodes to 4), and the aggregation combines
+    * map-side — one exchange total. DECIMAL sums, order-free. */
+  val q35Unpivot: Q = Q(
+    "q35_unpivot",
+    """SELECT l_returnflag, measure,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
+      |FROM (
+      |  SELECT l_returnflag, measure, value FROM (
+      |    SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+      |    FROM lineitem)
+      |  UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax)))
+      |GROUP BY 1, 2""".stripMargin
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("l_returnflag", "measure")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2JoinRevenue, q3TopOrders, q4SymUnionAgg, q5SortLimit,
     q6FilterRevenue, q7Stats, q8TokenCounts, q9Distinct, q10AntiJoin,
@@ -788,5 +819,5 @@ object RelationalQueries {
     q16RangeJoin, q17Yearly, q18CaseAgg, q19AsOf, q20Cube, q21SetOps,
     q22Percentiles, q23Strings, q24Exists, q25Pivot, q26Ntile, q27SaltedAgg,
     q28ApproxPercentiles, q29Sessions, q30FullOuter, q31ScalarSubquery,
-    q32TimeRangeWindow, q33GroupingSets, q34Lateral)
+    q32TimeRangeWindow, q33GroupingSets, q34Lateral, q35Unpivot)
 }

@@ -147,4 +147,20 @@ object MediaStream {
       .format("memory")
       .queryName(name)
       .start()
+
+  /** Ingestion-time image quality scoring — the multimodal twin of
+    * [[DocsStream.startQualityScoreQuery]]: the SAME stateless
+    * projection [[graft.multimodal.Multimodal.imageQualityStats]]
+    * applies in batch runs over a parquet file stream, so blank /
+    * low-information assets are flagged the moment they arrive instead
+    * of in a later corpus pass. Zero streaming state; append mode. */
+  def startImageQualityQuery(spark: SparkSession, dir: String,
+      name: String): StreamingQuery =
+    graft.multimodal.Multimodal.imageQualityStats(
+        spark.readStream.schema(mediaSchema).parquet(dir))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
 }

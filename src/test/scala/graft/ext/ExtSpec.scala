@@ -477,6 +477,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image quality scoring equals its batch twin") {
+    import graft.multimodal.{Multimodal, MultimodalQueries}
+    import graft.streaming.MediaStream
+    val media = MultimodalQueries.mediaWithPlantedBlanks(spark, dir)
+    val batch = Multimodal.imageQualityStats(media)
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(batch.nonEmpty)
+    val streamDir = java.nio.file.Files.createTempDirectory("media-quality").toString
+    media.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = MediaStream.startImageQualityQuery(spark, streamDir, "mediaQuality")
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("mediaQuality")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(stream == batch, s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+      // planted blanks arrive flagged
+      assert(spark.table("mediaQuality")
+        .where(col("media_id") >= 40000000L && !col("low_information")).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming content dedup equals the batch hash set on the fixture") {
     import spark.implicits._
     // the fixture carries no crawl time — stage it with a synthetic one
