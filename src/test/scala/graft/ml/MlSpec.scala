@@ -160,8 +160,16 @@ class MnistIOSpec extends AnyFunSuite {
     val json = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/player.json"))
     assert(json.contains(""""iterations":[1,2]"""))
     assert(json.contains(""""key":0,"label":1"""))
-    // valid JSON (parse with a strict-ish check: balanced + jackson-free)
-    assert(json.count(_ == '{') == json.count(_ == '}'))
+    // STRICT parse through Spark's JSON reader (failFast surfaces any
+    // malformation as an error row/exception): the viewer consumes
+    // exactly {iterations:[...], data:[{key,label,pos:[{x,y}...]}]}
+    val parsed = spark.read.option("mode", "FAILFAST")
+      .json(spark.createDataset(Seq(json))(org.apache.spark.sql.Encoders.STRING))
+    val row = parsed.selectExpr(
+      "size(iterations) AS ni", "size(data) AS nd",
+      "size(data[0].pos) AS np", "data[0].key AS k0", "data[1].label AS l1").head
+    assert(row.getInt(0) == 2 && row.getInt(1) == 2 && row.getInt(2) == 2)
+    assert(row.getLong(3) == 0L && row.getLong(4) == 2L)
     // the self-contained viewer ships next to the data
     val html = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/player.html"))
     assert(html.contains("player.json") && html.contains("<canvas"))
