@@ -114,6 +114,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sigs.distinct.length > 1, "fingerprints must vary across windows")
   }
 
+  test("codec handles RGB color images: luma path + pHash stay consistent") {
+    // corpora are mostly COLOR; the synthetic fixtures are grayscale, so
+    // pin the RGB path explicitly: an RGB render and its grayscale twin
+    // share luma by construction (Rec.601 of (v,v,v) = v), so their
+    // pHashes must be near-identical, and a JPEG re-encode of the COLOR
+    // image must stay inside the usual budget
+    val w = 40; val h = 32
+    val gray = Codec.synthImage(777L, w, h)
+    val rgb = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = gray.getRaster.getSample(x, y, 0)
+      rgb.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val png = Codec.encodePng(rgb)
+    val decoded = Codec.decodeImage(png).get
+    assert(decoded.getColorModel.getNumComponents >= 3, "PNG must round-trip as color")
+    val dGray = java.lang.Long.bitCount(Codec.phash64(gray) ^ Codec.phash64(decoded))
+    assert(dGray <= 2, s"RGB render moved pHash $dGray bits vs its grayscale twin")
+    val jpeg = Codec.phash64(Codec.encodeJpeg(decoded, 0.75f)).get
+    val dJpeg = java.lang.Long.bitCount(Codec.phash64(decoded) ^ jpeg)
+    assert(dJpeg <= 7, s"color JPEG re-encode moved pHash $dJpeg bits")
+  }
+
+  test("codec decodes stereo WAV by averaging channels") {
+    // build a 2-channel PCM16 WAV whose channels are v and v+2000: the
+    // mono decode must be their average (rounding toward zero)
+    val n = 512
+    val mono = Array.tabulate(n)(i =>
+      (8000 * math.sin(2 * math.Pi * 440 * i / 16000)).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val raw = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val l = mono(i); val r = (mono(i) + 2000).toShort
+      raw(4 * i) = (l & 0xff).toByte; raw(4 * i + 1) = ((l >> 8) & 0xff).toByte
+      raw(4 * i + 2) = (r & 0xff).toByte; raw(4 * i + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val decoded = Codec.decodeWavSamples(bos.toByteArray).get
+    assert(decoded.length == n)
+    for (i <- 0 until n)
+      assert(decoded(i) == ((mono(i) + mono(i) + 2000) / 2).toShort,
+        s"sample $i: ${decoded(i)}")
+  }
+
   test("frame container roundtrip") {
     val frames = (0 until 5).map(i => Codec.encodePng(Codec.synthImage(9L, 16, 16, i * 0.3)))
     val packed = Codec.encodeFrames(frames)
