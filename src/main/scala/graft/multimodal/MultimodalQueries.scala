@@ -86,9 +86,13 @@ object MultimodalQueries {
   private val ReencodeOffset = 10000000L
   private val ResizeOffset = 20000000L
 
-  /** Base id of any asset (twin ids map back to their original). */
+  /** Base id of any asset (twin/fresh ids map back to the asset whose
+    * content SEED they carry — fresh assets at +30M keep their own
+    * offset id as the seed key, matching [[noveltyIncoming]]'s
+    * seed = media_id·1000003 derivation being unrelated to any base). */
   private def baseId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c >= ResizeOffset, c - ResizeOffset)
+    when(c >= 30000000L, c) // fresh: own content, no base twin
+      .when(c >= ResizeOffset, c - ResizeOffset)
       .when(c >= ReencodeOffset, c - ReencodeOffset)
       .otherwise(c)
 
@@ -153,15 +157,19 @@ object MultimodalQueries {
       .select(col("doc_id").as("base_id"), md5(col("text")).as("seed"))
 
   /** Pairs in `res` (media_a, media_b) whose BASE assets carry different
-    * content seeds — perceptual false positives by construction. */
+    * content seeds — perceptual false positives by construction. TOTAL:
+    * an id that resolves to no seed (e.g. a fresh +30M asset, whose
+    * content is unrelated to every base) counts as a mismatch rather
+    * than silently dropping out of an inner join. */
   private def falsePositives(s: SparkSession, d: String, res: DataFrame): Long = {
     val seeds = seedTable(s, d)
     res
       .withColumn("ba", baseId(col("media_a")))
       .withColumn("bb", baseId(col("media_b")))
-      .join(seeds.select(col("base_id").as("ba"), col("seed").as("seed_a")), "ba")
-      .join(seeds.select(col("base_id").as("bb"), col("seed").as("seed_b")), "bb")
-      .where(col("seed_a") =!= col("seed_b"))
+      .join(seeds.select(col("base_id").as("ba"), col("seed").as("seed_a")), Seq("ba"), "left")
+      .join(seeds.select(col("base_id").as("bb"), col("seed").as("seed_b")), Seq("bb"), "left")
+      .where(col("seed_a").isNull || col("seed_b").isNull ||
+        col("seed_a") =!= col("seed_b"))
       .count()
   }
 

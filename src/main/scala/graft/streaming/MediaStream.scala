@@ -75,8 +75,8 @@ object MediaStream {
       val v =
         if (chunk == chunks - 1) sig >>> ((chunks - 1) * bitsPer)
         else (sig >>> (chunk * bitsPer)) & ((1L << bitsPer) - 1)
-      // chunk values are < 2^14 for any maxHamming < 30 — tag with the
-      // chunk id well above that
+      // chunk values are < 2^32 even at maxHamming=1 (chunks >= 2 ⇒
+      // bitsPer <= 32) — the chunk-id tag at bit 48 can never overlap
       java.lang.Long.valueOf((chunk.toLong << 48) | v)
     }
 

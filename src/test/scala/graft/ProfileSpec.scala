@@ -758,6 +758,47 @@ class ProfileSpec extends AnyFunSuite {
     pairs.unpersist(); all.unpersist()
   }
 
+  test("scale stress: perceptual novelty at 50k incoming vs 50k history (banding join + candidate-only verify)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    import graft.multimodal.{Codec, Multimodal}
+    // 50k-image history; incoming = 40k fresh + 10k JPEG re-encodes of
+    // history assets. The batch novelty form must shed exactly the
+    // re-encodes, keep the fresh set, and its wall must be dominated by
+    // the 16-byte banding join + per-candidate decode (bounded by the
+    // 10k true dups), never an n² compare or an all-pairs decode.
+    val n = 50000L
+    val synth = udf { (id: Long) => Codec.synthImageBytes(id * 2654435761L, 24, 20) }
+    val history = spark.range(n).select(
+        col("id").as("media_id"), lit("image").as("kind"),
+        synth(col("id")).as("content")).cache()
+    val jpegTwin = udf { (c: Array[Byte]) =>
+      Codec.decodeImage(c).map(i => Codec.encodeJpeg(i, 0.75f)).getOrElse(c)
+    }
+    val dups = history.where(pmod(col("media_id"), lit(5)) === 1)
+      .select((col("media_id") + lit(10000000L)).as("media_id"),
+        col("kind"), jpegTwin(col("content")).as("content"))
+    val fresh = spark.range(n, n + 40000L).select(
+      col("id").as("media_id"), lit("image").as("kind"),
+      synth(col("id")).as("content"))
+    val incoming = dups.unionByName(fresh).cache()
+    val nIn = incoming.count(); history.count()
+    val survivors = time(s"perceptualNoveltyBatch in=$nIn hist=$n")(
+      Multimodal.perceptualNoveltyBatch(incoming, history).select("media_id").cache())
+    val nSurv = survivors.count()
+    val dupsLeaked = survivors.where(col("media_id") >= 10000000L).count()
+    val freshKept = survivors.where(col("media_id") >= n &&
+      col("media_id") < 10000000L).count()
+    println(s"[profile] novelty: survivors=$nSurv dupsLeaked=$dupsLeaked freshKept=$freshKept/40000")
+    assert(dupsLeaked <= (10000 * 0.05).toLong, s"re-encodes must be shed: $dupsLeaked leaked")
+    // ~1% of "fresh" images legitimately drop at this density: 90k draws
+    // from a ~6-parameter sinusoid family saturate the image space, and
+    // a drop REQUIRES passing the 8×8 pixel verify (thumb MAE ≤ 6) —
+    // those pairs genuinely look alike, which is the filter doing its
+    // job, not a collision artifact (measured: 467/40000 at 50k history)
+    assert(freshKept >= (40000 * 0.95).toLong, s"fresh must survive: $freshKept kept")
+    survivors.unpersist(); incoming.unpersist(); history.unpersist()
+  }
+
   test("scale stress: distributed k-means at 128k vectors (per-iteration scan cost)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // 128k synthetic 64-d vectors with 8 planted gaussian-ish modes: the
