@@ -1,0 +1,121 @@
+package graft.examples
+
+import graft.multimodal.Multimodal
+import graft.ops.{Corpus, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end multimodal ingest, composed entirely from library calls —
+  * the media twin of [[CorpusPipeline]]:
+  *
+  *   media assets (binary payload + typed metadata)
+  *     → Multimodal.imageQualityStats  (blank/low-information image
+  *                                      filter FIRST — it is a narrow
+  *                                      no-shuffle scan, and everything
+  *                                      downstream decodes or joins)
+  *     → Multimodal.phashPairs         (image perceptual near-dups)
+  *     + Multimodal.videoNearDupPairs  (frame-signature overlap)
+  *     + Multimodal.audioNearDupPairs  (sub-band fingerprint overlap)
+  *     → Dedup.canonicalize            (connected components over the
+  *                                      UNION of all three detectors;
+  *                                      min-id survivor per cluster)
+  *     → Multimodal.perceptualNoveltyBatch (frozen-history filter: an
+  *                                      asset already in yesterday's
+  *                                      corpus never re-enters)
+  *     → Corpus.packShards             (payload-byte-budget shards per
+  *                                      kind — the WebDataset layout)
+  *
+  * Every stage is a deterministic DataFrame transform: banding
+  * equi-joins with pixel-level verifies, shuffle-on-key plans, payload
+  * bytes never shuffled by any near-dup join — the same code is the
+  * 100 TB shape, only the input path changes. MediaPipelineSpec asserts
+  * the cross-stage invariants. */
+object MediaPipeline {
+
+  case class Counts(
+      assets: Long, lowInfoDropped: Long, afterQuality: Long,
+      imagePairs: Long, videoPairs: Long, audioPairs: Long,
+      dupDropped: Long, afterNovelty: Long, shards: Long)
+
+  case class Result(packed: DataFrame, counts: Counts)
+
+  /** `history`: the already-ingested corpus (novelty reference);
+    * `media`: the incoming batch. */
+  def run(spark: SparkSession, media: DataFrame, history: DataFrame,
+      shardBudgetBytes: Long = 64L * 1024): Result = {
+    val assets = media.count()
+
+    // 0. image quality gate (audio/video pass through: the flag is
+    //    image-scoped, like the novelty filter)
+    val lowInfo = Multimodal.imageQualityStats(media)
+      .where(col("low_information")).select("media_id")
+    val qualityMedia = media.join(lowInfo, Seq("media_id"), "left_anti").cache()
+    val afterQuality = qualityMedia.count()
+
+    // 1. three perceptual detectors over the SAME cleaned batch; the
+    //    connected components downstream merge overlapping evidence
+    val imgPairs = Multimodal.phashPairs(qualityMedia)
+      .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
+    val vidPairs = Multimodal.videoNearDupPairs(qualityMedia)
+      .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
+    val audPairs = Multimodal.audioNearDupPairs(qualityMedia)
+      .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
+    val nImg = imgPairs.count(); val nVid = vidPairs.count(); val nAud = audPairs.count()
+
+    // 2. one survivor per perceptual cluster (min-id canonical)
+    val clusters = Dedup.canonicalize(
+      imgPairs.union(vidPairs).union(audPairs).distinct())
+    val dupMembers = clusters.where(col("id") =!= col("canonical_id"))
+      .select(col("id").as("media_id"))
+    val deduped = qualityMedia.join(dupMembers, Seq("media_id"), "left_anti")
+    val dupDropped = dupMembers.count()
+
+    // 3. frozen-history novelty: assets perceptually present in the
+    //    existing corpus never re-enter
+    val novel = Multimodal.perceptualNoveltyBatch(deduped, history).cache()
+    val afterNovelty = novel.count()
+
+    // 4. payload-byte shard packing per kind
+    val packed = Corpus.packShards(
+      novel.withColumn("nbytes", length(col("content")).cast("long")),
+      col("kind"), col("media_id"), col("nbytes"), shardBudgetBytes)
+    val shards = packed.select("kind", "shard").distinct().count()
+
+    qualityMedia.unpersist()
+    Result(packed,
+      Counts(assets, assets - afterQuality, afterQuality,
+        nImg, nVid, nAud, dupDropped, afterNovelty, shards))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-media-pipeline")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // stand-in feed: an existing corpus (2/10 of the base assets) and an
+    // incoming batch that carries the rest PLUS planted lossy twins
+    // (JPEG re-encodes, upscales, trim+gain) — so the dedup stage sees
+    // real near-dups and twins of HISTORY assets exercise the novelty
+    // filter, as a crawler re-encountering yesterday's content would
+    val planted = graft.multimodal.MultimodalQueries
+      .mediaWithPlantedNearDups(spark, dir)
+    val isHistoryBase = col("media_id") < 10000000L &&
+      pmod(col("media_id"), lit(10)) < 2
+    val history = planted.where(isHistoryBase)
+    val incoming = planted.where(!isHistoryBase)
+    val r = run(spark, incoming, history)
+    val c = r.counts
+    println(s"""{"assets":${c.assets},"lowInfoDropped":${c.lowInfoDropped},""" +
+      s""""afterQuality":${c.afterQuality},"imagePairs":${c.imagePairs},""" +
+      s""""videoPairs":${c.videoPairs},"audioPairs":${c.audioPairs},""" +
+      s""""dupDropped":${c.dupDropped},"afterNovelty":${c.afterNovelty},""" +
+      s""""shards":${c.shards}}""")
+    spark.stop()
+  }
+}
