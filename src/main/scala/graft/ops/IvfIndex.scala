@@ -74,40 +74,62 @@ object IvfIndex {
   }
 
   /** Postings compaction — the index-side twin of
-    * [[graft.io.Layout.compactDatePartitioned]], keyed on `cell`. Many
-    * [[append]] batches fragment each cell directory (every batch writes
-    * ≥1 file into every cell it touches — a daily crawl leaves each of
-    * nlist directories with one small file per day), and probing then
-    * pays per-file open/footer costs on the exact directories the
-    * partition pruning worked to isolate. Rewrites the postings with the
-    * same salted clustering (hot cells still compact across multiple
-    * tasks; files bounded by saltBuckets · maxRecordsPerFile) and swaps
-    * the WHOLE postings directory via the trash-ordered rename pair, so
-    * a crash at any point leaves either the old or the new postings
-    * live. Search results are byte-identical before/after by
-    * construction — compaction moves rows between files, never across
-    * cells (gated in ann_ivf_index_maintain). */
+    * [[graft.io.Layout.compactDatePartitioned]], keyed on `cell` and
+    * SELECTIVE: many [[append]] batches fragment cell directories
+    * (every batch writes ≥1 file into every cell it touches — a daily
+    * crawl leaves each of nlist directories with one small file per
+    * day), and probing then pays per-file open/footer costs on the
+    * exact directories the partition pruning worked to isolate. Only
+    * cells holding ≥ `minFilesPerCell` files are rewritten (the file
+    * census is a driver listing bounded by nlist, never by rows): at
+    * 10⁹ vectors a maintenance pass must not re-shuffle the cells that
+    * are already compact — their files are never opened, listed into a
+    * job, or touched (pinned byte-identical in IvfIndexSpec). Rewritten
+    * cells use the same salted clustering as the layout compactor (hot
+    * cells compact across multiple tasks; files bounded by
+    * saltBuckets · maxRecordsPerFile) and swap per-directory via the
+    * checked trash-ordered rename pair, so a crash at any point leaves
+    * either the old or the new cell live. Search results are
+    * byte-identical before/after by construction — compaction moves
+    * rows between files, never across cells (gated in
+    * ann_ivf_index_maintain). Returns the compacted cell values. */
   def compactPostings(spark: SparkSession, dir: String,
-      saltBuckets: Int = 4, maxRecordsPerFile: Long = 5000000L): Unit = {
+      saltBuckets: Int = 4, maxRecordsPerFile: Long = 5000000L,
+      minFilesPerCell: Int = 2): Seq[String] = {
     val postings = s"$dir/postings.parquet"
+    val counts = graft.io.Layout.partitionFileCounts(spark, postings, "cell")
+    val victims = counts.filter(_._2 >= minFilesPerCell).keys.toSeq.sorted
+    if (victims.isEmpty) return victims
     val token = spark.sparkContext.applicationId
     val staging = s"$postings.compact_$token"
-    graft.io.Layout.compactDatePartitioned(spark, postings, staging,
-      partCol = "cell", saltBuckets = saltBuckets,
-      maxRecordsPerFile = maxRecordsPerFile)
-    val fs = new org.apache.hadoop.fs.Path(postings)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def move(src: String, dst: String): Unit = {
-      val (sp, dp) = (new org.apache.hadoop.fs.Path(src),
-        new org.apache.hadoop.fs.Path(dst))
-      if (!fs.rename(sp, dp))
+    val df = spark.read.parquet(postings)
+      .where(col("cell").cast("string").isin(victims: _*))
+    val dataCols = df.columns.filter(_ != "cell").map(col)
+    df.withColumn("_salt", pmod(hash(dataCols: _*), lit(saltBuckets)))
+      .repartition(col("cell"), col("_salt"))
+      .drop("_salt")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cell")
+      .parquet(staging)
+    val root = new org.apache.hadoop.fs.Path(postings)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
         throw new java.io.IOException(s"compactPostings: rename $src -> $dst failed")
+    victims.foreach { v =>
+      val live = new org.apache.hadoop.fs.Path(root, s"cell=$v")
+      val fresh = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(staging), s"cell=$v")
+      val trash = new org.apache.hadoop.fs.Path(root, s".trash_compact_${token}_cell=$v")
+      move(live, trash)
+      move(fresh, live)
+      if (!fs.delete(trash, true))
+        throw new java.io.IOException(s"compactPostings: cleanup of $trash failed")
     }
-    val trash = s"$postings.trash_$token"
-    move(postings, trash)
-    move(staging, postings)
-    if (!fs.delete(new org.apache.hadoop.fs.Path(trash), true))
-      throw new java.io.IOException(s"compactPostings: cleanup of $trash failed")
+    if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+      throw new java.io.IOException(s"compactPostings: cleanup of $staging failed")
+    victims
   }
 
   /** Targeted vector deletion — the embedding-side right-to-be-forgotten

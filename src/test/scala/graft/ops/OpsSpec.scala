@@ -506,6 +506,42 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a == b, s"incremental index diverges: ${a.size} vs ${b.size}")
   }
 
+  test("compactPostings is selective: already-compact cells are never touched") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-compact").toString
+    // build (1 file/cell), then fragment ONLY the cells holding
+    // odd-id vectors with two appends — even-only home cells (if any)
+    // and the centers stay single-file
+    IvfIndex.build(emb.where(col("vec_id") % 4 === 0), dir, nlist = 16)
+    IvfIndex.append(emb.where(col("vec_id") % 4 === 1), dir)
+    // second append is TINY (a dozen vectors over 16 cells), so by
+    // pigeonhole several cells miss it and stay at 2 files — the
+    // compact-enough population the selectivity claim is about
+    IvfIndex.append(emb.where(col("vec_id") % 4 === 2 && col("vec_id") < 48), dir)
+    val postings = s"$dir/postings.parquet"
+    val before = graft.io.Layout.partitionFileListing(spark, postings, "cell")
+    val compactCells = before.filter(_._2.size < 3).keySet
+    assert(compactCells.nonEmpty, "fixture sanity: some cells must stay compact")
+    val pre = IvfIndex.search(spark, dir, emb, k = 5, nprobe = 10)
+      .select("i", "j", "rank").localCheckpoint(true)
+    // threshold 3: cells at 1-2 files are "compact enough" and must not move
+    val victims = IvfIndex.compactPostings(spark, dir, minFilesPerCell = 3)
+    val after = graft.io.Layout.partitionFileListing(spark, postings, "cell")
+    assert(victims.nonEmpty, "fixture sanity: some cells must fragment to >= 3 files")
+    assert(victims.toSet.intersect(compactCells).isEmpty)
+    compactCells.foreach { c =>
+      assert(before(c) == after(c), s"untouched cell $c was rewritten")
+    }
+    victims.foreach { c =>
+      assert(after(c).size < before(c).size, s"victim cell $c did not shrink")
+    }
+    // search results may not move by a single neighbor
+    val post = IvfIndex.search(spark, dir, emb, k = 5, nprobe = 10)
+      .select("i", "j", "rank")
+    assert(pre.exceptAll(post).count() == 0 && post.exceptAll(pre).count() == 0)
+    // idempotence: a second pass at the same threshold finds nothing
+    assert(IvfIndex.compactPostings(spark, dir, minFilesPerCell = 3).isEmpty)
+  }
+
   test("streaming index ingestion: file-streamed appends == one-shot index") {
     val idxDir = java.nio.file.Files.createTempDirectory("ivfidx-stream").toString
     val watchDir = java.nio.file.Files.createTempDirectory("ivf-watch").toString
