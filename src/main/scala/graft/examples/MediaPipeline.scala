@@ -52,19 +52,31 @@ object MediaPipeline {
     val qualityMedia = media.join(lowInfo, Seq("media_id"), "left_anti").cache()
     val afterQuality = qualityMedia.count()
 
-    // 1. three perceptual detectors over the SAME cleaned batch; the
-    //    connected components downstream merge overlapping evidence
-    val imgPairs = Multimodal.phashPairs(qualityMedia)
-      .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
-    val vidPairs = Multimodal.videoNearDupPairs(qualityMedia)
-      .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
-    val audPairs = Multimodal.audioNearDupPairs(qualityMedia)
-      .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
-    val nImg = imgPairs.count(); val nVid = vidPairs.count(); val nAud = audPairs.count()
+    // 1. three perceptual detectors over the SAME cleaned batch, tagged
+    //    by detector and CACHED: one action (the per-detector counts
+    //    below) materializes every detector's pair set exactly once, and
+    //    the connected components read the cache — previously each
+    //    detector ran twice (counted, then re-evaluated inside
+    //    canonicalize), doubling the pipeline's dominant decode cost
+    //    (pinned by MediaPipelineSpec's job-count test)
+    val pairs = Multimodal.phashPairs(qualityMedia)
+        .select(col("media_a").as("id_a"), col("media_b").as("id_b"),
+          lit("image").as("det"))
+      .unionByName(Multimodal.videoNearDupPairs(qualityMedia)
+        .select(col("media_a").as("id_a"), col("media_b").as("id_b"),
+          lit("video").as("det")))
+      .unionByName(Multimodal.audioNearDupPairs(qualityMedia)
+        .select(col("media_a").as("id_a"), col("media_b").as("id_b"),
+          lit("audio").as("det")))
+      .cache()
+    val detCounts = pairs.groupBy("det").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nImg = detCounts.getOrElse("image", 0L)
+    val nVid = detCounts.getOrElse("video", 0L)
+    val nAud = detCounts.getOrElse("audio", 0L)
 
     // 2. one survivor per perceptual cluster (min-id canonical)
-    val clusters = Dedup.canonicalize(
-      imgPairs.union(vidPairs).union(audPairs).distinct())
+    val clusters = Dedup.canonicalize(pairs.select("id_a", "id_b").distinct())
     val dupMembers = clusters.where(col("id") =!= col("canonical_id"))
       .select(col("id").as("media_id"))
     val deduped = qualityMedia.join(dupMembers, Seq("media_id"), "left_anti")
@@ -72,15 +84,20 @@ object MediaPipeline {
 
     // 3. frozen-history novelty: assets perceptually present in the
     //    existing corpus never re-enter
-    val novel = Multimodal.perceptualNoveltyBatch(deduped, history).cache()
-    val afterNovelty = novel.count()
+    val novel = Multimodal.perceptualNoveltyBatch(deduped, history)
 
-    // 4. payload-byte shard packing per kind
+    // 4. payload-byte shard packing per kind. `packed` is cached and
+    //    MATERIALIZED here (the shards count computes through it), so
+    //    unpersisting the upstream frames below cannot trigger a silent
+    //    recompute of the full quality/dedup/novelty chain when the
+    //    caller consumes it; the caller owns packed.unpersist().
     val packed = Corpus.packShards(
       novel.withColumn("nbytes", length(col("content")).cast("long")),
-      col("kind"), col("media_id"), col("nbytes"), shardBudgetBytes)
+      col("kind"), col("media_id"), col("nbytes"), shardBudgetBytes).cache()
     val shards = packed.select("kind", "shard").distinct().count()
+    val afterNovelty = packed.count()
 
+    pairs.unpersist()
     qualityMedia.unpersist()
     Result(packed,
       Counts(assets, assets - afterQuality, afterQuality,

@@ -141,13 +141,19 @@ object Layout {
     * staging dir (suffixed with the Spark application id, so two
     * concurrent deletes on one layout cannot collide on staging paths);
     * (3) swap each affected partition directory via a trash-ordered
-    * rename pair — live→trash, fresh→live, then drop trash — so a crash
-    * at ANY point leaves either the old or the new directory live, never
-    * neither (renames are atomic per directory on HDFS; object stores
-    * substitute their own atomic-commit layer). Every rename/cleanup
-    * return value is CHECKED and a failure throws: this is a
-    * takedown / right-to-be-forgotten primitive, and a silently-lost
-    * rename here means silently-lost surviving rows. Untouched
+    * rename pair — live→trash, fresh→live, then drop trash. The real
+    * guarantee: readers NEVER see a torn/mixed directory (renames are
+    * atomic per directory on HDFS; object stores substitute their own
+    * atomic-commit layer), but a crash in the window between the two
+    * renames leaves the partition temporarily ABSENT — old data intact
+    * in `.trash_delete_*`, new data in staging, recoverable by restoring
+    * either; it is never silently lost. Every rename return value is
+    * CHECKED and a failure throws: this is a takedown /
+    * right-to-be-forgotten primitive, and a silently-lost rename here
+    * means silently-lost surviving rows. POST-swap cleanup failures
+    * (trash/staging removal) are logged, not thrown — by that point the
+    * delete has fully succeeded, and throwing would report failure for
+    * an operation whose data outcome is correct. Untouched
     * partitions' files are never opened, listed into a job, or
     * rewritten — the query's gate checks their file listing is
     * byte-identical. Returns the affected partition values. */
@@ -177,10 +183,10 @@ object Layout {
         move(live, trash)
         move(fresh, live)
         if (!fs.delete(trash, true))
-          throw new java.io.IOException(s"deleteRows: cleanup of $trash failed")
+          System.err.println(s"[layout] WARN deleteRows: cleanup of $trash failed (swap complete; leftover trash only)")
       }
       if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
-        throw new java.io.IOException(s"deleteRows: cleanup of $staging failed")
+        System.err.println(s"[layout] WARN deleteRows: cleanup of $staging failed (swap complete; leftover staging only)")
     }
     affected
   }
@@ -190,7 +196,11 @@ object Layout {
     * lexically = chronologically for ISO dates). Pure metadata + file
     * ops: no partition is ever scanned, no surviving file is touched —
     * the O(expired-days) complement of [[deleteRows]]' O(affected-days)
-    * row surgery. Returns the expired partition values. */
+    * row surgery. Every delete's return value is CHECKED and a failure
+    * throws (same checked-FS-ops discipline as [[deleteRows]]):
+    * retention is a data-destroying primitive, and a silently-failed
+    * delete means a partition this call reported expired is still live.
+    * Returns the expired partition values. */
   def expirePartitions(spark: SparkSession, layoutPath: String,
       cutoff: String, partCol: String = "event_date"): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(layoutPath)
@@ -200,7 +210,10 @@ object Layout {
       .map(_.getPath)
       .filter(_.getName.stripPrefix(partCol + "=") < cutoff)
       .sortBy(_.getName)
-    expired.foreach(fs.delete(_, true))
+    expired.foreach { p =>
+      if (!fs.delete(p, true))
+        throw new java.io.IOException(s"expirePartitions: delete of $p failed")
+    }
     expired.map(_.getName.stripPrefix(partCol + "="))
   }
 

@@ -276,12 +276,18 @@ object LayoutQueries {
     val expired = Layout.expirePartitions(s, retPath(s, d), "2024-01-11")
     val after = Layout.partitionFileListing(s, retPath(s, d))
     val survivorsIntact = after.keySet.forall(k => before(k) == after(k))
+    // the INVERSE assertion: every reported-expired partition is
+    // PROVABLY gone from the post-expiry listing (not merely "survivors
+    // intact" — a silently-failed delete would leave an expired
+    // directory live while the call reports it expired)
+    val expiredStillListed = expired.count(after.contains)
     val rows = s.read.parquet(retPath(s, d))
       .groupBy(col("event_date").cast("string").as("event_date"))
       .agg(count(lit(1)).as("n_rows"))
     rows
       .withColumn("n_expired", lit(expired.length))
       .withColumn("survivors_intact", lit(survivorsIntact))
+      .withColumn("expired_still_listed", lit(expiredStillListed))
   } { (s, d, res) =>
     val twin = Tables.events(s, d)
       .withColumn("event_date", to_date(col("ts")).cast("string"))
@@ -289,12 +295,14 @@ object LayoutQueries {
       .groupBy("event_date").agg(count(lit(1)).as("n_rows"))
     val diff = res.select("event_date", "n_rows").except(twin).count() +
       twin.except(res.select("event_date", "n_rows")).count()
-    val head = res.select("n_expired", "survivors_intact").head
+    val head = res.select("n_expired", "survivors_intact", "expired_still_listed").head
     Seq(
       Gate("surviving_vs_fixture_diff_rows", diff.toDouble, diff == 0),
       Gate("partitions_expired", head.getInt(0).toDouble, head.getInt(0) == 10),
       Gate("survivor_files_untouched", if (head.getBoolean(1)) 1.0 else 0.0,
-        head.getBoolean(1)))
+        head.getBoolean(1)),
+      Gate("expired_dirs_still_listed", head.getInt(2).toDouble,
+        head.getInt(2) == 0))
   }
 
   def all: Seq[Q] = Seq(partitionPrune, bucketedJoin, compact, incrementalAgg,

@@ -46,15 +46,26 @@ object Codec {
   // container-filesystem dependency) — keep everything on-heap.
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** Diagnostic payload-decode counter (images + WAV clips). Decode is
+    * the dominant cost of every perceptual operator, so "a stage ran
+    * twice" is directly observable as a doubled decode count —
+    * MediaPipelineSpec pins the end-to-end pipeline against a
+    * run-each-stage-once budget with it. Meaningful in local mode only
+    * (executors share the JVM); in a cluster it counts the local
+    * executor's share. Near-zero overhead (striped LongAdder). */
+  val decodeCalls = new java.util.concurrent.atomic.LongAdder
+
   // ------------------------------------------------------------- images
 
   /** Decode any ImageIO-supported payload (PNG/JPEG/GIF/BMP in the
     * stock JDK); None on corrupt/unsupported bytes. */
-  def decodeImage(content: Array[Byte]): Option[BufferedImage] =
+  def decodeImage(content: Array[Byte]): Option[BufferedImage] = {
+    decodeCalls.increment()
     if (content == null || content.length == 0) None
     else
       try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(content)))
       catch { case _: Exception => None }
+  }
 
   def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -79,9 +90,22 @@ object Codec {
   }
 
   /** Bilinear rescale — used by both the resize operator and the pHash
-    * 32×32 normalization. */
+    * 32×32 normalization. COLOR-PRESERVING: the output keeps the
+    * source's color model (a resized RGB photo stays RGB — forcing
+    * grayscale here would silently corrupt every color payload run
+    * through the resize operator). Only indexed/custom color models are
+    * promoted to TYPE_INT_RGB (drawing bilinear samples into a palette
+    * image quantizes them through the palette). Grayscale stays
+    * grayscale, so the luma path ([[luma32]]) is unchanged for gray
+    * inputs; for color inputs it computes Rec.601 from the preserved
+    * channels, which is the intended definition. */
   def scaleTo(img: BufferedImage, w: Int, h: Int): BufferedImage = {
-    val out = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val outType = img.getType match {
+      case BufferedImage.TYPE_CUSTOM | BufferedImage.TYPE_BYTE_INDEXED |
+          BufferedImage.TYPE_BYTE_BINARY => BufferedImage.TYPE_INT_RGB
+      case t => t
+    }
+    val out = new BufferedImage(w, h, outType)
     val g = out.createGraphics()
     try {
       g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
@@ -219,7 +243,8 @@ object Codec {
 
   /** Decode a WAV payload to PCM16 mono samples (multi-channel input is
     * averaged down); None on malformed bytes. */
-  def decodeWavSamples(content: Array[Byte]): Option[Array[Short]] =
+  def decodeWavSamples(content: Array[Byte]): Option[Array[Short]] = {
+    decodeCalls.increment()
     if (content == null || content.length == 0) None
     else
       try {
@@ -253,6 +278,7 @@ object Codec {
           }
         } finally in.close()
       } catch { case _: Exception => None }
+  }
 
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(

@@ -154,25 +154,37 @@ object Multimodal {
     * image payloads are decoded, bilinear-rescaled and PNG-re-encoded so
     * the output payload's pixel dimensions EQUAL the metadata (pinned in
     * MultimodalSpec). Non-image rows and undecodable payloads pass
-    * through with their metadata untouched. */
+    * through with BOTH payload and metadata untouched — decodability is
+    * established once by the re-encode UDF itself (a struct of (content,
+    * ok)), and the metadata rewrite is gated on `ok`, so a corrupt
+    * payload can never exit with scaled metadata attached to unscaled
+    * bytes (which would break the metadata==pixel-dims invariant for
+    * exactly the corrupt-asset case the codec layer tolerates). */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val isImage = col("kind") === "image"
     val scale = least(
       lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"), lit(1.0))
     val resizeUdf = udf { (content: Array[Byte], w: Int, h: Int) =>
-      Codec.decodeImage(content)
-        .map(img => Codec.encodePng(Codec.scaleTo(img, w, h)))
-        .getOrElse(content)
+      Codec.decodeImage(content) match {
+        case Some(img) => (Codec.encodePng(Codec.scaleTo(img, w, h)), true)
+        case None      => (content, false)
+      }
     }
     media
+      .withColumn("_rz",
+        when(isImage, resizeUdf(col("content"),
+          floor(col("width") * scale).cast("int"),
+          floor(col("height") * scale).cast("int"))))
+      .withColumn("_ok", isImage && col("_rz._2"))
       .withColumn("new_width",
-        when(isImage, floor(col("width") * scale).cast("int")).otherwise(col("width")))
+        when(col("_ok"), floor(col("width") * scale).cast("int"))
+          .otherwise(col("width")))
       .withColumn("new_height",
-        when(isImage, floor(col("height") * scale).cast("int")).otherwise(col("height")))
+        when(col("_ok"), floor(col("height") * scale).cast("int"))
+          .otherwise(col("height")))
       .withColumn("content",
-        when(isImage, resizeUdf(col("content"), col("new_width"), col("new_height")))
-          .otherwise(col("content")))
-      .drop("width", "height")
+        when(col("_ok"), col("_rz._1")).otherwise(col("content")))
+      .drop("width", "height", "_rz", "_ok")
       .withColumnRenamed("new_width", "width")
       .withColumnRenamed("new_height", "height")
   }

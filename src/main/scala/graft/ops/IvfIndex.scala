@@ -88,8 +88,10 @@ object IvfIndex {
     * cells use the same salted clustering as the layout compactor (hot
     * cells compact across multiple tasks; files bounded by
     * saltBuckets · maxRecordsPerFile) and swap per-directory via the
-    * checked trash-ordered rename pair, so a crash at any point leaves
-    * either the old or the new cell live. Search results are
+    * checked trash-ordered rename pair (same contract as
+    * [[graft.io.Layout.deleteRows]]: no torn/mixed directory ever; a
+    * crash between the two renames leaves the cell temporarily absent
+    * with data recoverable from trash/staging). Search results are
     * byte-identical before/after by construction — compaction moves
     * rows between files, never across cells (gated in
     * ann_ivf_index_maintain). Returns the compacted cell values. */
@@ -125,10 +127,10 @@ object IvfIndex {
       move(live, trash)
       move(fresh, live)
       if (!fs.delete(trash, true))
-        throw new java.io.IOException(s"compactPostings: cleanup of $trash failed")
+        System.err.println(s"[ivf] WARN compactPostings: cleanup of $trash failed (swap complete; leftover trash only)")
     }
     if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
-      throw new java.io.IOException(s"compactPostings: cleanup of $staging failed")
+      System.err.println(s"[ivf] WARN compactPostings: cleanup of $staging failed (swap complete; leftover staging only)")
     victims
   }
 

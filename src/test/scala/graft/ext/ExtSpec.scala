@@ -131,11 +131,49 @@ class MultimodalSpec extends AnyFunSuite {
     val png = Codec.encodePng(rgb)
     val decoded = Codec.decodeImage(png).get
     assert(decoded.getColorModel.getNumComponents >= 3, "PNG must round-trip as color")
+    // budget 6 < the near-dup Hamming budget (7): since scaleTo became
+    // color-preserving (r12 — forcing gray there corrupted every color
+    // payload run through resize), the RGB render scales in sRGB while
+    // the gray twin scales in Java2D's linear gray space, and the two
+    // interpolation paths round differently (measured: 4 bits). Each
+    // path is self-consistent — the JPEG/upscale twin gates below and in
+    // phashPairs all compare within one encode family.
     val dGray = java.lang.Long.bitCount(Codec.phash64(gray) ^ Codec.phash64(decoded))
-    assert(dGray <= 2, s"RGB render moved pHash $dGray bits vs its grayscale twin")
+    assert(dGray <= 6, s"RGB render moved pHash $dGray bits vs its grayscale twin")
     val jpeg = Codec.phash64(Codec.encodeJpeg(decoded, 0.75f)).get
     val dJpeg = java.lang.Long.bitCount(Codec.phash64(decoded) ^ jpeg)
     assert(dJpeg <= 7, s"color JPEG re-encode moved pHash $dJpeg bits")
+    // the resize operator's codec call must PRESERVE color: a scaled
+    // color image re-encodes as color, not a silent grayscale conversion
+    val scaled = Codec.decodeImage(
+      Codec.encodePng(Codec.scaleTo(decoded, w / 2, h / 2))).get
+    assert(scaled.getColorModel.getNumComponents >= 3,
+      "scaleTo converted a color image to grayscale")
+  }
+
+  test("resize leaves metadata untouched on undecodable payloads") {
+    // a corrupt payload must exit resize with ORIGINAL metadata AND
+    // original bytes — scaled metadata attached to unscaled bytes would
+    // break the metadata==pixel-dims invariant exactly for the corrupt
+    // assets the codec layer is designed to tolerate
+    import spark.implicits._
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val rows = Seq(
+      (1L, "image", "image/png", 48, 40, 1, 0, Codec.synthImageBytes(42L, 48, 40)),
+      (2L, "image", "image/png", 48, 40, 1, 0, junk))
+      .toDF("media_id", "kind", "mime", "width", "height", "n_frames",
+        "sample_rate", "content")
+    val out = Multimodal.resize(rows, 24, 24)
+      .select("media_id", "width", "height", "content")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getAs[Array[Byte]]("content"))).toMap
+    assert(out(1L)._1 == 24 && out(1L)._2 == 20, "decodable image must scale")
+    val dec = Codec.decodeImage(out(1L)._3).get
+    assert(dec.getWidth == 24 && dec.getHeight == 20, "payload dims must equal metadata")
+    assert(out(2L)._1 == 48 && out(2L)._2 == 40,
+      "undecodable payload exited with rewritten metadata")
+    assert(java.util.Arrays.equals(out(2L)._3, junk),
+      "undecodable payload bytes must pass through unchanged")
   }
 
   test("codec decodes stereo WAV by averaging channels") {

@@ -34,7 +34,7 @@ class MediaPipelineSpec extends AnyFunSuite {
 
     // packed output: every surviving asset exactly once, shards filled
     // within the straddle bound, and no blank leaked through
-    val packed = r.packed.cache()
+    val packed = r.packed // cached by run(); caller owns the unpersist
     try {
       assert(packed.count() == c.afterNovelty)
       assert(packed.groupBy("media_id").count().where(col("count") > 1).count() == 0)
@@ -54,5 +54,49 @@ class MediaPipelineSpec extends AnyFunSuite {
       assert(historyTwinSurvivors == 0,
         s"$historyTwinSurvivors re-encodes of history assets re-entered the corpus")
     } finally packed.unpersist()
+  }
+
+  test("pipeline computes each detector stage once (decode-count budget)") {
+    import graft.multimodal.Codec
+    import graft.ops.{Corpus, Dedup}
+    // payload decode dominates every perceptual stage, so "a detector
+    // ran twice" is directly observable as a near-doubled decode count.
+    // Budget = running each pipeline stage independently, exactly once,
+    // on the same inputs; the pipeline must land within a small slack of
+    // it (the pre-fix pipeline, which re-evaluated all three detector
+    // plans inside canonicalize, measured ~1.5x this budget).
+    val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
+    val history = Multimodal.syntheticMedia(spark, dir)
+      .where(pmod(col("media_id"), lit(10)) < 2)
+    def stageBudget(): Long = {
+      Codec.decodeCalls.reset()
+      val lowInfo = Multimodal.imageQualityStats(media)
+        .where(col("low_information")).select("media_id")
+      val q = media.join(lowInfo, Seq("media_id"), "left_anti").cache()
+      q.count()
+      val pairs = Multimodal.phashPairs(q)
+        .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
+        .unionByName(Multimodal.videoNearDupPairs(q)
+          .select(col("media_a").as("id_a"), col("media_b").as("id_b")))
+        .unionByName(Multimodal.audioNearDupPairs(q)
+          .select(col("media_a").as("id_a"), col("media_b").as("id_b")))
+        .cache()
+      pairs.count()
+      val dupMembers = Dedup.canonicalize(pairs.distinct())
+        .where(col("id") =!= col("canonical_id")).select(col("id").as("media_id"))
+      val deduped = q.join(dupMembers, Seq("media_id"), "left_anti")
+      Multimodal.perceptualNoveltyBatch(deduped, history).count()
+      pairs.unpersist(); q.unpersist()
+      Codec.decodeCalls.sum()
+    }
+    val budget = stageBudget()
+    Codec.decodeCalls.reset()
+    val r = MediaPipeline.run(spark, media, history)
+    r.packed.count()
+    val pipelineDecodes = Codec.decodeCalls.sum()
+    r.packed.unpersist()
+    assert(budget > 0, "decode counter must observe the stages")
+    assert(pipelineDecodes <= (budget * 1.15).toLong,
+      s"pipeline decoded $pipelineDecodes payloads vs single-pass budget $budget — a stage is computed more than once")
   }
 }
