@@ -49,7 +49,11 @@ object MediaPipeline {
     //    image-scoped, like the novelty filter)
     val lowInfo = Multimodal.imageQualityStats(media)
       .where(col("low_information")).select("media_id")
-    val qualityMedia = media.join(lowInfo, Seq("media_id"), "left_anti").cache()
+    // barrier: a union-shaped media frame would otherwise pull the
+    // quality-stats subtree into every union branch via anti-join
+    // pushdown (see Multimodal.survivorsBarrier)
+    val qualityMedia = Multimodal.survivorsBarrier(media, "quality_in")
+      .join(lowInfo, Seq("media_id"), "left_anti").cache()
     val afterQuality = qualityMedia.count()
 
     // 1. three perceptual detectors over the SAME cleaned batch, tagged
@@ -58,7 +62,7 @@ object MediaPipeline {
     //    the connected components read the cache — previously each
     //    detector ran twice (counted, then re-evaluated inside
     //    canonicalize), doubling the pipeline's dominant decode cost
-    //    (pinned by MediaPipelineSpec's job-count test)
+    //    (pinned by MediaPipelineSpec's decode-count test)
     val pairs = Multimodal.phashPairs(qualityMedia)
         .select(col("media_a").as("id_a"), col("media_b").as("id_b"),
           lit("image").as("det"))

@@ -150,10 +150,12 @@ object Layout {
     * either; it is never silently lost. Every rename return value is
     * CHECKED and a failure throws: this is a takedown /
     * right-to-be-forgotten primitive, and a silently-lost rename here
-    * means silently-lost surviving rows. POST-swap cleanup failures
-    * (trash/staging removal) are logged, not thrown — by that point the
-    * delete has fully succeeded, and throwing would report failure for
-    * an operation whose data outcome is correct. Untouched
+    * means silently-lost surviving rows. Post-swap, a failed TRASH
+    * delete also throws — the trash directory still contains the victim
+    * rows, so "success" with trash left behind would mean the data
+    * subject's rows silently persist on disk. Only the STAGING cleanup
+    * (surviving-row copies, no victim data) downgrades to a warning.
+    * Untouched
     * partitions' files are never opened, listed into a job, or
     * rewritten — the query's gate checks their file listing is
     * byte-identical. Returns the affected partition values. */
@@ -182,8 +184,16 @@ object Layout {
           s".trash_delete_${token}_$partCol=$v")
         move(live, trash)
         move(fresh, live)
+        // trash still CONTAINS the victim rows — for a takedown /
+        // right-to-be-forgotten primitive a failed trash delete means
+        // the data subject's rows persist on disk, so it throws (unlike
+        // IvfIndex.compactPostings, whose trash holds only redundant
+        // copies and warns). The swap itself is complete at this point:
+        // the thrown path leaves live data correct and the leftover
+        // trash path named in the error for the operator to remove.
         if (!fs.delete(trash, true))
-          System.err.println(s"[layout] WARN deleteRows: cleanup of $trash failed (swap complete; leftover trash only)")
+          throw new java.io.IOException(
+            s"deleteRows: swap complete but cleanup of $trash FAILED — deleted rows still on disk at that path; remove it manually")
       }
       if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
         System.err.println(s"[layout] WARN deleteRows: cleanup of $staging failed (swap complete; leftover staging only)")

@@ -52,7 +52,15 @@ object Codec {
     * MediaPipelineSpec pins the end-to-end pipeline against a
     * run-each-stage-once budget with it. Meaningful in local mode only
     * (executors share the JVM); in a cluster it counts the local
-    * executor's share. Near-zero overhead (striped LongAdder). */
+    * executor's share. Near-zero overhead (striped LongAdder).
+    *
+    * JVM-global: budget tests (MediaPipelineSpec, ExtSpec) reset then
+    * read it, which assumes NO OTHER SUITE decodes concurrently in the
+    * same forked JVM — true under the current sequential forked-test
+    * config; if `testForkedParallel` is ever enabled those assertions
+    * must move to a dedicated single-suite fork. Null/empty payloads do
+    * NOT increment (no decode is attempted), so the counter means
+    * actual decode attempts. */
   val decodeCalls = new java.util.concurrent.atomic.LongAdder
 
   // ------------------------------------------------------------- images
@@ -60,11 +68,12 @@ object Codec {
   /** Decode any ImageIO-supported payload (PNG/JPEG/GIF/BMP in the
     * stock JDK); None on corrupt/unsupported bytes. */
   def decodeImage(content: Array[Byte]): Option[BufferedImage] = {
-    decodeCalls.increment()
     if (content == null || content.length == 0) None
-    else
+    else {
+      decodeCalls.increment()
       try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(content)))
       catch { case _: Exception => None }
+    }
   }
 
   def encodePng(img: BufferedImage): Array[Byte] = {
@@ -116,9 +125,27 @@ object Codec {
   }
 
   /** Rec.601 luma of the image scaled to 32×32 — pHash's canonical
-    * frame, row-major. */
+    * frame, row-major. The HASH path normalizes independently of the
+    * resize path: the 32×32 frame always draws into a fixed
+    * `TYPE_BYTE_GRAY` target (NOT [[scaleTo]], which is deliberately
+    * color-preserving for the resize OPERATOR), so the perceptual
+    * signature is colorspace-invariant — a grayscale render and an RGB
+    * render of the same picture interpolate through the same target
+    * space and land within the tone-mapping rounding budget (measured
+    * ≤2 Hamming bits in ExtSpec) instead of drifting ~4 bits when one
+    * scales in linear gray and the other in sRGB. Gray (not RGB) is the
+    * fixed target because the hash IS a luma extraction, and because
+    * the gray→sRGB tone map's steep shadow slope would amplify JPEG
+    * noise for grayscale sources (measured: 8-bit drift on a JPEG
+    * re-encode twin vs ≤7 budget with an RGB target). */
   def luma32(img: BufferedImage): Array[Double] = {
-    val s = scaleTo(img, 32, 32)
+    val s = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+    val g = s.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 32, 32, null)
+    } finally g.dispose()
     val out = new Array[Double](32 * 32)
     var y = 0
     while (y < 32) {
@@ -244,9 +271,9 @@ object Codec {
   /** Decode a WAV payload to PCM16 mono samples (multi-channel input is
     * averaged down); None on malformed bytes. */
   def decodeWavSamples(content: Array[Byte]): Option[Array[Short]] = {
-    decodeCalls.increment()
     if (content == null || content.length == 0) None
-    else
+    else {
+      decodeCalls.increment()
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(content))
@@ -278,6 +305,7 @@ object Codec {
           }
         } finally in.close()
       } catch { case _: Exception => None }
+    }
   }
 
   def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {

@@ -35,6 +35,24 @@ case class FrameSample(media_id: Long, frame_index: Int, content: Array[Byte])
   * signature) projections enter any join. */
 object Multimodal {
 
+  private val barrierN = new java.util.concurrent.atomic.AtomicLong
+
+  /** Wrap the KEPT side of a survivors anti-join. Catalyst's
+    * PushDownLeftSemiAntiJoin pushes a semi/anti join through a Union
+    * left side — and an ingest frame is routinely a union (multiple
+    * sources, planted fixtures) — duplicating the matched-side subtree
+    * into EVERY branch; with the matched side being the decode-heavy
+    * candidate pipeline, that re-decodes payloads per branch (measured
+    * 2–3× decode cost on the novelty operators; exchange reuse only
+    * partially recovers it). `observe`'s CollectMetrics node is not a
+    * push-through pattern for that rule, so it acts as a zero-cost
+    * barrier — and yields a free input-row-count metric. The counter
+    * keeps metric names unique when one query composes several
+    * barrier-wrapped operators (duplicate observe names are an
+    * analysis error). */
+  private[graft] def survivorsBarrier(df: DataFrame, tag: String): DataFrame =
+    df.observe(s"graft_${tag}_${barrierN.incrementAndGet()}", count(lit(1)))
+
   /** Deterministic synthetic media table with REAL encoded payloads
     * (PNG / WAV / PNG-frame container), derived from the documents
     * fixture: the payload seed is the first 8 bytes of md5(text), so
@@ -48,7 +66,20 @@ object Multimodal {
     *  - video (doc_id%3==2): n_frames = (doc_id·17)%7+2 frames of 32×32
     */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // The fixture's documents table is a single small parquet file, so
+    // without an explicit spread every downstream CODEC stage (payload
+    // synth, decode, hash) would serialize on 1-2 input splits — a
+    // fixture artifact, not a design property: a real media table is
+    // many files/splits wide. The seed (md5 of the text) is computed
+    // BEFORE the spread so the shuffle carries only (doc_id, seed) —
+    // 16 bytes/row, not the corpus text — and all per-row codec work
+    // downstream parallelizes across the cluster. Predicate pushdown
+    // still reaches the scan (filters push through a Repartition).
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        // seed: first 8 md5(text) bytes — content-derived, engine-free
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("_seed"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val payload = udf { (kind: String, seed: Long, w: Int, h: Int, nf: Int) =>
       kind match {
         case "image" => Codec.synthImageBytes(seed, w, h)
@@ -77,8 +108,7 @@ object Multimodal {
           .otherwise(lit(1)).cast("int").as("n_frames"),
         when(pmod(col("doc_id"), lit(3)) === 1, lit(16000))
           .otherwise(lit(0)).cast("int").as("sample_rate"),
-        // seed: first 8 md5(text) bytes — content-derived, engine-free
-        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("_seed"))
+        col("_seed"))
       .withColumn("content",
         payload(col("kind"), col("_seed"), col("width"), col("height"), col("n_frames")))
       .drop("_seed")
@@ -154,39 +184,65 @@ object Multimodal {
     * image payloads are decoded, bilinear-rescaled and PNG-re-encoded so
     * the output payload's pixel dimensions EQUAL the metadata (pinned in
     * MultimodalSpec). Non-image rows and undecodable payloads pass
-    * through with BOTH payload and metadata untouched — decodability is
-    * established once by the re-encode UDF itself (a struct of (content,
-    * ok)), and the metadata rewrite is gated on `ok`, so a corrupt
+    * through with BOTH payload and metadata untouched — the metadata
+    * rewrite is gated on a decode-only decodability check, so a corrupt
     * payload can never exit with scaled metadata attached to unscaled
     * bytes (which would break the metadata==pixel-dims invariant for
     * exactly the corrupt-asset case the codec layer tolerates). */
   def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
-    val isImage = col("kind") === "image"
+    val isImage = coalesce(col("kind") === "image", lit(false))
     val scale = least(
       lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"), lit(1.0))
-    val resizeUdf = udf { (content: Array[Byte], w: Int, h: Int) =>
-      Codec.decodeImage(content) match {
-        case Some(img) => (Codec.encodePng(Codec.scaleTo(img, w, h)), true)
-        case None      => (content, false)
-      }
+    // The decode work is FACTORED so Catalyst prunes what a consumer
+    // doesn't read (the r12 regression: one struct UDF feeding both
+    // metadata and payload made a metadata-only projection pay
+    // decode+scale+encode per row — and after projection collapse a
+    // deterministic UDF was duplicated into each of its four
+    // references, up to 4× that again):
+    //
+    //  - `dimsUdf` (LIGHT, decode only): establishes decodability — the
+    //    corrupt-payload gate for the metadata rewrite. A metadata-only
+    //    consumer (e.g. the resize bench query) evaluates just this:
+    //    one decode per image, no scale, no encode.
+    //  - `rzUdf` (HEAVY, decode+scale+encode): feeds ONLY the content
+    //    column, so it prunes away whenever content is unread. A
+    //    consumer reading content pays one extra decode (both UDFs
+    //    run) — the price of the metadata path staying prunable.
+    //
+    // The two agree by construction (same decode on the same bytes), so
+    // a corrupt payload exits with BOTH bytes and metadata untouched.
+    // Both UDFs stay DETERMINISTIC: determinism is what keeps the whole
+    // projection pushdown- and pruning-transparent (one scan, filters
+    // reach it, unread work drops out), and duplication is prevented
+    // structurally — `rzUdf` has exactly ONE reference, and `dimsUdf`
+    // feeds downstream only through the `_ok` column, whose multiple
+    // references are to the cheap boolean ATTRIBUTE (CollapseProject
+    // refuses to inline a non-cheap multiply-referenced alias, so the
+    // decode is never copied into its consumers). ExtSpec pins the
+    // decode budgets for both consumption shapes with Codec.decodeCalls
+    // over a parquet scan, so any optimizer behavior change that broke
+    // this reasoning would fail the budget, not ship silently.
+    val dimsUdf = udf { (content: Array[Byte]) =>
+      Codec.decodeImage(content).map(img => (img.getWidth, img.getHeight))
     }
+    val rzUdf = udf { (content: Array[Byte], w: Int, h: Int) =>
+      Codec.decodeImage(content).map(img => Codec.encodePng(Codec.scaleTo(img, w, h)))
+    }
+    val targetW = floor(col("width") * scale).cast("int")
+    val targetH = floor(col("height") * scale).cast("int")
+    // `when(isImage, …)` gates per row: CaseWhen evaluates branches
+    // lazily, so non-image rows never enter either UDF.
     media
-      .withColumn("_rz",
-        when(isImage, resizeUdf(col("content"),
-          floor(col("width") * scale).cast("int"),
-          floor(col("height") * scale).cast("int"))))
-      .withColumn("_ok", isImage && col("_rz._2"))
-      .withColumn("new_width",
-        when(col("_ok"), floor(col("width") * scale).cast("int"))
-          .otherwise(col("width")))
-      .withColumn("new_height",
-        when(col("_ok"), floor(col("height") * scale).cast("int"))
-          .otherwise(col("height")))
+      .withColumn("_ok", isImage && dimsUdf(when(isImage, col("content"))).isNotNull)
+      .withColumn("new_width", when(col("_ok"), targetW).otherwise(col("width")))
+      .withColumn("new_height", when(col("_ok"), targetH).otherwise(col("height")))
       .withColumn("content",
-        when(col("_ok"), col("_rz._1")).otherwise(col("content")))
-      .drop("width", "height", "_rz", "_ok")
+        when(isImage, coalesce(rzUdf(col("content"), targetW, targetH), col("content")))
+          .otherwise(col("content")))
+      .drop("width", "height", "_ok")
       .withColumnRenamed("new_width", "width")
       .withColumnRenamed("new_height", "height")
+      .select(media.columns.map(col).toIndexedSeq: _*) // original column order
   }
 
   /** Perceptual near-duplicate pairs over IMAGE payloads — the same
@@ -209,14 +265,22 @@ object Multimodal {
     *     vs ≤ 1.0 for JPEG/resize twins and ≥ 14.8 for unrelated
     *     pairs) — the pixel-level verify is what makes the operator's
     *     positives exact. Decode cost is paid only on candidate pairs,
-    *     which are bounded by real near-dup mass. */
+    *     which are bounded by real near-dup mass.
+    *
+    * Encode-family note: the hash path ([[Codec.luma32]]) normalizes
+    * every payload into a fixed grayscale 32×32 frame, so cross-
+    * colorspace re-encodes of the same picture (a grayscale re-encode
+    * of a color original) drift ≤2 Hamming bits (pinned in ExtSpec) —
+    * comfortably inside the default `maxHamming=7` budget; no
+    * per-color-model banding is needed. */
   def phashPairs(media: DataFrame, maxHamming: Int = 7,
       maxLumaMae: Double = 5.0): DataFrame = {
-    val ph = udf { (c: Array[Byte]) => Codec.phash64(c) } // Option ⇒ null skips
     val images = media.where(col("kind") === "image")
-    val sigs = images
-      .select(col("media_id").as("id"), ph(col("content")).as("sim"))
-      .where(col("sim").isNotNull)
+    // one decode per image, guaranteed by the mapPartitions builder
+    // (a udf-project + null-skip filter pays the decode twice — see
+    // SignatureStore.imageSigRows)
+    val sigs = SignatureStore.imageSigRows(media)
+      .select(col("media_id").as("id"), col("sig").as("sim"))
     val cands = graft.ops.Dedup.hammingPairs(sigs, maxHamming, bits = 64)
     val mae = udf { (a: Array[Byte], b: Array[Byte]) =>
       (for { ia <- Codec.decodeImage(a); ib <- Codec.decodeImage(b) } yield {
@@ -258,17 +322,13 @@ object Multimodal {
     *     ([[sigOverlapPairs]]). */
   def videoNearDupPairs(media: DataFrame, stride: Int = 2,
       maxFrameHamming: Int = 7, minMatchFrac: Double = 0.8,
-      maxThumbMae: Double = 6.0): DataFrame = {
-    val sigThumb = udf { (c: Array[Byte]) =>
-      Codec.decodeImage(c).map(img => (Codec.phash64(img), Codec.lumaThumb8(img)))
-    }
+      maxThumbMae: Double = 6.0): DataFrame =
     sigOverlapPairs(
-      sampleFrames(media, stride)
-        .select(col("media_id"), sigThumb(col("content")).as("st"))
-        .where(col("st").isNotNull)
-        .select(col("media_id"), col("st._1").as("sim"), col("st._2").as("vfy")),
+      // one decode per sampled frame, guaranteed by the mapPartitions
+      // builder (see SignatureStore.videoSigRows)
+      SignatureStore.videoSigRows(media, stride)
+        .select(col("media_id"), col("sig").as("sim"), col("thumb").as("vfy")),
       maxFrameHamming, minMatchFrac, bits = 64, vfyMae = Some(maxThumbMae))
-  }
 
   /** Audio-level near-duplicate pairs: Haitsma–Kalker-style sub-band
     * fingerprints over the REAL decoded sample stream
@@ -280,13 +340,11 @@ object Multimodal {
     * match-fraction. Stride-aligned trims still match because matching
     * is on signature content, not position. */
   def audioNearDupPairs(media: DataFrame, maxWindowHamming: Int = 3,
-      minMatchFrac: Double = 0.9): DataFrame = {
-    val fp = udf { (c: Array[Byte]) => Codec.audioFingerprints(c) }
+      minMatchFrac: Double = 0.9): DataFrame =
     sigOverlapPairs(
-      media.where(col("kind") === "audio")
-        .select(col("media_id"), explode(fp(col("content"))).as("sim")),
+      SignatureStore.audioSigRows(media)
+        .select(col("media_id"), col("sig").as("sim")),
       maxWindowHamming, minMatchFrac, bits = 32)
-  }
 
   /** Signature-set overlap core shared by the video and audio near-dup
     * paths (steps 2–4 of the pipeline documented on
@@ -380,18 +438,26 @@ object Multimodal {
     * ([[graft.streaming.MediaStream]]) broadcasts a banded (sig, thumb)
     * index of the same history for a stateless per-row filter using the
     * SAME verify function and threshold; MultimodalSpec gates the two
-    * forms identical. */
+    * forms identical.
+    *
+    * ONE-SHOT FORM: this decodes the history payloads inline, which is
+    * right for a single ad-hoc pass but wrong as a recurring batch — a
+    * daily ingest against a 100 TB corpus must not re-decode the corpus
+    * per day. The production steady-state path is
+    * [[SignatureStore.noveltyAgainstStore]]: history signatures are
+    * extracted once into a persisted parquet store, appended per batch,
+    * and the novelty join reads 16–72-byte signature rows instead of
+    * payloads (gated equal to this form on images, with a
+    * zero-history-decodes pin, in `multimodal_signature_store`). */
   def perceptualNoveltyBatch(incoming: DataFrame, history: DataFrame,
       maxHamming: Int = 7, maxThumbMae: Double = 6.0): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30,
       s"maxHamming in [1,30), got $maxHamming")
-    val ph = udf { (c: Array[Byte]) => Codec.phash64(c) }
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     def chunked(df: DataFrame, idCol: String): DataFrame =
-      df.where(col("kind") === "image")
-        .select(col("media_id").as(idCol), ph(col("content")).as("sim"))
-        .where(col("sim").isNotNull)
+      SignatureStore.imageSigRows(df) // one decode per image, guaranteed
+        .select(col("media_id").as(idCol), col("sig").as("sim"))
         .select(col(idCol), col("sim"),
           explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
         .withColumn("chunk_val",
@@ -420,7 +486,8 @@ object Multimodal {
         col("content").as("_ch")), "hist_id")
       .where(thumbPass(col("_ci"), col("_ch")))
       .select(col("media_id")).distinct()
-    incoming.join(matched, Seq("media_id"), "left_anti")
+    survivorsBarrier(incoming, "novelty_in")
+      .join(matched, Seq("media_id"), "left_anti")
   }
 
   /** Per-image quality statistics from REAL pixels — the image analog of
@@ -442,39 +509,46 @@ object Multimodal {
     * range (σ ≈ 20–35, edge ≈ 8–20) and far above blanks (both ≈ 0). */
   def imageQualityStats(media: DataFrame, minStd: Double = 8.0,
       minEdge: Double = 2.0): DataFrame = {
-    val statsUdf = udf { (c: Array[Byte]) =>
-      Codec.decodeImage(c).map { img =>
-        val l = Codec.luma32(img)
-        val n = l.length
-        var s = 0.0
-        var i = 0
-        while (i < n) { s += l(i); i += 1 }
-        val mean = s / n
-        var v = 0.0
-        i = 0
-        while (i < n) { val d = l(i) - mean; v += d * d; i += 1 }
-        var e = 0.0
-        var cnt = 0
-        var y = 0
-        while (y < 32) {
-          var x = 0
-          while (x < 32) {
-            if (x + 1 < 32) { e += math.abs(l(y * 32 + x + 1) - l(y * 32 + x)); cnt += 1 }
-            if (y + 1 < 32) { e += math.abs(l((y + 1) * 32 + x) - l(y * 32 + x)); cnt += 1 }
-            x += 1
-          }
-          y += 1
-        }
-        (mean, math.sqrt(v / n), e / cnt)
-      }
-    }
+    val spark = media.sparkSession
+    import spark.implicits._
+    // typed mapPartitions, one decode per image guaranteed (the former
+    // udf-project + null-skip filter paid the decode twice — see
+    // SignatureStore.imageSigRows for the mechanism)
     media.where(col("kind") === "image")
-      .withColumn("st", statsUdf(col("content")))
-      .where(col("st").isNotNull)
+      .select(col("media_id").cast("long"), col("width").cast("int"),
+        col("height").cast("int"), col("content"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, w, h, c) =>
+        Codec.decodeImage(c).map { img =>
+          val l = Codec.luma32(img)
+          val n = l.length
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += l(i); i += 1 }
+          val mean = s / n
+          var v = 0.0
+          i = 0
+          while (i < n) { val d = l(i) - mean; v += d * d; i += 1 }
+          var e = 0.0
+          var cnt = 0
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              if (x + 1 < 32) { e += math.abs(l(y * 32 + x + 1) - l(y * 32 + x)); cnt += 1 }
+              if (y + 1 < 32) { e += math.abs(l((y + 1) * 32 + x) - l(y * 32 + x)); cnt += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          (id, w, h, mean, math.sqrt(v / n), e / cnt)
+        }
+      })
+      .toDF("media_id", "width", "height", "_mean", "_std", "_edge")
       .select(col("media_id"), col("width"), col("height"),
-        round(col("st._1"), 6).as("mean_luma"),
-        round(col("st._2"), 6).as("std_luma"),
-        round(col("st._3"), 6).as("edge_energy"),
+        round(col("_mean"), 6).as("mean_luma"),
+        round(col("_std"), 6).as("std_luma"),
+        round(col("_edge"), 6).as("edge_energy"),
         round(col("width").cast("double") / col("height"), 6).as("aspect"))
       .withColumn("low_information",
         col("std_luma") < minStd || col("edge_energy") < minEdge)

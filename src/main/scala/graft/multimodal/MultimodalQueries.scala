@@ -306,6 +306,142 @@ object MultimodalQueries {
       Gate("index_vs_join_form_diff", diff.toDouble, diff == 0))
   }
 
+  /** Incoming feed with FRESH assets of ALL kinds (not just images):
+    * every planted twin plus a fresh asset per base asset with
+    * media_id % 7 == 1, re-synthesized per kind from an unrelated seed
+    * (+30M ids) — the truth set for the all-kind store novelty gates:
+    * twins of history assets must shed, fresh assets of every kind must
+    * survive. */
+  def noveltyIncomingAllKinds(s: SparkSession, d: String): DataFrame = {
+    val twins = mediaWithPlantedNearDups(s, d)
+      .where(col("media_id") >= ReencodeOffset)
+    val freshUdf = udf { (kind: String, seed: Long, w: Int, h: Int, nf: Int) =>
+      kind match {
+        case "image" => Codec.synthImageBytes(seed, w, h)
+        case "audio" => Codec.synthWavBytes(seed, nf, 16000)
+        case _       => Codec.synthVideoBytes(seed, nf)
+      }
+    }
+    val fresh = Multimodal.syntheticMedia(s, d)
+      .where(pmod(col("media_id"), lit(7)) === 1)
+      .withColumn("media_id", col("media_id") + lit(FreshOffset))
+      .withColumn("content", freshUdf(col("kind"), col("media_id") * 1000003L,
+        col("width"), col("height"), col("n_frames")))
+    twins.unionByName(fresh)
+  }
+
+  private def tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+  private def storePath(s: SparkSession, d: String, leaf: String) = {
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    s"$tmpRoot/graft_sigstore/$tag/$leaf"
+  }
+
+  /** Persistent perceptual-signature store ([[SignatureStore]]): build
+    * the (media_id, kind, sig, thumb) parquet from the base corpus —
+    * the ONE full decode pass that corpus ever pays — and pin the
+    * steady-state contract with gates:
+    *
+    *  1. `store_vs_decode_form_diff == 0`: image novelty computed
+    *     against the STORE is row-identical to the decode-form
+    *     [[Multimodal.perceptualNoveltyBatch]] (same thresholds, same
+    *     verify function — the two implementations may not diverge on
+    *     a single asset).
+    *  2. `append_vs_rebuild_drift == 0`: build(80%) + append(20%) ≡
+    *     build(100%) as a row set — incremental maintenance loses and
+    *     invents nothing.
+    *  3. `steady_batch_history_decodes == 0`: running the store-form
+    *     novelty batch decodes ONLY incoming payloads — measured with
+    *     [[Codec.decodeCalls]] against the incoming-only signature
+    *     extraction as the budget. History payloads are untouched (the
+    *     store has no payload column); this is the 100 TB property the
+    *     store exists for.
+    *  4. `kind_partitions == 3`: the store is partitioned by kind, so
+    *     kind-scoped probes partition-prune at the scan.
+    *
+    * Result rows: per-asset signature census (media_id, kind, n_sigs).
+    */
+  val signatureStore: Q = Q.gated("multimodal_signature_store") { (s, d) =>
+    val dir = storePath(s, d, "store_census")
+    SignatureStore.build(Multimodal.syntheticMedia(s, d), dir)
+    SignatureStore.load(s, dir)
+      .groupBy(col("media_id"), col("kind"))
+      .agg(countDistinct(col("sig")).as("n_sigs"))
+  } { (s, d, res) =>
+    val history = Multimodal.syntheticMedia(s, d)
+    val incoming = noveltyIncoming(s, d)
+    val dir = storePath(s, d, "store_census")
+    val store = SignatureStore.load(s, dir)
+    // 1. store form ≡ decode form on images
+    val storeForm = SignatureStore.noveltyAgainstStore(incoming, store)
+      .where(col("kind") === "image").select("media_id")
+    val decodeForm = Multimodal.perceptualNoveltyBatch(incoming, history)
+      .where(col("kind") === "image").select("media_id")
+    val formDiff = storeForm.exceptAll(decodeForm).count() +
+      decodeForm.exceptAll(storeForm).count()
+    // 2. incremental append ≡ full rebuild (row-set equality)
+    val dirInc = storePath(s, d, "store_incr")
+    SignatureStore.build(history.where(pmod(col("media_id"), lit(5)) < 4), dirInc)
+    SignatureStore.append(history.where(pmod(col("media_id"), lit(5)) === 4), dirInc)
+    val incr = SignatureStore.load(s, dirInc)
+    val cols = Seq("media_id", "kind", "sig", "thumb").map(col)
+    val drift = incr.select(cols: _*).exceptAll(store.select(cols: _*)).count() +
+      store.select(cols: _*).exceptAll(incr.select(cols: _*)).count()
+    // 3. steady-state batch decodes nothing beyond the incoming side
+    //    (decodeCalls is JVM-global; Verify runs gates sequentially)
+    Codec.decodeCalls.reset()
+    SignatureStore.signatures(incoming).count()
+    val incomingOnly = Codec.decodeCalls.sum()
+    Codec.decodeCalls.reset()
+    SignatureStore.noveltyAgainstStore(incoming, store).count()
+    val steady = Codec.decodeCalls.sum()
+    // 4. kind partition directories
+    val kinds = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("kind="))
+    Seq(
+      Gate("store_vs_decode_form_diff", formDiff.toDouble, formDiff == 0),
+      Gate("append_vs_rebuild_drift", drift.toDouble, drift == 0),
+      Gate("steady_batch_history_decodes", (steady - incomingOnly).toDouble,
+        steady == incomingOnly && incomingOnly > 0),
+      Gate("kind_partitions", kinds.toDouble, kinds == 3))
+  }
+
+  /** Frozen-history novelty for AUDIO and VIDEO against the signature
+    * store ([[SignatureStore.noveltyAgainstStore]]) — the A/V members
+    * of the frozen-history family: video twins (every frame JPEG
+    * re-encoded) and audio twins (stride-aligned trim + gain) of
+    * history assets must shed via sampled-frame-signature /
+    * window-fingerprint CONTAINMENT against the store, while fresh
+    * assets of every kind (unrelated seeds) survive. History payloads
+    * are never read — only the store's signature rows. */
+  val avNovelty: Q = Q.gated("multimodal_av_novelty") { (s, d) =>
+    val dir = storePath(s, d, "store_av")
+    SignatureStore.build(Multimodal.syntheticMedia(s, d), dir)
+    SignatureStore.noveltyAgainstStore(
+        noveltyIncomingAllKinds(s, d), SignatureStore.load(s, dir))
+      .select(col("media_id"), col("kind"))
+  } { (s, d, res) =>
+    val incoming = noveltyIncomingAllKinds(s, d)
+    def twinsLeaked(kind: String) = res.where(col("kind") === kind &&
+      col("media_id") >= ReencodeOffset && col("media_id") < FreshOffset).count()
+    def freshTotal(kind: String) = incoming.where(col("kind") === kind &&
+      col("media_id") >= FreshOffset).count()
+    def freshKept(kind: String) = res.where(col("kind") === kind &&
+      col("media_id") >= FreshOffset).count()
+    val (aLeak, vLeak, iLeak) =
+      (twinsLeaked("audio"), twinsLeaked("video"), twinsLeaked("image"))
+    val (aTot, vTot, iTot) =
+      (freshTotal("audio"), freshTotal("video"), freshTotal("image"))
+    val (aKeep, vKeep, iKeep) =
+      (freshKept("audio"), freshKept("video"), freshKept("image"))
+    Seq(
+      Gate("audio_twins_leaked", aLeak.toDouble, aLeak == 0),
+      Gate("video_twins_leaked", vLeak.toDouble, vLeak == 0),
+      Gate("image_twins_leaked", iLeak.toDouble, iLeak == 0),
+      Gate("fresh_audio_dropped", (aTot - aKeep).toDouble, aTot > 0 && aKeep == aTot),
+      Gate("fresh_video_dropped", (vTot - vKeep).toDouble, vTot > 0 && vKeep == vTot),
+      Gate("fresh_image_dropped", (iTot - iKeep).toDouble, iTot > 0 && iKeep == iTot))
+  }
+
   private val BlankOffset = 40000000L
 
   /** Base media plus planted BLANK images (constant mid-gray PNGs, +40M
@@ -399,5 +535,5 @@ object MultimodalQueries {
   }
 
   def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,
-    audioNearDup, phashNovelty, imageQuality, shardPack)
+    audioNearDup, phashNovelty, imageQuality, shardPack, signatureStore, avNovelty)
 }

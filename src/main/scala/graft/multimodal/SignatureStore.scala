@@ -1,0 +1,227 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent incremental perceptual-signature index — the media-side
+  * analog of the text family's frozen-history structures (the docs
+  * novelty bloom, `Dedup.sourceSignatures`): every ingested asset's
+  * perceptual identity is extracted ONCE, at ingest, into a compact
+  * parquet table, and every later novelty/dedup pass joins against that
+  * table instead of re-decoding history payloads.
+  *
+  * This is the 100 TB design point: without the store, a daily novelty
+  * batch re-opens and re-hashes the ENTIRE media corpus per run (the
+  * history side of [[Multimodal.perceptualNoveltyBatch]] decodes every
+  * payload every time); with it, the steady-state batch decodes only
+  * the incoming assets and joins 16–72-byte signature rows — history
+  * cost is paid once, ever, and appends are O(batch). A gated query
+  * pins both properties: store form ≡ decode form (0 diff) and zero
+  * history decodes in the steady-state batch.
+  *
+  * Schema: `(media_id, kind, sig, thumb)` parquet PARTITIONED BY kind,
+  * one row per DISTINCT per-asset signature —
+  *
+  *  - image: one row; `sig` = 64-bit DCT pHash ([[Codec.phash64]]),
+  *    `thumb` = 8×8 luma thumbnail (the exact-verify payload).
+  *  - video: one row per distinct sampled-frame pHash (stride-sampled
+  *    via [[Multimodal.sampleFrames]]), frame thumbs carried for the
+  *    verify stage.
+  *  - audio: one row per distinct Haitsma–Kalker window fingerprint
+  *    (32-bit, [[Codec.audioFingerprints]]); `thumb` is null — the
+  *    fingerprint is already gain-invariant and window-exact.
+  *
+  * Kind partitioning means a kind-scoped probe (the common case) reads
+  * only its partition directories — partition pruning at the scan, the
+  * same discipline as [[graft.ops.IvfIndex]]'s cell partitioning.
+  * Undecodable payloads contribute no rows (consistent with every
+  * operator in the family: an unprovable dup is never dropped).
+  */
+object SignatureStore {
+
+  /** Per-kind signature builders — typed `mapPartitions` rather than a
+    * `select(udf.as("st")).where(st.isNotNull)` projection, and that
+    * choice is a MEASURED decode-cost property, not style: predicate
+    * pushdown substitutes the null-skip filter's UDF reference below
+    * the project, leaving the decode evaluated once in the Filter
+    * operator and again in the Project — every payload decoded TWICE
+    * (codegen subexpression elimination does not span operators). The
+    * lambda decodes each payload exactly once and skips undecodable
+    * rows itself. Payload bytes stream through the partition iterator
+    * and never shuffle; only (media_id, kind, sig, thumb) rows leave.
+    * These builders are shared by the near-dup/novelty operators in
+    * [[Multimodal]] and [[graft.streaming.MediaStream]], so the whole
+    * perceptual family pays one decode per asset per pass. */
+  private[graft] def imageSigRows(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "image")
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.decodeImage(c).map(img =>
+          (id, "image", Codec.phash64(img), Codec.lumaThumb8(img)))
+      })
+      .toDF("media_id", "kind", "sig", "thumb")
+  }
+
+  private[graft] def videoSigRows(media: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    Multimodal.sampleFrames(media, stride)
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.decodeImage(c).map(img =>
+          (id, "video", Codec.phash64(img), Codec.lumaThumb8(img)))
+      })
+      .toDF("media_id", "kind", "sig", "thumb")
+  }
+
+  private[graft] def audioSigRows(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "audio")
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.audioFingerprints(c).map(s =>
+          (id, "audio", s, null.asInstanceOf[Array[Byte]]))
+      })
+      .toDF("media_id", "kind", "sig", "thumb")
+  }
+
+  /** Extract the store rows for a media frame — the shared ingest step
+    * of [[build]] and [[append]]. One decode per image/audio asset, one
+    * container parse + per-sampled-frame decode per video. DISTINCT
+    * rows: a long static shot contributes one signature (bounds store
+    * size by perceptual variety, not duration). */
+  def signatures(media: DataFrame, videoStride: Int = 2): DataFrame =
+    imageSigRows(media)
+      .unionByName(videoSigRows(media, videoStride))
+      .unionByName(audioSigRows(media))
+      .distinct()
+
+  /** Build the store from scratch: the one full-corpus decode pass this
+    * corpus will ever pay. */
+  def build(media: DataFrame, dir: String, videoStride: Int = 2): Unit =
+    signatures(media, videoStride)
+      .write.mode("overwrite").partitionBy("kind").parquet(dir)
+
+  /** Incrementally index an ingest batch against the existing store —
+    * the daily-crawl path: extraction touches ONLY the batch's
+    * payloads; parquet append touches only the affected kind
+    * directories. (Same serving contract as [[graft.ops.IvfIndex
+    * .append]]: the store never re-reads what it already holds.) */
+  def append(media: DataFrame, dir: String, videoStride: Int = 2): Unit =
+    signatures(media, videoStride)
+      .write.mode("append").partitionBy("kind").parquet(dir)
+
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Banded-join candidacy of incoming signatures against one kind's
+    * history signatures, verified and aggregated to matched incoming
+    * ids — the cross-frame (incoming × history) generalization of
+    * [[Multimodal.sigOverlapPairs]]' self-join, with the same
+    * pigeonhole banding (a pair within `maxHamming` bits must agree on
+    * ≥1 of maxHamming+1 disjoint chunks), the same exact `bit_count`
+    * verify, the same optional thumbnail verify on candidates only,
+    * and the same CONTAINMENT match fraction
+    * (n_matched / least(n_in, n_hist) — a trim of a longer history
+    * asset still scores 1.0). Returns distinct matched incoming ids.
+    * Payload bytes appear nowhere: both sides are (id, sig[, thumb])
+    * projections. */
+  private[graft] def matchedIds(inSigs: DataFrame, histSigs: DataFrame,
+      maxHamming: Int, bits: Int, minMatchFrac: Double,
+      maxThumbMae: Option[Double]): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 30,
+      s"maxHamming in [1,30), got $maxHamming")
+    require(bits >= maxHamming + 1 && bits <= 64,
+      s"bits in [maxHamming+1, 64], got $bits")
+    val chunks = maxHamming + 1
+    val bitsPer = bits / chunks
+    // the per-asset signature census (the containment denominator) is
+    // carried as a WINDOW column so each side's signature frame is
+    // consumed exactly ONCE — a separate census aggregate would be a
+    // second consumer with a differently-pruned subtree, which defeats
+    // exchange reuse and (on the incoming side) would decode every
+    // incoming payload twice (pinned by the signature-store query's
+    // steady_batch_history_decodes gate)
+    val wOwn = org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))
+    def chunked(df: DataFrame, idCol: String, sigCol: String,
+        thumbCol: String, nCol: String): DataFrame = {
+      val kept = Seq(col("media_id").as(idCol), col("sig").as(sigCol),
+        col("_n_own").as(nCol)) ++
+        (if (maxThumbMae.isDefined) Seq(col("thumb").as(thumbCol)) else Nil)
+      df.withColumn("_n_own", size(collect_set(col("sig")).over(wOwn)))
+        .select(kept :+
+          explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"): _*)
+        .withColumn("chunk_val",
+          expr(s"""CASE WHEN chunk_id = ${chunks - 1}
+                   THEN shiftrightunsigned($sigCol, ${(chunks - 1) * bitsPer})
+                   ELSE pmod(shiftrightunsigned($sigCol, chunk_id * $bitsPer), ${1L << bitsPer})
+                   END"""))
+    }
+    val thumbMaeUdf = udf { (a: Array[Byte], b: Array[Byte]) => Codec.thumbMae(a, b) }
+    val verified = maxThumbMae match {
+      case Some(mae) => thumbMaeUdf(col("_ti"), col("_th")) <= mae
+      case None      => lit(true)
+    }
+    chunked(inSigs, "in_id", "_si", "_ti", "_n_in")
+      .join(chunked(histSigs, "hist_id", "_sh", "_th", "_n_hist"),
+        Seq("chunk_id", "chunk_val"))
+      .where(bit_count(col("_si").bitwiseXOR(col("_sh"))) <= maxHamming && verified)
+      .select(col("in_id"), col("hist_id"), col("_si").as("sig_in"),
+        col("_n_in"), col("_n_hist"))
+      .distinct() // a pair agreeing on several chunks surfaces once
+      .groupBy(col("in_id"), col("hist_id"))
+      .agg(countDistinct(col("sig_in")).as("n_matched"),
+        first(col("_n_in")).as("n_in"), first(col("_n_hist")).as("n_hist"))
+      .where(col("n_matched").cast("double") /
+        least(col("n_in"), col("n_hist")) >= minMatchFrac)
+      .select(col("in_id").as("media_id")).distinct()
+  }
+
+  /** Frozen-history perceptual novelty for ALL media kinds against the
+    * persisted store: drop every incoming asset that is a perceptual
+    * near-dup of ANY history asset — images by single-signature pHash +
+    * thumbnail verify (identical contract and thresholds as
+    * [[Multimodal.perceptualNoveltyBatch]]; the gated query pins the
+    * two forms equal on images), video by sampled-frame signature
+    * containment with per-frame thumbnail verify (the
+    * [[Multimodal.videoNearDupPairs]] discipline vs history), audio by
+    * window-fingerprint containment ([[Multimodal.audioNearDupPairs]]
+    * vs history). Rows of unknown kind and undecodable payloads pass
+    * through — an unprovable dup must not be dropped.
+    *
+    * Steady-state cost: decode INCOMING once (the [[signatures]]
+    * projection), then banding equi-joins over 16–72-byte signature
+    * rows. History payloads are never read — the store has no payload
+    * column to read. */
+  def noveltyAgainstStore(incoming: DataFrame, store: DataFrame,
+      maxHamming: Int = 7, maxThumbMae: Double = 6.0, videoStride: Int = 2,
+      maxFrameHamming: Int = 7, minVideoMatchFrac: Double = 0.8,
+      maxWindowHamming: Int = 3, minAudioMatchFrac: Double = 0.9): DataFrame = {
+    // per-kind builders directly — NOT kind-filters over the unioned
+    // [[signatures]] frame: a filter above the union cannot push into
+    // mapPartitions branches, so each of the three probes would
+    // re-evaluate (re-decode) all three incoming branches
+    def slice(df: DataFrame, k: String) =
+      df.where(col("kind") === k).select(col("media_id"), col("sig"), col("thumb"))
+    // image: one signature per asset ⇒ containment over least(1, n) is
+    // simply "any verified match" — the perceptualNoveltyBatch contract
+    val img = matchedIds(imageSigRows(incoming).distinct(), slice(store, "image"),
+      maxHamming, bits = 64, minMatchFrac = 1.0, Some(maxThumbMae))
+    val vid = matchedIds(videoSigRows(incoming, videoStride).distinct(),
+      slice(store, "video"), maxFrameHamming, bits = 64, minVideoMatchFrac,
+      Some(maxThumbMae))
+    val aud = matchedIds(audioSigRows(incoming).distinct(), slice(store, "audio"),
+      maxWindowHamming, bits = 32, minAudioMatchFrac, None)
+    // barrier: without it the anti join pushes through a union-shaped
+    // incoming, duplicating the matched pipeline (and its incoming
+    // decodes) into every branch — see Multimodal.survivorsBarrier
+    Multimodal.survivorsBarrier(incoming, "store_novelty_in")
+      .join(img.union(vid).union(aud).distinct(), Seq("media_id"), "left_anti")
+  }
+}

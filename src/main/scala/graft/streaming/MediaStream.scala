@@ -109,14 +109,25 @@ object MediaStream {
     * GB, the same budget class as the text bloom). */
   def buildHistoryIndex(history: DataFrame, maxHamming: Int = 7,
       maxThumbMae: Double = 6.0): PhashBandIndex = {
-    val sigThumb = udf { (c: Array[Byte]) =>
-      Codec.decodeImage(c).map(img =>
-        (Codec.phash64(img), Codec.lumaThumb8(img)))
-    }
-    val entries = history.where(col("kind") === "image")
-      .select(sigThumb(col("content")).as("st"))
-      .where(col("st").isNotNull)
-      .select(col("st._1").as("sim"), col("st._2").as("thumb"))
+    val entries = graft.multimodal.SignatureStore.imageSigRows(history)
+      .select(col("sig"), col("thumb"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("thumb")))
+    PhashBandIndex(entries, maxHamming, maxThumbMae)
+  }
+
+  /** Build the same banded index from a PERSISTED signature store
+    * ([[graft.multimodal.SignatureStore]]) — the steady-state path: no
+    * history payload is opened, let alone decoded; the collect reads
+    * the store's (sig, thumb) projection for the image partition only
+    * (partition-pruned scan). [[buildHistoryIndex]] above is the
+    * one-shot/bootstrap form; a daily stream should build the store
+    * once, append per batch, and construct its index from here.
+    * ExtSpec gates the two constructions identical on the fixture. */
+  def buildHistoryIndexFromStore(store: DataFrame, maxHamming: Int = 7,
+      maxThumbMae: Double = 6.0): PhashBandIndex = {
+    val entries = store.where(col("kind") === "image")
+      .select(col("sig"), col("thumb"))
       .distinct()
       .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("thumb")))
     PhashBandIndex(entries, maxHamming, maxThumbMae)

@@ -131,15 +131,18 @@ class MultimodalSpec extends AnyFunSuite {
     val png = Codec.encodePng(rgb)
     val decoded = Codec.decodeImage(png).get
     assert(decoded.getColorModel.getNumComponents >= 3, "PNG must round-trip as color")
-    // budget 6 < the near-dup Hamming budget (7): since scaleTo became
-    // color-preserving (r12 — forcing gray there corrupted every color
-    // payload run through resize), the RGB render scales in sRGB while
-    // the gray twin scales in Java2D's linear gray space, and the two
-    // interpolation paths round differently (measured: 4 bits). Each
-    // path is self-consistent — the JPEG/upscale twin gates below and in
-    // phashPairs all compare within one encode family.
+    // budget 2 (r13): luma32 normalizes the HASH path into a fixed
+    // TYPE_INT_RGB 32×32 target regardless of source color model, so a
+    // gray render and its RGB twin interpolate through the SAME space
+    // and interpolation machinery — the residual drift is only the
+    // monotonic gray→sRGB tone-map rounding, which the median-threshold
+    // pHash absorbs. This restores a comfortable margin inside the
+    // near-dup Hamming budget (7) for corpora mixing gray and RGB
+    // encodes of the same content (r12's color-preserving scaleTo had
+    // pushed cross-colorspace drift to ~4 bits because the two paths
+    // also interpolated in different spaces).
     val dGray = java.lang.Long.bitCount(Codec.phash64(gray) ^ Codec.phash64(decoded))
-    assert(dGray <= 6, s"RGB render moved pHash $dGray bits vs its grayscale twin")
+    assert(dGray <= 2, s"RGB render moved pHash $dGray bits vs its grayscale twin")
     val jpeg = Codec.phash64(Codec.encodeJpeg(decoded, 0.75f)).get
     val dJpeg = java.lang.Long.bitCount(Codec.phash64(decoded) ^ jpeg)
     assert(dJpeg <= 7, s"color JPEG re-encode moved pHash $dJpeg bits")
@@ -174,6 +177,50 @@ class MultimodalSpec extends AnyFunSuite {
       "undecodable payload exited with rewritten metadata")
     assert(java.util.Arrays.equals(out(2L)._3, junk),
       "undecodable payload bytes must pass through unchanged")
+  }
+
+  test("resize decode budgets: 1/image metadata-only, 2/image with payload") {
+    // the r12 regression: one struct UDF fed both metadata and payload,
+    // so a metadata-only projection paid decode+scale+encode per row —
+    // and after projection collapse the deterministic UDF was
+    // duplicated into each of its references (up to 4× that again).
+    // The factored form pins two budgets: a metadata-only consumer
+    // evaluates just the light decodability check (ONE decode per
+    // image, no scale/encode), and a payload consumer additionally
+    // runs the heavy re-encode UDF (one extra decode). Both UDFs are
+    // nondeterministic single-eval barriers, so neither can be
+    // duplicated past its budget. (decodeCalls is JVM-global — suites
+    // run sequentially per forked JVM, see the counter's doc.)
+    // parquet-backed input, NOT a LocalRelation: the optimizer folds
+    // plans over LocalRelation eagerly (ConvertToLocalRelation), which
+    // both hides the real scan-shaped plan and charges the decodes to
+    // optimization time — the budget would measure nothing.
+    import spark.implicits._
+    val nImages = 24
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resize_budget").toString
+    ((1 to nImages).map(i =>
+        (i.toLong, "image", "image/png", 48, 40, 1, 0,
+          Codec.synthImageBytes(i.toLong, 48, 40))) :+
+        (99L, "audio", "audio/wav", 0, 0, 1024, 16000,
+          Codec.synthWavBytes(7L, 1024, 16000)))
+      .toDF("media_id", "kind", "mime", "width", "height", "n_frames",
+        "sample_rate", "content")
+      .write.mode("overwrite").parquet(tmp)
+    val rows = spark.read.parquet(tmp)
+    Codec.decodeCalls.reset()
+    val meta = Multimodal.resize(rows, 24, 24)
+      .select("media_id", "width", "height").collect()
+    val metaDecodes = Codec.decodeCalls.sum()
+    assert(meta.length == nImages + 1)
+    assert(metaDecodes == nImages,
+      s"metadata-only resize must decode each image exactly once (and never the audio row): $metaDecodes decodes for $nImages images")
+    Codec.decodeCalls.reset()
+    val full = Multimodal.resize(rows, 24, 24)
+      .select("media_id", "width", "height", "content").collect()
+    val fullDecodes = Codec.decodeCalls.sum()
+    assert(full.length == nImages + 1)
+    assert(fullDecodes == 2L * nImages,
+      s"payload-consuming resize budget is two decodes per image (dims check + re-encode): $fullDecodes decodes for $nImages images")
   }
 
   test("codec decodes stereo WAV by averaging channels") {
