@@ -130,11 +130,22 @@ object Bench {
     val gateResult: Option[(Seq[String], Int)] = sys.env.get("SPARK_GRAFT_BASELINE").map { bl =>
       val path = if (bl == "1") "baseline_pins.json" else bl
       val text = scala.io.Source.fromFile(path)
+      // real JSON parse (json4s ships with Spark) of the `queries` map —
+      // the former regex scraped every "name": number pair in the file,
+      // including non-pin fields and commentary
       val pins =
-        try """"([A-Za-z0-9_]+)":\s*([0-9.]+)""".r
-          .findAllMatchIn(text.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally text.close()
+        try {
+          import org.json4s._
+          org.json4s.jackson.JsonMethods.parse(text.mkString) \ "queries" match {
+            case JObject(fields) => fields.collect {
+              case (k, JDouble(v))  => k -> v
+              case (k, JInt(v))     => k -> v.toDouble
+              case (k, JDecimal(v)) => k -> v.toDouble
+              case (k, JLong(v))    => k -> v.toDouble
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+        } finally text.close()
       val violations = results.toSeq.flatMap { case (name, v) =>
         pins.get(name).toSeq
           .filter(pin => v.nonEmpty && v.min > 2 * pin && v.min - pin > 0.25)

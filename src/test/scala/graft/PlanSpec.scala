@@ -328,6 +328,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
 
+  test("multimodal_shard_assembly: payload bytes shuffle once into their shard") {
+    val p = plan("multimodal_shard_assembly")
+    // exchange 1: the fixture source spread (syntheticMedia's metadata
+    // repartition — 16-byte rows, not payloads); exchange 2: the pack
+    // window's hash(kind), which is where payload bytes move into their
+    // shard's reducer. hash(kind) already clusters (kind, shard), so
+    // the assembly aggregation must NOT add a third exchange.
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
+  }
+
   test("text_vocab_hll: HLL sketches merge map-side; no distinct expand") {
     val p = plan("text_vocab_hll")
     // the whole point vs the exact twin: per-group state is a sketch with
