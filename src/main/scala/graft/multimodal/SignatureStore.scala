@@ -198,10 +198,20 @@ object SignatureStore {
     * Steady-state cost: decode INCOMING once (the [[signatures]]
     * projection), then banding equi-joins over 16–72-byte signature
     * rows. History payloads are never read — the store has no payload
-    * column to read. */
+    * column to read.
+    *
+    * `maxVideoThumbMae` is TIGHTER than the image budget: a short video
+    * has only a handful of distinct sampled-frame signatures, so its
+    * containment denominator `least(n_in, n_hist)` can be 1–2 and one
+    * colliding frame pair decides the whole asset — measured at sf0.1,
+    * cross-content frames from the smooth fixture family collide at
+    * Hamming 0 with thumb MAE 3.9 (inside the image budget 6), while
+    * genuine frame re-encode twins measure ≤1. 3.0 separates the two
+    * with 3× margin on the twin side. */
   def noveltyAgainstStore(incoming: DataFrame, store: DataFrame,
       maxHamming: Int = 7, maxThumbMae: Double = 6.0, videoStride: Int = 2,
       maxFrameHamming: Int = 7, minVideoMatchFrac: Double = 0.8,
+      maxVideoThumbMae: Double = 3.0,
       maxWindowHamming: Int = 3, minAudioMatchFrac: Double = 0.9): DataFrame = {
     // per-kind builders directly — NOT kind-filters over the unioned
     // [[signatures]] frame: a filter above the union cannot push into
@@ -215,7 +225,7 @@ object SignatureStore {
       maxHamming, bits = 64, minMatchFrac = 1.0, Some(maxThumbMae))
     val vid = matchedIds(videoSigRows(incoming, videoStride).distinct(),
       slice(store, "video"), maxFrameHamming, bits = 64, minVideoMatchFrac,
-      Some(maxThumbMae))
+      Some(maxVideoThumbMae))
     val aud = matchedIds(audioSigRows(incoming).distinct(), slice(store, "audio"),
       maxWindowHamming, bits = 32, minAudioMatchFrac, None)
     // barrier: without it the anti join pushes through a union-shaped

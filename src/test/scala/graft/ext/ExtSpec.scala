@@ -1,8 +1,8 @@
 package graft.ext
 
 import graft.TestSpark
-import graft.multimodal.{Codec, MediaItem, Multimodal, MultimodalQueries}
-import graft.streaming.{DocsStream, EventsStream, SessionEvent}
+import graft.multimodal.{Codec, MediaItem, Multimodal, MultimodalQueries, SignatureStore}
+import graft.streaming.{DocsStream, EventsStream, MediaStream, SessionEvent}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -132,7 +132,7 @@ class MultimodalSpec extends AnyFunSuite {
     val decoded = Codec.decodeImage(png).get
     assert(decoded.getColorModel.getNumComponents >= 3, "PNG must round-trip as color")
     // budget 2 (r13): luma32 normalizes the HASH path into a fixed
-    // TYPE_INT_RGB 32×32 target regardless of source color model, so a
+    // TYPE_BYTE_GRAY 32×32 target regardless of source color model, so a
     // gray render and its RGB twin interpolate through the SAME space
     // and interpolation machinery — the residual drift is only the
     // monotonic gray→sRGB tone-map rounding, which the median-threshold
@@ -351,6 +351,57 @@ class MultimodalSpec extends AnyFunSuite {
       assert(hit.get.getDouble(5) == 1.0,
         s"containment match_frac must be 1.0: ${hit.get}")
     }
+  }
+
+  test("signature store: append == rebuild; index-from-store == index-from-payloads") {
+    val history = Multimodal.syntheticMedia(spark, dir)
+    val full = java.nio.file.Files.createTempDirectory("sigstore_full").toString
+    val incr = java.nio.file.Files.createTempDirectory("sigstore_incr").toString
+    SignatureStore.build(history, full)
+    SignatureStore.build(history.where(pmod(col("media_id"), lit(3)) =!= 0), incr)
+    SignatureStore.append(history.where(pmod(col("media_id"), lit(3)) === 0), incr)
+    val cols = Seq("media_id", "kind", "sig", "thumb").map(col)
+    val a = SignatureStore.load(spark, full).select(cols: _*)
+    val b = SignatureStore.load(spark, incr).select(cols: _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "incremental append must lose and invent nothing vs a full rebuild")
+    // streaming index built from the store == built by decoding payloads
+    val idxPayload = MediaStream.buildHistoryIndex(history)
+    val idxStore = MediaStream.buildHistoryIndexFromStore(
+      SignatureStore.load(spark, full))
+    assert(idxPayload.size == idxStore.size)
+    val probe = MultimodalQueries.noveltyIncoming(spark, dir)
+    val viaPayload = MediaStream.perceptualNovelty(probe, idxPayload)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val viaStore = MediaStream.perceptualNovelty(probe, idxStore)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(viaPayload == viaStore,
+      "the two index constructions may not diverge on a single asset")
+  }
+
+  test("store novelty: all-kind twins shed, fresh kept, history never decoded") {
+    val history = Multimodal.syntheticMedia(spark, dir)
+    val storeDir = java.nio.file.Files.createTempDirectory("sigstore_nov").toString
+    SignatureStore.build(history, storeDir)
+    val store = SignatureStore.load(spark, storeDir)
+    val incoming = MultimodalQueries.noveltyIncomingAllKinds(spark, dir)
+    // steady-state decode budget: the batch decodes ONLY incoming
+    // payloads (signature extraction); the store has no payload column
+    Codec.decodeCalls.reset()
+    SignatureStore.signatures(incoming).count()
+    val incomingOnly = Codec.decodeCalls.sum()
+    Codec.decodeCalls.reset()
+    val survivors = SignatureStore.noveltyAgainstStore(incoming, store)
+      .select("media_id", "kind").collect()
+    val steady = Codec.decodeCalls.sum()
+    assert(steady == incomingOnly,
+      s"store-form novelty decoded $steady vs incoming-only budget $incomingOnly — history payloads were touched")
+    val twinsLeaked = survivors.count(r => r.getLong(0) >= 10000000L && r.getLong(0) < 30000000L)
+    assert(twinsLeaked == 0, s"$twinsLeaked re-encode/upscale twins of history assets survived")
+    val freshIn = incoming.where(col("media_id") >= 30000000L).count()
+    val freshKept = survivors.count(_.getLong(0) >= 30000000L)
+    assert(freshIn > 0 && freshKept == freshIn,
+      s"fresh assets dropped: kept $freshKept of $freshIn")
   }
 }
 
