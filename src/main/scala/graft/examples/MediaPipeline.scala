@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   *                                      min-id survivor per cluster)
   *     → Multimodal.perceptualNoveltyBatch (frozen-history filter: an
   *                                      asset already in yesterday's
-  *                                      corpus never re-enters)
+  *                                      corpus never re-enters), or —
+  *                                      the steady-state form —
+  *       SignatureStore.noveltyAgainstStore (same filter against the
+  *                                      persisted signature store:
+  *                                      zero history decodes, and
+  *                                      audio/video twins shed too)
   *     → Corpus.packShards             (payload-byte-budget shards per
   *                                      kind — the WebDataset layout)
   *
@@ -40,9 +45,17 @@ object MediaPipeline {
   case class Result(packed: DataFrame, counts: Counts)
 
   /** `history`: the already-ingested corpus (novelty reference);
-    * `media`: the incoming batch. */
+    * `media`: the incoming batch; `signatureStoreDir`: when set, the
+    * novelty stage consumes the PERSISTED perceptual-signature store at
+    * that path ([[graft.multimodal.SignatureStore]]) instead of
+    * decoding `history` — the steady-state daily shape (history
+    * payloads untouched, and audio/video twins of history shed too,
+    * not just images). The store is built from `history` on first use
+    * if absent; a production loop appends each kept batch's signatures
+    * after ingest. Default None keeps the one-shot decode form. */
   def run(spark: SparkSession, media: DataFrame, history: DataFrame,
-      shardBudgetBytes: Long = 64L * 1024): Result = {
+      shardBudgetBytes: Long = 64L * 1024,
+      signatureStoreDir: Option[String] = None): Result = {
     val assets = media.count()
 
     // 0. image quality gate (audio/video pass through: the flag is
@@ -87,8 +100,18 @@ object MediaPipeline {
     val dupDropped = dupMembers.count()
 
     // 3. frozen-history novelty: assets perceptually present in the
-    //    existing corpus never re-enter
-    val novel = Multimodal.perceptualNoveltyBatch(deduped, history)
+    //    existing corpus never re-enter. Store path = steady state
+    //    (zero history decodes, all kinds); decode path = one-shot.
+    val novel = signatureStoreDir match {
+      case Some(storeDir) =>
+        import graft.multimodal.SignatureStore
+        val fs = new org.apache.hadoop.fs.Path(storeDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
+          SignatureStore.build(history, storeDir)
+        SignatureStore.noveltyAgainstStore(deduped, SignatureStore.load(spark, storeDir))
+      case None => Multimodal.perceptualNoveltyBatch(deduped, history)
+    }
 
     // 4. payload-byte shard packing per kind. `packed` is cached and
     //    MATERIALIZED here (the shards count computes through it), so

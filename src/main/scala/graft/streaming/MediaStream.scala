@@ -159,6 +159,30 @@ object MediaStream {
       .queryName(name)
       .start()
 
+  /** Streaming frozen-history novelty for ALL media kinds against the
+    * PERSISTED signature store — the steady-state ingest stage: each
+    * micro-batch runs [[graft.multimodal.SignatureStore
+    * .noveltyAgainstStore]] via `foreachBatch` (audio/video novelty is
+    * a per-ASSET containment over many frame/window signatures, which
+    * a stateless per-row probe cannot express — the batch operator per
+    * micro-batch gives exactly the batch semantics, so stream ≡ batch
+    * by construction and is gated in StreamingSpec), and survivors
+    * append to `outDir` as parquet. History payloads are never opened:
+    * the store frame carries only (media_id, kind, sig, thumb). A
+    * production loop would ALSO [[graft.multimodal.SignatureStore
+    * .append]] each surviving batch to the store so the frozen history
+    * advances per ingest day. */
+  def startStoreNoveltyQuery(spark: SparkSession, dir: String,
+      outDir: String, checkpoint: String, store: DataFrame): StreamingQuery =
+    spark.readStream.schema(mediaSchema).parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.multimodal.SignatureStore.noveltyAgainstStore(batch, store)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Ingestion-time image quality scoring — the multimodal twin of
     * [[DocsStream.startQualityScoreQuery]]: the SAME stateless
     * projection [[graft.multimodal.Multimodal.imageQualityStats]]

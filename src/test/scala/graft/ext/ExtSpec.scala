@@ -662,6 +662,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming store novelty (all kinds) equals its batch twin") {
+    import graft.multimodal.{Multimodal, MultimodalQueries, SignatureStore}
+    import graft.streaming.MediaStream
+    val history = Multimodal.syntheticMedia(spark, dir)
+    val storeDir = java.nio.file.Files.createTempDirectory("stream-store").toString
+    SignatureStore.build(history, storeDir)
+    val store = SignatureStore.load(spark, storeDir)
+    val incoming = MultimodalQueries.noveltyIncomingAllKinds(spark, dir)
+    val batch = SignatureStore.noveltyAgainstStore(incoming, store)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty)
+    val streamDir = java.nio.file.Files.createTempDirectory("store-novel-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("store-novel-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("store-novel-ckpt").toString
+    incoming.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = MediaStream.startStoreNoveltyQuery(spark, streamDir, outDir, ckpt, store)
+    try {
+      q.processAllAvailable()
+      val stream = spark.read.parquet(outDir)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+      // twins of history assets (any kind) are shed on arrival
+      assert(!stream.exists(id => id >= 10000000L && id < 30000000L),
+        "a history twin survived the stream stage")
+    } finally q.stop()
+  }
+
   test("streaming image quality scoring equals its batch twin") {
     import graft.multimodal.{Multimodal, MultimodalQueries}
     import graft.streaming.MediaStream

@@ -56,6 +56,52 @@ class MediaPipelineSpec extends AnyFunSuite {
     } finally packed.unpersist()
   }
 
+  test("store-path pipeline: zero history decodes; A/V history twins shed too") {
+    import graft.multimodal.{Codec, SignatureStore}
+    val all = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
+    val history = Multimodal.syntheticMedia(spark, dir)
+      .where(pmod(col("media_id"), lit(10)) < 2)
+    val storeDir = java.nio.file.Files.createTempDirectory("pipe-store").toString + "/store"
+    SignatureStore.build(history, storeDir) // pre-built, as a daily loop would have it
+    // zero-history-decode: once the incoming side's signature bill is
+    // known, the whole store-path NOVELTY stage adds nothing on top —
+    // history enters only as (sig, thumb) rows. (The full-pipeline
+    // decode budget is the sibling test's job; this pins the novelty
+    // stage the store path replaces. The store path deliberately
+    // decodes MORE of the incoming batch than the image-scoped decode
+    // form — audio/video signatures are the added coverage.)
+    val store = SignatureStore.load(spark, storeDir)
+    Codec.decodeCalls.reset()
+    SignatureStore.signatures(all).count()
+    val incomingBill = Codec.decodeCalls.sum()
+    Codec.decodeCalls.reset()
+    SignatureStore.noveltyAgainstStore(all, store).count()
+    val noveltyBill = Codec.decodeCalls.sum()
+    assert(noveltyBill == incomingBill,
+      s"store novelty decoded $noveltyBill vs incoming-only bill $incomingBill — history payloads were touched")
+    val r = MediaPipeline.run(spark, all, history, signatureStoreDir = Some(storeDir))
+    val rDecode = MediaPipeline.run(spark, all, history)
+    try {
+      // image novelty parity: the two pipeline forms agree asset-for-
+      // asset on images (same thresholds, same verify function)
+      val imgStore = r.packed.where(col("kind") === "image")
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      val imgDecode = rDecode.packed.where(col("kind") === "image")
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(imgStore == imgDecode,
+        s"store/decode image divergence: ${(imgStore diff imgDecode) ++ (imgDecode diff imgStore)}")
+      // A/V twins of HISTORY assets are shed by the store path (the
+      // image-scoped decode form cannot do this)
+      val avHistoryTwins = r.packed
+        .where(col("kind") =!= "image" &&
+          col("media_id") >= 10000000L && col("media_id") < 30000000L &&
+          pmod(pmod(col("media_id"), lit(10000000L)), lit(10)) < 2)
+        .count()
+      assert(avHistoryTwins == 0,
+        s"$avHistoryTwins audio/video re-encodes of history assets re-entered via the store path")
+    } finally { r.packed.unpersist(); rDecode.packed.unpersist() }
+  }
+
   test("pipeline computes each detector stage once (decode-count budget)") {
     import graft.multimodal.Codec
     import graft.ops.{Corpus, Dedup}
