@@ -328,6 +328,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
 
+  test("multimodal_av_novelty: store probes partition-prune on kind at the scan") {
+    val p = plan("multimodal_av_novelty")
+    // the signature store is PARTITIONED BY kind; each kind's banding
+    // probe must read only its partition directories — pruning resolved
+    // at planning, visible as a kind PartitionFilter on the store scan
+    for (k <- Seq("image", "video", "audio"))
+      assert(p.contains(s"(kind#") && p.contains(s"= $k)"),
+        s"store scan for kind=$k is not partition-pruned:\n${p.take(4000)}")
+    val pruned = p.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("kind#"))
+    assert(pruned >= 3, s"expected >=3 kind-pruned store scans, got $pruned")
+  }
+
   test("multimodal_shard_assembly: payload bytes shuffle once into their shard") {
     val p = plan("multimodal_shard_assembly")
     // exchange 1: the fixture source spread (syntheticMedia's metadata
