@@ -566,8 +566,11 @@ object Multimodal {
     * no payload bytes move — the index is metadata-only. */
   def shardIndex(media: DataFrame, budgetBytes: Long): DataFrame = {
     val packed = graft.ops.Corpus.packShards(
-      media.select(col("media_id"), col("kind"),
-        length(col("content")).cast("long").as("nbytes")),
+      // null payloads carry no bytes and are excluded (a null weight
+      // would poison every running sum after it)
+      media.where(col("content").isNotNull)
+        .select(col("media_id"), col("kind"),
+          length(col("content")).cast("long").as("nbytes")),
       partitionKey = col("kind"), order = col("media_id"),
       weight = col("nbytes"), budget = budgetBytes)
     val w = org.apache.spark.sql.expressions.Window
@@ -601,8 +604,9 @@ object Multimodal {
       out
     }
     val packed = graft.ops.Corpus.packShards(
-      media.select(col("media_id"), col("kind"), col("content"),
-        length(col("content")).cast("long").as("nbytes")),
+      media.where(col("content").isNotNull) // same exclusion as shardIndex
+        .select(col("media_id"), col("kind"), col("content"),
+          length(col("content")).cast("long").as("nbytes")),
       partitionKey = col("kind"), order = col("media_id"),
       weight = col("nbytes"), budget = budgetBytes)
     packed

@@ -117,8 +117,17 @@ object SignatureStore {
     signatures(media, videoStride)
       .write.mode("append").partitionBy("kind").parquet(dir)
 
+  /** Store schema, explicit (`kind` is the partition column): a store
+    * built from an EMPTY corpus — the bootstrap state of a brand-new
+    * ingest loop — has no data files, so schema inference would fail;
+    * with the schema given it loads as an empty typed frame and every
+    * downstream novelty probe degrades to keep-everything. */
+  val schema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, sig BIGINT, thumb BINARY, kind STRING")
+
   def load(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    spark.read.schema(schema).parquet(dir)
 
   /** Banded-join candidacy of incoming signatures against one kind's
     * history signatures, verified and aggregated to matched incoming

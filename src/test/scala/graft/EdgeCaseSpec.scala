@@ -411,6 +411,74 @@ class EdgeCaseSpec extends AnyFunSuite {
       .select("media_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("signature store: corrupt payloads index nothing; empty store keeps everything") {
+    import multimodal.{Codec, SignatureStore}
+    val media = Seq(
+      (1L, "image", "image/png", 20, 20, 1, 0, Codec.synthImageBytes(11L, 20, 20)),
+      (2L, "image", "image/png", 20, 20, 1, 0, Array[Byte](9, 9, 9)), // corrupt
+      (3L, "audio", "audio/wav", 0, 0, 1024, 16000, Codec.synthWavBytes(5L, 1024, 16000)),
+      (4L, "video", "video/x-graft-frames", 32, 32, 2, 0, Array[Byte](1, 2, 3, 4)), // corrupt
+      (5L, "image", "image/png", 20, 20, 1, 0, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "kind", "mime", "width", "height", "n_frames",
+        "sample_rate", "content")
+    val sigs = SignatureStore.signatures(media)
+    // corrupt/null payloads contribute NO rows; valid ones do
+    assert(sigs.where(col("media_id").isin(2L, 4L, 5L)).count() == 0)
+    assert(sigs.where(col("media_id") === 1L).count() == 1)
+    assert(sigs.where(col("media_id") === 3L).count() >= 1)
+    // novelty vs an EMPTY store keeps everything — including corrupt
+    // rows (an unprovable dup is never dropped)
+    val storeDir = java.nio.file.Files.createTempDirectory("edge_store").toString
+    SignatureStore.build(media.where(lit(false)), storeDir)
+    val empty = SignatureStore.load(spark, storeDir)
+    assert(SignatureStore.noveltyAgainstStore(media, empty).count() == 5)
+    // a store holding asset 1's content sheds 1, keeps the rest
+    val dir2 = java.nio.file.Files.createTempDirectory("edge_store2").toString
+    SignatureStore.build(Seq(
+        (100L, "image", "image/png", 20, 20, 1, 0, Codec.synthImageBytes(11L, 20, 20)))
+      .toDF("media_id", "kind", "mime", "width", "height", "n_frames",
+        "sample_rate", "content"), dir2)
+    val kept = SignatureStore.noveltyAgainstStore(media, SignatureStore.load(spark, dir2))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L, 5L), s"kept $kept")
+  }
+
+  test("shard assembly: empty media is empty; zero/null payloads degrade cleanly") {
+    import multimodal.{Codec, Multimodal}
+    val schema = "media_id LONG, kind STRING, content BINARY"
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    assert(Multimodal.assembleShards(empty, 1024).count() == 0)
+    assert(Multimodal.shardIndex(empty, 1024).count() == 0)
+    val media = Seq(
+      (1L, "image", Codec.synthImageBytes(11L, 20, 20)),
+      (2L, "image", Array.emptyByteArray),              // zero bytes: packs, adds nothing
+      (3L, "image", null.asInstanceOf[Array[Byte]]))    // null: excluded
+      .toDF("media_id", "kind", "content")
+    val idx = Multimodal.shardIndex(media, 1024)
+    assert(idx.select("media_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val asm = Multimodal.assembleShards(media, 1024).collect()
+    assert(asm.map(_.getAs[Long]("n_assets")).sum == 2)
+    val totalBytes = asm.map(_.getAs[Array[Byte]]("shard_bytes").length.toLong).sum
+    assert(totalBytes == Codec.synthImageBytes(11L, 20, 20).length.toLong)
+  }
+
+  test("IVF append without a drift reference is not monitored (pre-monitoring index)") {
+    import graft.ops.IvfIndex
+    val emb = embLike((0L until 80L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 0.37 + j)))))
+    val idxDir = java.nio.file.Files.createTempDirectory("ivf-nodrift").toString
+    IvfIndex.build(emb.where(col("vec_id") < 40), idxDir, nlist = 4)
+    // simulate a pre-monitoring index: remove the reference
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idxDir/drift_ref.parquet"), true)
+    val stats = IvfIndex.append(emb.where(col("vec_id").between(40, 60)), idxDir)
+    assert(stats.isEmpty, "append without drift_ref must skip monitoring, not throw")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/drift_log.parquet")))
+  }
+
   test("codec: corrupt payloads decode to None/empty, never throw") {
     import multimodal.Codec
     assert(Codec.decodeImage(Array.emptyByteArray).isEmpty)
