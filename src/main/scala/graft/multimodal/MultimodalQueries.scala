@@ -397,12 +397,50 @@ object MultimodalQueries {
     // 4. kind partition directories
     val kinds = new java.io.File(dir).listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("kind="))
+    // 5. maintenance: a RETRIED append (duplicate rows + extra files)
+    //    is fully repaired by compact — files shrink, exact duplicates
+    //    collapse, and the novelty decision for every incoming asset is
+    //    unchanged (the store equals the clean rebuild again)
+    SignatureStore.append(history.where(pmod(col("media_id"), lit(5)) === 4), dirInc)
+    val filesBefore = graft.io.Layout.partitionFileCounts(s, dirInc, "kind")
+    val compacted = SignatureStore.compact(s, dirInc)
+    val filesAfter = graft.io.Layout.partitionFileCounts(s, dirInc, "kind")
+    val shrunk = compacted.nonEmpty &&
+      compacted.forall(k => filesAfter.getOrElse(k, 99) <= filesBefore(k)) &&
+      filesAfter.values.max == 1
+    val compactedStore = SignatureStore.load(s, dirInc)
+    val compactDrift = compactedStore.select(cols: _*).exceptAll(store.select(cols: _*)).count() +
+      store.select(cols: _*).exceptAll(compactedStore.select(cols: _*)).count()
+    // 6. signature takedown: deleting a history asset's signatures
+    //    frees its look-alikes — the twin of a deleted image must stop
+    //    being suppressed, victims leave the store entirely, and kinds
+    //    without victims keep their exact file listing
+    val victim = history.where(col("kind") === "image" &&
+      pmod(col("media_id"), lit(7)) === 3).select("media_id").limit(1)
+    val victimId = victim.head.getLong(0)
+    val listingPre = graft.io.Layout.partitionFileListing(s, dirInc, "kind")
+    SignatureStore.deleteSignatures(s, dirInc, victim)
+    val listingPost = graft.io.Layout.partitionFileListing(s, dirInc, "kind")
+    val victimRows = SignatureStore.load(s, dirInc)
+      .where(col("media_id") === victimId).count()
+    val untouchedChanged = Seq("audio", "video").count(k =>
+      listingPre.getOrElse(k, Nil) != listingPost.getOrElse(k, Nil))
+    val twinId = victimId + ReencodeOffset
+    val twinFreed = SignatureStore.noveltyAgainstStore(
+        incoming.where(col("media_id") === twinId),
+        SignatureStore.load(s, dirInc)).count()
     Seq(
       Gate("store_vs_decode_form_diff", formDiff.toDouble, formDiff == 0),
       Gate("append_vs_rebuild_drift", drift.toDouble, drift == 0),
       Gate("steady_batch_history_decodes", (steady - incomingOnly).toDouble,
         steady == incomingOnly && incomingOnly > 0),
-      Gate("kind_partitions", kinds.toDouble, kinds == 3))
+      Gate("kind_partitions", kinds.toDouble, kinds == 3),
+      Gate("compact_repairs_retried_append", compactDrift.toDouble,
+        shrunk && compactDrift == 0),
+      Gate("takedown_victim_rows_left", victimRows.toDouble, victimRows == 0),
+      Gate("takedown_untouched_kinds_changed", untouchedChanged.toDouble,
+        untouchedChanged == 0),
+      Gate("takedown_frees_lookalike", twinFreed.toDouble, twinFreed == 1))
   }
 
   /** Frozen-history novelty for AUDIO and VIDEO against the signature

@@ -129,6 +129,102 @@ object SignatureStore {
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(schema).parquet(dir)
 
+  /** Store maintenance — the kind-keyed twin of
+    * [[graft.ops.IvfIndex.compactPostings]]: daily [[append]] batches
+    * leave each kind directory with one-plus small files per day (and a
+    * RETRIED append leaves duplicate signature rows — harmless for
+    * novelty, which aggregates distinct sigs, but wasteful), so
+    * kinds holding ≥ `minFilesPerKind` files are re-read, DEDUPED
+    * (exact duplicate rows collapse — append idempotence is restored
+    * here, not promised per-call), and rewritten; the file census is a
+    * driver listing bounded by the 3 kinds, and untouched kinds' files
+    * are never opened or listed into a job. Per-directory swap uses the
+    * same checked trash-ordered rename pair as the IVF compactor (no
+    * torn directory ever; a crash between the renames leaves the kind
+    * temporarily absent with data recoverable from trash/staging; trash
+    * here holds only redundant copies, so its cleanup failure warns).
+    * Novelty results are identical before/after by construction (gated
+    * in multimodal_signature_store). Returns the compacted kinds. */
+  def compact(spark: SparkSession, dir: String,
+      maxRecordsPerFile: Long = 5000000L,
+      minFilesPerKind: Int = 2): Seq[String] = {
+    val counts = graft.io.Layout.partitionFileCounts(spark, dir, "kind")
+    val victims = counts.filter(_._2 >= minFilesPerKind).keys.toSeq.sorted
+    if (victims.isEmpty) return victims
+    val token = spark.sparkContext.applicationId
+    val staging = s"$dir.compact_$token"
+    load(spark, dir)
+      .where(col("kind").isin(victims: _*))
+      .distinct()
+      .repartition(col("kind"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("kind")
+      .parquet(staging)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"SignatureStore.compact: rename $src -> $dst failed")
+    victims.foreach { v =>
+      val live = new org.apache.hadoop.fs.Path(root, s"kind=$v")
+      val fresh = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(staging), s"kind=$v")
+      val trash = new org.apache.hadoop.fs.Path(root, s".trash_compact_${token}_kind=$v")
+      move(live, trash)
+      move(fresh, live)
+      if (!fs.delete(trash, true))
+        System.err.println(s"[sigstore] WARN compact: cleanup of $trash failed (swap complete; leftover trash only)")
+    }
+    if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+      System.err.println(s"[sigstore] WARN compact: cleanup of $staging failed (swap complete; leftover staging only)")
+    victims
+  }
+
+  /** Takedown for the store — when an asset is deleted from the corpus
+    * (right-to-be-forgotten), its SIGNATURES must go too, or novelty
+    * keeps suppressing look-alikes of content the corpus no longer
+    * holds. Kind-partitioned rewrite of only the kinds holding victim
+    * rows, same checked-swap discipline as [[compact]]; throws on any
+    * failed rename AND on failed trash cleanup (trash holds the victim
+    * signatures — same takedown semantics as
+    * [[graft.io.Layout.deleteRows]]). Returns the kinds rewritten. */
+  def deleteSignatures(spark: SparkSession, dir: String,
+      ids: DataFrame): Seq[String] = {
+    val idFrame = ids.select(col(ids.columns.head).cast("long").as("media_id"))
+    val affected = load(spark, dir).join(idFrame, Seq("media_id"), "left_semi")
+      .select(col("kind")).distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) return affected
+    val token = spark.sparkContext.applicationId
+    val staging = s"$dir.delete_$token"
+    load(spark, dir)
+      .where(col("kind").isin(affected: _*))
+      .join(idFrame, Seq("media_id"), "left_anti")
+      .repartition(col("kind"))
+      .write.mode("overwrite").partitionBy("kind").parquet(staging)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"SignatureStore.deleteSignatures: rename $src -> $dst failed")
+    affected.foreach { v =>
+      val live = new org.apache.hadoop.fs.Path(root, s"kind=$v")
+      val fresh = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(staging), s"kind=$v")
+      val trash = new org.apache.hadoop.fs.Path(root, s".trash_delete_${token}_kind=$v")
+      move(live, trash)
+      // a kind whose EVERY signature was a victim has no staging dir —
+      // the kind simply ceases to exist (explicit-schema load handles it)
+      if (fs.exists(fresh)) move(fresh, live)
+      if (!fs.delete(trash, true))
+        throw new java.io.IOException(
+          s"deleteSignatures: swap complete but cleanup of $trash FAILED — deleted signatures still on disk at that path; remove it manually")
+    }
+    if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
+      System.err.println(s"[sigstore] WARN deleteSignatures: cleanup of $staging failed (swap complete; survivor copies only)")
+    affected
+  }
+
   /** Banded-join candidacy of incoming signatures against one kind's
     * history signatures, verified and aggregated to matched incoming
     * ids — the cross-frame (incoming × history) generalization of
