@@ -927,4 +927,63 @@ class ProfileSpec extends AnyFunSuite {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("scale stress: signature-store novelty is O(batch), not O(history)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The store exists so history cost is a SIGNATURE-ROW scan, never a
+    // payload decode. Probe: the same incoming batch against a 64k-row
+    // and a 512k-row synthetic image-signature store — probe wall time
+    // may grow with the scan, but far sublinearly vs the 8x history
+    // (the banding join's work is candidates, and with uniform random
+    // history signatures the collision floor is tiny). Planted rows
+    // (the incoming batch's own signatures copied into history) must
+    // all shed; nothing else may.
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, SignatureStore}
+    val incoming = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.01")
+      .where(col("kind") === "image").cache()
+    val inSigs = SignatureStore.imageSigRows(incoming)
+      .select("media_id", "kind", "sig", "thumb").cache()
+    // image media_ids are all ≡0 mod 3 (the fixture's kind rule) — plant
+    // every 7th image, leaving the rest as must-survive probes
+    val planted = inSigs.where(pmod(col("media_id"), lit(21)) === 0)
+      .withColumn("media_id", col("media_id") + 900000000L)
+    val plantedIds = planted.select((col("media_id") - 900000000L).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    def synthStore(n: Int, dir: String): Unit = {
+      // uniform 64-bit sigs via splitmix-style mixing; 64-byte thumbs
+      val mkThumb = udf { (seed: Long) =>
+        Array.tabulate[Byte](64)(i => ((seed >> (i % 8 * 8)) & 0xff).toByte)
+      }
+      spark.range(n.toLong)
+        .select((col("id") + 100000000L).as("media_id"), lit("image").as("kind"),
+          xxhash64(col("id"), lit(dir)).as("sig"))
+        .withColumn("thumb", mkThumb(col("sig")))
+        .unionByName(planted)
+        .write.mode("overwrite").partitionBy("kind").parquet(dir)
+    }
+    val small = "/tmp/graft_profile_store_small"
+    val big = "/tmp/graft_profile_store_big"
+    synthStore(64 * 1024, small)
+    synthStore(512 * 1024, big)
+    def probe(dir: String, label: String): (Double, Set[Long]) = {
+      val t0 = System.nanoTime()
+      val kept = SignatureStore.noveltyAgainstStore(
+          incoming, SignatureStore.load(spark, dir))
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] store-novelty $label%-10s ${dt}%8.2f s, kept ${kept.size}")
+      (dt, kept)
+    }
+    probe(small, "warmup")
+    val (tSmall, keptSmall) = probe(small, "64k")
+    val (tBig, keptBig) = probe(big, "512k")
+    val all = incoming.select("media_id").collect().map(_.getLong(0)).toSet
+    assert(keptSmall == all -- plantedIds,
+      "planted history rows must shed; random history must collide with nothing")
+    assert(keptBig == keptSmall, "8x history changed the decision set")
+    assert(tBig <= math.max(tSmall, 0.5) * 4,
+      f"8x history cost ${tBig / tSmall}%.1fx — probe is not O(batch): $tSmall%.2f -> $tBig%.2f s")
+    inSigs.unpersist(); incoming.unpersist()
+  }
 }
