@@ -35,23 +35,10 @@ case class FrameSample(media_id: Long, frame_index: Int, content: Array[Byte])
   * signature) projections enter any join. */
 object Multimodal {
 
-  private val barrierN = new java.util.concurrent.atomic.AtomicLong
-
-  /** Wrap the KEPT side of a survivors anti-join. Catalyst's
-    * PushDownLeftSemiAntiJoin pushes a semi/anti join through a Union
-    * left side — and an ingest frame is routinely a union (multiple
-    * sources, planted fixtures) — duplicating the matched-side subtree
-    * into EVERY branch; with the matched side being the decode-heavy
-    * candidate pipeline, that re-decodes payloads per branch (measured
-    * 2–3× decode cost on the novelty operators; exchange reuse only
-    * partially recovers it). `observe`'s CollectMetrics node is not a
-    * push-through pattern for that rule, so it acts as a zero-cost
-    * barrier — and yields a free input-row-count metric. The counter
-    * keeps metric names unique when one query composes several
-    * barrier-wrapped operators (duplicate observe names are an
-    * analysis error). */
+  /** See [[graft.PlanGuards.survivorsBarrier]] — shared across the
+    * media and text families. */
   private[graft] def survivorsBarrier(df: DataFrame, tag: String): DataFrame =
-    df.observe(s"graft_${tag}_${barrierN.incrementAndGet()}", count(lit(1)))
+    graft.PlanGuards.survivorsBarrier(df, tag)
 
   /** Deterministic synthetic media table with REAL encoded payloads
     * (PNG / WAV / PNG-frame container), derived from the documents

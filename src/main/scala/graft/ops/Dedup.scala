@@ -583,7 +583,11 @@ object Dedup {
     // graph, which at web-scale near-dup rates is an unbounded fraction
     // of the corpus — let the planner pick broadcast vs shuffle from its
     // size estimate rather than forcing driver-memory risk
-    val singletons = docs
+    // barrier: a union-shaped corpus would otherwise pull the whole
+    // cluster pipeline (shingling, banding, connected components) into
+    // every union branch via anti-join pushdown — see
+    // graft.PlanGuards.survivorsBarrier
+    val singletons = graft.PlanGuards.survivorsBarrier(docs, "retain_docs")
       .join(clusters, docs("doc_id") === clusters("id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("cluster_size"))
     singletons.union(reps)
