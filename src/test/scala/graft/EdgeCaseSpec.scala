@@ -454,12 +454,13 @@ class EdgeCaseSpec extends AnyFunSuite {
     val media = Seq(
       (1L, "image", Codec.synthImageBytes(11L, 20, 20)),
       (2L, "image", Array.emptyByteArray),              // zero bytes: packs, adds nothing
-      (3L, "image", null.asInstanceOf[Array[Byte]]))    // null: excluded
+      (3L, "image", null.asInstanceOf[Array[Byte]]))    // null: zero-length span
       .toDF("media_id", "kind", "content")
     val idx = Multimodal.shardIndex(media, 1024)
-    assert(idx.select("media_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(idx.select("media_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(idx.where(col("media_id") === 3L).head.getAs[Long]("nbytes") == 0L)
     val asm = Multimodal.assembleShards(media, 1024).collect()
-    assert(asm.map(_.getAs[Long]("n_assets")).sum == 2)
+    assert(asm.map(_.getAs[Long]("n_assets")).sum == 3)
     val totalBytes = asm.map(_.getAs[Array[Byte]]("shard_bytes").length.toLong).sum
     assert(totalBytes == Codec.synthImageBytes(11L, 20, 20).length.toLong)
   }
