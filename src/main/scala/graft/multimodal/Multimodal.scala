@@ -372,10 +372,7 @@ object Multimodal {
     val withChunks = sigs.select(carried :+
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"): _*)
       .withColumn("chunk_val",
-        expr(s"""CASE WHEN chunk_id = ${chunks - 1}
-                 THEN shiftrightunsigned(sim, ${(chunks - 1) * bitsPer})
-                 ELSE pmod(shiftrightunsigned(sim, chunk_id * $bitsPer), ${1L << bitsPer})
-                 END"""))
+        graft.ops.Dedup.bandChunkVal("sim", "chunk_id", chunks, bitsPer))
     // optional exact verify on the candidate signature pair: near-budget
     // Hamming collisions DO occur across unrelated content (measured at
     // sf0.1: 17 cross-content video pairs from frame-sig collisions —
@@ -448,10 +445,7 @@ object Multimodal {
         .select(col(idCol), col("sim"),
           explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
         .withColumn("chunk_val",
-          expr(s"""CASE WHEN chunk_id = ${chunks - 1}
-                   THEN shiftrightunsigned(sim, ${(chunks - 1) * bitsPer})
-                   ELSE pmod(shiftrightunsigned(sim, chunk_id * $bitsPer), ${1L << bitsPer})
-                   END"""))
+          graft.ops.Dedup.bandChunkVal("sim", "chunk_id", chunks, bitsPer))
     val candidates = chunked(incoming, "media_id").as("a")
       .join(chunked(history, "hist_id").as("b"), Seq("chunk_id", "chunk_val"))
       .where(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= maxHamming)

@@ -263,10 +263,7 @@ object SignatureStore {
         .select(kept :+
           explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"): _*)
         .withColumn("chunk_val",
-          expr(s"""CASE WHEN chunk_id = ${chunks - 1}
-                   THEN shiftrightunsigned($sigCol, ${(chunks - 1) * bitsPer})
-                   ELSE pmod(shiftrightunsigned($sigCol, chunk_id * $bitsPer), ${1L << bitsPer})
-                   END"""))
+          graft.ops.Dedup.bandChunkVal(sigCol, "chunk_id", chunks, bitsPer))
     }
     val thumbMaeUdf = udf { (a: Array[Byte], b: Array[Byte]) => Codec.thumbMae(a, b) }
     val verified = maxThumbMae match {

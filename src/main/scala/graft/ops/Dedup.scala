@@ -362,6 +362,24 @@ object Dedup {
     * `bits` doesn't divide evenly the LAST chunk absorbs the remainder
     * (pigeonhole only needs disjoint cover); shifts are UNSIGNED so a
     * 64-bit signature with the sign bit set chunks correctly. */
+  /** Pigeonhole band chunk value: bits [chunk_id·bitsPer,
+    * (chunk_id+1)·bitsPer) of `sigCol`, the LAST chunk running to the
+    * top bit — the ONE definition of the banding key shared by every
+    * Hamming-candidacy site (this self-join, the media signature-
+    * overlap joins, frozen-history novelty, the signature store's
+    * cross joins); the streaming index's driver-side bucket key
+    * (`MediaStream.PhashBandIndex.key`) is its JVM twin. Two
+    * signatures within maxHamming = chunks−1 bits MUST agree on at
+    * least one chunk (pigeonhole over `chunks` disjoint bit ranges) —
+    * BandingPropSpec pins both the guarantee and SQL ≡ JVM on seeded
+    * random signatures. */
+  private[graft] def bandChunkVal(sigCol: String, chunkIdCol: String,
+      chunks: Int, bitsPer: Int): Column =
+    expr(s"""CASE WHEN $chunkIdCol = ${chunks - 1}
+             THEN shiftrightunsigned($sigCol, ${(chunks - 1) * bitsPer})
+             ELSE pmod(shiftrightunsigned($sigCol, $chunkIdCol * $bitsPer), ${1L << bitsPer})
+             END""")
+
   def hammingPairs(sigs0: DataFrame, maxHamming: Int, bits: Int = 60): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30, s"maxHamming in [1,30), got $maxHamming")
     require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
@@ -371,15 +389,9 @@ object Dedup {
     // (same double-evaluation hazard as minhash/jaccard). Cache lifetime
     // note on jaccardPairs applies.
     val sigs = sigs0.cache()
-    // chunk value: bits [chunk_id·bitsPer, (chunk_id+1)·bitsPer), with
-    // the last chunk running to the top bit
     val withChunks = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
-      .withColumn("chunk_val",
-        expr(s"""CASE WHEN chunk_id = ${chunks - 1}
-                 THEN shiftrightunsigned(sim, ${(chunks - 1) * bitsPer})
-                 ELSE pmod(shiftrightunsigned(sim, chunk_id * $bitsPer), ${1L << bitsPer})
-                 END"""))
+      .withColumn("chunk_val", bandChunkVal("sim", "chunk_id", chunks, bitsPer))
     withChunks.as("a")
       .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
       .where(col("a.id") < col("b.id"))
