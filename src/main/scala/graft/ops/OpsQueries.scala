@@ -573,6 +573,64 @@ object OpsQueries {
     } finally hist.unpersist()
   }
 
+  /** PERSISTED incremental novelty bloom ([[NoveltyBloomStore]]) — the
+    * text-side frozen-history store (family twin of the media
+    * signature store): build on the first 6 deciles, APPEND deciles
+    * 6–7 (only their text is read; the history side is bloom bytes),
+    * probe today's crawl (deciles 8–9). Gates: (1) the incremental
+    * store's bloom is BYTE-identical to a from-scratch rebuild over
+    * the union — merge(bloom(A), bloom(B)) == bloom(A ∪ B) exactly;
+    * (2) the store's decisions equal [[Dedup.novelAgainst]] run at the
+    * same capacity, row for row; (3) zero true duplicates survive
+    * (bloom false negatives are structurally impossible); (4) novel
+    * recall ≥ 1 − 3·fpp. */
+  val novelStore: Q = Q.gated("dedup_novel_store") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_novbloom/$tag/store"
+    NoveltyBloomStore.build(docs.where(col("doc_id") % 10 < 6), dir,
+      capacity = 1000000L)
+    NoveltyBloomStore.append(docs.where(col("doc_id") % 10 isin (6, 7)), dir)
+    NoveltyBloomStore.novelAgainst(docs.where(col("doc_id") % 10 >= 8), dir)
+      .select("doc_id")
+  } { (s, d, res) =>
+    val docs = Tables.documents(s, d)
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_novbloom/$tag"
+    val isHistory = col("doc_id") % 10 < 8
+    // 1. incremental == rebuild, byte-for-byte
+    NoveltyBloomStore.build(docs.where(isHistory), s"$root/rebuilt",
+      capacity = 1000000L)
+    def md5Of(p: String): String = {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p, "bloom.bin"))
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    }
+    val bytesEqual = md5Of(s"$root/store") == md5Of(s"$root/rebuilt")
+    // 2. store decisions == per-call novelAgainst at the same capacity
+    val perCall = Dedup.novelAgainst(docs.where(isHistory),
+        docs.where(!isHistory), expectedItems = Some(1000000L))
+      .select("doc_id")
+    val formDiff = res.exceptAll(perCall).count() + perCall.exceptAll(res).count()
+    // 3./4. exact-twin gates (novelBatch's discipline)
+    val key = md5(substring(lower(col("text")), 1, 80))
+    val hist = docs.where(isHistory && col("text").isNotNull)
+      .select(key.as("h")).distinct().cache()
+    try {
+      val batch = docs.where(!isHistory && col("text").isNotNull)
+        .select(col("doc_id"), key.as("h"))
+      val nExact = batch.join(hist, Seq("h"), "left_anti").count()
+      val dupLeaks = res.join(batch.join(hist, Seq("h")), "doc_id").count()
+      val recall = if (nExact == 0) 1.0 else res.count().toDouble / nExact
+      Seq(
+        Gate("merge_equals_rebuild_bytes", if (bytesEqual) 1 else 0, bytesEqual),
+        Gate("store_vs_percall_diff", formDiff.toDouble, formDiff == 0),
+        Gate("dup_leaks", dupLeaks.toDouble, dupLeaks == 0),
+        Gate("novel_recall", recall, recall >= 1 - 3e-4))
+    } finally hist.unpersist()
+  }
+
   /** Prototype-density pruning (keep the least-prototypical 70% of every
     * embedding cluster — the D4-recipe stage after SemDeDup). Seeded
     * driver k-means is not SQL-expressible → gated on the operator's own
@@ -666,5 +724,5 @@ object OpsQueries {
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain, annPq,
     semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
-    hardNegatives, annPca, signatureMerge, annIvfDrift)
+    hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore)
 }

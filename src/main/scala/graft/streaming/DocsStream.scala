@@ -148,6 +148,23 @@ object DocsStream {
       .queryName(name)
       .start()
 
+  /** Novelty stream fed by the PERSISTED bloom store
+    * ([[graft.ops.NoveltyBloomStore]]) — the steady-state form of
+    * [[startNoveltyQuery]]: the history side is the store's bloom
+    * bytes, read once at stream start; history text is never scanned.
+    * A daily loop appends each ingest day's keys to the store between
+    * stream restarts (the bloom is frozen for the lifetime of one
+    * stream, exactly like the broadcast form). */
+  def startNoveltyQueryFromStore(spark: SparkSession, dir: String,
+      name: String, storeDir: String): StreamingQuery =
+    graft.ops.NoveltyBloomStore.novelAgainst(
+        spark.readStream.schema(docSchema).parquet(dir), storeDir)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+
   /** Crawler-feed schema: the documents fixture plus the crawl/ingestion
     * event time the dedup horizon is measured against. */
   val crawlSchema: StructType = StructType(

@@ -631,6 +631,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ops.Dedup.novelAgainst(history, planted).count() == 0)
   }
 
+  test("bloom-store novelty: incremental store, stream == per-call batch, dup shed") {
+    import spark.implicits._
+    import graft.ops.{Dedup, NoveltyBloomStore}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val isHistory = col("doc_id") % 10 < 8
+    val feed = docs.where(!isHistory)
+    val storeDir = java.nio.file.Files.createTempDirectory("novbloom").toString + "/store"
+    // incremental: build 6 deciles, append 2 more
+    NoveltyBloomStore.build(docs.where(col("doc_id") % 10 < 6), storeDir,
+      capacity = 100000L)
+    NoveltyBloomStore.append(docs.where(col("doc_id") % 10 isin (6, 7)), storeDir)
+    val storeForm = NoveltyBloomStore.novelAgainst(feed, storeDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val perCall = Dedup.novelAgainst(docs.where(isHistory), feed,
+        expectedItems = Some(100000L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(storeForm == perCall,
+      s"store/per-call divergence: ${(storeForm diff perCall) ++ (perCall diff storeForm)}")
+    // streaming form fed by the store == the batch decisions
+    val streamDir = java.nio.file.Files.createTempDirectory("novbloom-feed").toString
+    feed.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = DocsStream.startNoveltyQueryFromStore(spark, streamDir, "nvstore", storeDir)
+    try {
+      q.processAllAvailable()
+      val stream = spark.table("nvstore")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(stream == storeForm,
+        s"stream/batch divergence: ${stream.size} vs ${storeForm.size}")
+    } finally q.stop()
+    // a verbatim copy of a history doc is shed by the store form
+    val histText = docs.where(isHistory && col("text").isNotNull)
+      .select("text").head.getString(0)
+    val planted = Seq((900003L, histText, "en", "srcX", histText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(NoveltyBloomStore.novelAgainst(planted, storeDir).count() == 0)
+  }
+
   test("streaming perceptual novelty equals its batch twin; history twins never survive") {
     import graft.multimodal.{Multimodal, MultimodalQueries}
     import graft.streaming.MediaStream
