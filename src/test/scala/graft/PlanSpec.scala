@@ -328,6 +328,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
 
+  test("dedup_novel_store: the store-fed novelty probe is a pure scan + filter") {
+    val p = plan("dedup_novel_store")
+    // the whole point of the persisted bloom: the probe's history side
+    // is broadcast bloom BYTES — no join, no exchange, no history scan;
+    // the only relation read is today's batch
+    assert(!p.contains("Join"), s"store probe must not join:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 0, s"store probe must not shuffle, got $exchanges:\n$p")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"exactly the batch scan expected, got $scans:\n$p")
+  }
+
   test("multimodal_av_novelty: store probes partition-prune on kind at the scan") {
     val p = plan("multimodal_av_novelty")
     // the signature store is PARTITIONED BY kind; each kind's banding
