@@ -219,8 +219,21 @@ object Multimodal {
     val targetH = floor(col("height") * scale).cast("int")
     // `when(isImage, …)` gates per row: CaseWhen evaluates branches
     // lazily, so non-image rows never enter either UDF.
+    // `_ok` also requires the SOURCE dims to be non-null: a decodable
+    // image whose width/height metadata is null would otherwise get its
+    // metadata rewritten to null (scale × null = null) while the payload
+    // passes through — malformed-metadata rows must exit untouched,
+    // exactly like corrupt payloads do (rzUdf already no-ops on them: a
+    // null primitive arg short-circuits the UDF to null → coalesce keeps
+    // the original bytes). The guard is on the RAW columns, not
+    // targetW/targetH: `least` skips nulls, so target-dim nullness is
+    // exactly source-dim nullness — and an unconditional targetW
+    // reference would hoist the scale DIVISION out of its CaseWhen
+    // guards (common-subexpression elimination), re-evaluating it on
+    // non-image rows whose dims are legitimately 0 (ANSI div-by-zero).
     media
-      .withColumn("_ok", isImage && dimsUdf(when(isImage, col("content"))).isNotNull)
+      .withColumn("_ok", isImage && dimsUdf(when(isImage, col("content"))).isNotNull &&
+        col("width").isNotNull && col("height").isNotNull)
       .withColumn("new_width", when(col("_ok"), targetW).otherwise(col("width")))
       .withColumn("new_height", when(col("_ok"), targetH).otherwise(col("height")))
       .withColumn("content",

@@ -41,67 +41,23 @@ object IvfIndex {
   final case class DriftStats(batch: Long, n: Long, fracBeyondP95: Double,
       occupancyL1: Double, drifted: Boolean)
 
-  /** Train the quantizer distributed and write centers + cell-partitioned
-    * postings + the drift REFERENCE. The reference p95 nearest-center
-    * distance comes from a HELD-OUT 1/5 of the corpus (by id, excluded
-    * from the k-means fit): training points sit systematically closer
-    * to centers they themselves positioned, so a train-data p95 is
-    * biased low and would flag every in-distribution append (measured:
-    * held-out fixture vectors land 60% beyond the train-fit p95). The
-    * occupancy reference uses the FULL corpus — cell routing is not
-    * biased the same way, and the holdout alone is too small for
-    * stable per-cell fractions. Postings still index EVERY vector.
-    * Returns the trained centers (also persisted). */
-  def build(emb: DataFrame, dir: String, idCol: String = "vec_id",
-      vecCol: String = "embedding", nlist: Int = 16, iters: Int = 10)
-      : Array[Array[Double]] = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val holdout = emb.where(pmod(col(idCol).cast("long"), lit(5)) === 0)
-    val fitEmb0 = emb.where(pmod(col(idCol).cast("long"), lit(5)) =!= 0)
-    // degenerate corpora (too few rows to spare a holdout) fall back to
-    // fitting and referencing the full data
-    val useHoldout = fitEmb0.where(col(vecCol).isNotNull).limit(nlist + 1).count() > nlist &&
-      holdout.where(col(vecCol).isNotNull).limit(1).count() > 0
-    val fitEmb = if (useHoldout) fitEmb0 else emb
-    val refEmb = if (useHoldout) holdout else emb
-    val model = graft.ml.KMeans.train(fitEmb, idCol, vecCol, k = nlist, iters)
-    val centers = model.centers
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "center")
-      .repartition(1) // nlist rows — one small file, read whole at search
-      .write.mode("overwrite").parquet(s"$dir/centers.parquet")
+  /** Nearest-center-pass counter (JVM-global, rows evaluated through
+    * [[assignedFrame]]'s UDF) — instrumentation pinning the "one assign
+    * pass per build / per append batch" contract in IvfIndexSpec, same
+    * pattern as `Codec.decodeCalls`. Not operator contract. */
+  private[graft] val assignEvals = new java.util.concurrent.atomic.AtomicLong(0)
 
-    val assignUdf = udf { (v: Seq[Double]) => nearestCellJvm(centers, v) }
-    emb.where(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
-      .withColumn("cell", assignUdf(col("v")))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/postings.parquet")
-
-    // drift reference: full-corpus occupancy + held-out p95 —
-    // nlist rows, one file, numeric-only passes
-    val (refOcc, _, refN, _) = assignStats(emb, centers, vecCol)
-    val (_, refP95, _, _) = assignStats(refEmb, centers, vecCol)
-    val occRows = (0 until nlist).map(c =>
-      (c, refOcc.getOrElse(c, 0L).toDouble / math.max(1L, refN), refP95, refN))
-    occRows.toDF("cell", "train_frac", "p95_dist", "n_train")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/drift_ref.parquet")
-    centers
-  }
-
-  /** Numeric stats of routing `emb` through `centers`: per-cell counts,
-    * p95 nearest-center distance, row count, and (when a threshold is
-    * given) the fraction of rows whose nearest distance exceeds it —
-    * everything from ONE per-cell aggregate whose result collects
-    * driver-side bounded by nlist, never by rows. */
-  private def assignStats(emb: DataFrame, centers: Array[Array[Double]],
-      vecCol: String, beyond: Option[Double] = None)
-      : (Map[Int, Long], Double, Long, Double) = {
+  /** The ONE nearest-center pass over a vector frame: (id, v, nrm, cell,
+    * dist) with cell+dist from a single UDF evaluation per row. Every
+    * consumer in [[build]]/[[append]] (postings write, occupancy,
+    * held-out p95, beyond-threshold census) re-aggregates THIS frame —
+    * callers cache it across their consumers, so the quantizer routing
+    * cost is paid once per corpus/batch, not once per statistic (r13
+    * measured build at up to 3 extra full nearest-center passes). */
+  private def assignedFrame(emb: DataFrame, centers: Array[Array[Double]],
+      idCol: String, vecCol: String): DataFrame = {
     val cellDistUdf = udf { (v: Seq[Double]) =>
+      assignEvals.incrementAndGet()
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
@@ -115,30 +71,73 @@ object IvfIndex {
       }
       (best, math.sqrt(bestD))
     }
-    val rows = emb.where(col(vecCol).isNotNull)
-      .select(cellDistUdf(col(vecCol).cast("array<double>")).as("cd"))
-      .select(col("cd._1").as("cell"), col("cd._2").as("dist"))
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n"),
-        expr("percentile_approx(dist, 0.95, 10000)").as("cell_p95"),
-        sum(when(col("dist") > beyond.getOrElse(Double.MaxValue), 1L)
-          .otherwise(0L)).as("n_beyond"))
-      .collect()
-    val occ = rows.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
-    val n = occ.values.sum
-    // global p95 from the per-cell p95s weighted by counts is biased;
-    // recompute exactly only when the caller needs it (build-time) —
-    // one extra aggregate over the same frame shape
-    val p95 =
-      if (beyond.isDefined) Double.NaN // append path: threshold given, p95 unused
-      else emb.where(col(vecCol).isNotNull)
-        .select(cellDistUdf(col(vecCol).cast("array<double>")).as("cd"))
-        .select(col("cd._2").as("dist"))
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+      .withColumn("cd", cellDistUdf(col("v")))
+      .select(col("id"), col("v"), col("nrm"),
+        col("cd._1").as("cell"), col("cd._2").as("dist"))
+  }
+
+  /** Train the quantizer distributed and write centers + cell-partitioned
+    * postings + the drift REFERENCE. The reference p95 nearest-center
+    * distance comes from a HELD-OUT 1/5 of the corpus (by id, excluded
+    * from the k-means fit): training points sit systematically closer
+    * to centers they themselves positioned, so a train-data p95 is
+    * biased low and would flag every in-distribution append (measured:
+    * held-out fixture vectors land 60% beyond the train-fit p95). The
+    * occupancy reference uses the FULL corpus — cell routing is not
+    * biased the same way, and the holdout alone is too small for
+    * stable per-cell fractions. Postings still index EVERY vector.
+    *
+    * Cost shape: beyond the k-means fit, ONE nearest-center pass — the
+    * cached [[assignedFrame]] serves the postings write, the occupancy
+    * census, and the held-out p95 (pinned via [[assignEvals]]); the
+    * cache holds (id, v, nrm, cell, dist) and spills to disk past
+    * memory, which beats re-routing the corpus 3× at any scale.
+    * Returns the trained centers (also persisted). */
+  def build(emb: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", nlist: Int = 16, iters: Int = 10)
+      : Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val holdoutPred = pmod(col("id"), lit(5)) === 0
+    val fitEmb0 = emb.where(pmod(col(idCol).cast("long"), lit(5)) =!= 0)
+    // degenerate corpora (too few rows to spare a holdout) fall back to
+    // fitting and referencing the full data
+    val useHoldout = fitEmb0.where(col(vecCol).isNotNull).limit(nlist + 1).count() > nlist &&
+      emb.where(pmod(col(idCol).cast("long"), lit(5)) === 0 && col(vecCol).isNotNull)
+        .limit(1).count() > 0
+    val fitEmb = if (useHoldout) fitEmb0 else emb
+    val model = graft.ml.KMeans.train(fitEmb, idCol, vecCol, k = nlist, iters)
+    val centers = model.centers
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .repartition(1) // nlist rows — one small file, read whole at search
+      .write.mode("overwrite").parquet(s"$dir/centers.parquet")
+
+    val assigned = assignedFrame(emb, centers, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/postings.parquet")
+
+      // drift reference: full-corpus occupancy + held-out p95 — both are
+      // re-aggregations of the cached assigned frame; nlist rows out
+      val occRows0 = assigned.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      val refOcc = occRows0.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
+      val refN = refOcc.values.sum
+      val refP95 = assigned.where(if (useHoldout) holdoutPred else lit(true))
         .agg(expr("percentile_approx(dist, 0.95, 10000)")).head.getDouble(0)
-    val fracBeyond =
-      if (n == 0) 0.0
-      else rows.map(_.getAs[Long]("n_beyond")).sum.toDouble / n
-    (occ, p95, n, fracBeyond)
+      val occRows = (0 until nlist).map(c =>
+        (c, refOcc.getOrElse(c, 0L).toDouble / math.max(1L, refN), refP95, refN))
+      occRows.toDF("cell", "train_frac", "p95_dist", "n_train")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/drift_ref.parquet")
+      centers
+    } finally assigned.unpersist()
   }
 
   /** Incrementally index NEW vectors against the EXISTING quantizer —
@@ -165,28 +164,52 @@ object IvfIndex {
     import spark.implicits._
     val centers = loadCenters(spark, dir)
     require(centers.nonEmpty, s"no centers at $dir — build() first")
-    val assignUdf = udf { (v: Seq[Double]) => nearestCellJvm(centers, v) }
-    emb.where(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
-      .withColumn("cell", assignUdf(col("v")))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$dir/postings.parquet")
+    // ONE nearest-center pass per batch: the cached assigned frame feeds
+    // both the postings write and the drift census (pinned via
+    // assignEvals in IvfIndexSpec — r13 ran the routing UDF twice)
+    val assigned = assignedFrame(emb, centers, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$dir/postings.parquet")
+      appendDriftStats(spark, dir, assigned, maxFracBeyondP95, maxOccupancyL1)
+    } finally assigned.unpersist()
+  }
 
+  private def appendDriftStats(spark: SparkSession, dir: String,
+      assigned: DataFrame, maxFracBeyondP95: Double,
+      maxOccupancyL1: Double): Option[DriftStats] = {
+    import spark.implicits._
     val refTry = scala.util.Try(spark.read.parquet(s"$dir/drift_ref.parquet"))
     refTry.toOption.map { ref =>
       val refRows = ref.collect() // nlist rows
       val p95 = refRows.head.getAs[Double]("p95_dist")
       val trainFrac = refRows.map(r =>
         r.getAs[Int]("cell") -> r.getAs[Double]("train_frac")).toMap
-      val (occ, _, n, beyond) = assignStats(emb, centers, vecCol, Some(p95))
+      // one per-cell aggregate of the cached frame, nlist rows out
+      val statRows = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dist") > p95, 1L).otherwise(0L)).as("n_beyond"))
+        .collect()
+      val occ = statRows.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
+      val n = occ.values.sum
+      val beyond =
+        if (n == 0) 0.0
+        else statRows.map(_.getAs[Long]("n_beyond")).sum.toDouble / n
       val cells = (trainFrac.keySet ++ occ.keySet).toSeq
-      val l1 = cells.map { c =>
-        math.abs(occ.getOrElse(c, 0L).toDouble / math.max(1L, n) -
-          trainFrac.getOrElse(c, 0.0))
-      }.sum
-      val drifted = beyond > maxFracBeyondP95 || l1 > maxOccupancyL1
+      // an EMPTY batch carries no distribution evidence: every occupancy
+      // term would read |0 − train_frac| and sum to ~1.0 > the default
+      // L1 threshold, turning routine empty micro-batches (common in
+      // streaming/daily loops) into spurious rebuild signals — log it as
+      // a zero-stat non-drifted row instead
+      val l1 =
+        if (n == 0) 0.0
+        else cells.map { c =>
+          math.abs(occ.getOrElse(c, 0L).toDouble / math.max(1L, n) -
+            trainFrac.getOrElse(c, 0.0))
+        }.sum
+      val drifted = n > 0 && (beyond > maxFracBeyondP95 || l1 > maxOccupancyL1)
       val batchSeq = scala.util.Try(
         spark.read.parquet(s"$dir/drift_log.parquet").count()).getOrElse(0L)
       val stats = DriftStats(batchSeq, n, beyond, l1, drifted)
@@ -278,23 +301,6 @@ object IvfIndex {
   def deleteVectors(spark: SparkSession, dir: String, ids: DataFrame): Seq[String] =
     graft.io.Layout.deleteRows(spark, s"$dir/postings.parquet",
       ids.select(col(ids.columns.head).cast("long").as("id")), "id", "cell")
-
-  /** Nearest cell by euclidean distance, lowest index on ties — the same
-    * routing rule as the in-memory IVF family. */
-  private def nearestCellJvm(centers: Array[Array[Double]], v: Seq[Double]): Int = {
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < centers.length) {
-      val ctr = centers(c)
-      var s = 0.0
-      var i = 0
-      while (i < ctr.length) { val df = v(i) - ctr(i); s += df * df; i += 1 }
-      if (s < bestD) { bestD = s; best = c }
-      c += 1
-    }
-    best
-  }
 
   private def nearestCellsJvm(centers: Array[Array[Double]], v: Seq[Double],
       m: Int): Seq[Int] = {

@@ -52,12 +52,38 @@ object NoveltyBloomStore {
 
   /** Merge an ingest batch's keys into the persisted bloom — O(batch):
     * only the batch's text is read; the history side is the bloom
-    * bytes. */
+    * bytes.
+    *
+    * SINGLE-WRITER contract (hard requirement): append is a
+    * read-modify-write of `bloom.bin`, so two CONCURRENT appenders
+    * would each merge into their own copy and the last writer would
+    * silently drop the other batch's keys — breaking the
+    * zero-false-negative guarantee (lost keys let true duplicates
+    * re-enter undetected). A lock file makes the second appender fail
+    * LOUDLY instead: `append.lock` is created exclusively for the
+    * duration of the call and removed on exit (including failure). A
+    * crashed appender leaves a stale lock — by design, since its merge
+    * may not have landed; the recovery is to remove the lock and re-run
+    * that batch's append (re-merging already-merged keys is idempotent:
+    * merge is bit-or). */
   def append(batch: DataFrame, dir: String, textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
-    val (bloom, prefixChars, fpp, capacity) = readStore(spark, dir)
-    bloom.mergeInPlace(keyBloom(batch, textCol, prefixChars, fpp, capacity))
-    writeStore(spark, dir, bloom, prefixChars, fpp, capacity)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(root, "append.lock")
+    val held = try { fs.create(lock, false).close(); true } catch {
+      case _: java.io.IOException => false
+    }
+    if (!held)
+      throw new java.io.IOException(
+        s"NoveltyBloomStore.append: $lock exists — another appender is active " +
+          "(single-writer store). If it crashed, remove the lock and re-run its " +
+          "batch: re-merging is idempotent (bit-or).")
+    try {
+      val (bloom, prefixChars, fpp, capacity) = readStore(spark, dir)
+      bloom.mergeInPlace(keyBloom(batch, textCol, prefixChars, fpp, capacity))
+      writeStore(spark, dir, bloom, prefixChars, fpp, capacity)
+    } finally fs.delete(lock, false)
   }
 
   /** Keep the batch rows whose key the frozen history has NEVER seen —

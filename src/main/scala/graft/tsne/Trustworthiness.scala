@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Trustworthiness {
 
+  /** Cap on the explicit point-set broadcast in [[compute]] (bytes of
+    * n·dim doubles + per-row overhead); above it the rank join falls
+    * back to a distributed cartesian. 512 MB ≈ 1M points × 64 dims. */
+  private val MaxBroadcastBytes: Long = 512L << 20
+
   def compute(
       original: DataFrame, origId: String, origFeatures: String,
       embedded: DataFrame, embId: String, embFeatures: String,
@@ -55,13 +60,22 @@ object Trustworthiness {
     // r(i,j) = 1 + #{m ≠ i : (d(i,m), m) <lex (d(i,j), j)} — the same
     // (dist2, j) tie order the kNN operators use, so ranks agree with a
     // full ranking window without materializing one. The point set is
-    // broadcast explicitly: it is the bounded side by construction (the
-    // intruder side grows with embedding error), and a derived frame's
-    // size estimate is too unreliable to leave the build-side choice to
-    // the planner on a plan-critical nested-loop join.
+    // broadcast explicitly WHEN IT FITS: it is the bounded side by
+    // construction (the intruder side grows with embedding error), and
+    // a derived frame's size estimate is too unreliable to leave the
+    // build-side choice to the planner on a plan-critical nested-loop
+    // join. The broadcast payload is n·dim doubles — fine at t-SNE
+    // scale (n ≤ ~10⁶ visualization points), but guarded: past
+    // `MaxBroadcastBytes` (estimated from n and a sampled row's dim)
+    // the hint drops and the comparison runs as a distributed
+    // cartesian — slower, never an executor-OOM.
     val m = pts.select(col("id").as("m"), col("features").as("vm"))
+    val dim = original.select(col(origFeatures)).limit(1).collect()
+      .headOption.map(_.getSeq[Any](0).length).getOrElse(0)
+    val estBytes = n * (8L * dim + 24L)
+    val mSide = if (estBytes <= MaxBroadcastBytes) broadcast(m) else m
     val dm = arraySqDist(col("vi"), col("vm"))
-    val ranks = withBound.crossJoin(broadcast(m))
+    val ranks = withBound.crossJoin(mSide)
       .where(col("m") =!= col("i"))
       .groupBy(col("i"), col("j"))
       .agg((sum(

@@ -179,6 +179,30 @@ class MultimodalSpec extends AnyFunSuite {
       "undecodable payload bytes must pass through unchanged")
   }
 
+  test("resize leaves metadata untouched on null source dims") {
+    // the dual of the corrupt-payload case: a DECODABLE image whose
+    // width/height metadata is null must pass through with metadata
+    // (still null) and bytes unchanged — the r13 column-form regression
+    // rewrote new_width/new_height to null·scale = null while _ok was
+    // true, silently nulling previously-null-but-typed metadata rows
+    import spark.implicits._
+    val img = Codec.synthImageBytes(42L, 48, 40)
+    val rows = Seq(
+      (1L, "image", "image/png", Some(48), Some(40), 1, 0, img),
+      (2L, "image", "image/png", Option.empty[Int], Option.empty[Int], 1, 0, img))
+      .toDF("media_id", "kind", "mime", "width", "height", "n_frames",
+        "sample_rate", "content")
+    val out = Multimodal.resize(rows, 24, 24)
+      .select("media_id", "width", "height", "content")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getAs[Array[Byte]]("content"))).toMap
+    assert(out(1L)._1.contains(24) && out(1L)._2.contains(20))
+    assert(out(2L)._1.isEmpty && out(2L)._2.isEmpty,
+      "null-dims image must keep null metadata, not a rewritten value")
+    assert(java.util.Arrays.equals(out(2L)._3, img),
+      "null-dims image bytes must pass through unchanged (no target to scale to)")
+  }
+
   test("resize decode budgets: 1/image metadata-only, 2/image with payload") {
     // the r12 regression: one struct UDF fed both metadata and payload,
     // so a metadata-only projection paid decode+scale+encode per row —
@@ -188,8 +212,12 @@ class MultimodalSpec extends AnyFunSuite {
     // evaluates just the light decodability check (ONE decode per
     // image, no scale/encode), and a payload consumer additionally
     // runs the heavy re-encode UDF (one extra decode). Both UDFs are
-    // nondeterministic single-eval barriers, so neither can be
-    // duplicated past its budget. (decodeCalls is JVM-global — suites
+    // DETERMINISTIC by design (determinism keeps the projection
+    // pushdown/pruning-transparent); duplication is prevented
+    // structurally instead — rzUdf has exactly one reference, and
+    // dimsUdf feeds consumers only through the cheap `_ok` attribute,
+    // which CollapseProject refuses to inline (see the source comment
+    // on Multimodal.resizeImages). (decodeCalls is JVM-global — suites
     // run sequentially per forked JVM, see the counter's doc.)
     // parquet-backed input, NOT a LocalRelation: the optimizer folds
     // plans over LocalRelation eagerly (ConvertToLocalRelation), which

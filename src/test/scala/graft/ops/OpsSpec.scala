@@ -562,6 +562,41 @@ class IvfIndexSpec extends AnyFunSuite {
       s"streamed index diverges: ${streamed.size} vs ${truth.size}")
   }
 
+  test("build and append each route every vector exactly ONCE (fused assign pass)") {
+    // r13 measured build at up to 3 extra full nearest-center passes
+    // (postings write + occupancy + held-out p95 each re-ran the UDF)
+    // and append at 2 (write + drift census); the cached assignedFrame
+    // fused them — pinned with the assignEvals counter, the exact
+    // analog of Codec.decodeCalls budgets. Counter is JVM-global;
+    // suites run sequentially per forked JVM.
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-fused").toString
+    val buildSide = emb.where(col("vec_id") % 2 === 0)
+    val batchSide = emb.where(col("vec_id") % 2 === 1)
+    val nBuild = buildSide.count()
+    val nBatch = batchSide.count()
+    val before = IvfIndex.assignEvals.get()
+    IvfIndex.build(buildSide, dir, nlist = 16)
+    val afterBuild = IvfIndex.assignEvals.get()
+    assert(afterBuild - before == nBuild,
+      s"build routed ${afterBuild - before} rows for a $nBuild-vector corpus — " +
+        "the assigned frame must be computed once and cached")
+    IvfIndex.append(batchSide, dir)
+    val afterAppend = IvfIndex.assignEvals.get()
+    assert(afterAppend - afterBuild == nBatch,
+      s"append routed ${afterAppend - afterBuild} rows for a $nBatch-vector batch — " +
+        "the postings write and the drift census must share one pass")
+  }
+
+  test("empty append batch logs drifted=false (no spurious rebuild signal)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-empty").toString
+    IvfIndex.build(emb, dir, nlist = 16)
+    val stats = IvfIndex.append(emb.where(lit(false)), dir)
+    assert(stats.isDefined, "monitored index must still log the batch")
+    assert(stats.get.n == 0 && !stats.get.drifted,
+      s"empty batch carries no distribution evidence, got $stats")
+    assert(stats.get.occupancyL1 == 0.0 && stats.get.fracBeyondP95 == 0.0)
+  }
+
   test("search scans only probed cell partitions (partition pruning)") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx2").toString
     IvfIndex.build(emb, dir, nlist = 16)
