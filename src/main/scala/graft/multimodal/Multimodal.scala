@@ -359,15 +359,26 @@ object Multimodal {
     * canonicalized media_a < media_b). Input: one row per
     * (media_id, sim) occurrence; multiplicity is collapsed here.
     *
-    * NOT cached: the banding self-join and both n_sigs joins consume
-    * the distinct frame, but all consumers sit above the distinct's
-    * shuffle exchange and the subtrees are identical plans — Spark's
-    * ReuseExchange computes that shuffle ONCE (pinned in
-    * MultimodalSpec), so a `.cache()` here would only pin executor
-    * storage for the session. */
+    * NOT cached: every consumer (the n_sigs census, the distinct-sim
+    * candidacy, both ownership sides) sits above the distinct's shuffle
+    * exchange with an identical subtree — Spark's ReuseExchange
+    * computes that shuffle ONCE (pinned in MultimodalSpec), so a
+    * `.cache()` here would only pin executor storage for the session.
+    *
+    * HOT-BUCKET SAFETY (r13 verdict's remaining quadratic hazard):
+    * candidacy runs at the signature-VALUE level —
+    * [[graft.ops.Dedup.nearSimPairsSelf]] over DISTINCT sims with its
+    * bounded per-bucket posting latch (`maxBucket`) — so a crawl-scale
+    * mass of identical signatures (solid-color frames, silence-padded
+    * audio) is ONE candidacy row, and masses of distinct near-constant
+    * signatures cap at the latch instead of going O(bucket²).
+    * Identical-sim matches pair through a latch-free exact equi-join
+    * (Hamming 0 is never lost to a hot bucket). Ownership re-expansion
+    * after candidacy is bounded by real duplicate mass — exactly the
+    * pairs the operator must emit. */
   private def sigOverlapPairs(rawSigs: DataFrame, maxHamming: Int,
       minMatchFrac: Double, bits: Int,
-      vfyMae: Option[Double] = None): DataFrame = {
+      vfyMae: Option[Double] = None, maxBucket: Int = 4096): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30,
       s"maxHamming in [1,30), got $maxHamming")
     require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
@@ -378,14 +389,12 @@ object Multimodal {
     // verify payloads — e.g. drifted frames sharing a pHash — is one
     // signature for the match-fraction denominator)
     val nsigs = sigs.groupBy("media_id").agg(countDistinct("sim").as("n_sigs"))
-    val chunks = maxHamming + 1
-    val bitsPer = bits / chunks
-    val carried = col("media_id") +: col("sim") +:
-      (if (vfyMae.isDefined) Seq(col("vfy")) else Nil)
-    val withChunks = sigs.select(carried :+
-        explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"): _*)
-      .withColumn("chunk_val",
-        graft.ops.Dedup.bandChunkVal("sim", "chunk_id", chunks, bitsPer))
+    val near = graft.ops.Dedup.nearSimPairsSelf(
+      sigs.select("sim").distinct(), maxHamming, bits, maxBucket)
+    // both orders: sim-pair canonicalization (sim_a < sim_b) is
+    // independent of the media-pair canonicalization (media_a < media_b)
+    val nearBoth = near.unionByName(near.select(
+      col("sim_b").as("sim_a"), col("sim_a").as("sim_b"), col("hamming")))
     // optional exact verify on the candidate signature pair: near-budget
     // Hamming collisions DO occur across unrelated content (measured at
     // sf0.1: 17 cross-content video pairs from frame-sig collisions —
@@ -397,14 +406,21 @@ object Multimodal {
       case Some(mae) => thumbOk(col("a.vfy"), col("b.vfy")) <= mae
       case None      => lit(true)
     }
-    val sigMatches = withChunks.as("a")
-      .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
-      .where(col("a.media_id") < col("b.media_id") && verified)
+    val identMatches = sigs.as("a")
+      .join(sigs.as("b"), col("a.sim") === col("b.sim") &&
+        col("a.media_id") < col("b.media_id"))
+      .where(verified)
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
-        col("a.sim").as("sim_a"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct() // a pair agreeing on several chunks surfaces once
-      .where(col("hamming") <= maxHamming)
+        col("a.sim").as("sim_a"), lit(0).cast("int").as("hamming"))
+    val nearMatches = sigs.as("a")
+      .join(nearBoth, col("a.sim") === col("sim_a"))
+      .join(sigs.as("b"), col("b.sim") === col("sim_b") &&
+        col("a.media_id") < col("b.media_id"))
+      .where(verified)
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.sim").as("sim_a"), col("hamming"))
+    val sigMatches = identMatches.unionByName(nearMatches)
+      .distinct() // a sig pair meeting through several buckets surfaces once
     sigMatches
       .groupBy(col("media_a"), col("media_b"))
       .agg(countDistinct(col("sim_a")).as("n_matched"))

@@ -380,25 +380,156 @@ object Dedup {
              ELSE pmod(shiftrightunsigned($sigCol, $chunkIdCol * $bitsPer), ${1L << bitsPer})
              END""")
 
-  def hammingPairs(sigs0: DataFrame, maxHamming: Int, bits: Int = 60): DataFrame = {
+  /** Candidate signature-VALUE pairs within the Hamming budget — the
+    * bounded core of every banding consumer. Input: a frame of DISTINCT
+    * `sim` values. Output: (sim_a, sim_b, hamming) with sim_a < sim_b
+    * and hamming in [1, maxHamming] — identical values (Hamming 0) are
+    * deliberately NOT this function's job; callers pair them through an
+    * exact latch-free path (signature classes / a sim equi-join), so a
+    * true duplicate can never be lost to the bucket cap below.
+    *
+    * Shape: chunk-explode → ONE groupBy building a bounded posting list
+    * per (chunk_id, chunk_val) bucket ([[org.apache.spark.sql.graft
+    * .BoundedIdList]] over the sim values — the same in-buffer overflow
+    * latch as the Jaccard path's stop-shingle cut) → intra-list ordered
+    * pairs via two streaming explodes (never a materialized C(n,2)
+    * array) → exact bit_count verify. Per-bucket state is O(maxBucket);
+    * per-bucket pair mass is ≤ C(maxBucket, 2).
+    *
+    * OVER-CAP SEMANTICS (the documented trade the cap buys): a bucket
+    * holding more than `maxBucket` DISTINCT signature values evaluates
+    * to NULL and is excluded from candidacy — a pair is then missed
+    * only if EVERY chunk it agrees on is over-cap. Natural populations
+    * never get there at fixture scale (a bucket collects ~n_distinct /
+    * 2^bitsPer values); the cap exists for the adversarial/degenerate
+    * one — crawl-scale masses of near-constant signatures (solid-color
+    * thumbnails, silence-padded audio), where the un-capped join went
+    * O(bucket²) on exactly the content `low_information` flagging exists
+    * to pre-filter. Identical-signature masses are immune: they collapse
+    * to ONE distinct value here and pair through the callers' exact
+    * path. */
+  private[graft] def nearSimPairsSelf(sims: DataFrame, maxHamming: Int,
+      bits: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30, s"maxHamming in [1,30), got $maxHamming")
     require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
+    require(maxBucket >= 2, s"maxBucket >= 2, got $maxBucket")
     val chunks = maxHamming + 1
     val bitsPer = bits / chunks
-    // cached: the banding self-join consumes this frame on both sides
-    // (same double-evaluation hazard as minhash/jaccard). Cache lifetime
-    // note on jaccardPairs applies.
-    val sigs = sigs0.cache()
-    val withChunks = sigs.select(col("id"), col("sim"),
+    sims.select(col("sim"),
         explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
       .withColumn("chunk_val", bandChunkVal("sim", "chunk_id", chunks, bitsPer))
-    withChunks.as("a")
-      .join(withChunks.as("b"), Seq("chunk_id", "chunk_val"))
-      .where(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
+      .groupBy("chunk_id", "chunk_val")
+      .agg(org.apache.spark.sql.graft.BoundedIdList
+        .boundedList(maxBucket, col("sim")).as("sims"))
+      .where(col("sims").isNotNull && size(col("sims")) >= 2)
+      .select(col("sims"), explode(col("sims")).as("sim_a"))
+      .select(col("sim_a"),
+        explode(filter(col("sims"), y => y > col("sim_a"))).as("sim_b"))
+      .distinct() // a pair agreeing on several chunks surfaces once
+      .select(col("sim_a"), col("sim_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-frame twin of [[nearSimPairsSelf]] for incoming-vs-history
+    * probes: candidate (sim_l, sim_r, hamming) with hamming in
+    * [0, maxHamming]. Hamming-0 here IS included — via a latch-free
+    * exact equi-join on the value (identical signatures must match no
+    * matter how hot their bucket is); the banded posting join carries
+    * only the 1..maxHamming band, with the same per-side bounded
+    * posting lists and over-cap NULL semantics. */
+  private[graft] def nearSimPairsCross(leftSims: DataFrame, rightSims: DataFrame,
+      maxHamming: Int, bits: Int, maxBucket: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 30, s"maxHamming in [1,30), got $maxHamming")
+    require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
+    require(maxBucket >= 2, s"maxBucket >= 2, got $maxBucket")
+    val chunks = maxHamming + 1
+    val bitsPer = bits / chunks
+    val exact = leftSims.select(col("sim").as("sim_l"))
+      .join(rightSims.select(col("sim").as("sim_r")),
+        col("sim_l") === col("sim_r"))
+      .select(col("sim_l"), col("sim_r"), lit(0).cast("int").as("hamming"))
+    def postings(df: DataFrame, outCol: String) =
+      df.select(col("sim"),
+          explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
+        .withColumn("chunk_val", bandChunkVal("sim", "chunk_id", chunks, bitsPer))
+        .groupBy("chunk_id", "chunk_val")
+        .agg(org.apache.spark.sql.graft.BoundedIdList
+          .boundedList(maxBucket, col("sim")).as(outCol))
+        .where(col(outCol).isNotNull)
+    val near = postings(leftSims, "ls")
+      .join(postings(rightSims, "rs"), Seq("chunk_id", "chunk_val"))
+      .select(explode(col("ls")).as("sim_l"), col("rs"))
+      .select(col("sim_l"), explode(col("rs")).as("sim_r"))
+      .distinct()
+      .select(col("sim_l"), col("sim_r"),
+        bit_count(col("sim_l").bitwiseXOR(col("sim_r"))).as("hamming"))
+      .where(col("hamming") >= 1 && col("hamming") <= maxHamming)
+    exact.unionByName(near)
+  }
+
+  /** Duplicate id pairs within `maxHamming` bits, hot-bucket-SAFE. Two
+    * layers, each with its own bound (the r13 verdict's one remaining
+    * quadratic hazard was exactly this operator's naive bucket
+    * self-join):
+    *
+    *  1. IDENTICAL signatures collapse to (sim, rep = min id, ids)
+    *     CLASSES before anything is banded — a Hamming-0 group is an
+    *     exact duplicate class by definition, so a planted mass of 10⁴
+    *     identical signatures becomes ONE banded row instead of 10⁴
+    *     rows exploding O(10⁸) in a bucket. Classes up to
+    *     `maxClassExpand` members emit every within-class pair
+    *     (byte-identical to the historical output at fixture scale);
+    *     larger classes emit the STAR on their min-id representative —
+    *     O(n) rows carrying the same connected-component information
+    *     ([[canonicalize]] elects identical canonicals either way), and
+    *     the representative alone carries the class into cross-class
+    *     pairs. That star is the documented over-cap semantic: pair
+    *     ENUMERATION inside a giant exact-duplicate class is O(n²)
+    *     output with zero information beyond membership.
+    *  2. Cross-class candidacy runs over DISTINCT signature values via
+    *     [[nearSimPairsSelf]], whose per-bucket bounded posting latch
+    *     (`maxBucket`) caps the one remaining blow-up population —
+    *     huge masses of DISTINCT near-constant signatures.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, distinct. */
+  def hammingPairs(sigs0: DataFrame, maxHamming: Int, bits: Int = 60,
+      maxBucket: Int = 4096, maxClassExpand: Int = 64): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 30, s"maxHamming in [1,30), got $maxHamming")
+    require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
+    require(maxClassExpand >= 2, s"maxClassExpand >= 2, got $maxClassExpand")
+    // cached: the class frame feeds within-class pairs, the distinct-sim
+    // candidacy, and both sides of the member expansion; sigs feeds the
+    // class build plus the over-cap star join. Cache lifetime note on
+    // jaccardPairs applies.
+    val sigs = sigs0.select(col("id").cast("long").as("id"), col("sim")).cache()
+    val classes = sigs.groupBy("sim")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("csz"),
+        org.apache.spark.sql.graft.BoundedIdList
+          .boundedList(maxClassExpand, col("id")).as("ids"))
+      .cache()
+    val withinSmall = classes.where(col("csz") >= 2 && col("ids").isNotNull)
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"),
+        explode(filter(col("ids"), y => y > col("id_a"))).as("id_b"))
+    val withinBig = sigs
+      .join(classes.where(col("ids").isNull).select(col("sim"), col("rep")), Seq("sim"))
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val within = withinSmall.unionByName(withinBig)
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    // members of an over-cap class are represented by the min-id rep
+    val members = classes.select(col("sim"),
+      coalesce(col("ids"), array(col("rep"))).as("mem"))
+    val cross = nearSimPairsSelf(classes.select("sim"), maxHamming, bits, maxBucket)
+      .join(members.select(col("sim").as("sim_a"), col("mem").as("ma")), Seq("sim_a"))
+      .join(members.select(col("sim").as("sim_b"), col("mem").as("mb")), Seq("sim_b"))
+      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
+      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
+      .where(col("a") =!= col("b")) // an id carrying two near sims must not self-pair
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("hamming"))
+    within.unionByName(cross).distinct()
   }
 
   // ------------------------------------------------- canonical assignment
