@@ -365,20 +365,35 @@ object Multimodal {
     * computes that shuffle ONCE (pinned in MultimodalSpec), so a
     * `.cache()` here would only pin executor storage for the session.
     *
-    * HOT-BUCKET SAFETY (r13 verdict's remaining quadratic hazard):
-    * candidacy runs at the signature-VALUE level —
-    * [[graft.ops.Dedup.nearSimPairsSelf]] over DISTINCT sims with its
-    * bounded per-bucket posting latch (`maxBucket`) — so a crawl-scale
-    * mass of identical signatures (solid-color frames, silence-padded
-    * audio) is ONE candidacy row, and masses of distinct near-constant
-    * signatures cap at the latch instead of going O(bucket²).
-    * Identical-sim matches pair through a latch-free exact equi-join
-    * (Hamming 0 is never lost to a hot bucket). Ownership re-expansion
-    * after candidacy is bounded by real duplicate mass — exactly the
-    * pairs the operator must emit. */
-  private def sigOverlapPairs(rawSigs: DataFrame, maxHamming: Int,
+    * HOT-BUCKET SAFETY — what is and is not bounded:
+    *
+    *  - SIM-level candidacy is bounded: [[graft.ops.Dedup
+    *    .nearSimPairsSelf]] runs over DISTINCT sims with its bounded
+    *    per-bucket posting latch (`maxBucket`), so a mass of identical
+    *    signatures is ONE candidacy row and masses of distinct
+    *    near-constant signatures cap at the latch instead of going
+    *    O(bucket²). Identical-sim matches pair through a latch-free
+    *    exact equi-join (Hamming 0 is never lost to a hot bucket).
+    *  - MEDIA-level ownership re-expansion is bounded by `maxSimOwners`
+    *    (stop-sim semantics, the media twin of the Jaccard path's
+    *    stop-shingle cut): a sim owned by more than `maxSimOwners`
+    *    media — solid-black frames, silence windows: exactly the
+    *    near-zero-information content that would otherwise expand
+    *    C(owners, 2) media pairs of which almost all fall below
+    *    `minMatchFrac` — leaves BOTH candidacy paths entirely. The
+    *    match-fraction DENOMINATOR keeps counting the dropped sim
+    *    (conservative: fractions only shrink, never inflate), so the
+    *    documented trade is recall on assets whose overlap is mostly
+    *    stop-sims — content that is degenerate by construction. A
+    *    star-on-representative (the [[graft.ops.Dedup.hammingPairs]]
+    *    escape hatch) is NOT usable here: match_frac gates pairs
+    *    before components form, so starring would silently zero the
+    *    matched counts of non-representative owner pairs rather than
+    *    merely re-shaping a component. */
+  private[graft] def sigOverlapPairs(rawSigs: DataFrame, maxHamming: Int,
       minMatchFrac: Double, bits: Int,
-      vfyMae: Option[Double] = None, maxBucket: Int = 4096): DataFrame = {
+      vfyMae: Option[Double] = None, maxBucket: Int = 4096,
+      maxSimOwners: Int = 4096): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30,
       s"maxHamming in [1,30), got $maxHamming")
     require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
@@ -389,8 +404,19 @@ object Multimodal {
     // verify payloads — e.g. drifted frames sharing a pHash — is one
     // signature for the match-fraction denominator)
     val nsigs = sigs.groupBy("media_id").agg(countDistinct("sim").as("n_sigs"))
+    // stop-sims: sims owned by more media than the cap leave candidacy
+    // (doc comment above). The owner census is a 4th consumer of the
+    // distinct's exchange (ReusedExchange, pinned in ExtSpec); the cut
+    // itself is a broadcast anti-join — hot sims number ≤ |sigs| /
+    // maxSimOwners by definition, a tiny frame
+    require(maxSimOwners >= 1, s"maxSimOwners >= 1, got $maxSimOwners")
+    val hotSims = sigs.groupBy("sim")
+      .agg(countDistinct(col("media_id")).as("_owners"))
+      .where(col("_owners") > maxSimOwners)
+      .select("sim")
+    val candSigs = sigs.join(broadcast(hotSims), Seq("sim"), "left_anti")
     val near = graft.ops.Dedup.nearSimPairsSelf(
-      sigs.select("sim").distinct(), maxHamming, bits, maxBucket)
+      candSigs.select("sim").distinct(), maxHamming, bits, maxBucket)
     // both orders: sim-pair canonicalization (sim_a < sim_b) is
     // independent of the media-pair canonicalization (media_a < media_b)
     val nearBoth = near.unionByName(near.select(
@@ -406,15 +432,15 @@ object Multimodal {
       case Some(mae) => thumbOk(col("a.vfy"), col("b.vfy")) <= mae
       case None      => lit(true)
     }
-    val identMatches = sigs.as("a")
-      .join(sigs.as("b"), col("a.sim") === col("b.sim") &&
+    val identMatches = candSigs.as("a")
+      .join(candSigs.as("b"), col("a.sim") === col("b.sim") &&
         col("a.media_id") < col("b.media_id"))
       .where(verified)
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         col("a.sim").as("sim_a"), lit(0).cast("int").as("hamming"))
-    val nearMatches = sigs.as("a")
+    val nearMatches = candSigs.as("a")
       .join(nearBoth, col("a.sim") === col("sim_a"))
-      .join(sigs.as("b"), col("b.sim") === col("sim_b") &&
+      .join(candSigs.as("b"), col("b.sim") === col("sim_b") &&
         col("a.media_id") < col("b.media_id"))
       .where(verified)
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),

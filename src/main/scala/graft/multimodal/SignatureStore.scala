@@ -236,45 +236,59 @@ object SignatureStore {
     * (n_matched / least(n_in, n_hist) — a trim of a longer history
     * asset still scores 1.0). Returns distinct matched incoming ids.
     * Payload bytes appear nowhere: both sides are (id, sig[, thumb])
-    * projections. */
+    * projections.
+    *
+    * HOT-BUCKET SAFETY: candidacy runs through [[graft.ops.Dedup
+    * .nearSimPairsCross]] — history's DISTINCT sims build bounded
+    * posting lists per banding bucket (`maxBucket` cap, over-cap
+    * buckets leave candidacy) plus a latch-free sentinel ident chunk,
+    * so a crawl-scale mass of near-constant signatures accumulated in
+    * history (solid-black frames, silence padding) bounds the probe at
+    * ≤ (maxHamming+1)·maxBucket+1 history sims per incoming signature
+    * row instead of going O(bucket²) — and an incoming signature
+    * IDENTICAL to a history signature still matches no matter how hot
+    * its band buckets are. The ownership re-join on `sim_r` then fans
+    * each candidate sim back out to the history assets owning it:
+    * that mass is the operator's real output obligation (every owning
+    * (in, hist) pair gets a containment/verify decision), bounded by
+    * true duplicate mass rather than by a latch.
+    *
+    * Consumption discipline: the per-asset signature census (the
+    * containment denominator) is a WINDOW column so the decode-bearing
+    * INCOMING frame is consumed exactly ONCE — its ownership columns
+    * travel through the candidacy join (pinned by the signature-store
+    * query's `steady_batch_history_decodes` gate). The history side is
+    * a payload-free signature scan, read twice (distinct sims for the
+    * index; ownership rows for the re-join) — 16–72-byte rows, no
+    * decodes either way. */
   private[graft] def matchedIds(inSigs: DataFrame, histSigs: DataFrame,
       maxHamming: Int, bits: Int, minMatchFrac: Double,
-      maxThumbMae: Option[Double]): DataFrame = {
+      maxThumbMae: Option[Double], maxBucket: Int = 4096): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30,
       s"maxHamming in [1,30), got $maxHamming")
     require(bits >= maxHamming + 1 && bits <= 64,
       s"bits in [maxHamming+1, 64], got $bits")
-    val chunks = maxHamming + 1
-    val bitsPer = bits / chunks
-    // the per-asset signature census (the containment denominator) is
-    // carried as a WINDOW column so each side's signature frame is
-    // consumed exactly ONCE — a separate census aggregate would be a
-    // second consumer with a differently-pruned subtree, which defeats
-    // exchange reuse and (on the incoming side) would decode every
-    // incoming payload twice (pinned by the signature-store query's
-    // steady_batch_history_decodes gate)
     val wOwn = org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))
-    def chunked(df: DataFrame, idCol: String, sigCol: String,
+    def withCensus(df: DataFrame, idCol: String, sigCol: String,
         thumbCol: String, nCol: String): DataFrame = {
       val kept = Seq(col("media_id").as(idCol), col("sig").as(sigCol),
         col("_n_own").as(nCol)) ++
         (if (maxThumbMae.isDefined) Seq(col("thumb").as(thumbCol)) else Nil)
       df.withColumn("_n_own", size(collect_set(col("sig")).over(wOwn)))
-        .select(kept :+
-          explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"): _*)
-        .withColumn("chunk_val",
-          graft.ops.Dedup.bandChunkVal(sigCol, "chunk_id", chunks, bitsPer))
+        .select(kept: _*)
     }
+    val inRows = withCensus(inSigs, "in_id", "sim", "_ti", "_n_in")
+    val histSims = histSigs.select(col("sig").as("sim")).distinct()
+    val histOwn = withCensus(histSigs, "hist_id", "sim_r", "_th", "_n_hist")
     val thumbMaeUdf = udf { (a: Array[Byte], b: Array[Byte]) => Codec.thumbMae(a, b) }
     val verified = maxThumbMae match {
       case Some(mae) => thumbMaeUdf(col("_ti"), col("_th")) <= mae
       case None      => lit(true)
     }
-    chunked(inSigs, "in_id", "_si", "_ti", "_n_in")
-      .join(chunked(histSigs, "hist_id", "_sh", "_th", "_n_hist"),
-        Seq("chunk_id", "chunk_val"))
-      .where(bit_count(col("_si").bitwiseXOR(col("_sh"))) <= maxHamming && verified)
-      .select(col("in_id"), col("hist_id"), col("_si").as("sig_in"),
+    graft.ops.Dedup.nearSimPairsCross(inRows, histSims, maxHamming, bits, maxBucket)
+      .join(histOwn, Seq("sim_r"))
+      .where(verified)
+      .select(col("in_id"), col("hist_id"), col("sim").as("sig_in"),
         col("_n_in"), col("_n_hist"))
       .distinct() // a pair agreeing on several chunks surfaces once
       .groupBy(col("in_id"), col("hist_id"))

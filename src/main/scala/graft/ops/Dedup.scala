@@ -432,40 +432,60 @@ object Dedup {
   }
 
   /** Cross-frame twin of [[nearSimPairsSelf]] for incoming-vs-history
-    * probes: candidate (sim_l, sim_r, hamming) with hamming in
-    * [0, maxHamming]. Hamming-0 here IS included — via a latch-free
-    * exact equi-join on the value (identical signatures must match no
-    * matter how hot their bucket is); the banded posting join carries
-    * only the 1..maxHamming band, with the same per-side bounded
-    * posting lists and over-cap NULL semantics. */
-  private[graft] def nearSimPairsCross(leftSims: DataFrame, rightSims: DataFrame,
+    * probes, hot-bucket-SAFE: every `left` row — carrying a `sim`
+    * column plus ANY payload/ownership columns — meets the right
+    * side's DISTINCT sims within `maxHamming` bits. Output: the left
+    * columns plus (sim_r, hamming), hamming in [0, maxHamming]; a pair
+    * agreeing on several chunks may surface once PER agreeing chunk,
+    * so callers dedupe at their own aggregation key.
+    *
+    * Why left is ROWS and right is SIMS: on the incoming×history paths
+    * this primitive serves ([[graft.multimodal.SignatureStore
+    * .matchedIds]]), the left side is a decode-bearing mapPartitions
+    * builder that must be consumed exactly ONCE per batch (the
+    * `steady_batch_history_decodes` pin) — so its ownership columns
+    * travel THROUGH the candidacy join instead of being re-joined from
+    * a second pass, and this function consumes `left` exactly once.
+    * The history side is a payload-free signature scan, cheap to read
+    * again for the ownership re-join the caller does on `sim_r`.
+    *
+    * Index shape: ONE pass over `rightSims` explodes maxHamming+2
+    * chunk rows per sim — the pigeonhole bands PLUS a sentinel ident
+    * chunk (chunk_id −1, chunk_val = the full signature). The groupBy
+    * builds a bounded posting list ([[org.apache.spark.sql.graft
+    * .BoundedIdList]], cap `maxBucket`) per (chunk_id, chunk_val)
+    * bucket. A sentinel bucket holds exactly ONE distinct sim by
+    * construction, so identical signatures match latch-free no matter
+    * how hot their band buckets are — a true Hamming-0 match can never
+    * be lost to the cap. Band buckets exceeding `maxBucket` DISTINCT
+    * sims evaluate to NULL and drop out of near candidacy (the same
+    * over-cap semantics as [[nearSimPairsSelf]]: a near pair is missed
+    * only if EVERY chunk it agrees on is over-cap). Per left row the
+    * candidate mass is ≤ (maxHamming+1)·maxBucket + 1 — linear in
+    * |left| whatever the bucket heat, which is exactly the bound an
+    * O(batch)-incoming vs O(corpus)-history probe needs. */
+  private[graft] def nearSimPairsCross(left: DataFrame, rightSims: DataFrame,
       maxHamming: Int, bits: Int, maxBucket: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30, s"maxHamming in [1,30), got $maxHamming")
     require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
     require(maxBucket >= 2, s"maxBucket >= 2, got $maxBucket")
     val chunks = maxHamming + 1
     val bitsPer = bits / chunks
-    val exact = leftSims.select(col("sim").as("sim_l"))
-      .join(rightSims.select(col("sim").as("sim_r")),
-        col("sim_l") === col("sim_r"))
-      .select(col("sim_l"), col("sim_r"), lit(0).cast("int").as("hamming"))
-    def postings(df: DataFrame, outCol: String) =
-      df.select(col("sim"),
-          explode(sequence(lit(0), lit(chunks - 1))).as("chunk_id"))
-        .withColumn("chunk_val", bandChunkVal("sim", "chunk_id", chunks, bitsPer))
-        .groupBy("chunk_id", "chunk_val")
-        .agg(org.apache.spark.sql.graft.BoundedIdList
-          .boundedList(maxBucket, col("sim")).as(outCol))
-        .where(col(outCol).isNotNull)
-    val near = postings(leftSims, "ls")
-      .join(postings(rightSims, "rs"), Seq("chunk_id", "chunk_val"))
-      .select(explode(col("ls")).as("sim_l"), col("rs"))
-      .select(col("sim_l"), explode(col("rs")).as("sim_r"))
-      .distinct()
-      .select(col("sim_l"), col("sim_r"),
-        bit_count(col("sim_l").bitwiseXOR(col("sim_r"))).as("hamming"))
-      .where(col("hamming") >= 1 && col("hamming") <= maxHamming)
-    exact.unionByName(near)
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("chunk_id", explode(sequence(lit(-1), lit(chunks - 1))))
+      .withColumn("chunk_val", when(col("chunk_id") === -1, col("sim"))
+        .otherwise(bandChunkVal("sim", "chunk_id", chunks, bitsPer)))
+    val idx = keyed(rightSims.select(col("sim")))
+      .groupBy("chunk_id", "chunk_val")
+      .agg(org.apache.spark.sql.graft.BoundedIdList
+        .boundedList(maxBucket, col("sim")).as("_rs"))
+      .where(col("_rs").isNotNull)
+    keyed(left)
+      .join(idx, Seq("chunk_id", "chunk_val"))
+      .withColumn("sim_r", explode(col("_rs")))
+      .withColumn("hamming", bit_count(col("sim").bitwiseXOR(col("sim_r"))))
+      .where(col("hamming") <= maxHamming)
+      .drop("chunk_id", "chunk_val", "_rs")
   }
 
   /** Duplicate id pairs within `maxHamming` bits, hot-bucket-SAFE. Two

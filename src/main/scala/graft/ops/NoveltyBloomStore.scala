@@ -65,20 +65,30 @@ object NoveltyBloomStore {
     * crashed appender leaves a stale lock — by design, since its merge
     * may not have landed; the recovery is to remove the lock and re-run
     * that batch's append (re-merging already-merged keys is idempotent:
-    * merge is bit-or). */
+    * merge is bit-or).
+    *
+    * The lock is ADVISORY, only as strong as the filesystem's
+    * exclusive-create: atomic on HDFS, best-effort check-then-create on
+    * the local filesystem, and NOT atomic on object stores (S3A has no
+    * exclusive create) — on shared object storage, serialize appenders
+    * externally (one scheduler slot / one driver) rather than trusting
+    * this file. */
   def append(batch: DataFrame, dir: String, textCol: String = "text"): Unit = {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new org.apache.hadoop.fs.Path(root, "append.lock")
-    val held = try { fs.create(lock, false).close(); true } catch {
-      case _: java.io.IOException => false
+    // only "already exists" means a concurrent/crashed appender; any
+    // other IOException (permissions, transient FS failure) is a real
+    // error and must not masquerade as the held-lock diagnosis
+    try fs.create(lock, false).close() catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.io.IOException(
+          s"NoveltyBloomStore.append: $lock exists — another appender is active " +
+            "(single-writer store). If it crashed, remove the lock and re-run its " +
+            "batch: re-merging is idempotent (bit-or).")
     }
-    if (!held)
-      throw new java.io.IOException(
-        s"NoveltyBloomStore.append: $lock exists — another appender is active " +
-          "(single-writer store). If it crashed, remove the lock and re-run its " +
-          "batch: re-merging is idempotent (bit-or).")
     try {
       val (bloom, prefixChars, fpp, capacity) = readStore(spark, dir)
       bloom.mergeInPlace(keyBloom(batch, textCol, prefixChars, fpp, capacity))

@@ -70,8 +70,13 @@ object Trustworthiness {
     // the hint drops and the comparison runs as a distributed
     // cartesian — slower, never an executor-OOM.
     val m = pts.select(col("id").as("m"), col("features").as("vm"))
-    val dim = original.select(col(origFeatures)).limit(1).collect()
-      .headOption.map(_.getSeq[Any](0).length).getOrElse(0)
+    // dim probe runs on the PREPARED frame (null features already
+    // filtered — the raw frame's limit(1) could hand back a null row)
+    // and null-guards anyway; no probe row → 0 → broadcast path, the
+    // right default for an effectively empty point set
+    val dim = pts.select(col("features")).where(col("features").isNotNull)
+      .limit(1).collect()
+      .headOption.filterNot(_.isNullAt(0)).map(_.getSeq[Any](0).length).getOrElse(0)
     val estBytes = n * (8L * dim + 24L)
     val mSide = if (estBytes <= MaxBroadcastBytes) broadcast(m) else m
     val dm = arraySqDist(col("vi"), col("vm"))

@@ -928,6 +928,101 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("scale stress: hammingPairs under planted adversarial skew (star + bounded postings)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The population the r14 bounded rewrite exists for: 100k IDENTICAL
+    // signatures (one exact-dup class — solid-black thumbnails) plus
+    // 100k DISTINCT near-constant signatures (sensor-noise variants
+    // differing only in their low 17 bits — every high band bucket goes
+    // over cap). The pre-r14 bucket self-join enumerates ~C(100k,2) ≈
+    // 5e9 rows inside ONE bucket on this input (infeasible); the
+    // bounded form must finish with linear output: the identical class
+    // stars on its representative, the distinct mass pairs only
+    // through its under-cap low chunks.
+    import spark.implicits._
+    val base = 0x0123456789abcdefL
+    val identical = spark.range(100000L)
+      .select(col("id"), lit(base).as("sim"))
+    val nearConstant = spark.range(100000L) // input id+1 < 131072: bits 0..16
+      .select((col("id") + 200000L).as("id"), // vary; +1 keeps base itself out
+        lit(base).bitwiseXOR(col("id") + 1L).as("sim"))
+    val skewed = identical.unionByName(nearConstant).cache()
+    skewed.count()
+    val t0 = System.nanoTime()
+    val pairs = ops.Dedup.hammingPairs(skewed, maxHamming = 7, bits = 64).cache()
+    val nPairs = pairs.count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[profile] skewed hammingPairs       $dt%8.2f s, pairs=$nPairs")
+    // identical class: star on rep = 99 999 pairs, every one at the rep
+    val star = pairs.where(col("hamming") === 0 && col("id_a") === 0L).count()
+    assert(star == 99999L, s"identical-class star expected 99999, got $star")
+    // the near-constant mass: each sim pairs only via its two under-cap
+    // low chunks (≤ 2·maxBucket candidates per sim) — output stays
+    // linear-ish in the mass, nowhere near the ~5e9 of the raw join
+    assert(nPairs < 60000000L, s"pair mass must stay bounded, got $nPairs")
+    // hamming-0 pairs are exactly the class star: its component must
+    // still canonicalize every identical id to the representative
+    val canon = ops.Dedup.canonicalize(pairs.where(col("hamming") === 0))
+    assert(canon.where(col("canonical_id") === 0L).count() == 100000L,
+      "the identical class must still canonicalize to its representative")
+    pairs.unpersist(); skewed.unpersist()
+  }
+
+  test("scale stress: store-novelty candidacy under a planted hot history bucket") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // History accumulates 100k DISTINCT near-constant signatures (the
+    // crawl-scale hot-bucket population: every band bucket of the high
+    // chunks holds the whole mass, far over `maxBucket`). The pre-r15
+    // matchedIds banding join enumerated |bucket| candidates per
+    // incoming chunk row (~600k per incoming signature here); the
+    // nearSimPairsCross form must keep candidacy ≤ (maxHamming+1)·
+    // maxBucket+1 per incoming row, shed exact twins through the
+    // latch-free sentinel, and keep fresh signatures.
+    import spark.implicits._
+    import graft.multimodal.SignatureStore
+    val base = 0x0123456789abcdefL
+    val histSigs = spark.range(100000L) // input id < 131072: bits 0..16 vary
+      .select((col("id") + 100000000L).as("media_id"),
+        lit(base).bitwiseXOR(col("id")).as("sig")).cache()
+    histSigs.count()
+    val uniformSigs = spark.range(100000L)
+      .select((col("id") + 100000000L).as("media_id"),
+        xxhash64(col("id"), lit("uniform")).as("sig")).cache()
+    uniformSigs.count()
+    // incoming: 2k exact twins of mass members + 2k fresh uniform sigs
+    val twins = spark.range(2000L)
+      .select(col("id").as("media_id"),
+        lit(base).bitwiseXOR(pmod(col("id") * 49999L, lit(100000L))).as("sig"))
+    val fresh = spark.range(2000L)
+      .select((col("id") + 50000L).as("media_id"),
+        xxhash64(col("id"), lit("fresh")).as("sig"))
+    val incoming = twins.unionByName(fresh).cache()
+    incoming.count()
+    // direct candidacy bound (the regression pin: a revert to the raw
+    // banding join blows this count up by ~3 orders of magnitude)
+    val cands = ops.Dedup.nearSimPairsCross(
+      incoming.select(col("media_id").as("in_id"), col("sig").as("sim")),
+      histSigs.select(col("sig").as("sim")).distinct(),
+      maxHamming = 7, bits = 64, maxBucket = 4096).count()
+    assert(cands <= 4000L * (8L * 4096 + 1),
+      s"per-row candidate bound violated: $cands")
+    def probe(hist: org.apache.spark.sql.DataFrame, label: String): Set[Long] = {
+      val t0 = System.nanoTime()
+      val matched = SignatureStore.matchedIds(incoming, hist,
+          maxHamming = 7, bits = 64, minMatchFrac = 1.0, maxThumbMae = None)
+        .collect().map(_.getLong(0)).toSet
+      println(f"[profile] hot-history matchedIds $label%-8s ${(System.nanoTime() - t0) / 1e9}%8.2f s, matched=${matched.size}")
+      matched
+    }
+    val hotMatched = probe(histSigs, "hot")
+    probe(uniformSigs, "uniform")
+    assert((0L until 2000L).forall(hotMatched.contains),
+      "every exact twin must shed through the latch-free sentinel path")
+    assert(hotMatched.forall(_ < 2100L),
+      "fresh incoming signatures must survive the hot mass")
+    histSigs.unpersist(); uniformSigs.unpersist(); incoming.unpersist()
+  }
+
   test("scale stress: signature-store novelty is O(batch), not O(history)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // The store exists so history cost is a SIGNATURE-ROW scan, never a

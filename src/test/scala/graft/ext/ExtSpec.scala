@@ -343,6 +343,36 @@ class MultimodalSpec extends AnyFunSuite {
       "no cached frames may back the overlap core")
   }
 
+  test("sigOverlapPairs: stop-sim cap bounds the ident media expansion, conservatively") {
+    import spark.implicits._
+    // hot sim H owned by 10 media (over a cap of 4 — think silence
+    // windows); media 100/101 additionally share two REAL sims. Under
+    // the cap, H leaves candidacy: the 100-101 pair survives on its
+    // real overlap (denominator still counts H — frac 2/3), while pairs
+    // connected ONLY through H disappear. Uncapped, H alone links all
+    // C(10,2) owner pairs.
+    val hot = 0x1111111111L
+    val rows =
+      (0L until 10L).flatMap(m => Seq((m + 100L, hot))) ++
+      Seq((100L, 0x2222222222L), (101L, 0x2222222222L),
+        (100L, 0x4444444444L), (101L, 0x4444444444L))
+    val sigs = rows.toDF("media_id", "sim")
+    val capped = Multimodal.sigOverlapPairs(sigs, maxHamming = 3,
+        minMatchFrac = 0.5, bits = 60, maxSimOwners = 4)
+      .select("media_a", "media_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((100L, 101L)),
+      s"only the real-overlap pair may survive the stop-sim cut, got ${capped.toSet}")
+    val frac = Multimodal.sigOverlapPairs(sigs, maxHamming = 3,
+        minMatchFrac = 0.5, bits = 60, maxSimOwners = 4)
+      .where(col("media_a") === 100L).select("match_frac").head.getDouble(0)
+    assert(math.abs(frac - 2.0 / 3.0) < 1e-9,
+      s"denominator must keep counting the dropped stop-sim, got $frac")
+    val unCapped = Multimodal.sigOverlapPairs(sigs, maxHamming = 3,
+        minMatchFrac = 0.5, bits = 60, maxSimOwners = 4096)
+      .select("media_a", "media_b").count()
+    assert(unCapped == 45L, s"uncapped form must emit all C(10,2) pairs, got $unCapped")
+  }
+
   test("audioNearDupPairs: planted trim+gain twins found, audio-only, both id orderings") {
     val media = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
     val res = Multimodal.audioNearDupPairs(media).collect()
@@ -694,6 +724,16 @@ class StreamingSpec extends AnyFunSuite {
     val planted = Seq((900003L, histText, "en", "srcX", histText.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(NoveltyBloomStore.novelAgainst(planted, storeDir).count() == 0)
+    // single-writer lock: a held lock fails LOUDLY with the appender
+    // diagnosis; releasing it lets append proceed (idempotent re-merge)
+    val lockPath = new java.io.File(storeDir, "append.lock")
+    assert(lockPath.createNewFile())
+    val e = intercept[java.io.IOException](
+      NoveltyBloomStore.append(feed.limit(5), storeDir))
+    assert(e.getMessage.contains("another appender"), e.getMessage)
+    assert(lockPath.delete())
+    NoveltyBloomStore.append(feed.limit(5), storeDir)
+    assert(!lockPath.exists(), "append must release its lock")
   }
 
   test("streaming perceptual novelty equals its batch twin; history twins never survive") {
