@@ -191,7 +191,7 @@ object Dedup {
   // ------------------------------------------------------------- MinHash+LSH
 
   /** Seeded universal-hash parameters for the MinHash permutations. */
-  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  private[ops] def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rng = new java.util.Random(seed)
     Array.fill(numHashes)(
       (math.abs(rng.nextLong()) % (HashMod - 1) + 1, math.abs(rng.nextLong()) % HashMod))

@@ -1,0 +1,299 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions.{tokens, shinglesFast, HashMod}
+
+/** Persistent incremental MinHash-band index — the NEAR-dup twin of
+  * [[NoveltyBloomStore]] and the text analog of the media family's
+  * [[graft.multimodal.SignatureStore]]: every ingested document's
+  * MinHash signature and LSH band keys are extracted ONCE, at ingest,
+  * into compact parquet tables, and every later novelty probe joins
+  * band keys instead of re-shingling history text.
+  *
+  * Why it exists: the exact-content bloom store catches verbatim
+  * re-crawls only — a lightly-edited re-crawl (template drift, ad
+  * rotation, a fixed typo) hashes to a fresh key and sails straight
+  * through daily ingest. This store catches the same Jaccard-near
+  * duplicates [[Dedup.minhashLshPairs]] finds in batch, against a
+  * frozen history the probe never re-reads.
+  *
+  * Layout under `dir`:
+  *  - `params.properties` — (n, numHashes, bands, seed). A probe or
+  *    append against a store built with a different hash family would
+  *    produce plausible-looking garbage; every entry point re-reads
+  *    and trusts only this file (the same guard as
+  *    [[Dedup.mergeSourceSignatures]]' width check).
+  *  - `sigs/` — (doc_id, sig ARRAY<LONG>[numHashes]) parquet: the
+  *    verify payload, 8·numHashes bytes per doc (the "thumbnail" of
+  *    the text family).
+  *  - `bands/` — (doc_id, band_hash) parquet PARTITIONED BY band_id:
+  *    the probe index. band_id −1 is the SENTINEL whole-signature
+  *    hash (see [[noveltyAgainstStore]]); 0..bands−1 are the LSH band
+  *    keys, byte-identical to [[Dedup.minhashLshPairs]]' banding.
+  *
+  * Maintenance mirrors the signature store: [[append]] is one pass
+  * over the new batch (O(batch), never O(history)); a retried append
+  * leaves duplicate rows that [[compact]] collapses; [[deleteDocs]]
+  * removes takedown victims from both tables via staged rewrite.
+  */
+object MinHashBandStore {
+
+  /** Hash-family parameters; defaults match [[Dedup.minhashLshPairs]]
+    * so store decisions can be gated against the self-join form. */
+  final case class Params(n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rows: Int = numHashes / bands
+  }
+
+  /** One pass over `docs`: (doc_id, sig, bands) where `bands` holds
+    * the sentinel (−1, whole-sig hash) plus the LSH band keys. The
+    * expensive shingle→minhash work runs in ONE struct-returning UDF
+    * with a single downstream reference per consumer column —
+    * CollapseProject's isCheap guard keeps Catalyst from cloning it
+    * (the decode-twice pitfall pinned in SCALING.md). */
+  private def sigBandRows(docs: DataFrame, textCol: String, idCol: String,
+      p: Params): DataFrame = {
+    val params = Dedup.hashParams(p.numHashes, p.seed)
+    val rows = p.rows
+    val nBands = p.bands
+    val sigBands = udf { (hs: Seq[Long]) =>
+      val sig = Dedup.minhashSig(hs.toArray, params)
+      def acc(from: Int, until: Int): Long = {
+        var a = 1125899906842597L
+        var i = from
+        while (i < until) { a = a * 31 + sig(i); i += 1 }
+        a
+      }
+      val bands = (-1, acc(0, sig.length)) +:
+        (0 until nBands).map(b => (b, acc(b * rows, (b + 1) * rows)))
+      (sig, bands)
+    }
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        sigBands(transform(shinglesFast(p.n)(tokens(col(textCol))),
+          s => pmod(xxhash64(s), lit(HashMod)))).as("_sb"))
+      .select(col("doc_id"), col("_sb._1").as("sig"), col("_sb._2").as("bands"))
+  }
+
+  private def bandTable(rows: DataFrame): DataFrame = rows
+    .select(col("doc_id"), explode(col("bands")).as("b"))
+    .select(col("doc_id"), col("b._2").as("band_hash"), col("b._1").as("band_id"))
+
+  private def root(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def writeParams(spark: SparkSession, dir: String, p: Params): Unit = {
+    val (r, fs) = root(spark, dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(r, "params.properties"), true)
+    try out.write(
+      s"n=${p.n}\nnumHashes=${p.numHashes}\nbands=${p.bands}\nseed=${p.seed}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readParams(spark: SparkSession, dir: String): Params = {
+    val (r, fs) = root(spark, dir)
+    val in = fs.open(new org.apache.hadoop.fs.Path(r, "params.properties"))
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    def req(k: String) = Option(props.getProperty(k)).getOrElse(
+      throw new java.io.IOException(s"MinHashBandStore: $dir/params.properties missing '$k'"))
+    Params(req("n").toInt, req("numHashes").toInt, req("bands").toInt,
+      req("seed").toLong)
+  }
+
+  /** Build the store from scratch — the one full-corpus shingling pass
+    * this corpus will ever pay. */
+  def build(docs: DataFrame, dir: String, textCol: String = "text",
+      idCol: String = "doc_id", params: Params = Params()): Unit = {
+    val spark = docs.sparkSession
+    writeParams(spark, dir, params)
+    val rows = sigBandRows(docs, textCol, idCol, params).cache()
+    try {
+      rows.select("doc_id", "sig")
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+      bandTable(rows)
+        .write.mode("overwrite").partitionBy("band_id").parquet(s"$dir/bands")
+    } finally rows.unpersist()
+  }
+
+  /** Append one ingest batch: O(batch) shingling, parquet appends to
+    * both tables. Idempotence: a RETRIED append duplicates rows (and
+    * files); [[compact]] restores the exact build-from-scratch row
+    * set. Appends are plain parquet file adds — unlike the bloom
+    * store's read-modify-write there is no lost-update hazard, so no
+    * writer lock. */
+  def append(docs: DataFrame, dir: String, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = docs.sparkSession
+    val p = readParams(spark, dir)
+    val rows = sigBandRows(docs, textCol, idCol, p).cache()
+    try {
+      rows.select("doc_id", "sig").write.mode("append").parquet(s"$dir/sigs")
+      bandTable(rows)
+        .write.mode("append").partitionBy("band_id").parquet(s"$dir/bands")
+    } finally rows.unpersist()
+  }
+
+  def loadSigs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/sigs")
+
+  def loadBands(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bands")
+
+  /** Collapse duplicate rows (retried appends) and many small append
+    * files into one file per band partition / one sigs file set. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val stagedSigs = s"$dir/.staging_sigs"
+    val stagedBands = s"$dir/.staging_bands"
+    loadSigs(spark, dir).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(stagedSigs)
+    loadBands(spark, dir).distinct().repartition(col("band_id"))
+      .write.mode("overwrite").partitionBy("band_id").parquet(stagedBands)
+    swap(spark, dir, stagedSigs, "sigs")
+    swap(spark, dir, stagedBands, "bands")
+  }
+
+  /** Takedown: remove every row of the given doc ids from both tables
+    * (staged rewrite + atomic-rename swap, the [[graft.multimodal
+    * .SignatureStore.deleteSignatures]] discipline). */
+  def deleteDocs(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val victim = ids.select(ids.columns.head).toDF("doc_id")
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val stagedSigs = s"$dir/.staging_sigs"
+    val stagedBands = s"$dir/.staging_bands"
+    loadSigs(spark, dir).join(victim, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(stagedSigs)
+    loadBands(spark, dir).join(victim, Seq("doc_id"), "left_anti")
+      .repartition(col("band_id"))
+      .write.mode("overwrite").partitionBy("band_id").parquet(stagedBands)
+    swap(spark, dir, stagedSigs, "sigs")
+    swap(spark, dir, stagedBands, "bands")
+  }
+
+  private def swap(spark: SparkSession, dir: String, staged: String,
+      leaf: String): Unit = {
+    val (r, fs) = root(spark, dir)
+    val live = new org.apache.hadoop.fs.Path(r, leaf)
+    val trash = new org.apache.hadoop.fs.Path(r, s".trash_$leaf")
+    def move(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(a, b))
+        throw new java.io.IOException(s"MinHashBandStore: rename $a -> $b failed")
+    move(live, trash)
+    move(new org.apache.hadoop.fs.Path(staged), live)
+    if (!fs.delete(trash, true))
+      throw new java.io.IOException(
+        s"MinHashBandStore: swap complete but cleanup of $trash FAILED — remove it manually")
+  }
+
+  /** Estimated Jaccard between two equal-width signatures: fraction of
+    * agreeing components (E[est] = true Jaccard; σ = √(J(1−J)/k)). */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m).cast("double") / numHashes
+
+  /** Frozen-history NEAR-dup novelty: drop every batch doc whose
+    * estimated Jaccard against ANY history doc reaches `threshold`;
+    * history text is never read — only band keys and signatures.
+    *
+    * Candidacy, hot-bucket-SAFE (the [[Dedup.nearSimPairsCross]]
+    * discipline):
+    *
+    *  - SENTINEL ident: a batch doc whose whole-signature hash
+    *    (band_id −1) appears in history is matched OUTRIGHT by a
+    *    partition-pruned semi-join — identical signatures estimate
+    *    Jaccard 1.0, so no per-doc expansion is needed and no bucket
+    *    cap can hide a verbatim-or-near-verbatim re-crawl, however
+    *    many million copies history holds.
+    *  - LSH bands: history band buckets build bounded doc-id posting
+    *    lists ([[org.apache.spark.sql.graft.BoundedIdList]], cap
+    *    `maxBucket`); over-cap buckets (boilerplate/empty-doc band
+    *    keys — degenerate by construction) leave candidacy, so a
+    *    probe doc meets ≤ bands·maxBucket history candidates. A near
+    *    pair is missed only if EVERY band it agrees on is over-cap
+    *    AND the signatures are not identical.
+    *
+    * Verification runs on candidates only: signature-estimate Jaccard
+    * (±1/√numHashes ≈ 0.125 at 64 hashes — callers should keep real
+    * thresholds ≥2σ from their decision boundary, which planted
+    * re-crawl twins at J≈0.75 vs threshold 0.5 comfortably are). For
+    * an exact-Jaccard audit against available history text, see
+    * [[matchedIdsExact]]. */
+  def noveltyAgainstStore(batch: DataFrame, dir: String,
+      threshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id", maxBucket: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    val p = readParams(spark, dir)
+    val in = sigBandRows(batch, textCol, idCol, p).cache()
+    val inBands = bandTable(in)
+    val storeBands = loadBands(spark, dir)
+    val identMatched = inBands.where(col("band_id") === -1)
+      .join(storeBands.where(col("band_id") === -1)
+          .select("band_id", "band_hash"),
+        Seq("band_id", "band_hash"), "left_semi")
+      .select(col("doc_id"))
+    val postings = storeBands.where(col("band_id") >= 0)
+      .groupBy("band_id", "band_hash")
+      .agg(org.apache.spark.sql.graft.BoundedIdList
+        .boundedList(maxBucket, col("doc_id")).as("_hs"))
+      .where(col("_hs").isNotNull)
+    val nearMatched = inBands.where(col("band_id") >= 0)
+      .join(postings, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), explode(col("_hs")).as("hist_id"))
+      .distinct()
+      .join(in.select(col("doc_id"), col("sig").as("_si")), Seq("doc_id"))
+      .join(loadSigs(spark, dir)
+          .select(col("doc_id").as("hist_id"), col("sig").as("_sh")),
+        Seq("hist_id"))
+      .where(estJaccard(col("_si"), col("_sh"), p.numHashes) >= threshold)
+      .select(col("doc_id"))
+    val matched = identMatched.unionByName(nearMatched).distinct()
+    // barrier: a union-shaped batch would otherwise have the whole
+    // matched pipeline (and its shingling) cloned into every branch by
+    // PushDownLeftSemiAntiJoin — see PlanGuards.survivorsBarrier
+    graft.PlanGuards.survivorsBarrier(batch, "minhash_store_novelty_in")
+      .join(matched.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** Exact-Jaccard audit twin of [[noveltyAgainstStore]]'s decision:
+    * matched batch doc ids verified against ACTUAL history text (a
+    * candidate-bounded join back to the history corpus — selective,
+    * not a full re-read). Candidacy is the store's band join alone
+    * (no sentinel: signature-identical pairs agree on every band, so
+    * the sentinel adds no candidate the bands don't already have) —
+    * byte-identical banding to [[Dedup.minhashLshPairs]], so with an
+    * un-hit `maxBucket` the matched set equals the self-join form's
+    * cross-pair decisions exactly (gated). */
+  def matchedIdsExact(batch: DataFrame, dir: String, history: DataFrame,
+      threshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id", maxBucket: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    val p = readParams(spark, dir)
+    val shingleSet = (df: DataFrame, out: String) =>
+      df.where(col(textCol).isNotNull)
+        .select(col(idCol).cast("long").as(out),
+          shinglesFast(p.n)(tokens(col(textCol))).as(s"_sh_$out"))
+    val in = sigBandRows(batch, textCol, idCol, p)
+    val storeBands = loadBands(spark, dir).where(col("band_id") >= 0)
+    val postings = storeBands
+      .groupBy("band_id", "band_hash")
+      .agg(org.apache.spark.sql.graft.BoundedIdList
+        .boundedList(maxBucket, col("doc_id")).as("_hs"))
+      .where(col("_hs").isNotNull)
+    val cands = bandTable(in).where(col("band_id") >= 0)
+      .join(postings, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), explode(col("_hs")).as("hist_id"))
+      .distinct()
+    cands
+      .join(shingleSet(batch, "doc_id"), Seq("doc_id"))
+      .join(shingleSet(history, "hist_id"), Seq("hist_id"))
+      .where((size(array_intersect(col("_sh_doc_id"), col("_sh_hist_id")))
+          .cast("double") /
+        size(array_union(col("_sh_doc_id"), col("_sh_hist_id")))) >= threshold)
+      .select(col("doc_id")).distinct()
+  }
+}

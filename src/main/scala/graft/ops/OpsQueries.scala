@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Gate, Q, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dedup + similarity-search operator surface (the LLM-pipeline
@@ -649,6 +649,127 @@ object OpsQueries {
     } finally hist.unpersist()
   }
 
+  /** Incoming feed for the MinHash novelty store: today's crawl
+    * (deciles 8–9) + planted LIGHTLY-EDITED re-crawls of history docs
+    * (one early token replaced — changes the exact-content prefix hash
+    * AND keeps Jaccard ≈ 0.75+, i.e. the blind spot of the exact-hash
+    * bloom store) + synthetic guaranteed-fresh docs (vocabulary
+    * disjoint from the corpus — Jaccard 0 against everything). */
+  private[graft] def mhIncoming(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val editUdf = udf { (text: String) =>
+      val t = text.trim.split("\\s+")
+      t(4) = "xqzedit"
+      t.mkString(" ")
+    }
+    val twins = docs.where(col("doc_id") % 10 < 8 && col("text").isNotNull &&
+        size(split(trim(col("text")), "\\s+")) >= 25 && col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 900000L)
+      .withColumn("text", editUdf(col("text")))
+    val freshUdf = udf { (id: Long) =>
+      (0 until 30).map(i => s"zq${id}t$i").mkString(" ")
+    }
+    val fresh = s.range(40)
+      .select((col("id") + 950000L).as("doc_id"),
+        freshUdf(col("id") + 950000L).as("text"),
+        lit("en").as("lang"), lit("synthfresh").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.where(col("doc_id") % 10 >= 8)
+      .unionByName(twins).unionByName(fresh)
+  }
+
+  /** PERSISTED MinHash-band NEAR-dup novelty store
+    * ([[MinHashBandStore]]) — the near-dup twin of `dedup_novel_store`:
+    * that store's exact-content hash provably cannot catch a
+    * lightly-edited re-crawl, this one does. Build on the first 6
+    * deciles, APPEND 6–7 (incremental maintenance on the flagship
+    * path), probe today's crawl + planted edits + synthetic fresh.
+    * Gates:
+    *
+    *  1. every planted edited twin sheds (Jaccard ≈ 0.75 vs history,
+    *     ≥ 4σ above the 0.5 decision boundary at 64 hashes);
+    *  2. the EXACT-hash filter keeps every one of those twins — the
+    *     measured blind spot this store exists to close;
+    *  3. every synthetic disjoint-vocabulary doc survives;
+    *  4. the exact-Jaccard audit form's matched set equals
+    *     [[Dedup.minhashLshPairs]] run self-join over incoming ∪
+    *     history — banding parity, decision parity;
+    *  5. build(6)+append(2) equals build(8) as row SETS on both store
+    *     tables, and a RETRIED append is fully repaired by compact;
+    *  6. takedown: deleting a history doc's rows frees its edited twin.
+    */
+  val minhashNovelStore: Q = Q.gated("dedup_minhash_novel_store") { (s, d) =>
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mhstore/$tag/store"
+    val docs = Tables.documents(s, d)
+    MinHashBandStore.build(docs.where(col("doc_id") % 10 < 6), dir)
+    MinHashBandStore.append(docs.where(col("doc_id") % 10 isin (6, 7)), dir)
+    MinHashBandStore.noveltyAgainstStore(mhIncoming(s, d), dir)
+      .select("doc_id")
+  } { (s, d, res) =>
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mhstore/$tag"
+    val dir = s"$root/store"
+    val docs = Tables.documents(s, d)
+    val history = docs.where(col("doc_id") % 10 < 8)
+    val incoming = mhIncoming(s, d).cache()
+    try {
+      val twinIds = incoming.where(col("doc_id") >= 900000L && col("doc_id") < 950000L)
+        .select("doc_id").cache()
+      val nTwins = twinIds.count()
+      // 1. edited twins shed
+      val twinsLeaked = res.join(twinIds, Seq("doc_id")).count()
+      // 2. the exact-content form is blind to them (it would keep all)
+      val exactKept = Dedup.novelAgainst(history,
+        incoming.join(twinIds, Seq("doc_id"))).count()
+      // 3. synthetic fresh all survive
+      val freshKept = res.where(col("doc_id") >= 950000L).count()
+      // 4. exact-audit parity with the self-join form
+      val audit = MinHashBandStore.matchedIdsExact(incoming, dir, history)
+      val cols = Seq("doc_id", "text").map(col)
+      val pairs = Dedup.minhashLshPairs(
+        incoming.select(cols: _*).unionByName(history.select(cols: _*)))
+      val inIds = incoming.select(col("doc_id").as("_iid"))
+      val truth = pairs.join(inIds, col("id_a") === col("_iid"))
+        .join(history.select(col("doc_id").as("_hid")), col("id_b") === col("_hid"))
+        .select(col("id_a").as("doc_id"))
+        .unionByName(pairs.join(inIds, col("id_b") === col("_iid"))
+          .join(history.select(col("doc_id").as("_hid")), col("id_a") === col("_hid"))
+          .select(col("id_b").as("doc_id")))
+        .distinct()
+      val parityDiff = audit.exceptAll(truth).count() + truth.exceptAll(audit).count()
+      // 5. append == rebuild (row sets), retried append repaired by compact
+      val rebuilt = s"$root/rebuilt"
+      MinHashBandStore.build(history, rebuilt)
+      def tableDiff(a: String, b: String): Long = {
+        def diff(l: DataFrame, r: DataFrame) =
+          l.exceptAll(r).count() + r.exceptAll(l).count()
+        diff(MinHashBandStore.loadSigs(s, a), MinHashBandStore.loadSigs(s, b)) +
+          diff(MinHashBandStore.loadBands(s, a), MinHashBandStore.loadBands(s, b))
+      }
+      val drift = tableDiff(dir, rebuilt)
+      MinHashBandStore.append(docs.where(col("doc_id") % 10 isin (6, 7)), dir)
+      MinHashBandStore.compact(s, dir)
+      val compactDrift = tableDiff(dir, rebuilt)
+      // 6. takedown frees the victim's edited twin
+      val victimTwin = twinIds.orderBy("doc_id").limit(1).head.getLong(0)
+      val victim = victimTwin - 900000L
+      import s.implicits._
+      MinHashBandStore.deleteDocs(s, rebuilt, Seq(victim).toDF("doc_id"))
+      val twinFreed = MinHashBandStore.noveltyAgainstStore(
+        incoming.where(col("doc_id") === victimTwin), rebuilt).count()
+      Seq(
+        Gate("edited_twins_total", nTwins.toDouble, nTwins > 10),
+        Gate("edited_twins_leaked", twinsLeaked.toDouble, twinsLeaked == 0),
+        Gate("exact_store_blind_spot", exactKept.toDouble, exactKept == nTwins),
+        Gate("synthetic_fresh_kept", freshKept.toDouble, freshKept == 40),
+        Gate("exact_audit_vs_selfjoin_diff", parityDiff.toDouble, parityDiff == 0),
+        Gate("append_vs_rebuild_drift", drift.toDouble, drift == 0),
+        Gate("compact_repairs_retried_append", compactDrift.toDouble, compactDrift == 0),
+        Gate("takedown_frees_edited_twin", twinFreed.toDouble, twinFreed == 1))
+    } finally incoming.unpersist()
+  }
+
   /** Prototype-density pruning (keep the least-prototypical 70% of every
     * embedding cluster — the D4-recipe stage after SemDeDup). Seeded
     * driver k-means is not SQL-expressible → gated on the operator's own
@@ -742,5 +863,6 @@ object OpsQueries {
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain, annPq,
     semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
-    hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore)
+    hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,
+    minhashNovelStore)
 }

@@ -165,6 +165,28 @@ object DocsStream {
       .queryName(name)
       .start()
 
+  /** Streaming NEAR-dup novelty fed by the persisted MinHash band
+    * store ([[graft.ops.MinHashBandStore]]) — the near-dup complement
+    * of [[startNoveltyQueryFromStore]]'s exact-hash filter: each
+    * micro-batch runs the batch store probe via `foreachBatch` (the
+    * probe caches its one-pass signature projection, which a pure
+    * stream-static plan cannot, so the batch operator per micro-batch
+    * is the construction that makes stream ≡ batch exact — the
+    * [[MediaStream.startStoreNoveltyQuery]] discipline), and survivors
+    * append to `outDir` as parquet. History text is never read; the
+    * store frame carries only band keys and signatures. */
+  def startMinhashNoveltyQueryFromStore(spark: SparkSession, dir: String,
+      outDir: String, checkpoint: String, storeDir: String,
+      threshold: Double = 0.5): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.MinHashBandStore.noveltyAgainstStore(batch, storeDir, threshold)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** Crawler-feed schema: the documents fixture plus the crawl/ingestion
     * event time the dedup horizon is measured against. */
   val crawlSchema: StructType = StructType(

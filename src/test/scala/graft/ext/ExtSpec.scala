@@ -767,6 +767,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash-store novelty equals its batch twin; edited twins shed") {
+    import graft.ops.{MinHashBandStore, OpsQueries}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val storeDir = java.nio.file.Files.createTempDirectory("mh-store").toString + "/store"
+    MinHashBandStore.build(docs.where(col("doc_id") % 10 < 8), storeDir)
+    val incoming = OpsQueries.mhIncoming(spark, dir)
+    val batch = MinHashBandStore.noveltyAgainstStore(incoming, storeDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty)
+    val streamDir = java.nio.file.Files.createTempDirectory("mh-novel-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mh-novel-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("mh-novel-ckpt").toString
+    incoming.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = DocsStream.startMinhashNoveltyQueryFromStore(
+      spark, streamDir, outDir, ckpt, storeDir)
+    try {
+      q.processAllAvailable()
+      val stream = spark.read.parquet(outDir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+      // lightly-edited history re-crawls are shed on arrival
+      assert(!stream.exists(id => id >= 900000L && id < 950000L),
+        "an edited history twin survived the stream stage")
+    } finally q.stop()
+  }
+
   test("streaming store novelty (all kinds) equals its batch twin") {
     import graft.multimodal.{Multimodal, MultimodalQueries, SignatureStore}
     import graft.streaming.MediaStream
