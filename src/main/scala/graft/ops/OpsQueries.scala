@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Gate, Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dedup + similarity-search operator surface (the LLM-pipeline
@@ -649,6 +649,142 @@ object OpsQueries {
     } finally hist.unpersist()
   }
 
+  /** Paired cross-modal fixture shared by the alignment queries and
+    * their oracles: embedding `vec_id` is the "image" side, its
+    * successor `vec_id + 1` the "caption" side, and the same-id
+    * document contributes the crawl source — deterministic, id-join
+    * derivable in both engines (ids are contiguous at every SF). */
+  private def crossModalPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    emb.select(col("vec_id").as("pair_id"),
+        col("embedding").as("img_embedding"))
+      .join(emb.select((col("vec_id") - 1).as("pair_id"),
+        col("embedding").as("txt_embedding")), Seq("pair_id"))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id").as("pair_id"), col("source")), Seq("pair_id"))
+  }
+
+  private val CrossModalPairSql =
+    s"""SELECT a.vec_id AS pair_id, d.source, $CosineExpr AS cosine
+       |  FROM embeddings a
+       |  JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       |  JOIN documents d ON d.doc_id = a.vec_id""".stripMargin
+
+  /** Cross-modal alignment filter ([[SimilaritySearch
+    * .crossModalAlignment]]): keep image–text pairs with cosine ≥ 0.1,
+    * oracle-checked end-to-end over the shared paired fixture. */
+  val crossModalFilter: Q = Q(
+    "crossmodal_align_filter",
+    s"""SELECT pair_id, source, cosine FROM ($CrossModalPairSql)
+       |WHERE cosine >= 0.1""".stripMargin
+  ) { (s, d) =>
+    SimilaritySearch.crossModalAlignment(crossModalPairs(s, d))
+      .select("pair_id", "source", "cosine")
+  }
+
+  /** Per-source alignment census ([[SimilaritySearch
+    * .crossModalAlignmentStats]]) — which crawl sources produce
+    * misaligned captions. */
+  val crossModalStats: Q = Q(
+    "crossmodal_align_stats",
+    s"""SELECT source, count(*) AS n_pairs,
+       |  CAST(sum(CASE WHEN cosine >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  avg(cosine) AS avg_cosine, min(cosine) AS min_cosine,
+       |  max(cosine) AS max_cosine
+       |FROM ($CrossModalPairSql)
+       |GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    SimilaritySearch.crossModalAlignmentStats(crossModalPairs(s, d))
+  }
+
+  /** Deterministic messy-URL derivation shared by the Spark query and
+    * its DuckDB oracle (the fixture has no URL column): four shapes
+    * exercising every canonicalization rule — upper-case scheme/host,
+    * default and non-default ports, tracking params, unsorted params,
+    * fragments, trailing slashes. Shapes 0 and 3 canonicalize to the
+    * SAME URL (scheme case + default port + param order + tracking
+    * params + fragment + trailing slash all differ), so URL-level
+    * dedup has real work. */
+  private def derivedUrl: Column = {
+    val k = pmod(col("doc_id"), lit(50)).cast("string")
+    val k25 = pmod(col("doc_id"), lit(25)).cast("string")
+    when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("HTTP://Example.COM:80/a/"), k, lit("/?utm_source=feed&b=2&a=1#sec")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("https://EXAMPLE.com:443/a/"), k, lit("?a=1&b=2&utm_campaign=x")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("https://cdn.Example.com:8080/img/"), k25, lit("/?gclid=abc")))
+      .otherwise(
+        concat(lit("http://example.com/a/"), k, lit("?b=2&a=1&ref=tw")))
+  }
+
+  private val DerivedUrlSql =
+    """CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 0 THEN 'HTTP://Example.COM:80/a/' || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed&b=2&a=1#sec'
+      |    WHEN 1 THEN 'https://EXAMPLE.com:443/a/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2&utm_campaign=x'
+      |    WHEN 2 THEN 'https://cdn.Example.com:8080/img/' || CAST(doc_id % 25 AS VARCHAR) || '/?gclid=abc'
+      |    ELSE 'http://example.com/a/' || CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1&ref=tw'
+      |  END""".stripMargin
+
+  /** DuckDB replica of [[graft.text.TextFunctions.canonicalizeUrl]] —
+    * rule-for-rule, regex-for-regex (RE2-compatible patterns on both
+    * engines); yields columns (doc_id, url, canonical_url). */
+  private val CanonicalUrlSql =
+    s"""WITH u0 AS (SELECT doc_id, $DerivedUrlSql AS url FROM documents),
+       |p AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS u FROM u0),
+       |parts AS (SELECT doc_id, url,
+       |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS a FROM p),
+       |hp AS (SELECT doc_id, url, scheme,
+       |  regexp_extract(a, '^([^/?]*)', 1) AS hostport,
+       |  regexp_replace(a, '^[^/?]*', '') AS pathq FROM parts),
+       |hx AS (SELECT doc_id, url, scheme,
+       |  lower(regexp_replace(hostport, ':[0-9]+$$', '')) AS host,
+       |  regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |  regexp_extract(pathq, '^([^?]*)', 1) AS path,
+       |  regexp_extract(pathq, '[?](.*)', 1) AS qstr FROM hp),
+       |fin AS (SELECT doc_id, url, scheme, host,
+       |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |       OR (scheme = 'https' AND port = '443')
+       |    THEN '' ELSE ':' || port END AS kept_port,
+       |  CASE WHEN path = '' THEN '/'
+       |       WHEN path <> '/' AND path LIKE '%/' THEN substr(path, 1, length(path) - 1)
+       |       ELSE path END AS npath,
+       |  coalesce(array_to_string(list_sort(list_filter(string_split(qstr, '&'),
+       |    x -> x <> '' AND NOT regexp_matches(x,
+       |      '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$$'))), '&'), '') AS q
+       |  FROM hx)
+       |SELECT doc_id, url,
+       |  scheme || '://' || host || kept_port || npath ||
+       |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+       |FROM fin""".stripMargin
+
+  /** URL canonicalization, oracle-checked rule-for-rule against the
+    * DuckDB replica over the shared derived-URL column. */
+  val urlCanonicalize: Q = Q("url_canonicalize", CanonicalUrlSql) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), derivedUrl.as("url"))
+      .withColumn("canonical_url",
+        graft.text.TextFunctions.canonicalizeUrl(col("url")))
+  }
+
+  /** URL-level dedup — the FIRST stage of every public crawl pipeline
+    * (C4/RefinedWeb/FineWeb dedup on canonical URL before any content
+    * pass): group by canonical URL, keep the min doc_id. Exact
+    * hash-groupBy shuffle, the same scale shape as `dedup_exact_prefix`. */
+  val urlDedup: Q = Q(
+    "dedup_url_keepfirst",
+    s"""SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keep_id
+       |FROM ($CanonicalUrlSql)
+       |GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.canonicalizeUrl(derivedUrl).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+  }
+
   /** Incoming feed for the MinHash novelty store: today's crawl
     * (deciles 8–9) + planted LIGHTLY-EDITED re-crawls of history docs
     * (one early token replaced — changes the exact-content prefix hash
@@ -864,5 +1000,6 @@ object OpsQueries {
     semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
     hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,
-    minhashNovelStore)
+    minhashNovelStore, urlCanonicalize, urlDedup, crossModalFilter,
+    crossModalStats)
 }

@@ -138,6 +138,36 @@ object SimilaritySearch {
       .where(col("cosine") >= threshold)
   }
 
+  /** LAION-style cross-modal alignment filter: rows pairing an image
+    * embedding with its caption/text embedding keep only pairs whose
+    * cosine reaches `minCosine` — the standard keep-if-aligned gate a
+    * web-scale image–text corpus runs before training. Shuffle-FREE: a
+    * codegen'd projection ([[graft.functions.VectorFunctions
+    * .arrayCosine]]) plus a filter, so it streams through whatever
+    * partitioning the pair source already has — the 100 TB shape is
+    * "read shard, project, filter, write shard" with zero exchanges.
+    * Output: the input columns plus `cosine`. */
+  def crossModalAlignment(pairs: DataFrame, imgCol: String = "img_embedding",
+      txtCol: String = "txt_embedding", minCosine: Double = 0.1): DataFrame =
+    pairs
+      .withColumn("cosine", arrayCosine(col(imgCol), col(txtCol)))
+      .where(col("cosine") >= minCosine)
+
+  /** Per-source alignment quality census over the SAME pairing — the
+    * monitoring twin of [[crossModalAlignment]] (which crawl sources
+    * produce misaligned captions): one map-side-combined groupBy. */
+  def crossModalAlignmentStats(pairs: DataFrame, srcCol: String = "source",
+      imgCol: String = "img_embedding", txtCol: String = "txt_embedding",
+      minCosine: Double = 0.1): DataFrame =
+    pairs
+      .withColumn("cosine", arrayCosine(col(imgCol), col(txtCol)))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cosine") >= minCosine, 1L).otherwise(0L)).as("n_kept"),
+        avg(col("cosine")).as("avg_cosine"),
+        min(col("cosine")).as("min_cosine"),
+        max(col("cosine")).as("max_cosine"))
+
   /** Random-hyperplane LSH ANN with multi-probe queries: per table t,
     * bucket(v) = sign-bit string of ⟨v, h_t,1..b⟩; the INDEX stores each
     * vector in its home bucket only, while each QUERY probes its home

@@ -53,6 +53,56 @@ object TextFunctions {
         .digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 15), 16)
 
+  /** Tracking query parameters every public crawl pipeline strips
+    * before URL-level dedup (C4/RefinedWeb/FineWeb discipline):
+    * the utm_* family plus the big ad-click identifiers. */
+  val TrackingParamPattern = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=.*)?$"
+
+  /** Canonical URL — the key URL-level dedup groups by. Pure codegen'd
+    * string expressions (RE2-compatible regexes, no lookarounds), so a
+    * DuckDB oracle replicates every rule verbatim. Rules, in order:
+    *
+    *  1. trim surrounding whitespace; strip the `#fragment`;
+    *  2. lowercase the scheme and the host (ASCII fold — the same
+    *     collation caveat as [[tokens]]); path/query case is preserved
+    *     (paths are case-sensitive on most origins);
+    *  3. drop the default port (`:80` for http, `:443` for https);
+    *     non-default ports survive;
+    *  4. drop tracking parameters ([[TrackingParamPattern]]) and empty
+    *     `&&` fragments, SORT the surviving `key=value` params
+    *     byte-lexically (param order is transport noise), drop the `?`
+    *     when nothing survives;
+    *  5. normalize an empty path to `/` and strip one trailing slash
+    *     from longer paths (`/a/b/` ≡ `/a/b`).
+    *
+    * A non-URL string passes through these rules unharmed (no scheme →
+    * rules 2–3 no-op on the empty extract) — garbage in, stable
+    * garbage out, never an exception at 10⁹-rows scale. */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(trim(url), "#.*", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(afterScheme, "^([^/?]*)", 1)
+    val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keptPort = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), "")
+      .otherwise(concat(lit(":"), port))
+    val pathQuery = regexp_replace(afterScheme, "^[^/?]*", "")
+    val path = regexp_extract(pathQuery, "^([^?]*)", 1)
+    val qstr = regexp_extract(pathQuery, "[?](.*)", 1)
+    val params = filter(split(qstr, "&"),
+      p => p =!= lit("") && !p.rlike(TrackingParamPattern))
+    val query = array_join(array_sort(params), "&")
+    val normPath = when(path === "", "/")
+      .when(path =!= "/" && path.endsWith("/"),
+        path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    concat(scheme, lit("://"), host, keptPort, normPath,
+      when(query === "", "").otherwise(concat(lit("?"), query)))
+  }
+
   /** Modulus keeping rolling-hash arithmetic inside 2^36 (ANSI-safe). */
   val HashMod = 2147483647L // 2^31 − 1
 

@@ -25,6 +25,35 @@ class TextSpec extends AnyFunSuite {
 
   private def one(text: String): (Int, Int, String) = run(Seq(text)).head
 
+  test("canonicalizeUrl: every documented rule, plus garbage stability") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme/host case + default port + fragment + tracking + sort + trailing slash
+      ("HTTP://Example.COM:80/a/1/?utm_source=f&b=2&a=1#sec",
+        "http://example.com/a/1?a=1&b=2"),
+      ("https://EXAMPLE.com:443/x?a=1", "https://example.com/x?a=1"),
+      // non-default port survives; all-tracking query drops the '?'
+      ("https://cdn.Ex.com:8080/img/?gclid=abc&fbclid=z&msclkid=q&ref=tw",
+        "https://cdn.ex.com:8080/img"),
+      // empty path -> '/', empty params pruned, utm_ prefix family
+      ("http://A.b.C?utm_campaign&&z=9&y=8", "http://a.b.c/?y=8&z=9"),
+      // root path kept; https default port with explicit path
+      ("https://host:443/", "https://host/"),
+      // path/query case preserved, only scheme+host fold
+      ("HTTPS://Host/Path/File?Q=V", "https://host/Path/File?Q=V"),
+      // ftp: unknown scheme, port kept (no default known)
+      ("FTP://Host:21/f", "ftp://host:21/f"),
+      // whitespace trim
+      ("  http://h/x  ", "http://h/x"),
+      // garbage in, stable garbage out — no exception
+      ("not a url", "://not a url/"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TextFunctions.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    for (((in, want), g) <- cases.zip(got))
+      assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
+  }
+
   test("emails are counted and redacted at start, middle, and end of string") {
     assert(one("alice@example.com wrote this") ==
       ((1, 0, "[EMAIL] wrote this")))
