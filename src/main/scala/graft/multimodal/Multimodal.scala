@@ -359,11 +359,19 @@ object Multimodal {
     * canonicalized media_a < media_b). Input: one row per
     * (media_id, sim) occurrence; multiplicity is collapsed here.
     *
-    * NOT cached: every consumer (the n_sigs census, the distinct-sim
-    * candidacy, both ownership sides) sits above the distinct's shuffle
-    * exchange with an identical subtree — Spark's ReuseExchange
-    * computes that shuffle ONCE (pinned in MultimodalSpec), so a
-    * `.cache()` here would only pin executor storage for the session.
+    * CACHED (r15 — reversing the r12 "rely on ReuseExchange" call):
+    * the distinct signature frame has five consumers (n_sigs census,
+    * stop-sim census, distinct-sim candidacy, both ownership sides)
+    * and COLUMN PRUNING gives each a differently-pruned subtree below
+    * the distinct's exchange — canonically different plans, so
+    * ReuseExchange never actually unified them and every pruning
+    * group re-ran the decode-bearing builder (measured: 4.7 decodes
+    * per sampled frame; the ExtSpec reuse pin matched the string
+    * "ReusedExchange" while most consumers recomputed). The cache is
+    * the one materialization point pruning cannot split; rows are
+    * (media_id, sim[, vfy]) — tiny. Decode budget is now pinned ≤ one
+    * per sampled frame in ExtSpec. Cache lifetime note on
+    * [[graft.ops.Dedup.jaccardPairs]] applies.
     *
     * HOT-BUCKET SAFETY — what is and is not bounded:
     *
@@ -399,22 +407,27 @@ object Multimodal {
     require(bits >= maxHamming + 1 && bits <= 64, s"bits in [maxHamming+1, 64], got $bits")
     require(vfyMae.isEmpty || rawSigs.columns.contains("vfy"),
       "vfyMae verification needs a `vfy` column on the signatures")
+    // ONE cached frame feeds every consumer: the distinct signature
+    // rows plus the per-sim owner census as a WINDOW column (one
+    // exchange on sim over the distinct rows, computed once at cache
+    // fill — see the CACHED note above; a separate census aggregate +
+    // anti-join measured ~2× this cost from repeated subtrees, and a
+    // broadcast cut serialized the whole decode behind the broadcast
+    // barrier). approx_count_distinct: exact at small cardinalities,
+    // ±rsd near the cap — the cap is a latch, not a contract boundary,
+    // and distinct-counting (not row-counting) keeps a sig with many
+    // verify-payload variants in ONE asset from tripping it.
+    require(maxSimOwners >= 1, s"maxSimOwners >= 1, got $maxSimOwners")
     val sigs = rawSigs.distinct()
+      .withColumn("_owners", approx_count_distinct(col("media_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("sim"))))
+      .cache()
     // signature count = distinct SIM values (a sig carrying several
     // verify payloads — e.g. drifted frames sharing a pHash — is one
-    // signature for the match-fraction denominator)
+    // signature for the match-fraction denominator; computed over ALL
+    // rows, so the stop-sim cut below only ever SHRINKS match_frac)
     val nsigs = sigs.groupBy("media_id").agg(countDistinct("sim").as("n_sigs"))
-    // stop-sims: sims owned by more media than the cap leave candidacy
-    // (doc comment above). The owner census is a 4th consumer of the
-    // distinct's exchange (ReusedExchange, pinned in ExtSpec); the cut
-    // itself is a broadcast anti-join — hot sims number ≤ |sigs| /
-    // maxSimOwners by definition, a tiny frame
-    require(maxSimOwners >= 1, s"maxSimOwners >= 1, got $maxSimOwners")
-    val hotSims = sigs.groupBy("sim")
-      .agg(countDistinct(col("media_id")).as("_owners"))
-      .where(col("_owners") > maxSimOwners)
-      .select("sim")
-    val candSigs = sigs.join(broadcast(hotSims), Seq("sim"), "left_anti")
+    val candSigs = sigs.where(col("_owners") <= maxSimOwners).drop("_owners")
     val near = graft.ops.Dedup.nearSimPairsSelf(
       candSigs.select("sim").distinct(), maxHamming, bits, maxBucket)
     // both orders: sim-pair canonicalization (sim_a < sim_b) is

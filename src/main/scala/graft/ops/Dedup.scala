@@ -425,10 +425,14 @@ object Dedup {
       .select(col("sims"), explode(col("sims")).as("sim_a"))
       .select(col("sim_a"),
         explode(filter(col("sims"), y => y > col("sim_a"))).as("sim_b"))
-      .distinct() // a pair agreeing on several chunks surfaces once
       .select(col("sim_a"), col("sim_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      // dedupe (a pair agreeing on several chunks surfaces once) AFTER
+      // the exact verify: bit_count is a cheap streamed expression and
+      // most bucket cohabitants fail it, so the distinct's shuffle sees
+      // the small verified pair set instead of the full candidate mass
+      .distinct()
   }
 
   /** Cross-frame twin of [[nearSimPairsSelf]] for incoming-vs-history
