@@ -139,11 +139,28 @@ object MinHashBandStore {
     } finally rows.unpersist()
   }
 
+  // explicit schemas: an empty-corpus build (or a takedown that emptied
+  // every band partition) must load as an EMPTY frame, not fail parquet
+  // schema inference
+  private val SigsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+
+  private val BandsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band_hash",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band_id",
+      org.apache.spark.sql.types.IntegerType)))
+
   def loadSigs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/sigs")
+    spark.read.schema(SigsSchema).parquet(s"$dir/sigs")
 
   def loadBands(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/bands")
+    spark.read.schema(BandsSchema).parquet(s"$dir/bands")
 
   /** Collapse duplicate rows (retried appends) and many small append
     * files into one file per band partition / one sigs file set. */

@@ -654,7 +654,7 @@ object OpsQueries {
     * successor `vec_id + 1` the "caption" side, and the same-id
     * document contributes the crawl source — deterministic, id-join
     * derivable in both engines (ids are contiguous at every SF). */
-  private def crossModalPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def crossModalPairs(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     emb.select(col("vec_id").as("pair_id"),
         col("embedding").as("img_embedding"))

@@ -537,4 +537,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l =>
       l.contains("Window") && l.contains("source")), p)
   }
+
+  test("crossModalAlignment over stored pairs: shuffle-free projection + filter") {
+    // the 100 TB contract: pairs arrive stored (one row per image-text
+    // pair); the keep-if-aligned gate must plan as scan -> project ->
+    // filter with ZERO exchanges. (The oracle query's id-join pairing is
+    // fixture derivation, not the operator.)
+    val paired = s"${sys.props("java.io.tmpdir")}/graft_planspec_pairs"
+    graft.ops.OpsQueries.crossModalPairs(spark, dir)
+      .write.mode("overwrite").parquet(paired)
+    val kept = graft.ops.SimilaritySearch.crossModalAlignment(
+      spark.read.parquet(paired))
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the corpus-scale alignment pass must not shuffle:\n$p")
+  }
+
+  test("url_canonicalize: pure projection; url dedup keeps its partial agg phase") {
+    val pc = plan("url_canonicalize")
+    assert(!pc.contains("Exchange"),
+      s"canonicalization must be a shuffle-free projection:\n$pc")
+    assert(!pc.contains("BatchEvalPython") && !pc.contains("ScalaUDF"),
+      s"canonicalizeUrl must stay a native codegen'd expression:\n$pc")
+    val pd = plan("dedup_url_keepfirst")
+    assert(pd.contains("partial_count") || pd.contains("partial_min"),
+      s"keep-first dedup must map-side combine:\n$pd")
+    assert(!pd.contains("CartesianProduct"), pd)
+  }
+
+  test("store-novelty candidacy (av): bounded postings equi-join, never a cartesian") {
+    val p = plan("multimodal_av_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"matchedIds candidacy must be the bounded banding equi-join:\n$p")
+    // the bounded posting aggregate (BoundedIdList over history sims)
+    // must be present — a revert to the raw chunked join would drop it
+    assert(p.contains("bounded_id_list"),
+      s"history candidacy must build bounded posting lists:\n$p")
+  }
 }

@@ -928,6 +928,50 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("scale stress: minhash-band-store novelty is O(batch), not O(history)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // Same discipline as the signature-store probe: one incoming batch
+    // against a 20k-doc and a 160k-doc store — probe wall time must grow
+    // far sublinearly vs the 8x history (the probe is a band equi-join
+    // over band keys + sig verify on candidates; history text is never
+    // shingled). Planted batch copies shed at both sizes; synthetic
+    // unique docs survive.
+    import spark.implicits._
+    import graft.ops.MinHashBandStore
+    def synthDocs(n: Int, tag: String) = spark.range(n.toLong)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit(s"w$tag"), pmod(col("id") * (i * 2 + 7), lit(9973)).cast("string"))): _*)
+          .as("text"))
+    val batch = synthDocs(2000, "b").cache()
+    batch.count()
+    val small = "/tmp/graft_profile_mhstore_small"
+    val big = "/tmp/graft_profile_mhstore_big"
+    // history = its own synthetic population + a copy of HALF the batch
+    val planted = batch.where(col("doc_id") < 1000)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    MinHashBandStore.build(synthDocs(20000, "h").unionByName(planted), small)
+    MinHashBandStore.build(
+      synthDocs(160000, "h").unionByName(planted), big)
+    def probe(dir: String, label: String): (Double, Set[Long]) = {
+      val t0 = System.nanoTime()
+      val kept = MinHashBandStore.noveltyAgainstStore(batch, dir)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] mh-store novelty $label%-8s $dt%8.2f s, kept ${kept.size}")
+      (dt, kept)
+    }
+    probe(small, "warmup")
+    val (tSmall, keptSmall) = probe(small, "20k")
+    val (tBig, keptBig) = probe(big, "160k")
+    assert(keptSmall == (1000L until 2000L).toSet,
+      "planted batch copies must shed; unique docs must survive")
+    assert(keptBig == keptSmall, "8x history changed the decision set")
+    assert(tBig <= math.max(tSmall, 0.5) * 4,
+      f"8x history cost ${tBig / tSmall}%.1fx — probe is not O(batch): $tSmall%.2f -> $tBig%.2f s")
+    batch.unpersist()
+  }
+
   test("scale stress: hammingPairs under planted adversarial skew (star + bounded postings)") {
     assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
     // The population the r14 bounded rewrite exists for: 100k IDENTICAL

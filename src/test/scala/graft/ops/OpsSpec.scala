@@ -612,3 +612,67 @@ class IvfIndexSpec extends AnyFunSuite {
     res.collect() // executes against the pruned scan
   }
 }
+
+class MinHashBandStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def tmpStore(): String =
+    java.nio.file.Files.createTempDirectory("mhband").toString + "/store"
+
+  private def docsDF(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("params are persisted, trusted, and missing-file probes fail loudly") {
+    val dir = tmpStore()
+    MinHashBandStore.build(docsDF(Seq((1L, "a b c d e f g"))), dir,
+      params = MinHashBandStore.Params(n = 2, numHashes = 32, bands = 8, seed = 7L))
+    val p = MinHashBandStore.readParams(spark, dir)
+    assert(p == MinHashBandStore.Params(2, 32, 8, 7L))
+    val e = intercept[Exception](
+      MinHashBandStore.readParams(spark, tmpStore() + "_absent"))
+    assert(e.getMessage != null)
+    intercept[IllegalArgumentException](MinHashBandStore.Params(bands = 7))
+  }
+
+  test("empty store keeps everything; null-text batch rows pass through unharmed") {
+    val dir = tmpStore()
+    MinHashBandStore.build(docsDF(Nil), dir)
+    val batch = docsDF(Seq((1L, "the quick brown fox jumps"), (2L, null)))
+    val kept = MinHashBandStore.noveltyAgainstStore(batch, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L),
+      "an empty history proves nothing a dup — and an unprovable (null) doc must never drop")
+  }
+
+  test("deleteDocs of an absent id is a no-op; delete of a real id frees its copy") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = tmpStore()
+    MinHashBandStore.build(docsDF(Seq((10L, text), (11L, "unrelated words entirely here now"))), dir)
+    val before = (MinHashBandStore.loadSigs(spark, dir).count(),
+      MinHashBandStore.loadBands(spark, dir).count())
+    MinHashBandStore.deleteDocs(spark, dir, Seq(999L).toDF("doc_id"))
+    val after = (MinHashBandStore.loadSigs(spark, dir).count(),
+      MinHashBandStore.loadBands(spark, dir).count())
+    assert(before == after, "deleting an absent id must change nothing")
+    // a verbatim copy of doc 10 sheds; after takedown of 10 it survives
+    val copy = docsDF(Seq((900L, text)))
+    assert(MinHashBandStore.noveltyAgainstStore(copy, dir).count() == 0)
+    MinHashBandStore.deleteDocs(spark, dir, Seq(10L).toDF("doc_id"))
+    assert(MinHashBandStore.noveltyAgainstStore(copy, dir).count() == 1)
+  }
+
+  test("sentinel ident probe partition-prunes to the band_id=-1 directory") {
+    val dir = tmpStore()
+    MinHashBandStore.build(docsDF(Seq((1L, "one two three four five six"))), dir)
+    val p = MinHashBandStore.loadBands(spark, dir)
+      .where(col("band_id") === -1)
+      .queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("band_id") && !scanLine.contains("PartitionFilters: []"),
+      s"the ident semi-join's store scan must prune to the sentinel partition:\n$p")
+  }
+}
