@@ -101,6 +101,20 @@ object SignatureStore {
       .unionByName(videoSigRows(media, videoStride))
       .unionByName(audioSigRows(media))
       .distinct()
+      // per-asset signature census, PERSISTED at ingest (one O(batch)
+      // window) so every later novelty probe reads its containment
+      // denominator from the store row instead of re-running a window
+      // shuffle over the WHOLE history per batch — at a 100 TB corpus
+      // the store is ~0.1% of corpus bytes but still far larger than
+      // any daily batch. Contract: an asset's rows arrive within ONE
+      // batch (each media row carries its whole payload); re-ingesting
+      // a CHANGED asset under the same id should deleteSignatures
+      // first, else its old and new rows carry per-batch censuses and
+      // probes read the max (conservative: a larger denominator only
+      // lowers match fractions).
+      .withColumn("n_sigs", size(collect_set(col("sig")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id"), col("kind")))))
 
   /** Build the store from scratch: the one full-corpus decode pass this
     * corpus will ever pay. */
@@ -124,7 +138,7 @@ object SignatureStore {
     * downstream novelty probe degrades to keep-everything. */
   val schema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
-      "media_id BIGINT, sig BIGINT, thumb BINARY, kind STRING")
+      "media_id BIGINT, sig BIGINT, thumb BINARY, n_sigs INT, kind STRING")
 
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(schema).parquet(dir)
@@ -253,14 +267,17 @@ object SignatureStore {
     * (in, hist) pair gets a containment/verify decision), bounded by
     * true duplicate mass rather than by a latch.
     *
-    * Consumption discipline: the per-asset signature census (the
+    * Consumption discipline: the INCOMING side's per-asset census (the
     * containment denominator) is a WINDOW column so the decode-bearing
-    * INCOMING frame is consumed exactly ONCE — its ownership columns
-    * travel through the candidacy join (pinned by the signature-store
-    * query's `steady_batch_history_decodes` gate). The history side is
-    * a payload-free signature scan, read twice (distinct sims for the
-    * index; ownership rows for the re-join) — 16–72-byte rows, no
-    * decodes either way. */
+    * frame is consumed exactly ONCE — its ownership columns travel
+    * through the candidacy join (pinned by the signature-store query's
+    * `steady_batch_history_decodes` gate). The HISTORY side reads its
+    * census from the store's persisted `n_sigs` column when present
+    * (written once at ingest — a daily probe must not re-window the
+    * whole history store per batch; the window fallback covers raw
+    * frames without the column). History is a payload-free signature
+    * scan, read twice (distinct sims for the index; ownership rows for
+    * the re-join) — 16–72-byte rows, no decodes either way. */
   private[graft] def matchedIds(inSigs: DataFrame, histSigs: DataFrame,
       maxHamming: Int, bits: Int, minMatchFrac: Double,
       maxThumbMae: Option[Double], maxBucket: Int = 4096): DataFrame = {
@@ -271,11 +288,13 @@ object SignatureStore {
     val wOwn = org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))
     def withCensus(df: DataFrame, idCol: String, sigCol: String,
         thumbCol: String, nCol: String): DataFrame = {
+      val censused =
+        if (df.columns.contains("n_sigs")) df.withColumn("_n_own", col("n_sigs"))
+        else df.withColumn("_n_own", size(collect_set(col("sig")).over(wOwn)))
       val kept = Seq(col("media_id").as(idCol), col("sig").as(sigCol),
         col("_n_own").as(nCol)) ++
         (if (maxThumbMae.isDefined) Seq(col("thumb").as(thumbCol)) else Nil)
-      df.withColumn("_n_own", size(collect_set(col("sig")).over(wOwn)))
-        .select(kept: _*)
+      censused.select(kept: _*)
     }
     val inRows = withCensus(inSigs, "in_id", "sim", "_ti", "_n_in")
     val histSims = histSigs.select(col("sig").as("sim")).distinct()
@@ -292,8 +311,11 @@ object SignatureStore {
         col("_n_in"), col("_n_hist"))
       .distinct() // a pair agreeing on several chunks surfaces once
       .groupBy(col("in_id"), col("hist_id"))
+      // max, not first: deterministic, and on a store holding mixed
+      // per-batch censuses for a re-ingested asset the LARGER
+      // denominator is the conservative read (fractions only shrink)
       .agg(countDistinct(col("sig_in")).as("n_matched"),
-        first(col("_n_in")).as("n_in"), first(col("_n_hist")).as("n_hist"))
+        max(col("_n_in")).as("n_in"), max(col("_n_hist")).as("n_hist"))
       .where(col("n_matched").cast("double") /
         least(col("n_in"), col("n_hist")) >= minMatchFrac)
       .select(col("in_id").as("media_id")).distinct()
@@ -334,7 +356,8 @@ object SignatureStore {
     // mapPartitions branches, so each of the three probes would
     // re-evaluate (re-decode) all three incoming branches
     def slice(df: DataFrame, k: String) =
-      df.where(col("kind") === k).select(col("media_id"), col("sig"), col("thumb"))
+      df.where(col("kind") === k)
+        .select(col("media_id"), col("sig"), col("thumb"), col("n_sigs"))
     // image: one signature per asset ⇒ containment over least(1, n) is
     // simply "any verified match" — the perceptualNoveltyBatch contract
     val img = matchedIds(imageSigRows(incoming).distinct(), slice(store, "image"),
