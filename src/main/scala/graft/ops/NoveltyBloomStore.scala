@@ -30,8 +30,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * operator-visible missing file, never silent data loss. */
 object NoveltyBloomStore {
 
+  /** Store key. `prefixChars >= 1` is the document-content form
+    * (md5 of the lowercased first-N-chars prefix — robust to trailing
+    * boilerplate drift). `prefixChars == 0` is the RAW-KEY form: md5 of
+    * the column value verbatim — no lowercase, no prefix cut — for
+    * columns that are ALREADY canonical keys, e.g. a canonicalized URL
+    * ([[graft.text.TextFunctions.canonicalizeUrl]]): the crawl
+    * frontier's seen-URL set. The mode is recorded in the store header
+    * (prefixChars), so probes can never mix key forms. */
   private def docKey(textCol: String, prefixChars: Int) =
-    md5(substring(lower(col(textCol)), 1, prefixChars))
+    if (prefixChars == 0) md5(col(textCol))
+    else md5(substring(lower(col(textCol)), 1, prefixChars))
 
   private def keyBloom(df: DataFrame, textCol: String, prefixChars: Int,
       fpp: Double, capacity: Long): BloomFilter =
@@ -43,7 +52,7 @@ object NoveltyBloomStore {
   def build(history: DataFrame, dir: String, textCol: String = "text",
       prefixChars: Int = 80, fpp: Double = 1e-4,
       capacity: Long = 10000000L): Unit = {
-    require(prefixChars >= 1 && fpp > 0 && fpp < 1 && capacity >= 1,
+    require(prefixChars >= 0 && fpp > 0 && fpp < 1 && capacity >= 1,
       s"bad params ($prefixChars, $fpp, $capacity)")
     writeStore(history.sparkSession, dir,
       keyBloom(history, textCol, prefixChars, fpp, capacity),

@@ -785,6 +785,99 @@ object OpsQueries {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
   }
 
+  private def canonUrls(s: SparkSession, d: String, pred: Column): DataFrame =
+    Tables.documents(s, d).where(pred)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.canonicalizeUrl(derivedUrl).as("url"))
+
+  /** Crawl-frontier seen-URL filter: [[graft.text.TextFunctions
+    * .canonicalizeUrl]] composed with the persisted novelty bloom in
+    * RAW-KEY mode — THE first stage of a recurring crawl at 100 TB
+    * (fetch only URLs never seen before), O(batch) per day with history
+    * as bloom bytes. Gates:
+    *
+    *  1. planted re-crawl VARIANTS of history URLs — extra tracking
+    *     params, different fragment — shed (their canonical form is
+    *     identical), while a raw-keyed store over the UN-canonicalized
+    *     URLs provably keeps every one of them: canonicalization is
+    *     the load-bearing step;
+    *  2. synthetic never-seen URLs survive (recall ≥ 1 − 3·fpp);
+    *  3. store decisions equal the exact anti-join twin on canonical
+    *     URLs (zero false negatives — no seen URL re-enters);
+    *  4. incremental append ≡ from-scratch rebuild, byte-for-byte. */
+  val urlNovelStore: Q = Q.gated("dedup_url_novel_store") { (s, d) =>
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_urlbloom/$tag/store"
+    NoveltyBloomStore.build(canonUrls(s, d, col("doc_id") % 10 < 6), dir,
+      textCol = "url", prefixChars = 0, capacity = 1000000L)
+    NoveltyBloomStore.append(canonUrls(s, d, col("doc_id") % 10 isin (6, 7)),
+      dir, textCol = "url")
+    val batch = urlBatch(s, d)
+    NoveltyBloomStore.novelAgainst(batch, dir, textCol = "url")
+      .select("doc_id", "url")
+  } { (s, d, res) =>
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_urlbloom/$tag"
+    val batch = urlBatch(s, d).cache()
+    try {
+      val nVariants = batch.where(col("doc_id") >= 800000L && col("doc_id") < 850000L).count()
+      val variantsLeaked = res.where(col("doc_id") >= 800000L && col("doc_id") < 850000L).count()
+      // the raw-keyed (un-canonicalized) store is blind to every variant
+      val rawDir = s"$root/raw"
+      val rawHist = Tables.documents(s, d).where(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), derivedUrl.as("url"))
+      NoveltyBloomStore.build(rawHist, rawDir, textCol = "url",
+        prefixChars = 0, capacity = 1000000L)
+      val rawVariants = rawVariantUrls(s, d)
+      val rawKept = NoveltyBloomStore.novelAgainst(rawVariants, rawDir,
+        textCol = "url").count()
+      // exact twin on canonical urls
+      val hist = canonUrls(s, d, col("doc_id") % 10 < 8)
+        .select(col("url")).distinct().cache()
+      val exactNovel = batch.join(hist, Seq("url"), "left_anti")
+      val nExact = exactNovel.count()
+      val dupLeaks = res.join(batch.join(hist, Seq("url")).select("doc_id"),
+        Seq("doc_id")).count()
+      val recall = if (nExact == 0) 1.0 else res.count().toDouble / nExact
+      hist.unpersist()
+      // incremental == rebuild, byte-for-byte
+      NoveltyBloomStore.build(canonUrls(s, d, col("doc_id") % 10 < 8),
+        s"$root/rebuilt", textCol = "url", prefixChars = 0, capacity = 1000000L)
+      def md5Of(p: String): String = {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p, "bloom.bin"))
+        java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          .map("%02x".format(_)).mkString
+      }
+      val bytesEqual = md5Of(s"$root/store") == md5Of(s"$root/rebuilt")
+      Seq(
+        Gate("variants_total", nVariants.toDouble, nVariants > 50),
+        Gate("variants_leaked", variantsLeaked.toDouble, variantsLeaked == 0),
+        Gate("raw_store_blind_spot", rawKept.toDouble, rawKept == nVariants),
+        Gate("dup_leaks", dupLeaks.toDouble, dupLeaks == 0),
+        Gate("novel_recall", recall, recall >= 1 - 3e-4),
+        Gate("merge_equals_rebuild_bytes", if (bytesEqual) 1 else 0, bytesEqual))
+    } finally batch.unpersist()
+  }
+
+  /** Raw (un-canonicalized) re-crawl variants of history URLs: extra
+    * tracking params and a changed fragment — byte-different, same
+    * canonical form. */
+  private def rawVariantUrls(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") % 10 < 8 && col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 800000L).as("doc_id"),
+        concat(derivedUrl, lit("&utm_medium=email#frag2")).as("url"))
+
+  /** Today's URL frontier: re-crawl variants (must shed) + never-seen
+    * fresh URLs (must survive). */
+  private def urlBatch(s: SparkSession, d: String): DataFrame =
+    rawVariantUrls(s, d)
+      .withColumn("url", graft.text.TextFunctions.canonicalizeUrl(col("url")))
+      .unionByName(Tables.documents(s, d).where(col("doc_id") % 10 >= 8)
+        .select((col("doc_id") + 850000L).as("doc_id"),
+          concat(lit("https://fresh.example/p/"), col("doc_id").cast("string"))
+            .as("url")))
+
   /** Incoming feed for the MinHash novelty store: today's crawl
     * (deciles 8–9) + planted LIGHTLY-EDITED re-crawls of history docs
     * (one early token replaced — changes the exact-content prefix hash
@@ -1008,6 +1101,6 @@ object OpsQueries {
     semanticDups, canonical, retained, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
     hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,
-    minhashNovelStore, urlCanonicalize, urlDedup, crossModalFilter,
-    crossModalStats)
+    minhashNovelStore, urlCanonicalize, urlDedup, urlNovelStore,
+    crossModalFilter, crossModalStats)
 }
