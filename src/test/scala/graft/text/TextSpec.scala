@@ -45,6 +45,12 @@ class TextSpec extends AnyFunSuite {
       ("FTP://Host:21/f", "ftp://host:21/f"),
       // whitespace trim
       ("  http://h/x  ", "http://h/x"),
+      // userinfo and IPv6 literals stay opaque inside the host segment
+      ("http://User@Host.com/x", "http://user@host.com/x"),
+      ("https://[::1]:8080/v6", "https://[::1]:8080/v6"),
+      ("https://[::1]:443/v6", "https://[::1]/v6"),
+      // mixed tracking + real params interleaved, all resorted
+      ("http://h/p?z=1&utm_a=2&y=3&gclid=4&x=5", "http://h/p?x=5&y=3&z=1"),
       // garbage in, stable garbage out — no exception
       ("not a url", "://not a url/"))
     val got = cases.map(_._1).toDF("url")
