@@ -178,6 +178,25 @@ class BandingPropSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("nearSimPairsCross: empty sides, duplicate left sims, bad params") {
+    import spark.implicits._
+    val some = Seq(5L).toDF("sim")
+    val someRows = Seq((1L, 5L), (2L, 5L)).toDF("in_id", "sim")
+    val empty = spark.emptyDataset[Long].toDF("sim")
+    assert(Dedup.nearSimPairsCross(someRows, empty, 3, 60, 8).count() == 0)
+    assert(Dedup.nearSimPairsCross(empty.select(col("sim")), some, 3, 60, 8).count() == 0)
+    // ownership semantics: every left ROW meets the index — two assets
+    // carrying the same sim both surface (each once via the sentinel,
+    // once per agreeing band; callers dedupe at their aggregation key)
+    val out = Dedup.nearSimPairsCross(someRows, some, 3, 60, 8)
+      .select("in_id", "sim_r", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 5L, 0), (2L, 5L, 0)), s"$out")
+    intercept[IllegalArgumentException](Dedup.nearSimPairsCross(someRows, some, 0, 60, 8))
+    intercept[IllegalArgumentException](Dedup.nearSimPairsCross(someRows, some, 3, 2, 8))
+    intercept[IllegalArgumentException](Dedup.nearSimPairsCross(someRows, some, 3, 60, 1))
+  }
+
   test("nearSimPairsCross: equals brute force when no bucket is over-cap") {
     import spark.implicits._
     val maxHamming = 5
