@@ -165,6 +165,37 @@ object DocsStream {
       .queryName(name)
       .start()
 
+  /** Crawl-frontier feed schema: discovered URLs awaiting a fetch
+    * decision. */
+  val urlSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("url", StringType)))
+
+  /** Streaming crawl-frontier filter — the at-ingest form of the
+    * `dedup_url_novel_store` batch query: RAW discovered URLs
+    * canonicalize in-flight ([[graft.text.TextFunctions
+    * .canonicalizeUrl]], a codegen'd projection) and pass a stateless
+    * membership test against the persisted seen-URL bloom
+    * ([[graft.ops.NoveltyBloomStore]] raw-key store, broadcast once at
+    * stream start) — never-seen URLs flow on to the fetcher, re-crawl
+    * variants (tracking params, fragments, port/case noise) drop the
+    * moment they arrive. Zero streaming state; a daily loop appends
+    * each fetched batch's canonical URLs to the store between stream
+    * restarts. */
+  def startUrlFrontierQuery(spark: SparkSession, dir: String, name: String,
+      storeDir: String): StreamingQuery =
+    graft.ops.NoveltyBloomStore.novelAgainst(
+        spark.readStream.schema(urlSchema).parquet(dir)
+          .withColumn("url",
+            graft.text.TextFunctions.canonicalizeUrl(col("url"))),
+        storeDir, textCol = "url")
+      .select("doc_id", "url")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+
   /** Streaming NEAR-dup novelty fed by the persisted MinHash band
     * store ([[graft.ops.MinHashBandStore]]) — the near-dup complement
     * of [[startNoveltyQueryFromStore]]'s exact-hash filter: each

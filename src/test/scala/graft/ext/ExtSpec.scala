@@ -773,6 +773,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming url frontier: raw re-crawl variants drop in-flight, fresh urls pass") {
+    import spark.implicits._
+    import graft.ops.NoveltyBloomStore
+    import graft.text.TextFunctions.canonicalizeUrl
+    // seen-URL store over canonical forms of two fetched URLs
+    val storeDir = java.nio.file.Files.createTempDirectory("url-frontier").toString + "/store"
+    val seen = Seq(
+      (1L, "http://example.com/a/1?a=1"),
+      (2L, "https://example.com/b/2")).toDF("doc_id", "url")
+      .withColumn("url", canonicalizeUrl(col("url")))
+    NoveltyBloomStore.build(seen, storeDir, textCol = "url",
+      prefixChars = 0, capacity = 10000L)
+    // raw frontier feed: byte-different re-crawl variants of the seen
+    // urls + genuinely fresh urls
+    val feed = Seq(
+      (10L, "HTTP://Example.COM:80/a/1?utm_source=x&a=1#top"), // variant of 1
+      (11L, "https://EXAMPLE.com:443/b/2/?gclid=z"),           // variant of 2
+      (12L, "https://fresh.example/p/12"),
+      (13L, "http://example.com/a/1?a=2")) // same path, DIFFERENT real param
+      .toDF("doc_id", "url")
+    val streamDir = java.nio.file.Files.createTempDirectory("url-frontier-in").toString
+    feed.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = DocsStream.startUrlFrontierQuery(spark, streamDir, "urlfrontier", storeDir)
+    try {
+      q.processAllAvailable()
+      val out = spark.table("urlfrontier")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet == Set(12L, 13L),
+        s"variants must drop, fresh + changed-param urls must pass: $out")
+      assert(out(12L) == "https://fresh.example/p/12")
+      // the emitted url is the CANONICAL form (what the fetch log should key on)
+      assert(out(13L) == "http://example.com/a/1?a=2")
+    } finally q.stop()
+  }
+
   test("streaming minhash-store novelty equals its batch twin; edited twins shed") {
     import graft.ops.{MinHashBandStore, OpsQueries}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
