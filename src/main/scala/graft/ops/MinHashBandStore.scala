@@ -253,7 +253,17 @@ object MinHashBandStore {
           .select("band_id", "band_hash"),
         Seq("band_id", "band_hash"), "left_semi")
       .select(col("doc_id"))
+    // the batch's band keys are known (the one-pass projection is
+    // cached), so the store scan is filtered MAP-SIDE by a broadcast
+    // semi-join before any aggregation — the postings groupBy holds
+    // state only for probed buckets, O(batch-bucket rows), instead of
+    // building posting lists for the ENTIRE history band table per
+    // daily probe. One streaming scan of `bands/`, no full-store
+    // shuffle.
+    val probeKeys = inBands.where(col("band_id") >= 0)
+      .select("band_id", "band_hash").distinct()
     val postings = storeBands.where(col("band_id") >= 0)
+      .join(broadcast(probeKeys), Seq("band_id", "band_hash"), "left_semi")
       .groupBy("band_id", "band_hash")
       .agg(org.apache.spark.sql.graft.BoundedIdList
         .boundedList(maxBucket, col("doc_id")).as("_hs"))
