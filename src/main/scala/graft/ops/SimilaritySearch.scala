@@ -147,10 +147,24 @@ object SimilaritySearch {
     * partitioning the pair source already has — the 100 TB shape is
     * "read shard, project, filter, write shard" with zero exchanges.
     * Output: the input columns plus `cosine`. */
+  /** Degenerate-safe cosine for the alignment family: a zero embedding
+    * (a failed encoder — common in a real crawl) makes the raw cosine
+    * divide by zero — under ANSI mode (Spark 4 default) that THROWS
+    * and kills the whole batch; non-ANSI yields NaN, which Spark
+    * comparisons treat as false but DuckDB orders ABOVE everything,
+    * and which poisons any avg. Guarding the norms yields NULL: both
+    * engines drop it from filters and skip it in aggregates
+    * identically, and the job survives. */
+  private def alignCosine(imgCol: String, txtCol: String) = {
+    val na = arrayNorm(col(imgCol))
+    val nb = arrayNorm(col(txtCol))
+    when(na > 0 && nb > 0, arrayDot(col(imgCol), col(txtCol)) / (na * nb))
+  }
+
   def crossModalAlignment(pairs: DataFrame, imgCol: String = "img_embedding",
       txtCol: String = "txt_embedding", minCosine: Double = 0.1): DataFrame =
     pairs
-      .withColumn("cosine", arrayCosine(col(imgCol), col(txtCol)))
+      .withColumn("cosine", alignCosine(imgCol, txtCol))
       .where(col("cosine") >= minCosine)
 
   /** Per-source alignment quality census over the SAME pairing — the
@@ -160,7 +174,7 @@ object SimilaritySearch {
       imgCol: String = "img_embedding", txtCol: String = "txt_embedding",
       minCosine: Double = 0.1): DataFrame =
     pairs
-      .withColumn("cosine", arrayCosine(col(imgCol), col(txtCol)))
+      .withColumn("cosine", alignCosine(imgCol, txtCol))
       .groupBy(col(srcCol))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("cosine") >= minCosine, 1L).otherwise(0L)).as("n_kept"),

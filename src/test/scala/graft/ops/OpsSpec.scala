@@ -264,6 +264,24 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private def emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
 
+  test("crossModalAlignment: zero embeddings are unprovable — dropped, never poisoning stats") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "a", Array(1f, 0f), Array(1f, 0f)), // cosine 1.0
+      (2L, "a", Array(1f, 0f), Array(0f, 1f)), // cosine 0.0
+      (3L, "a", Array(0f, 0f), Array(1f, 0f))) // zero vector → NULL cosine
+      .toDF("pair_id", "source", "img_embedding", "txt_embedding")
+    val kept = SimilaritySearch.crossModalAlignment(pairs)
+      .select("pair_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"$kept")
+    val st = SimilaritySearch.crossModalAlignmentStats(pairs).collect().head
+    assert(st.getAs[Long]("n_pairs") == 3L)
+    assert(st.getAs[Long]("n_kept") == 1L)
+    // the unprovable pair is counted but never averaged: (1.0 + 0.0) / 2
+    assert(math.abs(st.getAs[Double]("avg_cosine") - 0.5) < 1e-9, s"$st")
+    assert(st.getAs[Double]("min_cosine") == 0.0 && st.getAs[Double]("max_cosine") == 1.0)
+  }
+
   test("brute-force aggregator top-k == window top-k") {
     val viaAgg = SimilaritySearch.bruteTopK(emb, k = 5)
       .select("i", "j", "rank").collect()
