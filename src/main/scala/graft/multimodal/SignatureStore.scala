@@ -169,7 +169,19 @@ object SignatureStore {
     val staging = s"$dir.compact_$token"
     load(spark, dir)
       .where(col("kind").isin(victims: _*))
+      // distinct over the IDENTITY columns (a mixed-era store may hold
+      // the same signature row with and without a census value — those
+      // must collapse to one row, not survive as near-duplicates)
+      .select(col("media_id"), col("sig"), col("thumb"), col("kind"))
       .distinct()
+      // census repair/upgrade: recompute n_sigs from the deduped rows —
+      // heals rows written before the census column existed (NULL under
+      // the explicit schema) and any stale per-batch census left by
+      // re-ingesting a changed asset; the one-time window is maintenance
+      // cost, paid exactly where maintenance belongs
+      .withColumn("n_sigs", size(collect_set(col("sig")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id"), col("kind")))))
       .repartition(col("kind"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -288,8 +300,18 @@ object SignatureStore {
     val wOwn = org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))
     def withCensus(df: DataFrame, idCol: String, sigCol: String,
         thumbCol: String, nCol: String): DataFrame = {
+      // a store written BEFORE the census column reads as all-NULL
+      // n_sigs under the explicit schema; silently proceeding would
+      // wreck the containment denominator (least() skips NULLs), so
+      // fail LOUDLY with the upgrade path instead (the
+      // mergeSourceSignatures raise_error discipline)
       val censused =
-        if (df.columns.contains("n_sigs")) df.withColumn("_n_own", col("n_sigs"))
+        if (df.columns.contains("n_sigs"))
+          df.withColumn("_n_own", when(col("n_sigs").isNull,
+              raise_error(lit("SignatureStore: row lacks the n_sigs census " +
+                "(store predates it?) — run SignatureStore.compact(minFilesPerKind = 1) " +
+                "to upgrade, or rebuild")))
+            .otherwise(col("n_sigs")))
         else df.withColumn("_n_own", size(collect_set(col("sig")).over(wOwn)))
       val kept = Seq(col("media_id").as(idCol), col("sig").as(sigCol),
         col("_n_own").as(nCol)) ++

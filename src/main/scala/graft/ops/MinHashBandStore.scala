@@ -123,10 +123,15 @@ object MinHashBandStore {
 
   /** Append one ingest batch: O(batch) shingling, parquet appends to
     * both tables. Idempotence: a RETRIED append duplicates rows (and
-    * files); [[compact]] restores the exact build-from-scratch row
-    * set. Appends are plain parquet file adds — unlike the bloom
-    * store's read-modify-write there is no lost-update hazard, so no
-    * writer lock. */
+    * files); [[compact]] restores the exact build-from-scratch row set
+    * (probes tolerate the duplicates meanwhile — candidacy dedupes
+    * before its bounded aggregate). SINGLE-MAINTAINER discipline, same
+    * as the bloom store: although a lone append is just file adds, two
+    * CONCURRENT appends to one directory share the committer's
+    * `_temporary` staging and can silently destroy each other's task
+    * output, and an append racing [[compact]]/[[deleteDocs]]' rename
+    * swap lands in the swapped-out trash and is discarded. Serialize
+    * all maintenance on a store externally (one scheduler slot). */
   def append(docs: DataFrame, dir: String, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     val spark = docs.sparkSession
@@ -243,9 +248,19 @@ object MinHashBandStore {
   def noveltyAgainstStore(batch: DataFrame, dir: String,
       threshold: Double = 0.5, textCol: String = "text",
       idCol: String = "doc_id", maxBucket: Int = 4096): DataFrame = {
+    val p = readParams(batch.sparkSession, dir)
+    probeSurvivors(batch, sigBandRows(batch, textCol, idCol, p).cache(),
+      dir, threshold, idCol, maxBucket, p.numHashes)
+  }
+
+  /** Probe body over an already-CACHED one-pass projection `in` —
+    * split out so [[noveltyAgainstStoreEach]] can hold the exact
+    * cached reference for release (a reconstructed plan would carry a
+    * fresh UDF instance and uncache nothing). */
+  private def probeSurvivors(batch: DataFrame, in: DataFrame, dir: String,
+      threshold: Double, idCol: String, maxBucket: Int,
+      numHashes: Int): DataFrame = {
     val spark = batch.sparkSession
-    val p = readParams(spark, dir)
-    val in = sigBandRows(batch, textCol, idCol, p).cache()
     val inBands = bandTable(in)
     val storeBands = loadBands(spark, dir)
     val identMatched = inBands.where(col("band_id") === -1)
@@ -254,16 +269,24 @@ object MinHashBandStore {
         Seq("band_id", "band_hash"), "left_semi")
       .select(col("doc_id"))
     // the batch's band keys are known (the one-pass projection is
-    // cached), so the store scan is filtered MAP-SIDE by a broadcast
-    // semi-join before any aggregation — the postings groupBy holds
-    // state only for probed buckets, O(batch-bucket rows), instead of
-    // building posting lists for the ENTIRE history band table per
-    // daily probe. One streaming scan of `bands/`, no full-store
-    // shuffle.
+    // cached), so the store scan is filtered by a semi-join on the
+    // grouping keys BEFORE any aggregation — the postings groupBy
+    // holds state only for probed buckets, O(batch-bucket rows),
+    // instead of building posting lists for the ENTIRE history band
+    // table per daily probe. No explicit broadcast hint: the key set
+    // grows with batch_size × bands, and a forced broadcast of a
+    // 50M-doc day would kill the job — AQE picks broadcast when the
+    // materialized key stage is actually small. The distinct() before
+    // the bounded aggregate matters: a RETRIED append leaves duplicate
+    // rows, and BoundedIdList latches on ROWS — without the dedupe a
+    // bucket genuinely under the distinct-doc cap would spuriously
+    // latch NULL and drop candidacy until compact() runs. It sits
+    // AFTER the semi-join, so it dedupes only probed-bucket rows.
     val probeKeys = inBands.where(col("band_id") >= 0)
       .select("band_id", "band_hash").distinct()
     val postings = storeBands.where(col("band_id") >= 0)
-      .join(broadcast(probeKeys), Seq("band_id", "band_hash"), "left_semi")
+      .join(probeKeys, Seq("band_id", "band_hash"), "left_semi")
+      .distinct()
       .groupBy("band_id", "band_hash")
       .agg(org.apache.spark.sql.graft.BoundedIdList
         .boundedList(maxBucket, col("doc_id")).as("_hs"))
@@ -276,7 +299,7 @@ object MinHashBandStore {
       .join(loadSigs(spark, dir)
           .select(col("doc_id").as("hist_id"), col("sig").as("_sh")),
         Seq("hist_id"))
-      .where(estJaccard(col("_si"), col("_sh"), p.numHashes) >= threshold)
+      .where(estJaccard(col("_si"), col("_sh"), numHashes) >= threshold)
       .select(col("doc_id"))
     val matched = identMatched.unionByName(nearMatched).distinct()
     // barrier: a union-shaped batch would otherwise have the whole
@@ -286,15 +309,35 @@ object MinHashBandStore {
       .join(matched.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
   }
 
+  /** [[noveltyAgainstStore]] with MANAGED cache lifetime, for callers
+    * that fully consume the survivors inside one scope — the streaming
+    * foreachBatch loop above all: the batch operator's internal cache
+    * is released when `consume` returns, so a micro-batch-per-minute
+    * stream does not pin one cached projection per batch forever
+    * (storage-LRU eviction is the wrong contract for an unbounded
+    * loop). */
+  def noveltyAgainstStoreEach(batch: DataFrame, dir: String,
+      threshold: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id", maxBucket: Int = 4096)(
+      consume: DataFrame => Unit): Unit = {
+    val p = readParams(batch.sparkSession, dir)
+    val in = sigBandRows(batch, textCol, idCol, p).cache()
+    try consume(probeSurvivors(batch, in, dir, threshold, idCol, maxBucket,
+      p.numHashes))
+    finally in.unpersist()
+  }
+
   /** Exact-Jaccard audit twin of [[noveltyAgainstStore]]'s decision:
     * matched batch doc ids verified against ACTUAL history text (a
     * candidate-bounded join back to the history corpus — selective,
-    * not a full re-read). Candidacy is the store's band join alone
-    * (no sentinel: signature-identical pairs agree on every band, so
-    * the sentinel adds no candidate the bands don't already have) —
-    * byte-identical banding to [[Dedup.minhashLshPairs]], so with an
-    * un-hit `maxBucket` the matched set equals the self-join form's
-    * cross-pair decisions exactly (gated). */
+    * not a full re-read). Candidacy includes the SENTINEL band as an
+    * ordinary postings bucket: under an un-hit `maxBucket` it adds
+    * only all-band-agreeing pairs the bands already produced, so the
+    * matched set equals [[Dedup.minhashLshPairs]]' cross-pair
+    * decisions exactly (gated) — while under hot-bucket skew the
+    * audit still sees the signature-identical candidates the probe's
+    * latch-free sentinel sheds (degrading only for identical-signature
+    * classes beyond the cap, where the band buckets are NULL too). */
   def matchedIdsExact(batch: DataFrame, dir: String, history: DataFrame,
       threshold: Double = 0.5, textCol: String = "text",
       idCol: String = "doc_id", maxBucket: Int = 4096): DataFrame = {
@@ -305,13 +348,14 @@ object MinHashBandStore {
         .select(col(idCol).cast("long").as(out),
           shinglesFast(p.n)(tokens(col(textCol))).as(s"_sh_$out"))
     val in = sigBandRows(batch, textCol, idCol, p)
-    val storeBands = loadBands(spark, dir).where(col("band_id") >= 0)
+    val storeBands = loadBands(spark, dir)
     val postings = storeBands
+      .distinct() // retried-append duplicate rows must not inflate buckets
       .groupBy("band_id", "band_hash")
       .agg(org.apache.spark.sql.graft.BoundedIdList
         .boundedList(maxBucket, col("doc_id")).as("_hs"))
       .where(col("_hs").isNotNull)
-    val cands = bandTable(in).where(col("band_id") >= 0)
+    val cands = bandTable(in)
       .join(postings, Seq("band_id", "band_hash"))
       .select(col("doc_id"), explode(col("_hs")).as("hist_id"))
       .distinct()

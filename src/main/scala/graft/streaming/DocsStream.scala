@@ -213,8 +213,13 @@ object DocsStream {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.MinHashBandStore.noveltyAgainstStore(batch, storeDir, threshold)
-          .write.mode("append").parquet(outDir)
+        // managed form: the probe's cached projection is released when
+        // the write returns — an unbounded micro-batch loop must not
+        // pin one cache entry per batch
+        graft.ops.MinHashBandStore.noveltyAgainstStoreEach(batch, storeDir,
+          threshold) { survivors =>
+          survivors.write.mode("append").parquet(outDir)
+        }
       }
       .start()
 

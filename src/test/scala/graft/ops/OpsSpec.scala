@@ -683,6 +683,27 @@ class MinHashBandStoreSpec extends AnyFunSuite {
     assert(MinHashBandStore.noveltyAgainstStore(copy, dir).count() == 1)
   }
 
+  test("retried-append duplicate rows never inflate a bucket past the cap") {
+    import spark.implicits._
+    // four mutual near-dup docs share band buckets; distinct occupancy
+    // (4) equals maxBucket, but two RETRIED appends triple the ROWS —
+    // a row-counting latch would spuriously NULL those buckets and a
+    // fifth near-dup probe would sail through until compact() ran.
+    // Candidacy must dedupe before the bounded aggregate.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def variant(k: Int) = base.replace(s"tok$k", s"edited$k")
+    val docs = (1 to 4).map(i => (i.toLong, variant(i))).toSeq
+    val dir = tmpStore()
+    MinHashBandStore.build(docsDF(docs), dir)
+    MinHashBandStore.append(docsDF(docs), dir) // retried
+    MinHashBandStore.append(docsDF(docs), dir) // retried again
+    val probe = docsDF(Seq((99L, variant(39))))
+    val kept = MinHashBandStore.noveltyAgainstStore(probe, dir,
+      maxBucket = 4).count()
+    assert(kept == 0,
+      "a near-dup of the stored family must shed despite retried-append row inflation")
+  }
+
   test("sentinel ident probe partition-prunes to the band_id=-1 directory") {
     val dir = tmpStore()
     MinHashBandStore.build(docsDF(Seq((1L, "one two three four five six"))), dir)
