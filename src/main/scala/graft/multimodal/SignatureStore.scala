@@ -116,20 +116,69 @@ object SignatureStore {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("media_id"), col("kind")))))
 
+  private val ParamsFile = "_params.properties" // underscore: ignored by Spark's file index
+
+  private def writeExtractionParams(spark: SparkSession, dir: String,
+      videoStride: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, ParamsFile), true)
+    try out.write(s"videoStride=$videoStride\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The video frame-sampling stride recorded at [[build]] time — the
+    * stride every later [[append]] and probe must extract with, or
+    * containment fractions silently break (a twin sampled at a
+    * different stride shares only the stride-aligned subset of frame
+    * signatures). None for a store predating the params file. */
+  def recordedVideoStride(spark: SparkSession, dir: String): Option[Int] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, ParamsFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val props = new java.util.Properties()
+      try props.load(in) finally in.close()
+      Option(props.getProperty("videoStride")).map(_.toInt)
+    }
+  }
+
   /** Build the store from scratch: the one full-corpus decode pass this
-    * corpus will ever pay. */
-  def build(media: DataFrame, dir: String, videoStride: Int = 2): Unit =
+    * corpus will ever pay. Records the extraction parameters (the
+    * [[graft.ops.MinHashBandStore]] self-describing-store discipline)
+    * AFTER the parquet overwrite, which truncates the directory. */
+  def build(media: DataFrame, dir: String, videoStride: Int = 2): Unit = {
     signatures(media, videoStride)
       .write.mode("overwrite").partitionBy("kind").parquet(dir)
+    writeExtractionParams(media.sparkSession, dir, videoStride)
+  }
 
   /** Incrementally index an ingest batch against the existing store —
     * the daily-crawl path: extraction touches ONLY the batch's
     * payloads; parquet append touches only the affected kind
     * directories. (Same serving contract as [[graft.ops.IvfIndex
-    * .append]]: the store never re-reads what it already holds.) */
-  def append(media: DataFrame, dir: String, videoStride: Int = 2): Unit =
-    signatures(media, videoStride)
+    * .append]]: the store never re-reads what it already holds.)
+    *
+    * `videoStride = 0` (the default) means "the store's recorded
+    * stride" — an EXPLICIT stride that contradicts the recorded one
+    * throws rather than silently mixing incompatible frame censuses. */
+  def append(media: DataFrame, dir: String, videoStride: Int = 0): Unit = {
+    val recorded = recordedVideoStride(media.sparkSession, dir)
+    val stride =
+      if (videoStride == 0) recorded.getOrElse(2)
+      else {
+        recorded.filter(_ != videoStride).foreach(r =>
+          throw new java.io.IOException(
+            s"SignatureStore.append: videoStride=$videoStride contradicts the " +
+              s"store's recorded stride $r — mixed strides silently break video " +
+              "containment; rebuild the store to change the stride"))
+        videoStride
+      }
+    signatures(media, stride)
       .write.mode("append").partitionBy("kind").parquet(dir)
+  }
 
   /** Store schema, explicit (`kind` is the partition column): a store
     * built from an EMPTY corpus — the bootstrap state of a brand-new
@@ -327,6 +376,12 @@ object SignatureStore {
       case None      => lit(true)
     }
     graft.ops.Dedup.nearSimPairsCross(inRows, histSims, maxHamming, bits, maxBucket)
+      // chunk-multiplicity dedupe BEFORE the ownership fan-out: a pair
+      // agreeing on several chunks surfaces once per chunk (up to
+      // maxHamming+2 copies), and every copy would otherwise pay the
+      // histOwn join and a thumb verify — a ~9x constant on the true
+      // duplicate mass at the defaults
+      .distinct()
       .join(histOwn, Seq("sim_r"))
       .where(verified)
       .select(col("in_id"), col("hist_id"), col("sim").as("sig_in"),
@@ -359,6 +414,11 @@ object SignatureStore {
     * projection), then banding equi-joins over 16–72-byte signature
     * rows. History payloads are never read — the store has no payload
     * column to read.
+    *
+    * `videoStride` must equal the STORE's recorded stride
+    * ([[recordedVideoStride]]) — a mismatch samples the incoming twin
+    * at different frames than history and silently deflates video
+    * containment; both default to 2.
     *
     * `maxVideoThumbMae` is TIGHTER than the image budget: a short video
     * has only a handful of distinct sampled-frame signatures, so its

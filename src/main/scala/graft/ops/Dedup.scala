@@ -159,7 +159,6 @@ object Dedup {
       seed: Long = 42): DataFrame = {
     require(numHashes >= 1 && numHashes <= 1024,
       s"numHashes must be in [1, 1024], got $numHashes (the signature is a wide row)")
-    val params = hashParams(numHashes, seed)
     // Per-DOC signature first (the tight-loop minhashSig primitive the
     // LSH path already uses: |shingles|·numHashes multiply-mods per doc
     // with no intermediate row traffic), then the source signature as an
@@ -479,7 +478,12 @@ object Dedup {
       .withColumn("chunk_id", explode(sequence(lit(-1), lit(chunks - 1))))
       .withColumn("chunk_val", when(col("chunk_id") === -1, col("sim"))
         .otherwise(bandChunkVal("sim", "chunk_id", chunks, bitsPer)))
-    val idx = keyed(rightSims.select(col("sim")))
+    // the distinct is ENFORCED, not assumed: BoundedIdList latches on
+    // ROWS, so duplicate right-side rows (a store scan with retried
+    // appends) would void the sentinel's latch-free guarantee — and for
+    // an already-distinct input RemoveRedundantAggregates makes this
+    // free
+    val idx = keyed(rightSims.select(col("sim")).distinct())
       .groupBy("chunk_id", "chunk_val")
       .agg(org.apache.spark.sql.graft.BoundedIdList
         .boundedList(maxBucket, col("sim")).as("_rs"))

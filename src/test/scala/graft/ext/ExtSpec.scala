@@ -327,6 +327,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(found.flatMap(p => Set(p._1, p._2)).intersect(nonVideo).isEmpty)
   }
 
+  test("signature store records its stride; a contradicting append fails loudly") {
+    import graft.multimodal.SignatureStore
+    val media = Multimodal.syntheticMedia(spark, dir).limit(30)
+    val storeDir = java.nio.file.Files.createTempDirectory("stride-store").toString + "/s"
+    SignatureStore.build(media, storeDir, videoStride = 3)
+    assert(SignatureStore.recordedVideoStride(spark, storeDir).contains(3))
+    // default append adopts the recorded stride; a contradicting
+    // explicit stride must throw, not silently mix frame censuses
+    SignatureStore.append(media.limit(5), storeDir)
+    val e = intercept[java.io.IOException](
+      SignatureStore.append(media.limit(5), storeDir, videoStride = 2))
+    assert(e.getMessage.contains("recorded stride"), e.getMessage)
+    // the params file must not confuse the partitioned parquet reader
+    assert(SignatureStore.load(spark, storeDir).count() > 0)
+  }
+
   test("sigOverlapPairs computes the signature distinct once (decode budget)") {
     // decode budget is the ground truth — the pre-r15 pin matched the
     // string "ReusedExchange" and passed while column pruning split the
