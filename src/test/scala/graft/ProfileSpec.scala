@@ -1087,6 +1087,7 @@ class ProfileSpec extends AnyFunSuite {
     // every 7th image, leaving the rest as must-survive probes
     val planted = inSigs.where(pmod(col("media_id"), lit(21)) === 0)
       .withColumn("media_id", col("media_id") + 900000000L)
+      .withColumn("n_sigs", lit(1)) // one pHash per image
     val plantedIds = planted.select((col("media_id") - 900000000L).as("id"))
       .collect().map(_.getLong(0)).toSet
     def synthStore(n: Int, dir: String): Unit = {
@@ -1098,6 +1099,7 @@ class ProfileSpec extends AnyFunSuite {
         .select((col("id") + 100000000L).as("media_id"), lit("image").as("kind"),
           xxhash64(col("id"), lit(dir)).as("sig"))
         .withColumn("thumb", mkThumb(col("sig")))
+        .withColumn("n_sigs", lit(1))
         .unionByName(planted)
         .write.mode("overwrite").partitionBy("kind").parquet(dir)
     }
