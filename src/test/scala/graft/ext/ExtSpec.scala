@@ -846,7 +846,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream == batch,
         s"stream/batch divergence: ${stream.size} vs ${batch.size}")
       // lightly-edited history re-crawls are shed on arrival
-      assert(!stream.exists(id => id >= 900000L && id < 950000L),
+      assert(!stream.exists(id => id >= OpsQueries.PlantedTwinBase &&
+          id < OpsQueries.PlantedFreshBase),
         "an edited history twin survived the stream stage")
     } finally q.stop()
   }
