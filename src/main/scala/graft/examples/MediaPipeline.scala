@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   *   media assets (binary payload + typed metadata)
   *     → Multimodal.imageQualityStats  (blank/low-information image
-  *                                      filter FIRST — it is a narrow
-  *                                      no-shuffle scan, and everything
-  *                                      downstream decodes or joins)
+  *     + Multimodal.audioQualityStats   filter + silent/clipped audio
+  *     + Multimodal.videoQualityStats   + black/static video — FIRST:
+  *                                      narrow no-shuffle scans, and
+  *                                      everything downstream decodes
+  *                                      or joins)
   *     → Multimodal.phashPairs         (image perceptual near-dups)
   *     + Multimodal.videoNearDupPairs  (frame-signature overlap)
   *     + Multimodal.audioNearDupPairs  (sub-band fingerprint overlap)
@@ -58,10 +60,17 @@ object MediaPipeline {
       signatureStoreDir: Option[String] = None): Result = {
     val assets = media.count()
 
-    // 0. image quality gate (audio/video pass through: the flag is
-    //    image-scoped, like the novelty filter)
+    // 0. quality gate for ALL kinds — blank/low-contrast images,
+    //    silent/clipped audio, black/static video. Runs FIRST: each is
+    //    a narrow no-shuffle scan, and the near-dup banding downstream
+    //    assumes low-information content was pre-filtered (degenerate
+    //    assets collapse into hot buckets and cost its recall there)
     val lowInfo = Multimodal.imageQualityStats(media)
       .where(col("low_information")).select("media_id")
+      .unionByName(Multimodal.audioQualityStats(media)
+        .where(col("low_information")).select("media_id"))
+      .unionByName(Multimodal.videoQualityStats(media)
+        .where(col("low_information")).select("media_id"))
     // barrier: a union-shaped media frame would otherwise pull the
     // quality-stats subtree into every union branch via anti-join
     // pushdown (see Multimodal.survivorsBarrier)

@@ -603,6 +603,124 @@ object Multimodal {
         col("std_luma") < minStd || col("edge_energy") < minEdge)
   }
 
+  /** Per-clip audio quality statistics from REAL samples — the audio
+    * analog of [[imageQualityStats]] (a silence-padded or near-silent
+    * clip is the audio family's "blank image": the near-dup banding's
+    * own stop-sim documentation assumes low-information content is
+    * pre-filtered BEFORE it reaches the perceptual operators and costs
+    * their recall):
+    *
+    *  - `silence_fraction`: fraction of samples with |s| at or below
+    *    ~1% of full scale — silence padding / dead air;
+    *  - `clipping_rate`: fraction at ≥99% of full scale — hard-clipped
+    *    (distorted) masters;
+    *  - `rms`: root-mean-square amplitude as a fraction of full scale;
+    *  - `low_information`: mostly silent, near-zero energy, or heavily
+    *    clipped.
+    *
+    * One narrow projection per asset (typed mapPartitions, ONE decode
+    * per clip — the [[imageQualityStats]] discipline), no shuffle;
+    * undecodable payloads are skipped. Defaults sit far from the
+    * fixture family's measured range (chirp-mix RMS ≈ 0.2, silence
+    * fraction ≈ 1–4%, clipping 0) and far from the degenerate payloads
+    * they exist to catch (silent: fraction ≈ 1, rms ≈ 0; clipped:
+    * rate ≥ 0.5). */
+  def audioQualityStats(media: DataFrame, silenceLevel: Int = 327,
+      maxSilenceFraction: Double = 0.9, minRms: Double = 0.01,
+      clipLevel: Int = 32440, maxClippingRate: Double = 0.3): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "audio")
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        Codec.decodeWavSamples(c).filter(_.nonEmpty).map { s =>
+          val n = s.length
+          var silent = 0
+          var clipped = 0
+          var energy = 0.0
+          var i = 0
+          while (i < n) {
+            val a = math.abs(s(i).toInt)
+            if (a <= silenceLevel) silent += 1
+            if (a >= clipLevel) clipped += 1
+            energy += a.toDouble * a
+            i += 1
+          }
+          (id, n.toLong, silent.toDouble / n, clipped.toDouble / n,
+            math.sqrt(energy / n) / 32768.0)
+        }
+      })
+      .toDF("media_id", "n_samples", "_sil", "_clip", "_rms")
+      .select(col("media_id"), col("n_samples"),
+        round(col("_sil"), 6).as("silence_fraction"),
+        round(col("_clip"), 6).as("clipping_rate"),
+        round(col("_rms"), 6).as("rms"))
+      .withColumn("low_information",
+        col("silence_fraction") > maxSilenceFraction ||
+          col("rms") < minRms || col("clipping_rate") > maxClippingRate)
+  }
+
+  /** Per-clip video quality statistics from REAL decoded frames — the
+    * video twin of [[audioQualityStats]] (black leaders and static
+    * slideshows are the video family's silence padding):
+    *
+    *  - `black_frame_fraction`: frames whose mean luma is below
+    *    `blackLuma` (true black sits at 0; real content ≈ 128);
+    *  - `static_frame_fraction`: consecutive-frame pairs whose mean
+    *    absolute luma delta is at most `staticMae` (identical repeated
+    *    frames score 0; the fixture's drifting fields measure ≈ 4–9);
+    *    a clip too short to have a pair scores 0 — "static" needs
+    *    evidence of non-motion, not absence of frames;
+    *  - `low_information`: mostly black or mostly static.
+    *
+    * One pass per clip, every sampled frame decoded exactly once, no
+    * shuffle; structurally corrupt containers yield no row. */
+  def videoQualityStats(media: DataFrame, blackLuma: Double = 16.0,
+      maxBlackFraction: Double = 0.8, staticMae: Double = 1.0,
+      maxStaticFraction: Double = 0.8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("kind") === "video")
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        val lumas = Codec.decodeFrames(c).iterator
+          .flatMap(Codec.decodeImage(_)).map(Codec.luma32).toArray
+        if (lumas.isEmpty) None
+        else {
+          val nf = lumas.length
+          var black = 0
+          lumas.foreach { l =>
+            var s = 0.0
+            var i = 0
+            while (i < l.length) { s += l(i); i += 1 }
+            if (s / l.length < blackLuma) black += 1
+          }
+          var staticPairs = 0
+          var i = 1
+          while (i < nf) {
+            val a = lumas(i - 1)
+            val b = lumas(i)
+            var d = 0.0
+            var j = 0
+            while (j < a.length) { d += math.abs(a(j) - b(j)); j += 1 }
+            if (d / a.length <= staticMae) staticPairs += 1
+            i += 1
+          }
+          Some((id, nf.toLong, black.toDouble / nf,
+            if (nf < 2) 0.0 else staticPairs.toDouble / (nf - 1)))
+        }
+      })
+      .toDF("media_id", "n_frames_decoded", "_black", "_static")
+      .select(col("media_id"), col("n_frames_decoded"),
+        round(col("_black"), 6).as("black_frame_fraction"),
+        round(col("_static"), 6).as("static_frame_fraction"))
+      .withColumn("low_information",
+        col("black_frame_fraction") >= maxBlackFraction ||
+          col("static_frame_fraction") >= maxStaticFraction)
+  }
+
   /** Byte-offset index for media shard packing — the media twin of the
     * text side's shard layout: each asset's (shard, offset, nbytes)
     * coordinates in the per-(kind, shard) concatenated payload stream

@@ -543,6 +543,131 @@ object MultimodalQueries {
       Gate("rows_vs_base_images", realTotal.toDouble, realTotal == expected))
   }
 
+  private val SilentOffset = 50000000L
+  private val ClippedOffset = 60000000L
+  private val BlackVideoOffset = 70000000L
+  private val StaticVideoOffset = 80000000L
+
+  /** Base media plus planted DEGENERATE audio/video — the known truth
+    * sets for the A/V quality gates, mirroring [[mediaWithPlantedBlanks]]:
+    * near-silent clips (mic-hiss noise at ≤0.15% of full scale, +50M
+    * ids), hard-clipped clips (full-scale square wave, +60M), black
+    * videos (true-black frames, +70M), and static videos (one real
+    * frame repeated, +80M). */
+  def mediaWithPlantedAvDegenerates(s: SparkSession, d: String): DataFrame = {
+    val silentUdf = udf { (n: Int, sr: Int, seed: Long) =>
+      var x = seed
+      val samples = Array.tabulate[Short](n) { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (((x >>> 48) % 101).toInt - 50).toShort
+      }
+      Codec.encodeWav(samples, sr)
+    }
+    val clippedUdf = udf { (n: Int, sr: Int) =>
+      val samples = Array.tabulate[Short](n)(i =>
+        if ((i / 8) % 2 == 0) 32767 else -32768)
+      Codec.encodeWav(samples, sr)
+    }
+    val blackUdf = udf { (nf: Int) =>
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY) // raster defaults to 0
+      val png = Codec.encodePng(img)
+      Codec.encodeFrames(Seq.fill(nf)(png))
+    }
+    val staticUdf = udf { (nf: Int, seed: Long) =>
+      val png = Codec.encodePng(Codec.synthImage(seed, 32, 32))
+      Codec.encodeFrames(Seq.fill(nf)(png))
+    }
+    val base = Multimodal.syntheticMedia(s, d)
+    val silent = base.where(col("kind") === "audio" && pmod(col("media_id"), lit(7)) === 3)
+      .withColumn("media_id", col("media_id") + lit(SilentOffset))
+      .withColumn("content",
+        silentUdf(col("n_frames"), col("sample_rate"), col("media_id")))
+    val clipped = base.where(col("kind") === "audio" && pmod(col("media_id"), lit(7)) === 4)
+      .withColumn("media_id", col("media_id") + lit(ClippedOffset))
+      .withColumn("content", clippedUdf(col("n_frames"), col("sample_rate")))
+    val black = base.where(col("kind") === "video" && pmod(col("media_id"), lit(7)) === 3)
+      .withColumn("media_id", col("media_id") + lit(BlackVideoOffset))
+      .withColumn("content", blackUdf(col("n_frames")))
+    val staticV = base.where(col("kind") === "video" && pmod(col("media_id"), lit(7)) === 4)
+      .withColumn("media_id", col("media_id") + lit(StaticVideoOffset))
+      .withColumn("content", staticUdf(col("n_frames"), col("media_id") * 7919L))
+    base.unionByName(silent).unionByName(clipped)
+      .unionByName(black).unionByName(staticV)
+  }
+
+  /** Audio quality statistics ([[Multimodal.audioQualityStats]]) over
+    * base clips + planted degenerates. Gates: every planted near-silent
+    * clip is flagged low-information (silence ≈ 1, rms ≈ 0), every
+    * planted hard-clipped clip is flagged with clipping_rate far above
+    * the threshold, at most 5% of the real chirp-mix clips are flagged
+    * (measured rms ≈ 0.2, silence 1–4%, clipping 0), every stat is
+    * finite, and every decodable base clip emits exactly one row. */
+  val audioQuality: Q = Q.gated("multimodal_audio_quality") { (s, d) =>
+    Multimodal.audioQualityStats(mediaWithPlantedAvDegenerates(s, d))
+  } { (s, d, res) =>
+    val silent = res.where(col("media_id") >= SilentOffset &&
+      col("media_id") < ClippedOffset)
+    val clipped = res.where(col("media_id") >= ClippedOffset &&
+      col("media_id") < BlackVideoOffset)
+    val nSilent = silent.count()
+    val silentUnflagged = silent.where(!col("low_information")).count()
+    val nClipped = clipped.count()
+    val clippedBad = clipped.where(!col("low_information") ||
+      col("clipping_rate") <= 0.3).count()
+    val real = res.where(col("media_id") < ReencodeOffset)
+    val realTotal = real.count()
+    val realFlagged = real.where(col("low_information")).count()
+    val nonFinite = res.where(isnan(col("silence_fraction")) ||
+      isnan(col("clipping_rate")) || isnan(col("rms"))).count()
+    val expected = Multimodal.syntheticMedia(s, d)
+      .where(col("kind") === "audio").count()
+    Seq(
+      Gate("planted_silent", nSilent.toDouble, nSilent > 0),
+      Gate("silent_not_flagged", silentUnflagged.toDouble, silentUnflagged == 0),
+      Gate("planted_clipped", nClipped.toDouble, nClipped > 0),
+      Gate("clipped_not_flagged_or_low_rate", clippedBad.toDouble, clippedBad == 0),
+      Gate("real_clips_flagged_frac",
+        if (realTotal == 0) 1.0 else realFlagged.toDouble / realTotal,
+        realTotal > 0 && realFlagged.toDouble / realTotal <= 0.05),
+      Gate("non_finite_stats", nonFinite.toDouble, nonFinite == 0),
+      Gate("rows_vs_base_audio", realTotal.toDouble, realTotal == expected))
+  }
+
+  /** Video quality statistics ([[Multimodal.videoQualityStats]]) over
+    * base clips + planted degenerates. Gates: every planted black video
+    * and every planted static video is flagged (and the static ones
+    * score static_frame_fraction exactly 1.0 — identical frames), at
+    * most 5% of the real drifting-field clips are flagged (consecutive
+    * frames measure MAE ≈ 4–9, mean luma ≈ 128), and every decodable
+    * base clip emits exactly one row. */
+  val videoQuality: Q = Q.gated("multimodal_video_quality") { (s, d) =>
+    Multimodal.videoQualityStats(mediaWithPlantedAvDegenerates(s, d))
+  } { (s, d, res) =>
+    val black = res.where(col("media_id") >= BlackVideoOffset &&
+      col("media_id") < StaticVideoOffset)
+    val staticV = res.where(col("media_id") >= StaticVideoOffset)
+    val nBlack = black.count()
+    val blackUnflagged = black.where(!col("low_information")).count()
+    val nStatic = staticV.count()
+    val staticBad = staticV.where(!col("low_information") ||
+      col("static_frame_fraction") < 1.0).count()
+    val real = res.where(col("media_id") < ReencodeOffset)
+    val realTotal = real.count()
+    val realFlagged = real.where(col("low_information")).count()
+    val expected = Multimodal.syntheticMedia(s, d)
+      .where(col("kind") === "video").count()
+    Seq(
+      Gate("planted_black", nBlack.toDouble, nBlack > 0),
+      Gate("black_not_flagged", blackUnflagged.toDouble, blackUnflagged == 0),
+      Gate("planted_static", nStatic.toDouble, nStatic > 0),
+      Gate("static_not_flagged_or_partial", staticBad.toDouble, staticBad == 0),
+      Gate("real_clips_flagged_frac",
+        if (realTotal == 0) 1.0 else realFlagged.toDouble / realTotal,
+        realTotal > 0 && realFlagged.toDouble / realTotal <= 0.05),
+      Gate("rows_vs_base_video", realTotal.toDouble, realTotal == expected))
+  }
+
   /** WebDataset-style media shard packing — pure REUSE of
     * [[graft.ops.Corpus.packShards]] with payload BYTES as the weight:
     * per kind, assets in deterministic media_id order pack into
@@ -622,6 +747,6 @@ object MultimodalQueries {
   }
 
   def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,
-    audioNearDup, phashNovelty, imageQuality, shardPack, signatureStore, avNovelty,
-    shardAssembly)
+    audioNearDup, phashNovelty, imageQuality, audioQuality, videoQuality,
+    shardPack, signatureStore, avNovelty, shardAssembly)
 }

@@ -901,6 +901,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("A/V quality stats: one decode per clip / per frame, full coverage") {
+    import graft.multimodal.{Codec, Multimodal, MultimodalQueries}
+    // parquet-stage the planted frame so the decode budget measures the
+    // operators, not a constant-folded LocalRelation (SCALING.md), and
+    // so the payload-synth UDFs run once here instead of inside the
+    // measured stage
+    val media = MultimodalQueries.mediaWithPlantedAvDegenerates(spark, dir)
+    val stageDir = java.nio.file.Files.createTempDirectory("av-quality").toString
+    media.write.mode("overwrite").parquet(stageDir)
+    val staged = spark.read.parquet(stageDir)
+    val nAudio = staged.where(col("kind") === "audio").count()
+    Codec.decodeCalls.reset()
+    val audio = Multimodal.audioQualityStats(staged).collect()
+    val audioBill = Codec.decodeCalls.sum()
+    assert(audio.length == nAudio, "every decodable clip emits exactly one row")
+    assert(audioBill <= nAudio,
+      s"audio stats decoded $audioBill payloads for $nAudio clips — a clip decoded twice")
+    // silence/rms/clipping agree with the flag definition on every row
+    audio.foreach { r =>
+      val flagged = r.getAs[Boolean]("low_information")
+      val expect = r.getAs[Double]("silence_fraction") > 0.9 ||
+        r.getAs[Double]("rms") < 0.01 || r.getAs[Double]("clipping_rate") > 0.3
+      assert(flagged == expect, s"flag/stat disagreement: $r")
+    }
+    val vids = staged.where(col("kind") === "video")
+    val nVideo = vids.count()
+    val totalFrames = vids.agg(sum(col("n_frames"))).head.getLong(0)
+    Codec.decodeCalls.reset()
+    val video = Multimodal.videoQualityStats(staged).collect()
+    val videoBill = Codec.decodeCalls.sum()
+    assert(video.length == nVideo, "every decodable container emits exactly one row")
+    assert(videoBill <= totalFrames,
+      s"video stats decoded $videoBill frames for $totalFrames total — a frame decoded twice")
+  }
+
   test("streaming content dedup equals the batch hash set on the fixture") {
     import spark.implicits._
     // the fixture carries no crawl time — stage it with a synthetic one

@@ -118,6 +118,10 @@ class MediaPipelineSpec extends AnyFunSuite {
       Codec.decodeCalls.reset()
       val lowInfo = Multimodal.imageQualityStats(media)
         .where(col("low_information")).select("media_id")
+        .unionByName(Multimodal.audioQualityStats(media)
+          .where(col("low_information")).select("media_id"))
+        .unionByName(Multimodal.videoQualityStats(media)
+          .where(col("low_information")).select("media_id"))
       val q = media.join(lowInfo, Seq("media_id"), "left_anti").cache()
       q.count()
       val pairs = Multimodal.phashPairs(q)
