@@ -493,6 +493,80 @@ object MultimodalQueries {
       Gate("fresh_image_dropped", (iTot - iKeep).toDouble, iTot > 0 && iKeep == iTot))
   }
 
+  /** Benchmark decontamination ([[SignatureStore.matchedAgainstStore]]
+    * over a store built from the EVAL SUITE's assets): flag every
+    * training asset that perceptually matches a benchmark asset — the
+    * media twin of `text_contamination_bloom` (eval-set leakage). The
+    * result is the training census (media_id, kind, contaminated);
+    * production drops the flagged slice before packing
+    * ([[SignatureStore.noveltyAgainstStore]] IS that filter, and
+    * [[graft.streaming.MediaStream.startStoreNoveltyQuery]] over the
+    * benchmark store is the streaming form — ExtSpec gates stream ≡
+    * batch). Gates:
+    *
+    *  1. every planted re-encoded benchmark twin is flagged, per kind
+    *     (JPEG re-encode for image/video frames, trim+gain for audio);
+    *  2. zero content-seed false positives: a flagged ordinary training
+    *     asset must share its content seed with some benchmark asset
+    *     (the fixture's planted duplicate texts produce byte-identical
+    *     payloads across ids — genuine leakage, not error);
+    *  3. the broadcast banded-INDEX probe
+    *     ([[graft.streaming.MediaStream.buildHistoryIndexFromStore]])
+    *     agrees with the distributed store join asset-for-asset on
+    *     images — two independent implementations of the contract;
+    *  4. full coverage: one census row per training asset. */
+  val benchmarkDecontam: Q = Q.gated("multimodal_benchmark_decontam") { (s, d) =>
+    val dir = storePath(s, d, "store_bench")
+    buildStoreIfAbsent(s, dir, benchCohort(s, d))
+    val training = trainingWithBenchLeakage(s, d)
+    val flagged = SignatureStore.matchedAgainstStore(
+      training, SignatureStore.load(s, dir))
+    Multimodal.survivorsBarrier(training, "bench_decontam_in")
+      .select(col("media_id"), col("kind"))
+      .join(flagged.withColumn("contaminated", lit(true)), Seq("media_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  } { (s, d, res) =>
+    val dir = storePath(s, d, "store_bench")
+    val training = trainingWithBenchLeakage(s, d)
+    def twinsMissed(kind: String) = res.where(col("kind") === kind &&
+      col("media_id") >= BenchTwinOffset && !col("contaminated")).count()
+    val (iMiss, vMiss, aMiss) =
+      (twinsMissed("image"), twinsMissed("video"), twinsMissed("audio"))
+    val nTwins = res.where(col("media_id") >= BenchTwinOffset).count()
+    // content-seed FP census: flagged ordinary assets must share a seed
+    // with the benchmark cohort (identical fixture texts ⇒ identical
+    // payloads — genuine leakage)
+    val seeds = seedTable(s, d)
+    val benchSeeds = seeds.join(
+        benchCohort(s, d).select(col("media_id").as("base_id")), Seq("base_id"))
+      .select("seed").distinct()
+    val fp = res.where(col("contaminated") && col("media_id") < BenchTwinOffset)
+      .select(col("media_id").as("base_id"))
+      .join(seeds, Seq("base_id"), "left")
+      .join(benchSeeds, Seq("seed"), "left_anti")
+      .count()
+    // image parity: broadcast banded index vs distributed store join
+    val index = graft.streaming.MediaStream.buildHistoryIndexFromStore(
+      SignatureStore.load(s, dir))
+    val trainImages = training.where(col("kind") === "image")
+    val indexClean = graft.streaming.MediaStream
+      .perceptualNovelty(trainImages, index).select("media_id")
+    val storeClean = res.where(col("kind") === "image" && !col("contaminated"))
+      .select("media_id")
+    val formDiff = indexClean.exceptAll(storeClean).count() +
+      storeClean.exceptAll(indexClean).count()
+    val nTraining = training.count()
+    val nRows = res.count()
+    Seq(
+      Gate("bench_twins_total", nTwins.toDouble, nTwins > 10),
+      Gate("image_twins_missed", iMiss.toDouble, iMiss == 0),
+      Gate("video_twins_missed", vMiss.toDouble, vMiss == 0),
+      Gate("audio_twins_missed", aMiss.toDouble, aMiss == 0),
+      Gate("seed_false_positives", fp.toDouble, fp == 0),
+      Gate("index_vs_store_form_diff", formDiff.toDouble, formDiff == 0),
+      Gate("rows_vs_training", nRows.toDouble, nRows == nTraining))
+  }
+
   private val BlankOffset = 40000000L
 
   /** Base media plus planted BLANK images (constant mid-gray PNGs, +40M
@@ -547,6 +621,29 @@ object MultimodalQueries {
   private val ClippedOffset = 60000000L
   private val BlackVideoOffset = 70000000L
   private val StaticVideoOffset = 80000000L
+  private val BenchTwinOffset = 90000000L
+
+  /** The stand-in evaluation suite for benchmark decontamination: every
+    * base asset (all kinds) with media_id % 11 == 5. */
+  private def benchCohort(s: SparkSession, d: String): DataFrame =
+    Multimodal.syntheticMedia(s, d).where(pmod(col("media_id"), lit(11)) === 5)
+
+  /** Training corpus with planted EVAL-SET LEAKAGE: the non-benchmark
+    * base assets plus a lossy re-encoded twin of every benchmark asset
+    * (+90M ids) — the asset a crawler picks up when a benchmark image
+    * circulates on the web re-encoded (the ImageNet-val-in-LAION
+    * problem). The re-encode is the same per-kind transform the near-dup
+    * gates use, so a flag miss means the decontamination path broke, not
+    * the perturbation model. */
+  def trainingWithBenchLeakage(s: SparkSession, d: String): DataFrame = {
+    val base = Multimodal.syntheticMedia(s, d)
+    val leaked = benchCohort(s, d)
+      .withColumn("media_id", col("media_id") + lit(BenchTwinOffset))
+      .withColumn("content", reencode(col("kind"), col("content")))
+      .withColumn("mime",
+        when(col("kind") === "image", lit("image/jpeg")).otherwise(col("mime")))
+    base.where(pmod(col("media_id"), lit(11)) =!= 5).unionByName(leaked)
+  }
 
   /** Base media plus planted DEGENERATE audio/video — the known truth
     * sets for the A/V quality gates, mirroring [[mediaWithPlantedBlanks]]:
@@ -748,5 +845,5 @@ object MultimodalQueries {
 
   def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,
     audioNearDup, phashNovelty, imageQuality, audioQuality, videoQuality,
-    shardPack, signatureStore, avNovelty, shardAssembly)
+    shardPack, signatureStore, avNovelty, benchmarkDecontam, shardAssembly)
 }

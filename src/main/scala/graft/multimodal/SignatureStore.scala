@@ -432,6 +432,33 @@ object SignatureStore {
       maxHamming: Int = 7, maxThumbMae: Double = 6.0, videoStride: Int = 2,
       maxFrameHamming: Int = 7, minVideoMatchFrac: Double = 0.8,
       maxVideoThumbMae: Double = 3.0,
+      maxWindowHamming: Int = 3, minAudioMatchFrac: Double = 0.9): DataFrame =
+    // barrier: without it the anti join pushes through a union-shaped
+    // incoming, duplicating the matched pipeline (and its incoming
+    // decodes) into every branch — see Multimodal.survivorsBarrier
+    Multimodal.survivorsBarrier(incoming, "store_novelty_in")
+      .join(matchedAgainstStore(incoming, store, maxHamming, maxThumbMae,
+          videoStride, maxFrameHamming, minVideoMatchFrac, maxVideoThumbMae,
+          maxWindowHamming, minAudioMatchFrac),
+        Seq("media_id"), "left_anti")
+
+  /** The FLAG form of [[noveltyAgainstStore]]: the distinct incoming
+    * media_ids that perceptually match ANY store asset, per the same
+    * per-kind thresholds. Two workloads consume it:
+    *
+    *  - novelty ingest drops the matched set (the anti-join above);
+    *  - BENCHMARK DECONTAMINATION audits it — with `store` built from
+    *    an evaluation suite's assets instead of ingest history, the
+    *    matched ids are training assets that leak eval content (the
+    *    ImageNet-val-in-LAION problem), the media twin of
+    *    [[graft.text.TextQueries.contaminationBloomVs]]. The benchmark
+    *    suite's payloads are decoded ONCE, at store build; every
+    *    training scan pays only its own signature pass plus banding
+    *    equi-joins over 16–72-byte rows. */
+  def matchedAgainstStore(incoming: DataFrame, store: DataFrame,
+      maxHamming: Int = 7, maxThumbMae: Double = 6.0, videoStride: Int = 2,
+      maxFrameHamming: Int = 7, minVideoMatchFrac: Double = 0.8,
+      maxVideoThumbMae: Double = 3.0,
       maxWindowHamming: Int = 3, minAudioMatchFrac: Double = 0.9): DataFrame = {
     // per-kind builders directly — NOT kind-filters over the unioned
     // [[signatures]] frame: a filter above the union cannot push into
@@ -449,10 +476,6 @@ object SignatureStore {
       Some(maxVideoThumbMae))
     val aud = matchedIds(audioSigRows(incoming).distinct(), slice(store, "audio"),
       maxWindowHamming, bits = 32, minAudioMatchFrac, None)
-    // barrier: without it the anti join pushes through a union-shaped
-    // incoming, duplicating the matched pipeline (and its incoming
-    // decodes) into every branch — see Multimodal.survivorsBarrier
-    Multimodal.survivorsBarrier(incoming, "store_novelty_in")
-      .join(img.union(vid).union(aud).distinct(), Seq("media_id"), "left_anti")
+    img.union(vid).union(aud).distinct()
   }
 }

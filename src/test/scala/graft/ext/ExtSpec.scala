@@ -901,6 +901,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming benchmark decontamination equals its batch twin") {
+    import graft.multimodal.{Multimodal, MultimodalQueries, SignatureStore}
+    import graft.streaming.MediaStream
+    val storeDir = java.nio.file.Files.createTempDirectory("bench-store").toString + "/store"
+    SignatureStore.build(Multimodal.syntheticMedia(spark, dir)
+      .where(pmod(col("media_id"), lit(11)) === 5), storeDir)
+    val store = SignatureStore.load(spark, storeDir)
+    val training = MultimodalQueries.trainingWithBenchLeakage(spark, dir)
+    val batch = SignatureStore.noveltyAgainstStore(training, store)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty)
+    val streamDir = java.nio.file.Files.createTempDirectory("bench-in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bench-out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("bench-ckpt").toString
+    training.coalesce(1).write.mode("append").parquet(streamDir)
+    val q = MediaStream.startStoreNoveltyQuery(spark, streamDir, outDir, ckpt, store)
+    try {
+      q.processAllAvailable()
+      val stream = spark.read.parquet(outDir)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(stream == batch,
+        s"stream/batch divergence: ${stream.size} vs ${batch.size}")
+      // planted re-encoded benchmark twins are filtered on arrival
+      assert(!stream.exists(_ >= 90000000L),
+        "a leaked benchmark twin reached the training output")
+    } finally q.stop()
+  }
+
   test("A/V quality stats: one decode per clip / per frame, full coverage") {
     import graft.multimodal.{Codec, Multimodal, MultimodalQueries}
     // parquet-stage the planted frame so the decode budget measures the
