@@ -727,8 +727,12 @@ object Dedup {
   }
 
   /** End-to-end dedup retention: given the duplicate-pair relation, keep
-    * exactly one representative per duplicate cluster — the longest
-    * document, ties to the smallest id — plus every unclustered document.
+    * exactly one representative per duplicate cluster — the
+    * highest-`quality` member (default: the longest document,
+    * `n_chars`), ties to the smallest id — plus every unclustered
+    * document. Passing a model or heuristic quality score is the
+    * FineWeb recipe: among near-duplicates, keep the best-scored copy,
+    * not the longest. `quality` is evaluated against `docs`' columns.
     * Returns (doc_id, cluster_size); cluster_size = 1 for singletons.
     *
     * Scale shape: the cluster relation covers only documents that HAVE a
@@ -737,15 +741,16 @@ object Dedup {
     * survivor anti-join run against a small, broadcastable side; the
     * corpus itself is scanned once. This is the pass that turns the pair
     * detectors into an actual retained training corpus. */
-  def retain(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def retain(docs: DataFrame, pairs: DataFrame,
+      quality: Column = col("n_chars")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clusters = canonicalize(pairs) // (id, canonical_id), dup members only
     val sized = clusters.groupBy("canonical_id")
       .agg(count(lit(1)).as("cluster_size"))
     val w = Window.partitionBy(col("canonical_id"))
-      .orderBy(col("n_chars").desc, col("id").asc)
+      .orderBy(col("_q").desc, col("id").asc)
     val reps = clusters
-      .join(docs.select(col("doc_id"), col("n_chars")), col("id") === col("doc_id"))
+      .join(docs.select(col("doc_id"), quality.as("_q")), col("id") === col("doc_id"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .join(sized, "canonical_id")

@@ -370,6 +370,38 @@ object MinHashBandStore {
     finally in.unpersist()
   }
 
+  /** Pairwise SELF-JOIN twin of the store probe's decision function:
+    * near-dup pairs over one frame under the IDENTICAL hash family,
+    * banding, and signature-ESTIMATE Jaccard verify as
+    * [[noveltyAgainstStore]], emitted as ordered (id_a < id_b) pairs.
+    *
+    * [[Dedup.minhashLshPairs]] is the exact-Jaccard-verified batch
+    * operator (same candidacy, stronger verify); THIS form exists for
+    * callers that need bit-level DECISION PARITY with the store probe —
+    * above all proving that a day-by-day incremental ingest equals its
+    * one-shot batch twin ([[graft.examples.DailyIngest]]): near the
+    * threshold the estimate (σ ≈ 0.125 at 64 hashes) and the exact
+    * Jaccard can disagree, so an equivalence gate must use the same
+    * estimator on both sides. At-scale caveat: the store probe bounds
+    * hot buckets (`maxBucket` posting latch) while this self-join does
+    * not — parity holds wherever no bucket exceeds the cap. */
+  def estPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", params: Params = Params(),
+      threshold: Double = 0.5): DataFrame = {
+    // cache: three consumers (both band sides + the sig joins) would
+    // otherwise re-shingle; lifetime note on Dedup.jaccardPairs applies
+    val rows = sigBandRows(docs, textCol, idCol, params).cache()
+    val bands = bandTable(rows)
+    bands.as("a").join(bands.as("b"), Seq("band_id", "band_hash"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .join(rows.select(col("doc_id").as("id_a"), col("sig").as("_sa")), Seq("id_a"))
+      .join(rows.select(col("doc_id").as("id_b"), col("sig").as("_sb")), Seq("id_b"))
+      .where(estJaccard(col("_sa"), col("_sb"), params.numHashes) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Exact-Jaccard audit twin of [[noveltyAgainstStore]]'s decision:
     * matched batch doc ids verified against ACTUAL history text (a
     * candidate-bounded join back to the history corpus — selective,

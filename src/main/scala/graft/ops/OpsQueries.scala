@@ -453,6 +453,45 @@ object OpsQueries {
     Dedup.retain(docs, Dedup.jaccardPairs(docs, threshold = 0.8))
   }
 
+  /** Quality-ranked retention (the FineWeb recipe): same clusters as
+    * `dedup_retained`, but the survivor is the member with the best
+    * QUALITY SCORE (here: token count, a stand-in for a model score the
+    * caller supplies as any Column), ties to the smallest id — the
+    * longest copy of a template page is often the most ad-stuffed one,
+    * so "longest wins" and "best wins" genuinely differ. */
+  val retainedQuality: Q = Q(
+    "dedup_retained_quality",
+    s"""WITH RECURSIVE jp AS (SELECT id_a, id_b FROM ($JaccardSql)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |),
+       |clusters AS (SELECT src AS id, min(dst) AS canonical_id FROM reach GROUP BY src),
+       |sized AS (SELECT canonical_id, count(*) AS cluster_size FROM clusters GROUP BY 1),
+       |q AS (SELECT doc_id,
+       |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      x -> x <> '')) AS score
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT c.id, c.canonical_id,
+       |    row_number() OVER (PARTITION BY c.canonical_id
+       |      ORDER BY q.score DESC, c.id ASC) AS rn
+       |  FROM clusters c JOIN q ON c.id = q.doc_id)
+       |SELECT d.doc_id, coalesce(s.cluster_size, 1) AS cluster_size
+       |FROM documents d
+       |LEFT JOIN clusters c ON d.doc_id = c.id
+       |LEFT JOIN ranked r ON d.doc_id = r.id AND r.rn = 1
+       |LEFT JOIN sized s ON r.canonical_id = s.canonical_id
+       |WHERE c.id IS NULL OR r.id IS NOT NULL""".stripMargin
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.retain(docs, Dedup.jaccardPairs(docs, threshold = 0.8),
+      quality = size(graft.text.TextFunctions.tokens(col("text"))))
+  }
+
   /** Cross-document duplicated-substring spans (Lee et al. 2022 substring
     * dedup): 40-char windows at stride 10, a window is duplicated when its
     * exact content occurs in ≥2 distinct documents. Catches verbatim
@@ -1045,6 +1084,72 @@ object OpsQueries {
     } finally incoming.unpersist()
   }
 
+  /** Estimate-envelope pin for the MinHash store's decision function:
+    * the store verifies with the SIGNATURE-estimate Jaccard (σ =
+    * √(J(1−J)/64) ≈ 0.06 near the 0.5 boundary), and its docs tell
+    * callers to keep real thresholds ≥2σ from the boundary — this query
+    * pins what that guidance is worth by probing planted pairs AT
+    * boundary ± 2σ. Store = 200 synthetic 46-token docs; probe = a
+    * HIGH twin per doc at true J ≈ 0.63 (banding candidacy ≈ 94%,
+    * estimate almost always ≥ 0.5 → sheds) and a LOW twin at J ≈ 0.375
+    * (below threshold → survives; the rare shed needs a +2σ estimate
+    * fluke AND a banding hit at ~27% candidacy). Gates bound the
+    * measured miss/keep rates inside the documented envelope, and the
+    * exact-Jaccard audit separates the two populations PERFECTLY on its
+    * candidates — the envelope is the estimator's, not the banding's. */
+  val minhashEstEnvelope: Q = Q.gated("dedup_minhash_est_envelope") { (s, d) =>
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mhenv/$tag/store"
+    val baseUdf = udf { (i: Long) =>
+      (0 until 46).map(j => s"d${i}t$j").mkString(" ")
+    }
+    val twinUdf = udf { (i: Long, keep: Int, salt: String) =>
+      ((0 until keep).map(j => s"d${i}t$j") ++
+        (keep until 46).map(j => s"x$salt${i}v$j")).mkString(" ")
+    }
+    val base = s.range(200).select(col("id").as("doc_id"), baseUdf(col("id")).as("text"))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      MinHashBandStore.build(base, dir)
+    // shared shingles = keep−2 of 44 ⇒ J = (keep−2)/(88−(keep−2))
+    val high = s.range(200).select((col("id") + 10000L).as("doc_id"),
+      twinUdf(col("id"), lit(36), lit("h")).as("text")) // J = 34/54 ≈ 0.63
+    val low = s.range(200).select((col("id") + 20000L).as("doc_id"),
+      twinUdf(col("id"), lit(26), lit("l")).as("text")) // J = 24/64 = 0.375
+    MinHashBandStore.noveltyAgainstStore(high.unionByName(low), dir)
+      .select("doc_id")
+  } { (s, d, res) =>
+    val keptHigh = res.where(col("doc_id") >= 10000L && col("doc_id") < 20000L).count()
+    val keptLow = res.where(col("doc_id") >= 20000L).count()
+    // exact-Jaccard audit on the same probe: its candidate-bounded
+    // matched set must contain ZERO low twins (true J below threshold)
+    // and cover the high twins up to banding candidacy alone
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mhenv/$tag/store"
+    val baseUdf = udf { (i: Long) =>
+      (0 until 46).map(j => s"d${i}t$j").mkString(" ")
+    }
+    val twinUdf = udf { (i: Long, keep: Int, salt: String) =>
+      ((0 until keep).map(j => s"d${i}t$j") ++
+        (keep until 46).map(j => s"x$salt${i}v$j")).mkString(" ")
+    }
+    val base = s.range(200).select(col("id").as("doc_id"), baseUdf(col("id")).as("text"))
+    val high = s.range(200).select((col("id") + 10000L).as("doc_id"),
+      twinUdf(col("id"), lit(36), lit("h")).as("text"))
+    val low = s.range(200).select((col("id") + 20000L).as("doc_id"),
+      twinUdf(col("id"), lit(26), lit("l")).as("text"))
+    val audit = MinHashBandStore.matchedIdsExact(
+      high.unionByName(low), dir, base).cache()
+    val auditLow = audit.where(col("doc_id") >= 20000L).count()
+    val auditHigh = audit.where(col("doc_id") < 20000L).count()
+    audit.unpersist()
+    Seq(
+      Gate("high_twins_kept_frac", keptHigh / 200.0, keptHigh <= 40),
+      Gate("low_twins_shed_frac", (200.0 - keptLow) / 200.0, 200 - keptLow <= 10),
+      Gate("exact_audit_low_matches", auditLow.toDouble, auditLow == 0),
+      Gate("exact_audit_high_coverage", auditHigh / 200.0, auditHigh >= 160))
+  }
+
   /** Prototype-density pruning (keep the least-prototypical 70% of every
     * embedding cluster — the D4-recipe stage after SemDeDup). Seeded
     * driver k-means is not SQL-expressible → gated on the operator's own
@@ -1133,12 +1238,348 @@ object OpsQueries {
           2 * inDist.getAs[Double]("frac_beyond_p95") + 0.2))
   }
 
+  // ------------------------------------------------- daily ingest keystone
+
+  /** Additional planted namespaces for the daily-ingest fixture (the
+    * [[PlantedTwinBase]] discipline — high bits, never colliding with
+    * real ids). Twin/fresh reuse the shared constants. */
+  private[graft] val PlantedUrlVarBase = 1L << 42
+  private[graft] val PlantedMediaTwinBase = 1L << 43
+  private[graft] val PlantedMediaFreshBase = 1L << 44
+
+  /** Fixed eval suite for the ingest pipeline's decontamination stage
+    * (excluded from the crawl fixture, as a real benchmark would be). */
+  def dailyBench(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).where(col("doc_id") % 100 === 7)
+
+  /** Crawl URL for the daily fixture: ~10% of docs share a canonical
+    * key with an earlier doc (cross-day URL dups for keep-first to
+    * catch), and the byte form varies scheme case / default port /
+    * tracking params so canonicalization has real work. */
+  private def dailyUrl: Column = {
+    val key = when(pmod(col("doc_id"), lit(10)) === 6,
+        pmod(col("doc_id"), lit(50)))
+      .otherwise(col("doc_id")).cast("string")
+    concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://Crawl.EX:443/p/"))
+        .otherwise(lit("https://crawl.ex/p/")),
+      key,
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("/?utm_source=feed"))
+        .otherwise(lit("")))
+  }
+
+  /** The crawl, split over days 0..nDays: base docs (bench cohort
+    * excluded) land on day = doc_id % (nDays+1); the LAST day — "today",
+    * the probe-only day — additionally carries the planted truth sets:
+    * URL re-crawl variants of day-0 pages (same canonical URL, different
+    * bytes), lightly-edited near-dup twins of day-0 content (fresh URLs,
+    * one replaced token — the exact store's blind spot), and synthetic
+    * guaranteed-fresh docs (disjoint vocabulary, gopher-passing). */
+  def dailyDocs(s: SparkSession, d: String, nDays: Int): DataFrame = {
+    val crawl = Tables.documents(s, d).where(col("doc_id") % 100 =!= 7)
+    val base = crawl
+      .withColumn("day", pmod(col("doc_id"), lit(nDays + 1)).cast("int"))
+      .withColumn("url", dailyUrl)
+    val day0 = base.where(col("day") === 0)
+    val urlVariants = base.where(col("day") < nDays && col("doc_id") % 13 === 1)
+      .withColumn("url", concat(col("url"), lit("#refetch")))
+      .withColumn("doc_id", col("doc_id") + PlantedUrlVarBase)
+      .withColumn("day", lit(nDays).cast("int"))
+      .withColumn("source", lit("recrawl"))
+    val editUdf = udf { (text: String) =>
+      val t = text.trim.split("\\s+")
+      t(4) = "xqzedit"
+      t.mkString(" ")
+    }
+    val twins = day0.where(col("text").isNotNull &&
+        size(split(trim(col("text")), "\\s+")) >= 25 && col("doc_id") % 11 === 3)
+      .withColumn("url",
+        concat(lit("https://fresh.ex/t/"), col("doc_id").cast("string")))
+      .withColumn("doc_id", col("doc_id") + PlantedTwinBase)
+      .withColumn("day", lit(nDays).cast("int"))
+      .withColumn("text", editUdf(col("text")))
+      .withColumn("source", lit("editfarm"))
+    // alpha-only tokens + a stopword per clause: passes every Gopher
+    // band (length, mean token length, alnum ratio, stop hits,
+    // repetition) while sharing zero shingles with the corpus or bench
+    val freshUdf = udf { (id: Long) =>
+      (0 until 15).map { i =>
+        // injective pure-alpha encoding: distinct values MUST yield
+        // distinct words (a lossy mapping once duplicated a word inside
+        // a doc and pushed Gopher's repetition band over its 0.05 max)
+        var v = id * 31 + i
+        val sb = new StringBuilder
+        while (v > 0) { sb.append(('a' + (v % 26)).toChar); v /= 26 }
+        s"the zq$sb"
+      }.mkString(" ")
+    }
+    val fresh = s.range(40)
+      .select((col("id") + PlantedFreshBase).as("doc_id"),
+        concat(lit("https://fresh.ex/f/"), col("id").cast("string")).as("url"),
+        freshUdf(col("id") + PlantedFreshBase).as("text"),
+        lit("en").as("lang"), lit("synthfresh").as("source"),
+        lit(nDays).cast("int").as("day"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val cols = base.columns.map(col)
+    base.unionByName(urlVariants.select(cols: _*))
+      .unionByName(twins.select(cols: _*))
+      .unionByName(fresh.select(cols: _*))
+  }
+
+  /** The crawl's media, day-aligned with [[dailyDocs]] (media_id ==
+    * doc_id); today additionally carries re-encoded twins of day-0
+    * assets (perceptual novelty truth) and fresh assets from unrelated
+    * seeds (survival truth). */
+  def dailyMedia(s: SparkSession, d: String, nDays: Int): DataFrame = {
+    import graft.multimodal.{Codec, Multimodal}
+    val base = Multimodal.syntheticMedia(s, d)
+      .where(col("media_id") % 100 =!= 7)
+      .withColumn("day", pmod(col("media_id"), lit(nDays + 1)).cast("int"))
+    val reencode = udf { (kind: String, content: Array[Byte]) =>
+      kind match {
+        case "image" => Codec.decodeImage(content)
+          .map(i => Codec.encodeJpeg(i, 0.75f)).getOrElse(content)
+        case "video" => Codec.encodeFrames(Codec.decodeFrames(content).map(f =>
+          Codec.decodeImage(f).map(i => Codec.encodeJpeg(i, 0.8f)).getOrElse(f)))
+        case _ => Codec.decodeWavSamples(content).map { ss =>
+          Codec.encodeWav(ss.drop(256).map(v => (v * 0.97).toShort), 16000)
+        }.getOrElse(content)
+      }
+    }
+    val twins = base.where(col("day") === 0 && col("media_id") % 9 === 2)
+      .withColumn("media_id", col("media_id") + PlantedMediaTwinBase)
+      .withColumn("day", lit(nDays).cast("int"))
+      .withColumn("content", reencode(col("kind"), col("content")))
+    val freshUdf = udf { (kind: String, seed: Long, w: Int, h: Int, nf: Int) =>
+      kind match {
+        case "image" => Codec.synthImageBytes(seed, w, h)
+        case "audio" => Codec.synthWavBytes(seed, nf, 16000)
+        case _       => Codec.synthVideoBytes(seed, nf)
+      }
+    }
+    val fresh = base.where(col("day") === 0 && col("media_id") % 9 === 4)
+      // seed from the BASE id (the offset id at 2^44 would overflow the
+      // long multiply under ANSI); +12345 keeps it off every base seed
+      .withColumn("content", freshUdf(col("kind"),
+        col("media_id") * 1000003L + 12345L,
+        col("width"), col("height"), col("n_frames")))
+      .withColumn("media_id", col("media_id") + PlantedMediaFreshBase)
+      .withColumn("day", lit(nDays).cast("int"))
+    base.unionByName(twins).unionByName(fresh)
+  }
+
+  private val IngestDays = 3
+
+  private def dailyRoot(s: SparkSession, d: String) = {
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_daily/$tag"
+  }
+
+  /** THE KEYSTONE: daily-incremental ingest composing all four
+    * frozen-history stores ([[graft.examples.DailyIngest]] — URL
+    * frontier → exact novelty → hygiene/decontam → near-dup novelty →
+    * media quality + perceptual novelty → shard packing, every store
+    * appended per day). The query ingests [[IngestDays]] days
+    * (ledger-idempotent — the build-if-absent discipline: later reps
+    * measure the steady-state probe-only "today") and returns today's
+    * text + media survivors. Gates:
+    *
+    *  1. re-running every ingested day adds ZERO rows/bytes to any of
+    *     the four stores (ledger idempotence — the exactly-once
+    *     obligation lives in the ledger, not in blind re-appends);
+    *  2. the incremental survivor sets (all days) EQUAL the one-shot
+    *     batch pipeline over the concatenated days — bit-level, because
+    *     every stage's batch twin uses the store probes' own decision
+    *     functions (estPairs; store-parity media pairs) and every
+    *     candidate set is order-free (see DailyIngest's scaladoc);
+    *  3. planted truths: URL re-crawl variants of day-0 pages all shed;
+    *     lightly-edited twins of day-0 content that reached the clean
+    *     set all shed; 40 synthetic fresh docs all survive; re-encoded
+    *     twins of quality-passing day-0 assets all shed; fresh
+    *     quality-passing assets all survive;
+    *  4. today's probe decodes EXACTLY its own batch — one quality pass
+    *     per asset (per frame for video) plus two signature passes per
+    *     post-quality asset (within-day pairs + store probe), zero
+    *     history decodes (history is bloom bytes / band keys / signature
+    *     rows by construction). */
+  val dailyIngest: Q = Q.gated("pipeline_daily_ingest") { (s, d) =>
+    import graft.examples.DailyIngest
+    val root = dailyRoot(s, d)
+    val docs = dailyDocs(s, d, IngestDays)
+    val media = dailyMedia(s, d, IngestDays)
+    val bench = dailyBench(s, d)
+    DailyIngest.run(s, docs, media, bench, root, IngestDays)
+    val (txt, med) = DailyIngest.probeDay(s,
+      docs.where(col("day") === IngestDays),
+      media.where(col("day") === IngestDays), bench, root)
+    txt.select(col("doc_id").as("id"), lit("text").as("family"))
+      .unionByName(med.select(col("media_id").as("id"), lit("media").as("family")))
+  } { (s, d, res) =>
+    import graft.examples.DailyIngest
+    import graft.multimodal.{Codec, Multimodal}
+    import graft.text.{TextFunctions, TextQueries}
+    import org.apache.spark.sql.expressions.Window
+    val D = IngestDays
+    val root = dailyRoot(s, d)
+    val docs = dailyDocs(s, d, D).cache()
+    val media = dailyMedia(s, d, D)
+    val bench = dailyBench(s, d)
+    // ---- 1. ledger idempotence ------------------------------------
+    def md5Of(p: String): String = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    }
+    def snapshot() = (
+      md5Of(s"${DailyIngest.urlStore(root)}/bloom.bin"),
+      md5Of(s"${DailyIngest.textStore(root)}/bloom.bin"),
+      MinHashBandStore.loadSigs(s, DailyIngest.mhStore(root)).count(),
+      MinHashBandStore.loadBands(s, DailyIngest.mhStore(root)).count(),
+      graft.multimodal.SignatureStore.load(s, DailyIngest.sigStore(root)).count())
+    val snap1 = snapshot()
+    DailyIngest.run(s, docs, media, bench, root, D)
+    val rerunDrift = if (snapshot() == snap1) 0 else 1
+    // ---- 2. batch twins (the one-shot pipeline over all days) ------
+    val canon = docs.withColumn("curl",
+      TextFunctions.canonicalizeUrl(col("url")))
+    val s0 = canon.withColumn("_rn", row_number().over(
+        Window.partitionBy("curl").orderBy("day", "doc_id")))
+      .where(col("_rn") === 1).drop("_rn")
+    val s1 = s0.where(col("text").isNotNull)
+      .withColumn("_k", md5(substring(lower(col("text")), 1, 80)))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_k").orderBy("day", "doc_id")))
+      .where(col("_rn") === 1).drop("_rn", "_k")
+    val qualityIds = TextQueries.gopherRules(s1, minStopHits = 1).select("doc_id")
+    val dCols = Seq("doc_id", "text").map(col)
+    val decontamIn = bench.select(dCols: _*).withColumn("_b", lit(true))
+      .unionByName(s1.select(dCols: _*).withColumn("_b", lit(false)))
+    val contaminated = TextQueries
+      .contaminationBloomVs(decontamIn, col("_b"), threshold = 0.05, fpp = 1e-4)
+      .select("doc_id")
+    val s2 = s1.join(qualityIds, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti").cache()
+    def orderedDrops(pairs: DataFrame, dayMap: DataFrame): DataFrame = pairs
+      .join(dayMap.select(col("id").as("id_a"), col("day").as("_da")), Seq("id_a"))
+      .join(dayMap.select(col("id").as("id_b"), col("day").as("_db")), Seq("id_b"))
+      .select(when(struct(col("_da"), col("id_a")) < struct(col("_db"), col("id_b")),
+        col("id_b")).otherwise(col("id_a")).as("id"))
+      .distinct()
+    val dayOf = docs.select(col("doc_id").as("id"), col("day"))
+    val textDrops = orderedDrops(MinHashBandStore.estPairs(s2), dayOf)
+    val s3 = s2.join(textDrops.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val increText = (0 until D)
+      .map(i => s.read.parquet(DailyIngest.textOut(root, i)).select("doc_id"))
+      .reduce(_ unionByName _)
+      .unionByName(res.where(col("family") === "text").select(col("id").as("doc_id")))
+    val textDiff = s3.exceptAll(increText).count() + increText.exceptAll(s3).count()
+    val lowInfo = Multimodal.imageQualityStats(media)
+      .where(col("low_information")).select("media_id")
+      .unionByName(Multimodal.audioQualityStats(media)
+        .where(col("low_information")).select("media_id"))
+      .unionByName(Multimodal.videoQualityStats(media)
+        .where(col("low_information")).select("media_id"))
+    val postQ = graft.PlanGuards.survivorsBarrier(media, "daily_batch_pq")
+      .join(lowInfo, Seq("media_id"), "left_anti").cache()
+    val mDay = media.select(col("media_id").as("id"), col("day"))
+    val mediaDrops = orderedDrops(DailyIngest.storeParityMediaPairs(postQ), mDay)
+    val mBatch = postQ.select("media_id")
+      .join(mediaDrops.select(col("id").as("media_id")), Seq("media_id"), "left_anti")
+    val increMedia = (0 until D)
+      .map(i => s.read.parquet(DailyIngest.mediaOut(root, i)).select("media_id"))
+      .reduce(_ unionByName _)
+      .unionByName(res.where(col("family") === "media").select(col("id").as("media_id")))
+    val mediaDiff = mBatch.exceptAll(increMedia).count() +
+      increMedia.exceptAll(mBatch).count()
+    // ---- 3. planted truths ------------------------------------------
+    val todayText = res.where(col("family") === "text")
+    val nUrlVars = docs.where(col("doc_id") >= PlantedUrlVarBase &&
+      col("doc_id") < PlantedMediaTwinBase).count()
+    val urlVarsKept = todayText.where(col("id") >= PlantedUrlVarBase &&
+      col("id") < PlantedMediaTwinBase).count()
+    // conditional truth sets: a twin must shed iff its BASE reached the
+    // stage the store records (clean set / post-quality set) — a base
+    // dropped by URL-collision, hygiene, or decontamination never
+    // entered the store, and its twin's fate is the equivalence gate's
+    // job, not a planted guarantee
+    val condTwins = docs
+      .where(col("doc_id") >= PlantedTwinBase && col("doc_id") < PlantedFreshBase)
+      .select(col("doc_id"), (col("doc_id") - PlantedTwinBase).as("base"))
+      .join(s2.select(col("doc_id").as("base")), Seq("base"))
+    val nCondTwins = condTwins.count()
+    val twinsLeaked = todayText
+      .join(condTwins.select(col("doc_id").as("id")), Seq("id")).count()
+    val freshKept = todayText.where(col("id") >= PlantedFreshBase &&
+      col("id") < PlantedUrlVarBase).count()
+    val todayMedia = res.where(col("family") === "media")
+    val condMTwins = media
+      .where(col("media_id") >= PlantedMediaTwinBase &&
+        col("media_id") < PlantedMediaFreshBase)
+      .select(col("media_id"), (col("media_id") - PlantedMediaTwinBase).as("base"))
+      .join(postQ.select(col("media_id").as("base")), Seq("base"))
+    val nCondM = condMTwins.count()
+    val mTwinsLeaked = todayMedia
+      .join(condMTwins.select(col("media_id").as("id")), Seq("id")).count()
+    val mFreshTotal = postQ.where(col("media_id") >= PlantedMediaFreshBase).count()
+    val mFreshKept = todayMedia.where(col("id") >= PlantedMediaFreshBase).count()
+    // ---- 4. today's decode budget ----------------------------------
+    // parquet-stage today's media first: the fixture's planted-twin
+    // synthesis UDF itself decodes (re-encode twins), and measuring
+    // from the raw frame would bill those fixture decodes to the probe
+    val staged = s"$root/_stage_today_media"
+    if (!new java.io.File(staged).exists())
+      media.where(col("day") === D).write.mode("overwrite").parquet(staged)
+    val todayMediaDf = s.read.parquet(staged)
+    Codec.decodeCalls.reset()
+    val (txt2, med2) = DailyIngest.probeDay(s,
+      docs.where(col("day") === D), todayMediaDf, bench, root)
+    med2.count(); txt2.count()
+    val bill = Codec.decodeCalls.sum()
+    val pqToday = postQ.where(col("day") === D)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    // per-asset budget: one quality pass over EVERY asset (per frame
+    // for video), then signature passes over post-quality assets only —
+    // ONE for images (storeParityMediaPairs caches imageSigRows
+    // directly and the store probe's capture-free identical plan reuses
+    // that cache entry: both consumers share a single decode pass),
+    // TWO for audio/video (their pair operators cache a post-select
+    // frame the probe's raw builder cannot match)
+    val expected = todayMediaDf
+      .select(col("media_id"), col("kind"), col("n_frames"))
+      .collect().map { r =>
+        val (id, kind, nf) = (r.getLong(0), r.getString(1), r.getInt(2))
+        val quality = if (kind == "video") nf.toLong else 1L
+        val sigPass = kind match {
+          case "video" => 2L * ((nf + 1) / 2)
+          case "audio" => 2L
+          case _       => 1L
+        }
+        quality + (if (pqToday(id)) sigPass else 0L)
+      }.sum
+    s2.unpersist(); postQ.unpersist(); docs.unpersist()
+    Seq(
+      Gate("rerun_store_drift", rerunDrift.toDouble, rerunDrift == 0),
+      Gate("text_vs_batch_diff", textDiff.toDouble, textDiff == 0),
+      Gate("media_vs_batch_diff", mediaDiff.toDouble, mediaDiff == 0),
+      Gate("url_variants_total", nUrlVars.toDouble, nUrlVars > 10),
+      Gate("url_variants_kept", urlVarsKept.toDouble, urlVarsKept == 0),
+      Gate("edited_twins_conditional", nCondTwins.toDouble, nCondTwins > 5),
+      Gate("edited_twins_leaked", twinsLeaked.toDouble, twinsLeaked == 0),
+      Gate("synthetic_fresh_kept", freshKept.toDouble, freshKept == 40),
+      Gate("media_twins_conditional", nCondM.toDouble, nCondM > 5),
+      Gate("media_twins_leaked", mTwinsLeaked.toDouble, mTwinsLeaked == 0),
+      Gate("fresh_media_kept", mFreshKept.toDouble,
+        mFreshTotal > 0 && mFreshKept == mFreshTotal),
+      Gate("probe_decode_budget_dev", (bill - expected).toDouble, bill == expected))
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain, annPq,
-    semanticDups, canonical, retained, substringSpans,
+    semanticDups, canonical, retained, retainedQuality, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
     hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,
-    minhashNovelStore, urlCanonicalize, urlDedup, urlNovelStore,
-    crossModalFilter, crossModalStats)
+    minhashNovelStore, minhashEstEnvelope, urlCanonicalize, urlDedup, urlNovelStore,
+    crossModalFilter, crossModalStats, dailyIngest)
 }

@@ -985,7 +985,10 @@ object TextQueries {
     * (boilerplate, licence footers, nav text) is kept only at its FIRST
     * occurrence — (doc_id, position) order — and dropped everywhere
     * else; each document is then reassembled from its surviving
-    * paragraphs in original order. `text` is split on newlines. Returns
+    * paragraphs in original order. `scope` columns narrow the dedup
+    * universe (RefinedWeb's variant dedups lines per SOURCE, not
+    * corpus-wide — pass `Seq("source")`; empty = corpus-wide).
+    * `text` is split on newlines. Returns
     * (doc_id, n_paras, n_kept, clean_md5 of the reassembled text) for
     * every document — the md5 proves the reconstruction, not just the
     * counts, is identical cross-engine.
@@ -1007,14 +1010,20 @@ object TextQueries {
     * to the occurrence stream. What remains: two doc_id-partitioned
     * aggregations (survivor reassembly, per-doc totals) and their
     * co-partitioned assembly join. No all-pairs, no driver state. */
-  def paragraphDedup(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  def paragraphDedup(docs: org.apache.spark.sql.DataFrame,
+      scope: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graft.KeepFirst
     val lines = docs
       .where(col("text").isNotNull)
-      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("p", "line")))
+      .select(col("doc_id") +: scope.map(col) :+
+        posexplode(split(col("text"), "\n")).as(Seq("p", "line")): _*)
+    // `scope` narrows the dedup universe (RefinedWeb's per-SOURCE line
+    // dedup: a licence footer shared by two crawls survives once in
+    // EACH source): scope columns simply join the grouping key, so the
+    // skew discipline below is unchanged — a hot line now bounds per
+    // (scope, hash) instead of per hash, which only helps.
     val winners = lines
-      .groupBy(md5(col("line")).as("h"))
+      .groupBy(scope.map(col) :+ md5(col("line")).as("h"): _*)
       .agg(KeepFirst.keepFirst(col("doc_id"), col("p"), col("line")).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.p").as("p"),
         col("w.payload").as("line"))
@@ -1201,6 +1210,64 @@ object TextQueries {
             array(lit("all rights reserved contact us for details"))).otherwise(emptyArr)),
           "\n").as("text"))
     paragraphDedup(derived)
+  }
+
+  /** Per-SOURCE paragraph dedup — RefinedWeb's variant of
+    * [[paragraphDedupQ]] (scope = source, not corpus): the planted
+    * header/footer boilerplate survives once in EVERY source rather
+    * than once corpus-wide. Same derived fixture, same keep-first
+    * discipline; only the dedup universe changes. */
+  val paragraphDedupBySourceQ: Q = Q(
+    "text_paragraph_dedup_by_source",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |l0 AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(0, greatest(CAST(ceil(len(toks) / 6.0) AS INTEGER), 1)),
+      |      i -> array_to_string(toks[i*6+1:i*6+6], ' ')) AS ls
+      |  FROM t),
+      |page AS (
+      |  SELECT doc_id, source,
+      |    (CASE WHEN doc_id % 3 = 0
+      |       THEN ['subscribe to our newsletter for updates'] ELSE [] END)
+      |    || ls ||
+      |    (CASE WHEN doc_id % 7 = 0
+      |       THEN ['all rights reserved contact us for details'] ELSE [] END) AS ls
+      |  FROM l0),
+      |lines AS (
+      |  SELECT doc_id, source, unnest(ls) AS line, generate_subscripts(ls, 1) AS p
+      |  FROM page),
+      |ranked AS (
+      |  SELECT doc_id, p, line,
+      |    row_number() OVER (PARTITION BY source, line ORDER BY doc_id, p) AS rn
+      |  FROM lines)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INTEGER) AS n_paras,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+      |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY p),
+      |               '')) AS clean_md5
+      |FROM ranked GROUP BY 1""".stripMargin
+  ) { (s, d) =>
+    val nChunks = greatest(ceil(size(col("_t")) / lit(6.0)).cast("int"), lit(1))
+    val emptyArr = array().cast("array<string>")
+    val derived = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .withColumn("_t", tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("_t"), i * 6 + 1, lit(6)), " ")).as("_l0"))
+      .select(col("doc_id"), col("source"),
+        array_join(concat(
+          when(col("doc_id") % 3 === 0,
+            array(lit("subscribe to our newsletter for updates"))).otherwise(emptyArr),
+          col("_l0"),
+          when(col("doc_id") % 7 === 0,
+            array(lit("all rights reserved contact us for details"))).otherwise(emptyArr)),
+          "\n").as("text"))
+    paragraphDedup(derived, scope = Seq("source"))
   }
 
   /** Surgical span decontamination — the ACTIONABLE half of
@@ -1963,7 +2030,7 @@ object TextQueries {
     textStats, fingerprints, langQuality, bpeTokens, tfidfTop, repetition,
     contamination, contaminationBloom, contaminationSpans,
     contaminationSpansBloom, gopherFilter, c4Clean, lmPerplexity, dsir,
-    bm25, paragraphDedupQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
+    bm25, paragraphDedupQ, paragraphDedupBySourceQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
     vocabBySource, vocabHll, chunkWindowsQ, qualityBudget, qualityThreshold,
     bpeTrain, bpeLearnedTokens, piiScrub, qualityClassifier, perplexityBuckets,
     boilerplateScrubQ)

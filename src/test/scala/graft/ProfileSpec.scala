@@ -1127,4 +1127,91 @@ class ProfileSpec extends AnyFunSuite {
       f"8x history cost ${tBig / tSmall}%.1fx — probe is not O(batch): $tSmall%.2f -> $tBig%.2f s")
     inSigs.unpersist(); incoming.unpersist()
   }
+
+  test("scale stress: daily-ingest probe day is O(day), not O(history)") {
+    assume(sys.env.contains("GRAFT_PROFILE"), "profiling is opt-in: GRAFT_PROFILE=1")
+    // The composed keystone: ingest 2 days vs 8 days of synthetic crawl
+    // into two separate roots (all four stores appended per day), then
+    // probe the SAME "today" against each. The probe day touches every
+    // stage — URL bloom, content bloom, hygiene/decontam, MinHash band
+    // store, quality filters, signature store — and must cost O(day):
+    // 4x more ingested history may not change today\'s decisions or
+    // blow up today\'s wall time.
+    import spark.implicits._
+    import graft.examples.DailyIngest
+    import graft.multimodal.Codec
+    def docsFor(n: Int, idBase: Long, day: Int, tag: String) = spark.range(n.toLong)
+      .select((col("id") + idBase).as("doc_id"),
+        concat(lit("https://p.ex/"), (col("id") + idBase).cast("string")).as("url"),
+        // (id+1): at id 0 every product is 0 mod 9973 and the doc
+        // degenerates to one repeated token, which Gopher rightly drops
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit(s"the w$tag"), pmod((col("id") + 1) * (2 * i + 7), lit(9973)).cast("string"))): _*)
+          .as("text"),
+        lit("en").as("lang"), lit(tag).as("source"), lit(day).as("day"))
+    val png = udf { (seed: Long) => Codec.synthImageBytes(seed, 24, 24) }
+    def mediaFor(n: Int, idBase: Long, day: Int, seedSalt: Long) = spark.range(n.toLong)
+      .select((col("id") + idBase).as("media_id"), lit("image").as("kind"),
+        lit("image/png").as("mime"), lit(24).as("width"), lit(24).as("height"),
+        lit(1).as("n_frames"), lit(0).as("sample_rate"),
+        png((col("id") + idBase) * 7919L + seedSalt).as("content"),
+        lit(day).as("day"))
+    val bench = docsFor(100, 800000L, 0, "bench").drop("day")
+    def mkRoot(days: Int, leaf: String): String = {
+      val root = s"/tmp/graft_profile_daily_$leaf"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = (0 until days).map(i => docsFor(2000, i * 10000L, i, s"h$i"))
+        .reduce(_ unionByName _)
+      val media = (0 until days).map(i => mediaFor(400, i * 10000L, i, 0L))
+        .reduce(_ unionByName _)
+      DailyIngest.run(spark, docs, media, bench, root, days)
+      root
+    }
+    val root2 = mkRoot(2, "small")
+    val root8 = mkRoot(8, "big")
+    // today: fresh docs/assets + exact re-crawls of day 0 (shed by the
+    // content bloom / signature store) + edited day-0 twins (shed by
+    // the MinHash band store). Day 0 is IDENTICAL in both histories, so
+    // the decision sets must match exactly.
+    val fresh = docsFor(1000, 900000L, 99, "f")
+    val exactCopies = docsFor(500, 910000L, 99, "h0")
+      .withColumn("url", concat(lit("https://p.ex/re/"), col("doc_id").cast("string")))
+    val edited = docsFor(500, 920000L, 99, "h0")
+      .withColumn("url", concat(lit("https://p.ex/ed/"), col("doc_id").cast("string")))
+      .withColumn("text", concat(col("text"), lit(" zedit zedit2 zedit3")))
+    val todayDocs = fresh.unionByName(exactCopies).unionByName(edited).cache()
+    todayDocs.count()
+    val todayMedia = mediaFor(500, 900000L, 99, 31L)
+      .unionByName(mediaFor(300, 910000L - 910000L, 99, 0L)
+        .withColumn("media_id", col("media_id") + 910000L))
+      .cache()
+    todayMedia.count()
+    def probe(root: String, label: String): (Double, Set[Long], Set[Long]) = {
+      val t0 = System.nanoTime()
+      val (txt, med) = DailyIngest.probeDay(spark, todayDocs, todayMedia, bench, root)
+      val keptT = txt.select("doc_id").collect().map(_.getLong(0)).toSet
+      val keptM = med.select("media_id").collect().map(_.getLong(0)).toSet
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] daily probe $label%-8s $dt%8.2f s, text ${keptT.size}, media ${keptM.size}")
+      (dt, keptT, keptM)
+    }
+    probe(root2, "warmup")
+    val (tSmall, keptT2, keptM2) = probe(root2, "2-day")
+    val (tBig, keptT8, keptM8) = probe(root8, "8-day")
+    // exact re-crawls shed; edited twins shed; fresh survive
+    assert(!keptT2.exists(id => id >= 910000L && id < 930000L),
+      "a re-crawl (exact or edited) of day-0 content survived")
+    assert(keptT2.count(id => id >= 900000L && id < 910000L) == 1000,
+      "synthetic fresh docs must survive")
+    // the media copies re-use day-0 seeds byte-for-byte -> store match
+    assert(!keptM2.exists(id => id >= 910000L),
+      "a byte-identical re-encounter of a day-0 asset survived")
+    assert(keptM2.count(_ < 910000L) == 500, "fresh assets must survive")
+    assert(keptT8 == keptT2 && keptM8 == keptM2,
+      "4x history changed today\'s decision sets")
+    assert(tBig <= math.max(tSmall, 1.0) * 4,
+      f"4x history cost ${tBig / tSmall}%.1fx — probe day is not O(day): $tSmall%.2f -> $tBig%.2f s")
+    todayDocs.unpersist(); todayMedia.unpersist()
+  }
 }
