@@ -49,13 +49,25 @@ import org.apache.spark.sql.functions._
   *    independent-set semantics no batch plan can replicate).
   *  - signature store: the day's post-quality media — same reasoning.
   *
-  * IDEMPOTENCE is ledger-based, the production mechanism: a completed
-  * day writes `_ledger/day_N` with its counts, and a re-run of that day
-  * short-circuits — zero rows reach any store, zero bytes change, the
-  * recorded counts return. (Blind re-append is NOT idempotent — a
-  * retried [[MinHashBandStore.append]] leaves duplicate rows for
-  * compact() to repair — so the ledger, not the stores, carries the
-  * exactly-once obligation; a real scheduler keys it by day id.)
+  * IDEMPOTENCE is ledger-based, the production mechanism, and the
+  * ledger is TWO-PHASE because the day's computation must never re-run
+  * against stores its own appends already mutated (the probes would see
+  * the day's content as history and shed everything — silent data
+  * loss on a crash-retry):
+  *
+  *  - phase 1 (pure): compute the day, write the survivor outputs AND
+  *    stage every append INPUT to parquet, then write
+  *    `_ledger/day_N.computed` with the counts. A crash before the
+  *    marker re-runs phase 1 against UNMUTATED stores — safe.
+  *  - phase 2 (mutating): run every append from the STAGED inputs,
+  *    then write `_ledger/day_N`. A crash mid-phase-2 retries the
+  *    appends from the same staged bytes: blooms are byte-idempotent
+  *    under re-insertion, and the band/signature tables gain duplicate
+  *    rows that probes tolerate and compact() repairs — the documented
+  *    append-retry state, never recomputation against mutated stores.
+  *
+  * A day whose final marker exists short-circuits entirely — zero rows
+  * reach any store, zero bytes change, the recorded counts return.
   *
   * Batch-equivalence contract (gated): because every stage's candidate
   * set is ORDER-FREE (URL keep-first and content keep-first are global
@@ -91,11 +103,15 @@ object DailyIngest {
   }
 
   /** All intermediate day frames a completed day must materialize and
-    * append; split from the counts so [[ingestDay]] can sequence
-    * "materialize survivors → append stores → write ledger". */
+    * append, plus every internal CACHE the day created (`caches`) so the
+    * daily loop can release them once the day's consumers are
+    * materialized — without the release, each day pins fresh day-sized
+    * entries (shingle signatures, image signatures, exploded
+    * decontamination shingles) for the session lifetime. */
   private final case class DayFrames(canon: DataFrame, urlKept: DataFrame,
       exactKept: DataFrame, clean: DataFrame, textSurvivors: DataFrame,
-      postQuality: DataFrame, mediaSurvivors: DataFrame)
+      postQuality: DataFrame, mediaSurvivors: DataFrame,
+      caches: Seq[DataFrame])
 
   /** One day's pure computation (no writes, no appends): the store
     * probes run against whatever the stores currently hold — i.e. all
@@ -138,9 +154,10 @@ object DailyIngest {
     val docCols = Seq("doc_id", "text").map(col)
     val decontamIn = benchDocs.select(docCols: _*).withColumn("_b", lit(true))
       .unionByName(exactKept.select(docCols: _*).withColumn("_b", lit(false)))
-    val contaminated = TextQueries
-      .contaminationBloomVs(decontamIn, col("_b"), threshold = 0.05, fpp = 1e-4)
-      .select("doc_id")
+    val (contaminatedFull, contamCache) = TextQueries
+      .contaminationBloomVsTracked(decontamIn, col("_b"),
+        threshold = 0.05, fpp = 1e-4)
+    val contaminated = contaminatedFull.select("doc_id")
     val clean = exactKept.join(qualityIds, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .cache() // consumers: within-day pairs, store probe, append, survivors join
@@ -149,7 +166,8 @@ object DailyIngest {
     // cross-day: the band store sheds near-dups of any prior day's
     // clean docs. Both use the store's own est-Jaccard decision
     // function, so the union equals the batch rule exactly.
-    val withinDrops = MinHashBandStore.estPairs(clean)
+    val (withinPairs, estCache) = MinHashBandStore.estPairsTracked(clean)
+    val withinDrops = withinPairs
       .select(col("id_b").as("doc_id")).distinct()
     val crossKept =
       if (exists(spark, mhStore(root)))
@@ -159,12 +177,7 @@ object DailyIngest {
     // ---- stage 4: media branch -------------------------------------
     // quality pre-filters (per-asset, day-free) → within-day
     // store-parity pairs → perceptual store probe
-    val lowInfo = Multimodal.imageQualityStats(dayMedia)
-      .where(col("low_information")).select("media_id")
-      .unionByName(Multimodal.audioQualityStats(dayMedia)
-        .where(col("low_information")).select("media_id"))
-      .unionByName(Multimodal.videoQualityStats(dayMedia)
-        .where(col("low_information")).select("media_id"))
+    val lowInfo = Multimodal.lowInformationIds(dayMedia)
     // cached: the within-day pairs, the store probe, and the survivor
     // join each consume this frame's six signature/quality builders —
     // uncached, every consumer would re-run the quality DECODES (the
@@ -173,7 +186,8 @@ object DailyIngest {
     val postQuality = Multimodal.survivorsBarrier(dayMedia, "daily_quality_in")
       .join(lowInfo, Seq("media_id"), "left_anti")
       .cache()
-    val mediaWithinDrops = storeParityMediaPairs(postQuality)
+    val (mediaPairs, imgSigCache) = storeParityMediaPairsTracked(postQuality)
+    val mediaWithinDrops = mediaPairs
       .select(col("id_b").as("media_id")).distinct()
     val mediaCrossKept =
       if (exists(spark, sigStore(root)))
@@ -183,7 +197,8 @@ object DailyIngest {
     val mediaSurvivors = mediaCrossKept
       .join(mediaWithinDrops, Seq("media_id"), "left_anti")
     DayFrames(canon, urlKept, exactKept, clean, textSurvivors,
-      postQuality, mediaSurvivors)
+      postQuality, mediaSurvivors,
+      caches = Seq(clean, postQuality, contamCache, estCache, imgSigCache))
   }
 
   /** Pairwise media near-dup pairs under the SIGNATURE-STORE path's
@@ -193,11 +208,22 @@ object DailyIngest {
     * [[SignatureStore.matchedIds]]), video/audio by the containment
     * operators whose defaults the store path shares (video thumb budget
     * tightened to the store's 3.0). Ordered (id_a < id_b). */
-  private[graft] def storeParityMediaPairs(media: DataFrame): DataFrame = {
+  private[graft] def storeParityMediaPairs(media: DataFrame): DataFrame =
+    storeParityMediaPairsTracked(media)._1
+
+  /** [[storeParityMediaPairs]] exposing its cached image-signature
+    * frame for the daily loop to release. Returns (pairs, imgSigCache).
+    */
+  private def storeParityMediaPairsTracked(media: DataFrame)
+      : (DataFrame, DataFrame) = {
     // cached: sims + thumbs consumers would otherwise decode twice.
-    // Cache-lifetime note on Dedup.jaccardPairs applies; the plan's
-    // mapPartitions closure is per-call, so entries never collide with
-    // a later invocation's (no cross-run decode-budget contamination).
+    // DELIBERATE sharing beyond this function: imageSigRows' lambda is
+    // capture-free (a singleton), so the store probe's identical
+    // imageSigRows(media) plan resolves to THIS cache entry and both
+    // consumers share one decode pass — the probe decode-budget gate
+    // bills images at one signature pass, not two (SCALING.md round-16,
+    // cache-identity mechanics). Unmanaged callers inherit the
+    // Dedup.jaccardPairs cache-lifetime contract.
     val imgSigs = SignatureStore.imageSigRows(media).cache()
     val mae = udf { (a: Array[Byte], b: Array[Byte]) => Codec.thumbMae(a, b) }
     val thumbs = imgSigs.select(col("media_id"), col("thumb"))
@@ -213,59 +239,94 @@ object DailyIngest {
       .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
     val aud = Multimodal.audioNearDupPairs(media)
       .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
-    img.unionByName(vid).unionByName(aud).distinct()
+    img.unionByName(vid).unionByName(aud).distinct() -> imgSigs
   }
 
-  /** Ingest one day end-to-end: process, MATERIALIZE survivors, append
-    * every store, then write the ledger marker — strictly in that order
-    * (the store probes are lazy over parquet, so appending before the
-    * survivor write would let a probe read the day's own appends). A
-    * day whose marker exists short-circuits to its recorded counts. */
+  /** Ingest one day end-to-end with the TWO-PHASE ledger documented on
+    * the object: phase 1 computes the day, writes survivors + staged
+    * append inputs + the `.computed` marker; phase 2 appends every
+    * store from the STAGED inputs and writes the final marker. Retry at
+    * any crash point is safe — phase 1 re-runs against unmutated
+    * stores, phase 2 re-appends byte-identical staged inputs (blooms
+    * idempotent; band/signature duplicates repaired by compact()).
+    * A day whose final marker exists short-circuits to its counts.
+    *
+    * `bloomCapacity` sizes the URL and content blooms ONCE, at day-0
+    * build — size it to the expected TOTAL history (distinct URLs /
+    * content keys across all days), not to a day: past capacity the
+    * realized fpp degrades and the frontier starts shedding genuinely
+    * novel URLs (a bloom false positive is a dropped fetch by design —
+    * and the batch-equivalence gate, whose exact twin has no false
+    * positives, will fail loudly on an undersized store). */
   def ingestDay(spark: SparkSession, dayDocs: DataFrame, dayMedia: DataFrame,
       benchDocs: DataFrame, root: String, day: Int,
-      shardBudgetBpe: Long = 2000L): DayCounts = {
-    val (mPath, mFs) = fs(spark, marker(root, day))
-    if (mFs.exists(mPath)) return readCounts(spark, root, day)
-    val f = processDay(spark, dayDocs, dayMedia, benchDocs, root)
-    // materialize survivors (with the packing metadata a shard writer
-    // needs) BEFORE any append mutates the stores the plans read
-    f.textSurvivors
-      .select(col("doc_id"), col("source"),
-        TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
-      .write.mode("overwrite").parquet(textOut(root, day))
-    f.mediaSurvivors.select(col("media_id"), col("kind"))
-      .write.mode("overwrite").parquet(mediaOut(root, day))
-    val textKept = spark.read.parquet(textOut(root, day))
-    val shards = graft.ops.Corpus.packShards(textKept,
-        partitionKey = col("source"), order = col("doc_id"),
-        weight = col("n_bpe"), budget = shardBudgetBpe)
-      .select("source", "shard").distinct().count()
-    // ---- appends: what the day SAW (see object scaladoc) -----------
-    val seenUrls = f.canon.select("doc_id", "curl").distinct()
+      shardBudgetBpe: Long = 2000L, bloomCapacity: Long = 1000000L): DayCounts = {
+    val (donePath, mFs) = fs(spark, marker(root, day))
+    if (mFs.exists(donePath)) return readCounts(spark, marker(root, day))
+    val computedMarker = marker(root, day) + ".computed"
+    val stage = s"$root/_stage/day_$day"
+    // ---- phase 1: pure compute + survivor/staging writes ------------
+    val counts: DayCounts =
+      if (exists(spark, computedMarker)) readCounts(spark, computedMarker)
+      else {
+        val f = processDay(spark, dayDocs, dayMedia, benchDocs, root)
+        // survivors (with the packing metadata a shard writer needs),
+        // materialized strictly BEFORE any append mutates the stores
+        // the probe plans read
+        f.textSurvivors
+          .select(col("doc_id"), col("source"),
+            TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+          .write.mode("overwrite").parquet(textOut(root, day))
+        f.mediaSurvivors.select(col("media_id"), col("kind"))
+          .write.mode("overwrite").parquet(mediaOut(root, day))
+        // staged append INPUTS — what the day SAW (see object scaladoc)
+        f.canon.select("doc_id", "curl").distinct()
+          .write.mode("overwrite").parquet(s"$stage/seen_urls")
+        f.urlKept.select("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$stage/exact_seen")
+        f.clean.select("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$stage/clean")
+        f.postQuality.write.mode("overwrite").parquet(s"$stage/postq")
+        val textKept = spark.read.parquet(textOut(root, day))
+        val shards = graft.ops.Corpus.packShards(textKept,
+            partitionKey = col("source"), order = col("doc_id"),
+            weight = col("n_bpe"), budget = shardBudgetBpe)
+          .select("source", "shard").distinct().count()
+        val c = DayCounts(day,
+          incoming = dayDocs.count(), urlKept = f.urlKept.count(),
+          exactKept = f.exactKept.count(), cleanKept = f.clean.count(),
+          textKept = textKept.count(), mediaIncoming = dayMedia.count(),
+          mediaQualityKept = f.postQuality.count(),
+          mediaKept = spark.read.parquet(mediaOut(root, day)).count(),
+          textShards = shards)
+        writeCounts(spark, computedMarker, c)
+        f.caches.foreach(_.unpersist())
+        c
+      }
+    // ---- phase 2: appends, from the staged inputs only ---------------
+    val seenUrls = spark.read.parquet(s"$stage/seen_urls")
     if (exists(spark, urlStore(root)))
       NoveltyBloomStore.append(seenUrls, urlStore(root), textCol = "curl")
     else NoveltyBloomStore.build(seenUrls, urlStore(root), textCol = "curl",
-      prefixChars = 0, capacity = 1000000L)
+      prefixChars = 0, capacity = bloomCapacity)
+    val exactSeen = spark.read.parquet(s"$stage/exact_seen")
     if (exists(spark, textStore(root)))
-      NoveltyBloomStore.append(f.urlKept, textStore(root))
-    else NoveltyBloomStore.build(f.urlKept, textStore(root),
-      capacity = 1000000L)
+      NoveltyBloomStore.append(exactSeen, textStore(root))
+    else NoveltyBloomStore.build(exactSeen, textStore(root),
+      capacity = bloomCapacity)
+    val cleanStaged = spark.read.parquet(s"$stage/clean")
     if (exists(spark, mhStore(root)))
-      MinHashBandStore.append(f.clean, mhStore(root))
-    else MinHashBandStore.build(f.clean, mhStore(root))
+      MinHashBandStore.append(cleanStaged, mhStore(root))
+    else MinHashBandStore.build(cleanStaged, mhStore(root))
+    val postqStaged = spark.read.parquet(s"$stage/postq")
     if (exists(spark, sigStore(root)))
-      SignatureStore.append(f.postQuality, sigStore(root))
-    else SignatureStore.build(f.postQuality, sigStore(root))
-    val counts = DayCounts(day,
-      incoming = dayDocs.count(), urlKept = f.urlKept.count(),
-      exactKept = f.exactKept.count(), cleanKept = f.clean.count(),
-      textKept = textKept.count(), mediaIncoming = dayMedia.count(),
-      mediaQualityKept = f.postQuality.count(),
-      mediaKept = spark.read.parquet(mediaOut(root, day)).count(),
-      textShards = shards)
-    f.clean.unpersist()
-    f.postQuality.unpersist()
-    writeCounts(spark, root, counts)
+      SignatureStore.append(postqStaged, sigStore(root))
+    else SignatureStore.build(postqStaged, sigStore(root))
+    writeCounts(spark, marker(root, day), counts)
+    // staging cleanup only after the final marker: a crash between the
+    // two leaves harmless leftovers, never a marker without its inputs
+    val (sPath, sFs) = fs(spark, stage)
+    sFs.delete(sPath, true)
     counts
   }
 
@@ -283,16 +344,20 @@ object DailyIngest {
     (f.textSurvivors, f.mediaSurvivors)
   }
 
-  /** Ingest days `0 until nDays` (ledger-idempotent). */
+  /** Ingest days `0 until nDays` (ledger-idempotent; see [[ingestDay]]
+    * for the `bloomCapacity` sizing contract). */
   def run(spark: SparkSession, docs: DataFrame, media: DataFrame,
-      benchDocs: DataFrame, root: String, nDays: Int): Seq[DayCounts] =
+      benchDocs: DataFrame, root: String, nDays: Int,
+      bloomCapacity: Long = 1000000L): Seq[DayCounts] =
     (0 until nDays).map { i =>
       ingestDay(spark, docs.where(col("day") === i),
-        media.where(col("day") === i), benchDocs, root, i)
+        media.where(col("day") === i), benchDocs, root, i,
+        bloomCapacity = bloomCapacity)
     }
 
-  private def writeCounts(spark: SparkSession, root: String, c: DayCounts): Unit = {
-    val (p, f) = fs(spark, marker(root, c.day))
+  private def writeCounts(spark: SparkSession, markerPath: String,
+      c: DayCounts): Unit = {
+    val (p, f) = fs(spark, markerPath)
     val out = f.create(p, true)
     try out.write(Seq(c.day, c.incoming, c.urlKept, c.exactKept, c.cleanKept,
       c.textKept, c.mediaIncoming, c.mediaQualityKept, c.mediaKept,
@@ -300,8 +365,8 @@ object DailyIngest {
     finally out.close()
   }
 
-  private def readCounts(spark: SparkSession, root: String, day: Int): DayCounts = {
-    val (p, f) = fs(spark, marker(root, day))
+  private def readCounts(spark: SparkSession, markerPath: String): DayCounts = {
+    val (p, f) = fs(spark, markerPath)
     val in = f.open(p)
     val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -65,12 +65,7 @@ object MediaPipeline {
     //    a narrow no-shuffle scan, and the near-dup banding downstream
     //    assumes low-information content was pre-filtered (degenerate
     //    assets collapse into hot buckets and cost its recall there)
-    val lowInfo = Multimodal.imageQualityStats(media)
-      .where(col("low_information")).select("media_id")
-      .unionByName(Multimodal.audioQualityStats(media)
-        .where(col("low_information")).select("media_id"))
-      .unionByName(Multimodal.videoQualityStats(media)
-        .where(col("low_information")).select("media_id"))
+    val lowInfo = Multimodal.lowInformationIds(media)
     // barrier: a union-shaped media frame would otherwise pull the
     // quality-stats subtree into every union branch via anti-join
     // pushdown (see Multimodal.survivorsBarrier)

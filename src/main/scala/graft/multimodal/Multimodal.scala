@@ -721,6 +721,20 @@ object Multimodal {
           col("static_frame_fraction") >= maxStaticFraction)
   }
 
+  /** Union of the three per-kind low-information flag sets — THE
+    * quality pre-filter definition. It lives here ONCE because every
+    * consumer must apply the identical filter: the media pipeline, the
+    * daily-ingest incremental path AND its batch-equivalence twin (the
+    * gate demands the same filter on both sides), and the spec budgets.
+    */
+  def lowInformationIds(media: DataFrame): DataFrame =
+    imageQualityStats(media)
+      .where(col("low_information")).select("media_id")
+      .unionByName(audioQualityStats(media)
+        .where(col("low_information")).select("media_id"))
+      .unionByName(videoQualityStats(media)
+        .where(col("low_information")).select("media_id"))
+
   /** Byte-offset index for media shard packing — the media twin of the
     * text side's shard layout: each asset's (shard, offset, nbytes)
     * coordinates in the per-(kind, shard) concatenated payload stream

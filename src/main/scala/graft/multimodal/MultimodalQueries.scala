@@ -103,7 +103,7 @@ object MultimodalQueries {
     *  - audio: stride-aligned trim (drop the first 256-sample window)
     *    PLUS a 0.97 gain — exercising both the position-independence
     *    and the gain-invariance of the fingerprint. */
-  private val reencode = udf { (kind: String, content: Array[Byte]) =>
+  private[graft] val reencode = udf { (kind: String, content: Array[Byte]) =>
     kind match {
       case "image" =>
         Codec.decodeImage(content)
@@ -621,7 +621,7 @@ object MultimodalQueries {
   private val ClippedOffset = 60000000L
   private val BlackVideoOffset = 70000000L
   private val StaticVideoOffset = 80000000L
-  private val BenchTwinOffset = 90000000L
+  private[graft] val BenchTwinOffset = 90000000L
 
   /** The stand-in evaluation suite for benchmark decontamination: every
     * base asset (all kinds) with media_id % 11 == 5. */

@@ -1084,6 +1084,32 @@ object OpsQueries {
     } finally incoming.unpersist()
   }
 
+  private def envStoreDir(s: SparkSession, d: String) = {
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mhenv/$tag/store"
+  }
+
+  /** The envelope fixture, ONE definition for builder and verifier (a
+    * drifting copy would make the audit gates verify a different
+    * population than the probed one): 200 base docs of 46 unique
+    * tokens, plus per-base twins keeping the first `keep` tokens —
+    * shared shingles = keep-2 of 44, J = (keep-2)/(88-(keep-2)). */
+  private def envFixture(s: SparkSession): (DataFrame, DataFrame, DataFrame) = {
+    val baseUdf = udf { (i: Long) =>
+      (0 until 46).map(j => s"d${i}t$j").mkString(" ")
+    }
+    val twinUdf = udf { (i: Long, keep: Int, salt: String) =>
+      ((0 until keep).map(j => s"d${i}t$j") ++
+        (keep until 46).map(j => s"x$salt${i}v$j")).mkString(" ")
+    }
+    val base = s.range(200).select(col("id").as("doc_id"), baseUdf(col("id")).as("text"))
+    val high = s.range(200).select((col("id") + 10000L).as("doc_id"),
+      twinUdf(col("id"), lit(36), lit("h")).as("text")) // J = 34/54 = 0.63
+    val low = s.range(200).select((col("id") + 20000L).as("doc_id"),
+      twinUdf(col("id"), lit(26), lit("l")).as("text")) // J = 24/64 = 0.375
+    (base, high, low)
+  }
+
   /** Estimate-envelope pin for the MinHash store's decision function:
     * the store verifies with the SIGNATURE-estimate Jaccard (σ =
     * √(J(1−J)/64) ≈ 0.06 near the 0.5 boundary), and its docs tell
@@ -1098,24 +1124,11 @@ object OpsQueries {
     * exact-Jaccard audit separates the two populations PERFECTLY on its
     * candidates — the envelope is the estimator's, not the banding's. */
   val minhashEstEnvelope: Q = Q.gated("dedup_minhash_est_envelope") { (s, d) =>
-    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mhenv/$tag/store"
-    val baseUdf = udf { (i: Long) =>
-      (0 until 46).map(j => s"d${i}t$j").mkString(" ")
-    }
-    val twinUdf = udf { (i: Long, keep: Int, salt: String) =>
-      ((0 until keep).map(j => s"d${i}t$j") ++
-        (keep until 46).map(j => s"x$salt${i}v$j")).mkString(" ")
-    }
-    val base = s.range(200).select(col("id").as("doc_id"), baseUdf(col("id")).as("text"))
+    val dir = envStoreDir(s, d)
+    val (base, high, low) = envFixture(s)
     val p = new org.apache.hadoop.fs.Path(dir)
     if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
       MinHashBandStore.build(base, dir)
-    // shared shingles = keep−2 of 44 ⇒ J = (keep−2)/(88−(keep−2))
-    val high = s.range(200).select((col("id") + 10000L).as("doc_id"),
-      twinUdf(col("id"), lit(36), lit("h")).as("text")) // J = 34/54 ≈ 0.63
-    val low = s.range(200).select((col("id") + 20000L).as("doc_id"),
-      twinUdf(col("id"), lit(26), lit("l")).as("text")) // J = 24/64 = 0.375
     MinHashBandStore.noveltyAgainstStore(high.unionByName(low), dir)
       .select("doc_id")
   } { (s, d, res) =>
@@ -1124,20 +1137,8 @@ object OpsQueries {
     // exact-Jaccard audit on the same probe: its candidate-bounded
     // matched set must contain ZERO low twins (true J below threshold)
     // and cover the high twins up to banding candidacy alone
-    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
-    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_mhenv/$tag/store"
-    val baseUdf = udf { (i: Long) =>
-      (0 until 46).map(j => s"d${i}t$j").mkString(" ")
-    }
-    val twinUdf = udf { (i: Long, keep: Int, salt: String) =>
-      ((0 until keep).map(j => s"d${i}t$j") ++
-        (keep until 46).map(j => s"x$salt${i}v$j")).mkString(" ")
-    }
-    val base = s.range(200).select(col("id").as("doc_id"), baseUdf(col("id")).as("text"))
-    val high = s.range(200).select((col("id") + 10000L).as("doc_id"),
-      twinUdf(col("id"), lit(36), lit("h")).as("text"))
-    val low = s.range(200).select((col("id") + 20000L).as("doc_id"),
-      twinUdf(col("id"), lit(26), lit("l")).as("text"))
+    val dir = envStoreDir(s, d)
+    val (base, high, low) = envFixture(s)
     val audit = MinHashBandStore.matchedIdsExact(
       high.unionByName(low), dir, base).cache()
     val auditLow = audit.where(col("doc_id") >= 20000L).count()
@@ -1335,17 +1336,9 @@ object OpsQueries {
     val base = Multimodal.syntheticMedia(s, d)
       .where(col("media_id") % 100 =!= 7)
       .withColumn("day", pmod(col("media_id"), lit(nDays + 1)).cast("int"))
-    val reencode = udf { (kind: String, content: Array[Byte]) =>
-      kind match {
-        case "image" => Codec.decodeImage(content)
-          .map(i => Codec.encodeJpeg(i, 0.75f)).getOrElse(content)
-        case "video" => Codec.encodeFrames(Codec.decodeFrames(content).map(f =>
-          Codec.decodeImage(f).map(i => Codec.encodeJpeg(i, 0.8f)).getOrElse(f)))
-        case _ => Codec.decodeWavSamples(content).map { ss =>
-          Codec.encodeWav(ss.drop(256).map(v => (v * 0.97).toShort), 16000)
-        }.getOrElse(content)
-      }
-    }
+    // the SAME per-kind lossy transform the near-dup gates were
+    // validated against — reuse, not a drifting copy
+    val reencode = graft.multimodal.MultimodalQueries.reencode
     val twins = base.where(col("day") === 0 && col("media_id") % 9 === 2)
       .withColumn("media_id", col("media_id") + PlantedMediaTwinBase)
       .withColumn("day", lit(nDays).cast("int"))
@@ -1369,6 +1362,15 @@ object OpsQueries {
   }
 
   private val IngestDays = 3
+
+  /** Bloom capacity sized to the FIXTURE's total history, not a fixed
+    * constant: the equivalence gate's exact batch twin has no false
+    * positives, so an undersized bloom (realized fpp past spec once
+    * distinct keys exceed capacity) would fail it by design — which is
+    * the correct production behavior to surface, and the correct test
+    * behavior to avoid. */
+  private def dailyBloomCapacity(s: SparkSession, d: String): Long =
+    math.max(1000000L, 20L * Tables.documents(s, d).count())
 
   private def dailyRoot(s: SparkSession, d: String) = {
     val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
@@ -1408,7 +1410,8 @@ object OpsQueries {
     val docs = dailyDocs(s, d, IngestDays)
     val media = dailyMedia(s, d, IngestDays)
     val bench = dailyBench(s, d)
-    DailyIngest.run(s, docs, media, bench, root, IngestDays)
+    DailyIngest.run(s, docs, media, bench, root, IngestDays,
+      bloomCapacity = dailyBloomCapacity(s, d))
     val (txt, med) = DailyIngest.probeDay(s,
       docs.where(col("day") === IngestDays),
       media.where(col("day") === IngestDays), bench, root)
@@ -1437,7 +1440,8 @@ object OpsQueries {
       MinHashBandStore.loadBands(s, DailyIngest.mhStore(root)).count(),
       graft.multimodal.SignatureStore.load(s, DailyIngest.sigStore(root)).count())
     val snap1 = snapshot()
-    DailyIngest.run(s, docs, media, bench, root, D)
+    DailyIngest.run(s, docs, media, bench, root, D,
+      bloomCapacity = dailyBloomCapacity(s, d))
     val rerunDrift = if (snapshot() == snap1) 0 else 1
     // ---- 2. batch twins (the one-shot pipeline over all days) ------
     val canon = docs.withColumn("curl",

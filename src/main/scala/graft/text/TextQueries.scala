@@ -664,7 +664,20 @@ object TextQueries {
     * operators. */
   def contaminationBloomVs(docs: org.apache.spark.sql.DataFrame,
       isBench: org.apache.spark.sql.Column, threshold: Double, fpp: Double,
-      expectedItems: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+      expectedItems: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    contaminationBloomVsTracked(docs, isBench, threshold, fpp, expectedItems)._1
+
+  /** [[contaminationBloomVs]] exposing its internal cached shingle
+    * frame, for LOOPING callers (the daily-ingest driver runs one
+    * decontamination pass per day — without a release, each day pins a
+    * day-sized exploded-shingle cache entry for the session). Returns
+    * (result, cachedShingles); the caller owns the unpersist, AFTER the
+    * result's consumers are materialized. */
+  private[graft] def contaminationBloomVsTracked(
+      docs: org.apache.spark.sql.DataFrame,
+      isBench: org.apache.spark.sql.Column, threshold: Double, fpp: Double,
+      expectedItems: Option[Long] = None)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sh = docs
       .where(col("text").isNotNull)
       .select(col("doc_id"),
@@ -687,7 +700,7 @@ object TextQueries {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams"))
           .as("contamination"))
-      .where(col("contamination") >= threshold)
+      .where(col("contamination") >= threshold) -> sh
   }
 
   /** Bloom-filter contamination check, gated against the exact broadcast

@@ -924,7 +924,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(stream == batch,
         s"stream/batch divergence: ${stream.size} vs ${batch.size}")
       // planted re-encoded benchmark twins are filtered on arrival
-      assert(!stream.exists(_ >= 90000000L),
+      assert(!stream.exists(_ >= MultimodalQueries.BenchTwinOffset),
         "a leaked benchmark twin reached the training output")
     } finally q.stop()
   }

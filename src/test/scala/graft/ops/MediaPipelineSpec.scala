@@ -116,12 +116,7 @@ class MediaPipelineSpec extends AnyFunSuite {
       .where(pmod(col("media_id"), lit(10)) < 2)
     def stageBudget(): Long = {
       Codec.decodeCalls.reset()
-      val lowInfo = Multimodal.imageQualityStats(media)
-        .where(col("low_information")).select("media_id")
-        .unionByName(Multimodal.audioQualityStats(media)
-          .where(col("low_information")).select("media_id"))
-        .unionByName(Multimodal.videoQualityStats(media)
-          .where(col("low_information")).select("media_id"))
+      val lowInfo = Multimodal.lowInformationIds(media)
       val q = media.join(lowInfo, Seq("media_id"), "left_anti").cache()
       q.count()
       val pairs = Multimodal.phashPairs(q)
