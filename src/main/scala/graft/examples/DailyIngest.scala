@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *                        verbatim re-crawl of any prior day's content
   *                        never re-enters)
   *     → hygiene         ([[TextQueries.gopherRules]]) + benchmark
-  *       decontamination ([[TextQueries.contaminationBloomVs]] vs a
-  *                        fixed eval suite)
+  *       decontamination ([[TextQueries.contaminationAgainstBloom]] vs
+  *                        a fixed eval suite's bloom, built ONCE per
+  *                        run — not re-sketched per day)
   *     → near-dup novelty([[MinHashBandStore]] — a lightly-edited
   *                        re-crawl of any prior day's clean content is
   *                        shed, the exact store's provable blind spot)
@@ -118,7 +119,10 @@ object DailyIngest {
     * PRIOR days, because appends happen only in [[ingestDay]] after
     * this day's survivors are materialized. */
   private def processDay(spark: SparkSession, dayDocs: DataFrame,
-      dayMedia: DataFrame, benchDocs: DataFrame, root: String): DayFrames = {
+      dayMedia: DataFrame,
+      benchBloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      root: String): DayFrames = {
     // ---- stage 0: URL frontier ------------------------------------
     val canon = dayDocs.withColumn("curl",
       TextFunctions.canonicalizeUrl(col("url")))
@@ -151,13 +155,12 @@ object DailyIngest {
     // which is what keeps the batch twin order-free
     val qualityIds = TextQueries.gopherRules(exactKept, minStopHits = 1)
       .select("doc_id")
-    val docCols = Seq("doc_id", "text").map(col)
-    val decontamIn = benchDocs.select(docCols: _*).withColumn("_b", lit(true))
-      .unionByName(exactKept.select(docCols: _*).withColumn("_b", lit(false)))
-    val (contaminatedFull, contamCache) = TextQueries
-      .contaminationBloomVsTracked(decontamIn, col("_b"),
-        threshold = 0.05, fpp = 1e-4)
-    val contaminated = contaminatedFull.select("doc_id")
+    // the benchmark bloom is built ONCE per run (the eval suite is
+    // frozen) and probed with a single-pass conditional-sum aggregate —
+    // no per-day bench re-shingling, no per-day shingle cache
+    val contaminated = TextQueries
+      .contaminationAgainstBloom(exactKept, benchBloom, threshold = 0.05)
+      .select("doc_id")
     val clean = exactKept.join(qualityIds, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .cache() // consumers: within-day pairs, store probe, append, survivors join
@@ -198,7 +201,7 @@ object DailyIngest {
       .join(mediaWithinDrops, Seq("media_id"), "left_anti")
     DayFrames(canon, urlKept, exactKept, clean, textSurvivors,
       postQuality, mediaSurvivors,
-      caches = Seq(clean, postQuality, contamCache, estCache, imgSigCache))
+      caches = Seq(clean, postQuality, estCache, imgSigCache))
   }
 
   /** Pairwise media near-dup pairs under the SIGNATURE-STORE path's
@@ -260,16 +263,32 @@ object DailyIngest {
     * positives, will fail loudly on an undersized store). */
   def ingestDay(spark: SparkSession, dayDocs: DataFrame, dayMedia: DataFrame,
       benchDocs: DataFrame, root: String, day: Int,
-      shardBudgetBpe: Long = 2000L, bloomCapacity: Long = 1000000L): DayCounts = {
+      shardBudgetBpe: Long = 2000L, bloomCapacity: Long = 1000000L,
+      benchBloom: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = None): DayCounts = {
     val (donePath, mFs) = fs(spark, marker(root, day))
     if (mFs.exists(donePath)) return readCounts(spark, marker(root, day))
+    val bloom = benchBloom.getOrElse(
+      TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4))
+    val counts = ingestDayCompute(spark, dayDocs, dayMedia, bloom, root,
+      day, shardBudgetBpe)
+    ingestDayAppend(spark, root, day, counts, bloomCapacity)
+  }
+
+  /** Phase 1 of [[ingestDay]] — exposed for the crash-retry spec. */
+  private[graft] def ingestDayCompute(spark: SparkSession, dayDocs: DataFrame,
+      dayMedia: DataFrame,
+      benchBloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      root: String, day: Int,
+      shardBudgetBpe: Long = 2000L): DayCounts = {
     val computedMarker = marker(root, day) + ".computed"
     val stage = s"$root/_stage/day_$day"
     // ---- phase 1: pure compute + survivor/staging writes ------------
     val counts: DayCounts =
       if (exists(spark, computedMarker)) readCounts(spark, computedMarker)
       else {
-        val f = processDay(spark, dayDocs, dayMedia, benchDocs, root)
+        val f = processDay(spark, dayDocs, dayMedia, benchBloom, root)
         // survivors (with the packing metadata a shard writer needs),
         // materialized strictly BEFORE any append mutates the stores
         // the probe plans read
@@ -303,6 +322,13 @@ object DailyIngest {
         f.caches.foreach(_.unpersist())
         c
       }
+    counts
+  }
+
+  /** Phase 2 of [[ingestDay]] — exposed for the crash-retry spec. */
+  private[graft] def ingestDayAppend(spark: SparkSession, root: String,
+      day: Int, counts: DayCounts, bloomCapacity: Long = 1000000L): DayCounts = {
+    val stage = s"$root/_stage/day_$day"
     // ---- phase 2: appends, from the staged inputs only ---------------
     val seenUrls = spark.read.parquet(s"$stage/seen_urls")
     if (exists(spark, urlStore(root)))
@@ -335,8 +361,12 @@ object DailyIngest {
     * dry-run or a bench rep measures, and what the decode-budget gate
     * drives twice. Returns (text survivors, media survivors). */
   def probeDay(spark: SparkSession, dayDocs: DataFrame, dayMedia: DataFrame,
-      benchDocs: DataFrame, root: String): (DataFrame, DataFrame) = {
-    val f = processDay(spark, dayDocs, dayMedia, benchDocs, root)
+      benchDocs: DataFrame, root: String,
+      benchBloom: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = None): (DataFrame, DataFrame) = {
+    val bloom = benchBloom.getOrElse(
+      TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4))
+    val f = processDay(spark, dayDocs, dayMedia, bloom, root)
     // the returned frames still reference the internal caches (clean,
     // postQuality) — an eager unpersist here would force every later
     // consumer to re-run the shingling and quality DECODES. Entries are
@@ -348,12 +378,16 @@ object DailyIngest {
     * for the `bloomCapacity` sizing contract). */
   def run(spark: SparkSession, docs: DataFrame, media: DataFrame,
       benchDocs: DataFrame, root: String, nDays: Int,
-      bloomCapacity: Long = 1000000L): Seq[DayCounts] =
-    (0 until nDays).map { i =>
+      bloomCapacity: Long = 1000000L): Seq[DayCounts] = {
+    // ONE bench bloom for the whole run — the eval suite is frozen, so
+    // re-shingling it per day would be O(bench) wasted work per day
+    val benchBloom = TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4)
+    try (0 until nDays).map { i =>
       ingestDay(spark, docs.where(col("day") === i),
         media.where(col("day") === i), benchDocs, root, i,
-        bloomCapacity = bloomCapacity)
-    }
+        bloomCapacity = bloomCapacity, benchBloom = Some(benchBloom))
+    } finally benchBloom.destroy()
+  }
 
   private def writeCounts(spark: SparkSession, markerPath: String,
       c: DayCounts): Unit = {

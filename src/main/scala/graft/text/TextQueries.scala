@@ -703,6 +703,44 @@ object TextQueries {
       .where(col("contamination") >= threshold) -> sh
   }
 
+  /** Build the BENCHMARK side's shingle bloom once — for loops that
+    * probe a FIXED eval suite repeatedly (the daily-ingest driver runs
+    * one decontamination pass per day; re-shingling and re-sketching
+    * the same benchmark every day is O(bench) wasted work per day and
+    * pins a fresh cache entry per day). Pair with
+    * [[contaminationAgainstBloom]]. Same construction as
+    * [[contaminationBloomVs]]' bench side, so decisions are identical
+    * (a bloom's bits depend on the item SET, not insertion order). */
+  def benchContaminationBloom(bench: org.apache.spark.sql.DataFrame,
+      fpp: Double, expectedItems: Option[Long] = None)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
+    graft.functions.Sketches.stringBloom(
+      bench.where(col("text").isNotNull)
+        .select(explode(shinglesFast(3)(tokens(col("text")))).as("shingle")),
+      "shingle", fpp, expectedItems)
+
+  /** Corpus-side contamination probe against a PREBUILT benchmark bloom
+    * ([[benchContaminationBloom]]): one shingle pass, one aggregation,
+    * NO cache — the per-day shape of the daily-ingest loop. The
+    * conditional-sum aggregate replaces [[contaminationBloomVs]]' two
+    * aggregations + join over a cached shingle frame; per-doc
+    * (n_grams, n_hit) are identical, so decision parity with the
+    * one-shot form is exact given the same bloom. */
+  def contaminationAgainstBloom(docs: org.apache.spark.sql.DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val mightContain = graft.functions.Sketches.mightContainString(bloom)
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(shinglesFast(3)(tokens(col("text")))).as("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(mightContain(col("shingle")), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("contamination"))
+      .where(col("contamination") >= threshold)
+  }
+
   /** Bloom-filter contamination check, gated against the exact broadcast
     * twin ([[contamination]]): zero missed docs (no-false-negatives is
     * structural — a miss means the filter is broken), zero per-doc hit

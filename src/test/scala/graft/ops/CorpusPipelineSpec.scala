@@ -90,3 +90,90 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(bad == 0, "shard ids must be contiguous 0..max per source")
   }
 }
+
+/** Daily-ingest keystone invariants the gated query can't exercise:
+  * crash-retry behavior of the two-phase ledger. */
+class DailyIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.examples.DailyIngest
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("two-phase ledger: a phase-2 crash retry never recomputes against mutated stores") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val D = 2
+    val root = java.nio.file.Files.createTempDirectory("di-crash").toString
+    val docs = OpsQueries.dailyDocs(spark, dir, D)
+    val media = OpsQueries.dailyMedia(spark, dir, D)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    // ingest day 0 normally; run day 1's PHASE 1 only — the state a
+    // crash between the two phases leaves behind (.computed marker +
+    // staged append inputs, no appends yet)
+    DailyIngest.ingestDay(spark, docs.where(col("day") === 0),
+      media.where(col("day") === 0), bench, root, 0)
+    val benchBloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    val c1 = DailyIngest.ingestDayCompute(spark, docs.where(col("day") === 1),
+      media.where(col("day") === 1), benchBloom, root, 1)
+    val survivors1 = spark.read.parquet(DailyIngest.textOut(root, 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors1.nonEmpty, "fixture sanity: day 1 must keep documents")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagePath = new org.apache.hadoop.fs.Path(s"$root/_stage/day_1/clean")
+    assert(fs.exists(stagePath),
+      "phase 1 must stage the append inputs before any store mutates")
+    // snapshot the staged inputs so the mid-phase-2 crash can be
+    // replayed after a successful completion below
+    val backup = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("di-stage-bak").toString)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/_stage/day_1"), fs, backup,
+      false, spark.sparkContext.hadoopConfiguration)
+    // crash window A: retry from the between-phases state — the full
+    // ingestDay must SKIP recomputation (phase 1 short-circuits on the
+    // .computed marker; before the two-phase ledger this retry
+    // recomputed against mutated stores, every probe saw day 1's own
+    // appended content as history, shed everything, and permanently
+    // overwrote the day's output empty)
+    val cFull = DailyIngest.ingestDay(spark, docs.where(col("day") === 1),
+      media.where(col("day") === 1), bench, root, 1)
+    assert(cFull == c1, "completion must carry the recorded phase-1 counts")
+    val mhRowsBefore = MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root)).count()
+    // crash window B: the final marker write died MID-phase-2 — appends
+    // (partially) applied, marker absent, staged inputs still on disk
+    val donePath = new org.apache.hadoop.fs.Path(s"$root/_ledger/day_1")
+    assert(fs.delete(donePath, false), "test setup: final marker must exist")
+    // FileUtil.copy nests the source dir under an existing destination:
+    // the snapshot lives at $backup/day_1, restore it under _stage/
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(backup, "day_1"), fs,
+      new org.apache.hadoop.fs.Path(s"$root/_stage"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(stagePath), "test setup: staged inputs restored")
+    val c1retry = DailyIngest.ingestDay(spark, docs.where(col("day") === 1),
+      media.where(col("day") === 1), bench, root, 1)
+    // counts come from the .computed ledger, not a recompute
+    assert(c1retry == c1, "retry must return the recorded phase-1 counts")
+    val survivorsRetry = spark.read.parquet(DailyIngest.textOut(root, 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivorsRetry == survivors1,
+      "retry must not overwrite the day's survivor output")
+    // the re-appended band rows are the documented duplicate state that
+    // compact() repairs — never silent loss: nothing disappears, and
+    // compaction restores exactly the pre-retry row set
+    val mhRowsAfter = MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root)).count()
+    assert(mhRowsAfter >= mhRowsBefore,
+      "phase-2 retry re-appends staged rows (compact-repairable), never drops")
+    MinHashBandStore.compact(spark, DailyIngest.mhStore(root))
+    assert(MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root)).count()
+        == mhRowsBefore,
+      "compact() must collapse the retry duplicates to the pre-retry set")
+    // a completed day short-circuits fully: third call, stores untouched
+    val sig3 = MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root)).count()
+    DailyIngest.ingestDay(spark, docs.where(col("day") === 1),
+      media.where(col("day") === 1), bench, root, 1)
+    assert(MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root)).count() == sig3,
+      "a day with its final marker must not touch any store")
+  }
+}
