@@ -1,13 +1,13 @@
 package graft.examples
 
 import graft.multimodal.{Codec, Multimodal, SignatureStore}
-import graft.ops.{Dedup, MinHashBandStore, NoveltyBloomStore}
+import graft.ops.{Dedup, IvfIndex, MinHashBandStore, NoveltyBloomStore}
 import graft.text.{TextFunctions, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** DAILY-INCREMENTAL ingest — the keystone composition of the four
+/** DAILY-INCREMENTAL ingest — the keystone composition of the FIVE
   * frozen-history stores into the north-star 100 TB workload: day N's
   * crawl flows
   *
@@ -23,32 +23,55 @@ import org.apache.spark.sql.functions._
   *     → near-dup novelty([[MinHashBandStore]] — a lightly-edited
   *                        re-crawl of any prior day's clean content is
   *                        shed, the exact store's provable blind spot)
+  *     → semantic novelty([[IvfIndex]] — a PARAPHRASE of any prior
+  *                        day's clean content, lexically fresh but
+  *                        embedding-near, is shed; the day's vectors
+  *                        append to the served index, SemDeDup against
+  *                        frozen history)
   *     → media branch    (A/V/image quality pre-filters →
   *                        [[SignatureStore]] perceptual novelty — a
   *                        re-encode of any prior day's asset is shed
   *                        with ZERO history decodes)
-  *     → shard packing   ([[graft.ops.Corpus.packShards]])
+  *     → shard packing   (text: [[graft.ops.Corpus.packShards]];
+  *                        media: [[Multimodal.assembleShards]] +
+  *                        [[Multimodal.shardIndex]] — per-day packed
+  *                        byte shards with per-asset (offset, nbytes)
+  *                        coordinates, training-ready, gated by md5
+  *                        slice roundtrip)
   *
   * and every store is APPENDED with what the day SAW, so tomorrow's
   * probe runs against today's history. Per-day cost is O(day): history
-  * enters each stage only as bloom bytes, band keys, or signature rows
-  * — never as text or payloads (the `pipeline_daily_ingest` gates pin
-  * the decode budget to incoming-only and the survivor sets to the
-  * one-shot batch twin).
+  * enters each stage only as bloom bytes, band keys, signature rows, or
+  * probed index cells — never as text or payloads (the
+  * `pipeline_daily_ingest` gates pin the decode budget to incoming-only
+  * and the survivor sets to the one-shot batch twin).
   *
   * SEEN-vs-KEPT discipline (what each store records):
   *  - URL bloom: every DISTINCT canonical URL the day presented — the
   *    frontier records fetches, not survivors.
   *  - content bloom: the content keys of stage-0 survivors (a fetched
   *    page's content is seen even if hygiene later drops the page).
-  *  - MinHash bands: the day's CLEAN docs (post hygiene/decontam) —
-  *    kept or shed by near-dup, the content was seen; recording shed
-  *    near-dups too is what makes the incremental decisions EQUAL the
-  *    order-free batch rule "drop iff ANY earlier-ordered clean doc is
-  *    a near-dup" (recording only survivors would make day N's outcome
-  *    depend recursively on day M's near-dup verdicts — greedy
-  *    independent-set semantics no batch plan can replicate).
+  *  - MinHash bands AND the embedding index: the day's CLEAN docs
+  *    (post hygiene/decontam) — kept or shed by their own stage, the
+  *    content was seen; recording shed docs too is what makes the
+  *    incremental decisions EQUAL the order-free batch rule "drop iff
+  *    ANY earlier-ordered clean doc is a near-dup" (recording only
+  *    survivors would make day N's outcome depend recursively on day
+  *    M's verdicts — greedy independent-set semantics no batch plan
+  *    can replicate). The two text near-dup stages are PARALLEL drop
+  *    rules over the same clean set, not chained, for the same reason.
   *  - signature store: the day's post-quality media — same reasoning.
+  *
+  * SEMANTIC decision function (must match the batch twin bit-level):
+  * under the index's FROZEN quantizer (trained once, on day 0's clean
+  * vectors, then staged and persisted — never retrained), doc b is
+  * shed iff some earlier-ordered clean doc a (prior day, or same day
+  * with a smaller id) has its HOME cell among b's `semNprobe` nearest
+  * cells and exact cosine(a, b) ≥ `semThreshold`. The rule is
+  * one-sided (history stores home cells only — see
+  * [[IvfIndex.matchedAgainstIndex]]) and order-free in the candidate
+  * set, and both the within-day and batch-twin forms route through
+  * [[semanticOrderedDrops]] / the index probe so the equality is exact.
   *
   * IDEMPOTENCE is ledger-based, the production mechanism, and the
   * ledger is TWO-PHASE because the day's computation must never re-run
@@ -63,34 +86,76 @@ import org.apache.spark.sql.functions._
   *  - phase 2 (mutating): run every append from the STAGED inputs,
   *    then write `_ledger/day_N`. A crash mid-phase-2 retries the
   *    appends from the same staged bytes: blooms are byte-idempotent
-  *    under re-insertion, and the band/signature tables gain duplicate
-  *    rows that probes tolerate and compact() repairs — the documented
-  *    append-retry state, never recomputation against mutated stores.
+  *    under re-insertion, and the band/signature/postings tables gain
+  *    duplicate rows that probes tolerate (distinct-aggregating) —
+  *    band/signature duplicates are repaired by their compact()s; a
+  *    rare postings duplicate persists harmlessly until a rebuild —
+  *    the documented append-retry state, never recomputation against
+  *    mutated stores. Markers are written via tmp+rename, so a
+  *    marker's existence implies a complete record; a crashed bloom
+  *    appender's stale `append.lock` is cleared by the retry under the
+  *    ledger's single-writer guarantee (see [[clearStaleAppendLock]]).
   *
   * A day whose final marker exists short-circuits entirely — zero rows
   * reach any store, zero bytes change, the recorded counts return.
   *
   * Batch-equivalence contract (gated): because every stage's candidate
   * set is ORDER-FREE (URL keep-first and content keep-first are global
-  * minima over (day, doc_id); hygiene/decontam are per-doc; near-dup
-  * and perceptual drops test "∃ earlier-ordered SEEN partner" where the
-  * seen set never depends on same-stage verdicts), the day-by-day run
-  * equals a one-shot batch pipeline over the concatenated days, and the
-  * near-dup stages use the store probes' own decision functions
-  * ([[MinHashBandStore.estPairs]]; store-parity media pairs below) so
-  * the equality is bit-level, not approximate. */
+  * minima over (day, doc_id); hygiene/decontam are per-doc; near-dup,
+  * semantic, and perceptual drops test "∃ earlier-ordered SEEN partner"
+  * where the seen set never depends on same-stage verdicts), the
+  * day-by-day run equals a one-shot batch pipeline over the
+  * concatenated days, and the near-dup/semantic stages use the store
+  * probes' own decision functions ([[MinHashBandStore.estPairs]];
+  * store-parity media pairs below; [[semanticOrderedDrops]] under the
+  * store's frozen centers) so the equality is bit-level, not
+  * approximate. */
 object DailyIngest {
 
   final case class DayCounts(day: Int, incoming: Long, urlKept: Long,
       exactKept: Long, cleanKept: Long, textKept: Long, mediaIncoming: Long,
-      mediaQualityKept: Long, mediaKept: Long, textShards: Long)
+      mediaQualityKept: Long, mediaKept: Long, textShards: Long,
+      mediaShards: Long)
+
+  /** Caller-owned ingest parameters, bundled so every entry point takes
+    * one value instead of a drifting parameter list.
+    *
+    *  - `prefixChars`: the exact-novelty content key length — md5 of
+    *    the lowercased first-N-chars prefix (the retyped-copy
+    *    heuristic: two documents sharing that prefix DEDUPLICATE, a
+    *    deliberate trade the caller now owns; 0 keys on the verbatim
+    *    full text). Recorded in the content bloom's header at build,
+    *    so later days cannot silently mix key forms.
+    *  - `bloomCapacity` sizes the URL and content blooms ONCE, at
+    *    day-0 build — size it to the expected TOTAL history (distinct
+    *    URLs / content keys across all days), not to a day: past
+    *    capacity the realized fpp degrades and the frontier starts
+    *    shedding genuinely novel URLs (a bloom false positive is a
+    *    dropped fetch by design — and the batch-equivalence gate,
+    *    whose exact twin has no false positives, fails loudly on an
+    *    undersized store).
+    *  - `shardBudgetBpe` / `mediaShardBudgetBytes`: text-shard BPE
+    *    budget and media-shard byte budget.
+    *  - `semThreshold`/`semNprobe`/`semNlist`/`semIters`: the semantic
+    *    stage's cosine bar and the frozen quantizer's geometry (nlist
+    *    bounds within-cell candidate mass — raise it as the corpus
+    *    grows; nprobe buys boundary recall at probed-mass cost). */
+  final case class IngestConfig(prefixChars: Int = 80,
+      bloomCapacity: Long = 1000000L, shardBudgetBpe: Long = 2000L,
+      mediaShardBudgetBytes: Long = 1L << 20, semThreshold: Double = 0.9,
+      semNprobe: Int = 4, semNlist: Int = 16, semIters: Int = 10)
 
   def urlStore(root: String): String = s"$root/stores/url_bloom"
   def textStore(root: String): String = s"$root/stores/text_bloom"
   def mhStore(root: String): String = s"$root/stores/mh_bands"
   def sigStore(root: String): String = s"$root/stores/sig_store"
+  def embStore(root: String): String = s"$root/stores/ivf_index"
   def textOut(root: String, day: Int): String = s"$root/corpus/text/day=$day"
   def mediaOut(root: String, day: Int): String = s"$root/corpus/media/day=$day"
+  def mediaShardOut(root: String, day: Int): String =
+    s"$root/corpus/media_shards/day=$day"
+  def mediaIndexOut(root: String, day: Int): String =
+    s"$root/corpus/media_index/day=$day"
   private def marker(root: String, day: Int): String = s"$root/_ledger/day_$day"
 
   private def fs(spark: SparkSession, p: String) = {
@@ -103,6 +168,67 @@ object DailyIngest {
     f.exists(path)
   }
 
+  /** Bloom-store READINESS is keyed on `bloom.bin`, not the directory: a
+    * first-day build that crashed after mkdirs but before the bloom file
+    * landed leaves a directory whose existence would route the retry to
+    * append() — which throws on the missing file. bloom.bin is written
+    * via tmp+rename, so its existence implies a complete store. */
+  private def bloomReady(spark: SparkSession, dir: String): Boolean =
+    exists(spark, s"$dir/bloom.bin")
+
+  /** Embedding-store readiness: the quantizer file. Centers exist only
+    * after a completed (or at worst postings-writing) build, and the
+    * ledger retries a crashed day before any later day runs, so a
+    * centers-without-postings window is never probed. */
+  private def embReady(spark: SparkSession, dir: String): Boolean =
+    exists(spark, s"$dir/centers.parquet")
+
+  /** Clear a stale `append.lock` left by a crashed appender. SAFE here
+    * and ONLY here because the two-phase ledger is the single writer:
+    * one driver retries one day at a time, phase 2 is the only code
+    * that appends to this run's stores, and re-merging the staged keys
+    * is idempotent (bloom merge is bit-or) — exactly the manual
+    * recovery the lock's contract prescribes, automated under the
+    * ledger's serialization guarantee. */
+  private def clearStaleAppendLock(spark: SparkSession, dir: String): Unit = {
+    val (lock, f) = fs(spark, s"$dir/append.lock")
+    if (f.exists(lock)) {
+      System.err.println(s"[daily] clearing stale $lock (crashed appender; " +
+        "ledger single-writer guarantees no concurrent append)")
+      f.delete(lock, false)
+    }
+  }
+
+  /** The exact-novelty content key — MUST mirror
+    * [[NoveltyBloomStore]]'s key form so the within-day keep-first and
+    * the store probe agree (see [[IngestConfig.prefixChars]]). */
+  private def contentKey(textCol: String, prefixChars: Int) =
+    if (prefixChars == 0) md5(col(textCol))
+    else md5(substring(lower(col(textCol)), 1, prefixChars))
+
+  /** Persistent-RDD ids right now — capture BEFORE a day's compute or
+    * probe, hand to [[sweepCaches]] once its consumers materialized. */
+  private[graft] def rddIds(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Release a day's caches: the TRACKED frames (unpersisted through
+    * the Dataset API, which also drops their plan-cache entries), then
+    * any persistent RDD the day materialized beyond them — the probe
+    * paths pin operator-internal caches that surface no reference to
+    * release (video/audio pair post-select frames, store-probe
+    * internals), and without the sweep a long-running daily driver
+    * accumulates one set per day under storage LRU. RDD-level
+    * unpersist frees the storage; a plan-cache entry whose RDD was
+    * swept simply re-materializes if ever re-used (none of the day's
+    * plans are — the next day's frames differ). */
+  private[graft] def sweepCaches(spark: SparkSession, before: Set[Int],
+      caches: Seq[DataFrame]): Unit = {
+    caches.foreach(_.unpersist(true))
+    spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(true))
+  }
+
   /** All intermediate day frames a completed day must materialize and
     * append, plus every internal CACHE the day created (`caches`) so the
     * daily loop can release them once the day's consumers are
@@ -112,17 +238,52 @@ object DailyIngest {
   private final case class DayFrames(canon: DataFrame, urlKept: DataFrame,
       exactKept: DataFrame, clean: DataFrame, textSurvivors: DataFrame,
       postQuality: DataFrame, mediaSurvivors: DataFrame,
+      semSeen: Option[DataFrame], trainedCenters: Option[Array[Array[Double]]],
       caches: Seq[DataFrame])
+
+  /** The one-sided semantic drop rule over an ORDERED vector
+    * population, under FROZEN centers: doc b is dropped iff some doc a
+    * with `ord_a < ord_b` has its home cell among b's `nprobe` nearest
+    * cells and exact cosine(a, b) ≥ `threshold` — the within-day form
+    * (ord = doc_id) and the batch twin (ord = struct(day, doc_id)) are
+    * THE SAME function, which is what makes the equivalence gate
+    * bit-level. `vecs` is (doc_id, embedding); `ord` is (doc_id, ord)
+    * with any sortable ord. Cosine argument order is incoming-first,
+    * matching [[IvfIndex.matchedAgainstIndex]] (bitwise immaterial —
+    * products commute, summation index order is fixed — but uniform).
+    *
+    * Cost shape: one assignment pass over the population, then a cell
+    * equi-join bounded by Σ_cell probes(cell)·|cell| — the
+    * [[graft.ops.SimilaritySearch.semanticDupPairs]] inverted-file
+    * shape, never all-pairs. */
+  private[graft] def semanticOrderedDrops(vecs: DataFrame, ord: DataFrame,
+      centers: Array[Array[Double]], nprobe: Int,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.arrayDot
+    val assigned = IvfIndex
+      .assignCells(vecs, centers, "doc_id", "embedding", nprobe)
+      .join(ord.select(col(ord.columns.head).as("id"), col("ord")), Seq("id"))
+    val probeSide = assigned.select(col("id"), col("v"), col("nrm"),
+      col("ord"), explode(col("probes")).as("cell"))
+    val homeSide = assigned.select(col("id").as("id_h"), col("v").as("v_h"),
+      col("nrm").as("nrm_h"), col("ord").as("ord_h"),
+      col("probes").getItem(0).as("cell"))
+    probeSide.join(homeSide, Seq("cell"))
+      .where(col("ord_h") < col("ord"))
+      .where(arrayDot(col("v"), col("v_h")) /
+        (col("nrm") * col("nrm_h")) >= threshold)
+      .select(col("id").as("doc_id")).distinct()
+  }
 
   /** One day's pure computation (no writes, no appends): the store
     * probes run against whatever the stores currently hold — i.e. all
     * PRIOR days, because appends happen only in [[ingestDay]] after
     * this day's survivors are materialized. */
   private def processDay(spark: SparkSession, dayDocs: DataFrame,
-      dayMedia: DataFrame,
+      dayMedia: DataFrame, dayEmb: Option[DataFrame],
       benchBloom: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter],
-      root: String): DayFrames = {
+      root: String, cfg: IngestConfig): DayFrames = {
     // ---- stage 0: URL frontier ------------------------------------
     val canon = dayDocs.withColumn("curl",
       TextFunctions.canonicalizeUrl(col("url")))
@@ -133,7 +294,7 @@ object DailyIngest {
         row_number().over(Window.partitionBy("curl").orderBy("doc_id")))
       .where(col("_rn") === 1).drop("_rn")
     val urlKept =
-      if (exists(spark, urlStore(root)))
+      if (bloomReady(spark, urlStore(root)))
         NoveltyBloomStore.novelAgainst(urlFirst, urlStore(root),
           textCol = "curl").drop("h")
       else urlFirst
@@ -142,12 +303,12 @@ object DailyIngest {
     // drops empty fetches here
     val exactCand = urlKept.where(col("text").isNotNull)
     val exactFirst = exactCand
-      .withColumn("_k", md5(substring(lower(col("text")), 1, 80)))
+      .withColumn("_k", contentKey("text", cfg.prefixChars))
       .withColumn("_rn",
         row_number().over(Window.partitionBy("_k").orderBy("doc_id")))
       .where(col("_rn") === 1).drop("_rn", "_k")
     val exactKept =
-      if (exists(spark, textStore(root)))
+      if (bloomReady(spark, textStore(root)))
         NoveltyBloomStore.novelAgainst(exactFirst, textStore(root)).drop("h")
       else exactFirst
     // ---- stage 2: hygiene + benchmark decontamination -------------
@@ -163,7 +324,7 @@ object DailyIngest {
       .select("doc_id")
     val clean = exactKept.join(qualityIds, Seq("doc_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .cache() // consumers: within-day pairs, store probe, append, survivors join
+      .cache() // consumers: within-day pairs, store probes, appends, survivors join
     // ---- stage 3: near-dup novelty ---------------------------------
     // within-day: drop a doc with an earlier-id near-dup partner TODAY;
     // cross-day: the band store sheds near-dups of any prior day's
@@ -176,7 +337,52 @@ object DailyIngest {
       if (exists(spark, mhStore(root)))
         MinHashBandStore.noveltyAgainstStore(clean, mhStore(root))
       else clean
-    val textSurvivors = crossKept.join(withinDrops, Seq("doc_id"), "left_anti")
+    // ---- stage 3b: semantic (embedding) novelty --------------------
+    // a PARALLEL drop rule over the same clean set (see the object
+    // scaladoc): docs without a vector pass — an unprovable semantic
+    // dup is never dropped, the family-wide rule
+    val (semDrops, semSeen, trainedCenters) = dayEmb match {
+      case None => (None, None, None)
+      case Some(embDf) =>
+        val cleanVecs = embDf.select(col("doc_id"), col("embedding"))
+          .join(clean.select("doc_id"), Seq("doc_id"))
+        val storeReady = embReady(spark, embStore(root))
+        // the quantizer is FROZEN at first build: later days load it;
+        // the first day with vectors trains it ONCE here (phase 1),
+        // uses it for its own within-day decisions, and stages the
+        // array so phase 2 persists the SAME centers — retraining
+        // from re-read rows could flip low-order bits and with them a
+        // boundary pair's cell (see IvfIndex.trainCenters)
+        val centersOpt: Option[(Array[Array[Double]], Boolean)] =
+          if (storeReady)
+            Some((IvfIndex.loadCenters(spark, embStore(root)), false))
+          else if (cleanVecs.where(col("embedding").isNotNull)
+              .limit(1).count() > 0)
+            Some((IvfIndex.trainCenters(cleanVecs, "doc_id", "embedding",
+              cfg.semNlist, cfg.semIters), true))
+          else None
+        centersOpt match {
+          case None => (None, Some(cleanVecs), None)
+          case Some((ctrs, trained)) =>
+            val within = semanticOrderedDrops(cleanVecs,
+              cleanVecs.select(col("doc_id"), col("doc_id").as("ord")),
+              ctrs, cfg.semNprobe, cfg.semThreshold)
+            val cross =
+              if (storeReady)
+                IvfIndex.matchedAgainstIndex(cleanVecs, embStore(root),
+                    idCol = "doc_id", vecCol = "embedding",
+                    threshold = cfg.semThreshold, nprobe = cfg.semNprobe)
+                  .select(col("id").as("doc_id"))
+              else within.limit(0)
+            (Some(within.unionByName(cross)), Some(cleanVecs),
+              if (trained) Some(ctrs) else None)
+        }
+    }
+    val textSurvivors0 = crossKept.join(withinDrops, Seq("doc_id"), "left_anti")
+    val textSurvivors = semDrops match {
+      case Some(sd) => textSurvivors0.join(sd, Seq("doc_id"), "left_anti")
+      case None     => textSurvivors0
+    }
     // ---- stage 4: media branch -------------------------------------
     // quality pre-filters (per-asset, day-free) → within-day
     // store-parity pairs → perceptual store probe
@@ -200,7 +406,7 @@ object DailyIngest {
     val mediaSurvivors = mediaCrossKept
       .join(mediaWithinDrops, Seq("media_id"), "left_anti")
     DayFrames(canon, urlKept, exactKept, clean, textSurvivors,
-      postQuality, mediaSurvivors,
+      postQuality, mediaSurvivors, semSeen, trainedCenters,
       caches = Seq(clean, postQuality, estCache, imgSigCache))
   }
 
@@ -249,30 +455,32 @@ object DailyIngest {
     * the object: phase 1 computes the day, writes survivors + staged
     * append inputs + the `.computed` marker; phase 2 appends every
     * store from the STAGED inputs and writes the final marker. Retry at
-    * any crash point is safe — phase 1 re-runs against unmutated
-    * stores, phase 2 re-appends byte-identical staged inputs (blooms
-    * idempotent; band/signature duplicates repaired by compact()).
-    * A day whose final marker exists short-circuits to its counts.
-    *
-    * `bloomCapacity` sizes the URL and content blooms ONCE, at day-0
-    * build — size it to the expected TOTAL history (distinct URLs /
-    * content keys across all days), not to a day: past capacity the
-    * realized fpp degrades and the frontier starts shedding genuinely
-    * novel URLs (a bloom false positive is a dropped fetch by design —
-    * and the batch-equivalence gate, whose exact twin has no false
-    * positives, will fail loudly on an undersized store). */
+    * any crash point converges without recomputation against mutated
+    * stores: phase 1 re-runs against unmutated stores, phase 2
+    * re-appends byte-identical staged inputs (blooms idempotent —
+    * stale appender locks auto-cleared under the ledger's single-writer
+    * guarantee; band/signature duplicates repaired by compact();
+    * postings duplicates tolerated by the distinct-aggregating probe).
+    * A day whose final marker exists short-circuits to its counts. */
   def ingestDay(spark: SparkSession, dayDocs: DataFrame, dayMedia: DataFrame,
       benchDocs: DataFrame, root: String, day: Int,
-      shardBudgetBpe: Long = 2000L, bloomCapacity: Long = 1000000L,
+      cfg: IngestConfig = IngestConfig(),
       benchBloom: Option[org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]] = None): DayCounts = {
+        org.apache.spark.util.sketch.BloomFilter]] = None,
+      dayEmb: Option[DataFrame] = None): DayCounts = {
     val (donePath, mFs) = fs(spark, marker(root, day))
     if (mFs.exists(donePath)) return readCounts(spark, marker(root, day))
+    // a locally built bench bloom is destroyed before return — a
+    // standalone per-day scheduler calling this daily must not
+    // accumulate one broadcast bloom per day (the run() loop shares and
+    // destroys its own)
     val bloom = benchBloom.getOrElse(
       TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4))
-    val counts = ingestDayCompute(spark, dayDocs, dayMedia, bloom, root,
-      day, shardBudgetBpe)
-    ingestDayAppend(spark, root, day, counts, bloomCapacity)
+    try {
+      val counts = ingestDayCompute(spark, dayDocs, dayMedia, bloom, root,
+        day, cfg, dayEmb)
+      ingestDayAppend(spark, root, day, counts, cfg)
+    } finally if (benchBloom.isEmpty) bloom.destroy()
   }
 
   /** Phase 1 of [[ingestDay]] — exposed for the crash-retry spec. */
@@ -280,15 +488,17 @@ object DailyIngest {
       dayMedia: DataFrame,
       benchBloom: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter],
-      root: String, day: Int,
-      shardBudgetBpe: Long = 2000L): DayCounts = {
+      root: String, day: Int, cfg: IngestConfig = IngestConfig(),
+      dayEmb: Option[DataFrame] = None): DayCounts = {
     val computedMarker = marker(root, day) + ".computed"
     val stage = s"$root/_stage/day_$day"
     // ---- phase 1: pure compute + survivor/staging writes ------------
     val counts: DayCounts =
       if (exists(spark, computedMarker)) readCounts(spark, computedMarker)
       else {
-        val f = processDay(spark, dayDocs, dayMedia, benchBloom, root)
+        val rddsBefore = rddIds(spark)
+        val f = processDay(spark, dayDocs, dayMedia, dayEmb, benchBloom,
+          root, cfg)
         // survivors (with the packing metadata a shard writer needs),
         // materialized strictly BEFORE any append mutates the stores
         // the probe plans read
@@ -298,6 +508,16 @@ object DailyIngest {
           .write.mode("overwrite").parquet(textOut(root, day))
         f.mediaSurvivors.select(col("media_id"), col("kind"))
           .write.mode("overwrite").parquet(mediaOut(root, day))
+        // training-ready media byte shards for the day: packed payload
+        // streams + the (offset, nbytes) slice index — the byte-exact
+        // assembly pair, gated per day by md5 slice roundtrip. Payload
+        // bytes come from the cached post-quality frame (no decodes).
+        val survivorPayloads = f.mediaSurvivors
+          .select(col("media_id"), col("kind"), col("content"))
+        Multimodal.shardIndex(survivorPayloads, cfg.mediaShardBudgetBytes)
+          .write.mode("overwrite").parquet(mediaIndexOut(root, day))
+        Multimodal.assembleShards(survivorPayloads, cfg.mediaShardBudgetBytes)
+          .write.mode("overwrite").parquet(mediaShardOut(root, day))
         // staged append INPUTS — what the day SAW (see object scaladoc)
         f.canon.select("doc_id", "curl").distinct()
           .write.mode("overwrite").parquet(s"$stage/seen_urls")
@@ -306,20 +526,30 @@ object DailyIngest {
         f.clean.select("doc_id", "text")
           .write.mode("overwrite").parquet(s"$stage/clean")
         f.postQuality.write.mode("overwrite").parquet(s"$stage/postq")
+        f.semSeen.foreach(_.write.mode("overwrite").parquet(s"$stage/emb_seen"))
+        f.trainedCenters.foreach { ctrs =>
+          val sp = spark
+          import sp.implicits._
+          ctrs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("cell", "center").repartition(1)
+            .write.mode("overwrite").parquet(s"$stage/emb_centers")
+        }
         val textKept = spark.read.parquet(textOut(root, day))
         val shards = graft.ops.Corpus.packShards(textKept,
             partitionKey = col("source"), order = col("doc_id"),
-            weight = col("n_bpe"), budget = shardBudgetBpe)
+            weight = col("n_bpe"), budget = cfg.shardBudgetBpe)
           .select("source", "shard").distinct().count()
+        val mShards = spark.read.parquet(mediaIndexOut(root, day))
+          .select("kind", "shard").distinct().count()
         val c = DayCounts(day,
           incoming = dayDocs.count(), urlKept = f.urlKept.count(),
           exactKept = f.exactKept.count(), cleanKept = f.clean.count(),
           textKept = textKept.count(), mediaIncoming = dayMedia.count(),
           mediaQualityKept = f.postQuality.count(),
           mediaKept = spark.read.parquet(mediaOut(root, day)).count(),
-          textShards = shards)
+          textShards = shards, mediaShards = mShards)
         writeCounts(spark, computedMarker, c)
-        f.caches.foreach(_.unpersist())
+        sweepCaches(spark, rddsBefore, f.caches)
         c
       }
     counts
@@ -327,19 +557,22 @@ object DailyIngest {
 
   /** Phase 2 of [[ingestDay]] — exposed for the crash-retry spec. */
   private[graft] def ingestDayAppend(spark: SparkSession, root: String,
-      day: Int, counts: DayCounts, bloomCapacity: Long = 1000000L): DayCounts = {
+      day: Int, counts: DayCounts,
+      cfg: IngestConfig = IngestConfig()): DayCounts = {
     val stage = s"$root/_stage/day_$day"
     // ---- phase 2: appends, from the staged inputs only ---------------
     val seenUrls = spark.read.parquet(s"$stage/seen_urls")
-    if (exists(spark, urlStore(root)))
+    if (bloomReady(spark, urlStore(root))) {
+      clearStaleAppendLock(spark, urlStore(root))
       NoveltyBloomStore.append(seenUrls, urlStore(root), textCol = "curl")
-    else NoveltyBloomStore.build(seenUrls, urlStore(root), textCol = "curl",
-      prefixChars = 0, capacity = bloomCapacity)
+    } else NoveltyBloomStore.build(seenUrls, urlStore(root), textCol = "curl",
+      prefixChars = 0, capacity = cfg.bloomCapacity)
     val exactSeen = spark.read.parquet(s"$stage/exact_seen")
-    if (exists(spark, textStore(root)))
+    if (bloomReady(spark, textStore(root))) {
+      clearStaleAppendLock(spark, textStore(root))
       NoveltyBloomStore.append(exactSeen, textStore(root))
-    else NoveltyBloomStore.build(exactSeen, textStore(root),
-      capacity = bloomCapacity)
+    } else NoveltyBloomStore.build(exactSeen, textStore(root),
+      prefixChars = cfg.prefixChars, capacity = cfg.bloomCapacity)
     val cleanStaged = spark.read.parquet(s"$stage/clean")
     if (exists(spark, mhStore(root)))
       MinHashBandStore.append(cleanStaged, mhStore(root))
@@ -348,6 +581,23 @@ object DailyIngest {
     if (exists(spark, sigStore(root)))
       SignatureStore.append(postqStaged, sigStore(root))
     else SignatureStore.build(postqStaged, sigStore(root))
+    // the embedding index: append under the frozen quantizer (drift
+    // monitored per day — IvfIndex.append logs DriftStats per batch),
+    // or first-build from the STAGED centers phase 1 trained
+    if (exists(spark, s"$stage/emb_seen")) {
+      val embStaged = spark.read.parquet(s"$stage/emb_seen")
+      if (embReady(spark, embStore(root)))
+        IvfIndex.append(embStaged, embStore(root),
+          idCol = "doc_id", vecCol = "embedding")
+      else if (exists(spark, s"$stage/emb_centers")) {
+        val ctrs = spark.read.parquet(s"$stage/emb_centers")
+          .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+        IvfIndex.buildFromCenters(embStaged, embStore(root), ctrs,
+          idCol = "doc_id", vecCol = "embedding")
+      }
+      // no centers staged and no store: the day had no vectors — the
+      // first day WITH vectors builds
+    }
     writeCounts(spark, marker(root, day), counts)
     // staging cleanup only after the final marker: a crash between the
     // two leaves harmless leftovers, never a marker without its inputs
@@ -359,44 +609,82 @@ object DailyIngest {
   /** PROBE-ONLY day ("today"): the full per-day computation against the
     * current stores with NO writes, NO appends, NO ledger — what a
     * dry-run or a bench rep measures, and what the decode-budget gate
-    * drives twice. Returns (text survivors, media survivors). */
+    * drives twice. Returns (text survivors, media survivors). The
+    * returned frames still reference the day's internal caches — this
+    * form leaves them to storage LRU (acceptable for one-shot calls);
+    * a LOOPING caller (bench reps, a long-lived dry-run scheduler)
+    * should use [[probeDayTracked]] and release them per iteration. */
   def probeDay(spark: SparkSession, dayDocs: DataFrame, dayMedia: DataFrame,
       benchDocs: DataFrame, root: String,
       benchBloom: Option[org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]] = None): (DataFrame, DataFrame) = {
-    val bloom = benchBloom.getOrElse(
-      TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4))
-    val f = processDay(spark, dayDocs, dayMedia, bloom, root)
-    // the returned frames still reference the internal caches (clean,
-    // postQuality) — an eager unpersist here would force every later
-    // consumer to re-run the shingling and quality DECODES. Entries are
-    // per-call (fresh closures), day-sized, and left to storage LRU.
-    (f.textSurvivors, f.mediaSurvivors)
+        org.apache.spark.util.sketch.BloomFilter]] = None,
+      dayEmb: Option[DataFrame] = None,
+      cfg: IngestConfig = IngestConfig()): (DataFrame, DataFrame) = {
+    val (txt, med, _) = probeDayTracked(spark, dayDocs, dayMedia, benchDocs,
+      root, benchBloom, dayEmb, cfg)
+    (txt, med)
   }
 
-  /** Ingest days `0 until nDays` (ledger-idempotent; see [[ingestDay]]
-    * for the `bloomCapacity` sizing contract). */
+  /** [[probeDay]] exposing the day's internal caches (the
+    * `estPairsTracked` pattern): a looping caller captures
+    * [[rddIds]] BEFORE the call, materializes the survivor frames,
+    * then calls [[sweepCaches]] with the returned refs so bench reps /
+    * daily dry-runs hold steady-state storage flat instead of
+    * accumulating day-sized entries under storage LRU (the tracked
+    * refs alone under-release: the probe paths pin operator-internal
+    * caches too — see [[sweepCaches]]). */
+  private[graft] def probeDayTracked(spark: SparkSession, dayDocs: DataFrame,
+      dayMedia: DataFrame, benchDocs: DataFrame, root: String,
+      benchBloom: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]] = None,
+      dayEmb: Option[DataFrame] = None,
+      cfg: IngestConfig = IngestConfig())
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val bloom = benchBloom.getOrElse(
+      TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4))
+    val f = processDay(spark, dayDocs, dayMedia, dayEmb, bloom, root, cfg)
+    (f.textSurvivors, f.mediaSurvivors, f.caches)
+  }
+
+  /** Ingest days `0 until nDays` (ledger-idempotent; see
+    * [[IngestConfig]] for the sizing contracts). `emb`, when given, is
+    * (doc_id, embedding, day) — the day's vectors feed the semantic
+    * stage and append to the served index. */
   def run(spark: SparkSession, docs: DataFrame, media: DataFrame,
       benchDocs: DataFrame, root: String, nDays: Int,
-      bloomCapacity: Long = 1000000L): Seq[DayCounts] = {
+      cfg: IngestConfig = IngestConfig(),
+      emb: Option[DataFrame] = None): Seq[DayCounts] = {
     // ONE bench bloom for the whole run — the eval suite is frozen, so
     // re-shingling it per day would be O(bench) wasted work per day
     val benchBloom = TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4)
     try (0 until nDays).map { i =>
       ingestDay(spark, docs.where(col("day") === i),
-        media.where(col("day") === i), benchDocs, root, i,
-        bloomCapacity = bloomCapacity, benchBloom = Some(benchBloom))
+        media.where(col("day") === i), benchDocs, root, i, cfg,
+        benchBloom = Some(benchBloom),
+        dayEmb = emb.map(_.where(col("day") === i).drop("day")))
     } finally benchBloom.destroy()
   }
 
+  /** Ledger markers are written tmp+rename (the
+    * [[NoveltyBloomStore]] writeStore pattern): marker existence
+    * implies a COMPLETE record — a crash mid-write leaves only a tmp
+    * file no reader consults, never a truncated marker that
+    * short-circuits the day and then fails (or silently corrupts) the
+    * counts read. */
   private def writeCounts(spark: SparkSession, markerPath: String,
       c: DayCounts): Unit = {
     val (p, f) = fs(spark, markerPath)
-    val out = f.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      markerPath + s".tmp_${spark.sparkContext.applicationId}")
+    val out = f.create(tmp, true)
     try out.write(Seq(c.day, c.incoming, c.urlKept, c.exactKept, c.cleanKept,
       c.textKept, c.mediaIncoming, c.mediaQualityKept, c.mediaKept,
-      c.textShards).mkString(",").getBytes("UTF-8"))
+      c.textShards, c.mediaShards).mkString(",").getBytes("UTF-8"))
     finally out.close()
+    if (f.exists(p) && !f.delete(p, false))
+      throw new java.io.IOException(s"DailyIngest: delete of stale $p failed")
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"DailyIngest: rename $tmp -> $p failed")
   }
 
   private def readCounts(spark: SparkSession, markerPath: String): DayCounts = {
@@ -405,7 +693,9 @@ object DailyIngest {
     val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val v = line.trim.split(",").map(_.toLong)
-    DayCounts(v(0).toInt, v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8), v(9))
+    require(v.length == 11, s"malformed ledger marker $markerPath: '$line'")
+    DayCounts(v(0).toInt, v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8),
+      v(9), v(10))
   }
 
   def main(args: Array[String]): Unit = {
@@ -424,12 +714,13 @@ object DailyIngest {
     val root = java.nio.file.Files.createTempDirectory("daily-ingest").toString
     val docs = graft.ops.OpsQueries.dailyDocs(spark, dir, nDays)
     val media = graft.ops.OpsQueries.dailyMedia(spark, dir, nDays)
+    val emb = graft.ops.OpsQueries.dailyEmb(spark, dir, nDays)
     val bench = graft.ops.OpsQueries.dailyBench(spark, dir)
     val t0 = System.nanoTime()
-    val days = run(spark, docs, media, bench, root, nDays)
+    val days = run(spark, docs, media, bench, root, nDays, emb = Some(emb))
     val secs = (System.nanoTime() - t0) / 1e9
     val perDay = days.map(c =>
-      s"""{"day":${c.day},"in":${c.incoming},"url":${c.urlKept},"exact":${c.exactKept},"clean":${c.cleanKept},"text":${c.textKept},"mediaIn":${c.mediaIncoming},"mediaQ":${c.mediaQualityKept},"media":${c.mediaKept},"shards":${c.textShards}}""")
+      s"""{"day":${c.day},"in":${c.incoming},"url":${c.urlKept},"exact":${c.exactKept},"clean":${c.cleanKept},"text":${c.textKept},"mediaIn":${c.mediaIncoming},"mediaQ":${c.mediaQualityKept},"media":${c.mediaKept},"shards":${c.textShards},"mediaShards":${c.mediaShards}}""")
       .mkString("[", ",", "]")
     println(f"""{"workload":"daily_ingest","dir":"$dir","days":$perDay,"sec":$secs%.1f}""")
     spark.stop()

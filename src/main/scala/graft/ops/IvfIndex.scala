@@ -99,19 +99,54 @@ object IvfIndex {
     * Returns the trained centers (also persisted). */
   def build(emb: DataFrame, dir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", nlist: Int = 16, iters: Int = 10)
-      : Array[Array[Double]] = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val holdoutPred = pmod(col("id"), lit(5)) === 0
+      : Array[Array[Double]] =
+    buildFromCenters(emb, dir, trainCenters(emb, idCol, vecCol, nlist, iters),
+      idCol, vecCol)
+
+  /** The holdout decision [[trainCenters]] and [[buildFromCenters]]
+    * must AGREE on (the p95 drift reference is only meaningful on rows
+    * the fit excluded): deterministic in the frame's row content —
+    * counts, never float order — so re-deriving it from a staged copy
+    * of the same rows yields the same answer. */
+  private def useHoldout(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): Boolean = {
     val fitEmb0 = emb.where(pmod(col(idCol).cast("long"), lit(5)) =!= 0)
     // degenerate corpora (too few rows to spare a holdout) fall back to
     // fitting and referencing the full data
-    val useHoldout = fitEmb0.where(col(vecCol).isNotNull).limit(nlist + 1).count() > nlist &&
+    fitEmb0.where(col(vecCol).isNotNull).limit(nlist + 1).count() > nlist &&
       emb.where(pmod(col(idCol).cast("long"), lit(5)) === 0 && col(vecCol).isNotNull)
         .limit(1).count() > 0
-    val fitEmb = if (useHoldout) fitEmb0 else emb
-    val model = graft.ml.KMeans.train(fitEmb, idCol, vecCol, k = nlist, iters)
-    val centers = model.centers
+  }
+
+  /** Train the coarse quantizer alone — factored from [[build]] so a
+    * caller that needs the centers BEFORE the store exists (the daily
+    * ingest's day-0 within-day semantic decisions) trains once, uses
+    * the array, stages it, and hands the SAME array to
+    * [[buildFromCenters]] — retraining in a later phase from re-read
+    * rows would repartition the treeAggregate's summation order and
+    * could flip low-order center bits, which is enough to flip a
+    * boundary pair's cell assignment under a bit-level equivalence
+    * gate. Holdout discipline identical to [[build]]'s original. */
+  def trainCenters(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nlist: Int = 16, iters: Int = 10)
+      : Array[Array[Double]] = {
+    val fitEmb =
+      if (useHoldout(emb, idCol, vecCol, nlist))
+        emb.where(pmod(col(idCol).cast("long"), lit(5)) =!= 0)
+      else emb
+    graft.ml.KMeans.train(fitEmb, idCol, vecCol, k = nlist, iters).centers
+  }
+
+  /** [[build]] with the quantizer SUPPLIED: write centers + postings +
+    * drift reference without retraining. */
+  def buildFromCenters(emb: DataFrame, dir: String,
+      centers: Array[Array[Double]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nlist = centers.length
+    val holdoutPred = pmod(col("id"), lit(5)) === 0
+    val holdout = useHoldout(emb, idCol, vecCol, nlist)
     centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "center")
       .repartition(1) // nlist rows — one small file, read whole at search
@@ -129,7 +164,7 @@ object IvfIndex {
       val occRows0 = assigned.groupBy("cell").agg(count(lit(1)).as("n")).collect()
       val refOcc = occRows0.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
       val refN = refOcc.values.sum
-      val refP95 = assigned.where(if (useHoldout) holdoutPred else lit(true))
+      val refP95 = assigned.where(if (holdout) holdoutPred else lit(true))
         .agg(expr("percentile_approx(dist, 0.95, 10000)")).head.getDouble(0)
       val occRows = (0 until nlist).map(c =>
         (c, refOcc.getOrElse(c, 0L).toDouble / math.max(1L, refN), refP95, refN))
@@ -319,6 +354,72 @@ object IvfIndex {
     spark.read.parquet(s"$dir/centers.parquet")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Cell assignment under a FROZEN quantizer: one UDF pass emitting
+    * `(id, v, nrm, probes)` where `probes` is the `nprobe` nearest
+    * cells, NEAREST FIRST — `probes[0]` is the home cell, bit-agreeing
+    * with [[assignedFrame]]'s routing (same squared-distance summation
+    * order, same lowest-index tie-break), so a vector's home cell here
+    * equals the cell its postings row landed in. Shared by the
+    * in-batch and frozen-history semantic-novelty decisions (and their
+    * batch-equivalence twins) precisely so all of them route through
+    * ONE code path: the bit-level equivalence gates need identical
+    * candidate sets, not merely similar ones. `nrm == 0` rows are
+    * dropped — a zero vector has no direction (cosine would divide by
+    * zero, which ANSI mode turns into a query-killing error), so it
+    * can neither shed nor be shed semantically. */
+  private[graft] def assignCells(emb: DataFrame,
+      centers: Array[Array[Double]], idCol: String, vecCol: String,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centers.length,
+      s"need 1 <= nprobe <= nlist, got $nprobe of ${centers.length}")
+    val probesUdf = udf { (v: Seq[Double]) => nearestCellsJvm(centers, v, nprobe) }
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+      .where(col("nrm") > 0)
+      .withColumn("probes", probesUdf(col("v")))
+  }
+
+  /** Frozen-history SEMANTIC MATCH probe — the persistent-index twin of
+    * [[SimilaritySearch.semanticDupPairs]]' candidate rule, restricted
+    * to the direction a frozen history permits: an incoming vector is
+    * matched iff some HISTORY vector's home cell lies among the
+    * incoming vector's `nprobe` nearest cells AND their exact cosine
+    * reaches `threshold`. (The in-memory form is symmetric — either
+    * side's home among the other's probes — but history vectors' probe
+    * sets are not stored, only their home cells are, and storing them
+    * would multiply the postings by nprobe; the one-sided rule is the
+    * store's documented decision function, and its batch twin must
+    * apply the same one-sided rule.)
+    *
+    * Cost shape is the serving contract: the incoming batch's probed
+    * cell set is bounded by nlist, collected, and pushed as a
+    * partition IN-filter, so history is read ONLY in probed cells
+    * (PartitionFilters at the scan — the [[search]] discipline);
+    * the candidate join is a cell equi-join of O(batch · probed-cell
+    * mass) pairs, never batch × history. Returns the distinct matched
+    * incoming ids. */
+  def matchedAgainstIndex(emb: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9, nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val centers = loadCenters(spark, dir)
+    require(centers.nonEmpty, s"no centers at $dir — build() first")
+    val q = assignCells(emb, centers, idCol, vecCol, nprobe)
+      .select(col("id"), col("v"), col("nrm"), explode(col("probes")).as("cell"))
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val postings = spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .where(col("nrm") > 0)
+    q.as("a")
+      .join(postings.as("b"), Seq("cell"))
+      .where(col("a.id") =!= col("b.id"))
+      .where(arrayDot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+  }
 
   /** Top-k neighbors of each query vector against the persisted index.
     * Self-matches (same id) are excluded, mirroring the in-memory family

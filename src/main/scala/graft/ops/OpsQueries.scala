@@ -1247,6 +1247,17 @@ object OpsQueries {
   private[graft] val PlantedUrlVarBase = 1L << 42
   private[graft] val PlantedMediaTwinBase = 1L << 43
   private[graft] val PlantedMediaFreshBase = 1L << 44
+  private[graft] val PlantedSemTwinBase = 1L << 45     // [1<<45, 2<<45)
+  private[graft] val PlantedSemChain1Base = 2L << 45   // [2<<45, 3<<45)
+  private[graft] val PlantedSemChain2Base = 3L << 45   // [3<<45, 4<<45)
+
+  /** Fixture predicates shared by [[dailyDocs]] (doc rows) and
+    * [[dailyEmb]] (vector rows) — the two sides of each semantic plant
+    * MUST select the same bases. */
+  private def semTodayPred(nDays: Int) =
+    pmod(col("doc_id"), lit(nDays + 1)) === 0 && col("doc_id") % 9 === 2
+  private def semChainPred(nDays: Int) =
+    pmod(col("doc_id"), lit(nDays + 1)) === 1 && col("doc_id") % 11 === 4
 
   /** Fixed eval suite for the ingest pipeline's decontamination stage
     * (excluded from the crawl fixture, as a real benchmark would be). */
@@ -1321,10 +1332,35 @@ object OpsQueries {
         lit("en").as("lang"), lit("synthfresh").as("source"),
         lit(nDays).cast("int").as("day"))
       .withColumn("n_chars", length(col("text")).cast("long"))
+    // semantic plants: PARAPHRASE twins — lexically fresh text (the
+    // freshUdf word space is injective in doc_id, so they share no
+    // shingles with anything), unique URLs, gopher-passing: every TEXT
+    // stage keeps them; only their EMBEDDINGS (planted in [[dailyEmb]]
+    // near a base doc's vector) can shed them. semToday: today-twins of
+    // day-0 bases (shed via the frozen-history index). semChain: t1 on
+    // day 1 at cosine 0.93 from its same-day base (shed WITHIN day 1),
+    // t2 today at 0.93 from t1 but only ~0.73 from the base — t2 is
+    // shed iff t1's vector was recorded DESPITE t1 being shed: the
+    // SEEN-vs-KEPT proof for the embedding store.
+    def semDoc(baseIds: DataFrame, offset: Long, day: Int, src: String) =
+      baseIds.select((col("doc_id") + offset).as("doc_id"),
+          concat(lit(s"https://fresh.ex/$src/"), col("doc_id").cast("string")).as("url"),
+          freshUdf(col("doc_id") + offset).as("text"),
+          lit("en").as("lang"), lit(src).as("source"),
+          lit(day).cast("int").as("day"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val semToday = semDoc(crawl.where(semTodayPred(nDays)).select("doc_id"),
+      PlantedSemTwinBase, nDays, "semfarm")
+    val chainBases = crawl.where(semChainPred(nDays)).select("doc_id")
+    val semChain1 = semDoc(chainBases, PlantedSemChain1Base, 1, "semchain1")
+    val semChain2 = semDoc(chainBases, PlantedSemChain2Base, nDays, "semchain2")
     val cols = base.columns.map(col)
     base.unionByName(urlVariants.select(cols: _*))
       .unionByName(twins.select(cols: _*))
       .unionByName(fresh.select(cols: _*))
+      .unionByName(semToday.select(cols: _*))
+      .unionByName(semChain1.select(cols: _*))
+      .unionByName(semChain2.select(cols: _*))
   }
 
   /** The crawl's media, day-aligned with [[dailyDocs]] (media_id ==
@@ -1361,6 +1397,90 @@ object OpsQueries {
     base.unionByName(twins).unionByName(fresh)
   }
 
+  /** The crawl's embeddings, doc-aligned with [[dailyDocs]] (vec_id ==
+    * doc_id; bench cohort excluded). Planted semantic truths mirror the
+    * doc-side plants:
+    *
+    *  - semToday twins: per-dim ~±0.3% scale perturbation of a day-0
+    *    base vector (cosine ≈ 0.999995 — far above the 0.9 bar) —
+    *    frozen-history semantic novelty must shed them today.
+    *  - semChain: t1 (day 1) rotated 0.93-cosine away from its SAME-DAY
+    *    base (within-day drop); t2 (today) rotated another 0.93 step
+    *    THE SAME WAY, so cos(t2, t1) = 0.93 ≥ 0.9 but
+    *    cos(t2, base) = 2·0.93²−1 ≈ 0.730 < 0.9 — t2 is only shed if
+    *    t1's vector was recorded despite t1's own drop (SEEN-vs-KEPT).
+    *  - fresh docs: splitmix64-mixed pseudo-random vectors — pairwise
+    *    cosines concentrate at O(1/√dim), nowhere near 0.9, so the
+    *    absolute `synthetic_fresh_kept == 40` gate extends through the
+    *    semantic stage.
+    *
+    * (The fixture's natural vectors max out at pairwise cosine ≈ 0.51,
+    * so at the 0.9 bar every semantic decision is a planted one — the
+    * gates own the truth set completely.) */
+  def dailyEmb(s: SparkSession, d: String, nDays: Int): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .where(col("vec_id") % 100 =!= 7)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .withColumn("day", pmod(col("doc_id"), lit(nDays + 1)).cast("int"))
+    val perturb = udf { (v: Seq[Float]) =>
+      v.zipWithIndex.map { case (x, i) => x * (1.0f + 0.001f * ((i % 7) - 3)) }
+    }
+    val semToday = base.where(semTodayPred(nDays))
+      .select((col("doc_id") + PlantedSemTwinBase).as("doc_id"),
+        perturb(col("embedding")).as("embedding"),
+        lit(nDays).cast("int").as("day"))
+    // plane rotation: t_k = cos(k·α)·b̂ + sin(k·α)·û with α = acos(0.93)
+    // and û the unit Gram-Schmidt residual of a fixed alternating
+    // helper against b̂ — deterministic, norm-preserving
+    val rot = udf { (v: Seq[Float], steps: Int) =>
+      val b = v.map(_.toDouble).toArray
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      val bh = b.map(_ / nb)
+      val h = Array.tabulate(b.length)(i => if (i % 2 == 0) 1.0 else -1.0)
+      val dotH = h.indices.map(i => h(i) * bh(i)).sum
+      val u0 = Array.tabulate(b.length)(i => h(i) - dotH * bh(i))
+      val nu = math.sqrt(u0.map(x => x * x).sum)
+      // a helper parallel to b̂ has no residual — fall back to an axis
+      // helper (cannot also be parallel to the first)
+      val uh = if (nu > 1e-9) u0.map(_ / nu) else {
+        val e = Array.tabulate(b.length)(i => if (i == 0) 1.0 else 0.0)
+        val d2 = e.indices.map(i => e(i) * bh(i)).sum
+        val r = Array.tabulate(b.length)(i => e(i) - d2 * bh(i))
+        val nr = math.sqrt(r.map(x => x * x).sum)
+        r.map(_ / nr)
+      }
+      val alpha = math.acos(0.93) * steps
+      Array.tabulate(b.length)(i =>
+        ((math.cos(alpha) * bh(i) + math.sin(alpha) * uh(i)) * nb).toFloat).toSeq
+    }
+    val chainBase = base.where(semChainPred(nDays))
+    val chain1 = chainBase
+      .select((col("doc_id") + PlantedSemChain1Base).as("doc_id"),
+        rot(col("embedding"), lit(1)).as("embedding"),
+        lit(1).cast("int").as("day"))
+    val chain2 = chainBase
+      .select((col("doc_id") + PlantedSemChain2Base).as("doc_id"),
+        rot(col("embedding"), lit(2)).as("embedding"),
+        lit(nDays).cast("int").as("day"))
+    val dim = Tables.embeddings(s, d)
+      .select(size(col("embedding")).as("n")).head.getInt(0)
+    val freshVec = udf { (id: Long) =>
+      Array.tabulate(dim) { i =>
+        var z = id * 8192L + i + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        ((z % 1000L).toFloat) / 1000f
+      }.toSeq
+    }
+    val freshEmb = s.range(40)
+      .select((col("id") + PlantedFreshBase).as("doc_id"),
+        freshVec(col("id") + PlantedFreshBase).as("embedding"),
+        lit(nDays).cast("int").as("day"))
+    base.unionByName(semToday).unionByName(chain1).unionByName(chain2)
+      .unionByName(freshEmb)
+  }
+
   private val IngestDays = 3
 
   /** Bloom capacity sized to the FIXTURE's total history, not a fixed
@@ -1377,46 +1497,77 @@ object OpsQueries {
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_daily/$tag"
   }
 
-  /** THE KEYSTONE: daily-incremental ingest composing all four
+  /** THE KEYSTONE: daily-incremental ingest composing all FIVE
     * frozen-history stores ([[graft.examples.DailyIngest]] — URL
     * frontier → exact novelty → hygiene/decontam → near-dup novelty →
-    * media quality + perceptual novelty → shard packing, every store
+    * SEMANTIC novelty (IvfIndex embedding store) → media quality +
+    * perceptual novelty → text AND media shard packing, every store
     * appended per day). The query ingests [[IngestDays]] days
     * (ledger-idempotent — the build-if-absent discipline: later reps
     * measure the steady-state probe-only "today") and returns today's
-    * text + media survivors. Gates:
+    * text + media survivors, materialized eagerly so the day's caches
+    * and bench bloom are RELEASED per call (the bench rep loop must
+    * hold storage flat — gated). Gates:
     *
     *  1. re-running every ingested day adds ZERO rows/bytes to any of
-    *     the four stores (ledger idempotence — the exactly-once
+    *     the five stores (ledger idempotence — the exactly-once
     *     obligation lives in the ledger, not in blind re-appends);
     *  2. the incremental survivor sets (all days) EQUAL the one-shot
     *     batch pipeline over the concatenated days — bit-level, because
     *     every stage's batch twin uses the store probes' own decision
-    *     functions (estPairs; store-parity media pairs) and every
-    *     candidate set is order-free (see DailyIngest's scaladoc);
+    *     functions (estPairs; store-parity media pairs;
+    *     semanticOrderedDrops under the store's frozen centers) and
+    *     every candidate set is order-free (see DailyIngest's scaladoc);
     *  3. planted truths: URL re-crawl variants of day-0 pages all shed;
     *     lightly-edited twins of day-0 content that reached the clean
-    *     set all shed; 40 synthetic fresh docs all survive; re-encoded
-    *     twins of quality-passing day-0 assets all shed; fresh
-    *     quality-passing assets all survive;
-    *  4. today's probe decodes EXACTLY its own batch — one quality pass
+    *     set all shed; semantic-paraphrase twins of day-0 content all
+    *     shed; the semChain SEEN-vs-KEPT proof (t1 dropped within day 1
+    *     yet its vector recorded — t2 today is shed by t1, not by the
+    *     base it is too far from); 40 synthetic fresh docs all survive
+    *     (their planted vectors match nothing at the 0.9 bar);
+    *     re-encoded twins of quality-passing day-0 assets all shed;
+    *     fresh quality-passing assets all survive;
+    *  4. the embedding store serves at scale: daily appends ≡ one-shot
+    *     rebuild (bit-level posting rows), the semantic probe's
+    *     candidate mass is the probed-cell fraction of day × history
+    *     (never the full cross product), and the drift monitor logged
+    *     every append day;
+    *  5. per-day media shards are training-ready: slicing every
+    *     surviving asset back out of its day's packed shard stream at
+    *     (offset, nbytes) reproduces its payload md5 byte-exactly;
+    *  6. today's probe decodes EXACTLY its own batch — one quality pass
     *     per asset (per frame for video) plus two signature passes per
     *     post-quality asset (within-day pairs + store probe), zero
     *     history decodes (history is bloom bytes / band keys / signature
-    *     rows by construction). */
+    *     rows / probed index cells by construction) — and a tracked
+    *     probe releases every cache it created (storage-flat loop). */
   val dailyIngest: Q = Q.gated("pipeline_daily_ingest") { (s, d) =>
     import graft.examples.DailyIngest
     val root = dailyRoot(s, d)
     val docs = dailyDocs(s, d, IngestDays)
     val media = dailyMedia(s, d, IngestDays)
+    val emb = dailyEmb(s, d, IngestDays)
     val bench = dailyBench(s, d)
-    DailyIngest.run(s, docs, media, bench, root, IngestDays,
-      bloomCapacity = dailyBloomCapacity(s, d))
-    val (txt, med) = DailyIngest.probeDay(s,
+    val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
+    DailyIngest.run(s, docs, media, bench, root, IngestDays, cfg,
+      emb = Some(emb))
+    val benchBloom = graft.text.TextQueries
+      .benchContaminationBloom(bench, fpp = 1e-4)
+    val rddsBefore = DailyIngest.rddIds(s)
+    val (txt, med, caches) = DailyIngest.probeDayTracked(s,
       docs.where(col("day") === IngestDays),
-      media.where(col("day") === IngestDays), bench, root)
-    txt.select(col("doc_id").as("id"), lit("text").as("family"))
+      media.where(col("day") === IngestDays), bench, root,
+      benchBloom = Some(benchBloom),
+      dayEmb = Some(emb.where(col("day") === IngestDays).drop("day")),
+      cfg = cfg)
+    val out = txt.select(col("doc_id").as("id"), lit("text").as("family"))
       .unionByName(med.select(col("media_id").as("id"), lit("media").as("family")))
+    // materialize while the caches live, then release them — survivor
+    // ids are a bounded set (hundreds), not day-sized data
+    val rows = out.collect()
+    DailyIngest.sweepCaches(s, rddsBefore, caches)
+    benchBloom.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   } { (s, d, res) =>
     import graft.examples.DailyIngest
     import graft.multimodal.{Codec, Multimodal}
@@ -1426,7 +1577,9 @@ object OpsQueries {
     val root = dailyRoot(s, d)
     val docs = dailyDocs(s, d, D).cache()
     val media = dailyMedia(s, d, D)
+    val embAll = dailyEmb(s, d, D)
     val bench = dailyBench(s, d)
+    val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
     // ---- 1. ledger idempotence ------------------------------------
     def md5Of(p: String): String = {
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
@@ -1438,10 +1591,11 @@ object OpsQueries {
       md5Of(s"${DailyIngest.textStore(root)}/bloom.bin"),
       MinHashBandStore.loadSigs(s, DailyIngest.mhStore(root)).count(),
       MinHashBandStore.loadBands(s, DailyIngest.mhStore(root)).count(),
-      graft.multimodal.SignatureStore.load(s, DailyIngest.sigStore(root)).count())
+      graft.multimodal.SignatureStore.load(s, DailyIngest.sigStore(root)).count(),
+      s.read.parquet(s"${DailyIngest.embStore(root)}/postings.parquet").count(),
+      s.read.parquet(s"${DailyIngest.embStore(root)}/drift_log.parquet").count())
     val snap1 = snapshot()
-    DailyIngest.run(s, docs, media, bench, root, D,
-      bloomCapacity = dailyBloomCapacity(s, d))
+    DailyIngest.run(s, docs, media, bench, root, D, cfg, emb = Some(embAll))
     val rerunDrift = if (snapshot() == snap1) 0 else 1
     // ---- 2. batch twins (the one-shot pipeline over all days) ------
     val canon = docs.withColumn("curl",
@@ -1471,7 +1625,21 @@ object OpsQueries {
       .distinct()
     val dayOf = docs.select(col("doc_id").as("id"), col("day"))
     val textDrops = orderedDrops(MinHashBandStore.estPairs(s2), dayOf)
-    val s3 = s2.join(textDrops.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    // semantic twin: the SAME one-sided rule the daily stages apply,
+    // under the store's frozen quantizer, ordered by (day, doc_id)
+    // across the concatenated days — the within-day form (ord =
+    // doc_id) plus the frozen-history probe decompose into exactly
+    // this (see DailyIngest.semanticOrderedDrops)
+    val centers = IvfIndex.loadCenters(s, DailyIngest.embStore(root))
+    val cleanVecsAll = embAll.select("doc_id", "embedding")
+      .join(s2.select("doc_id"), Seq("doc_id"))
+    val semDropsAll = DailyIngest.semanticOrderedDrops(cleanVecsAll,
+      embAll.select(col("doc_id"),
+        struct(col("day"), col("doc_id")).as("ord")),
+      centers, cfg.semNprobe, cfg.semThreshold)
+    val s3 = s2
+      .join(textDrops.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .join(semDropsAll, Seq("doc_id"), "left_anti")
       .select("doc_id")
     val increText = (0 until D)
       .map(i => s.read.parquet(DailyIngest.textOut(root, i)).select("doc_id"))
@@ -1527,6 +1695,131 @@ object OpsQueries {
       .join(condMTwins.select(col("media_id").as("id")), Seq("id")).count()
     val mFreshTotal = postQ.where(col("media_id") >= PlantedMediaFreshBase).count()
     val mFreshKept = todayMedia.where(col("id") >= PlantedMediaFreshBase).count()
+    // ---- 3b. semantic planted truths --------------------------------
+    // paraphrase twins of day-0 bases: conditional on the base reaching
+    // the clean set (its vector is then in the store — the same
+    // conditional discipline as the edited-text twins); at cosine
+    // ≈ 0.999995 the twin's home cell is the base's, so candidacy is
+    // structural, not probabilistic
+    val condSemTwins = docs
+      .where(col("doc_id") >= PlantedSemTwinBase &&
+        col("doc_id") < PlantedSemChain1Base)
+      .select(col("doc_id"), (col("doc_id") - PlantedSemTwinBase).as("base"))
+      .join(s2.select(col("doc_id").as("base")), Seq("base"))
+    val nSemTwins = condSemTwins.count()
+    val semTwinsLeaked = todayText
+      .join(condSemTwins.select(col("doc_id").as("id")), Seq("id")).count()
+    // semChain SEEN-vs-KEPT proof. The 0.93-cosine chain geometry means
+    // candidacy under the nprobe-of-nlist rule is EXPECTED but not
+    // structural (a 21.6° rotation can leave the probed neighborhood),
+    // so the t1/t2 gates condition on candidacy holding UNDER THE
+    // STORE'S OWN RULE — what they then pin is the mechanism: t1,
+    // although itself dropped within day 1, was still recorded, and
+    // today's t2 (0.93 from t1 but only ~0.73 from the base) is shed
+    // by the record of a SHED document. A candidacy floor keeps the
+    // gate from passing vacuously.
+    val chainT1 = docs
+      .where(col("doc_id") >= PlantedSemChain1Base &&
+        col("doc_id") < PlantedSemChain2Base)
+      .select(col("doc_id"), (col("doc_id") - PlantedSemChain1Base).as("base"))
+    val nChainT1 = chainT1.count()
+    val chainT1Clean = s2
+      .where(col("doc_id") >= PlantedSemChain1Base &&
+        col("doc_id") < PlantedSemChain2Base).count()
+    def probesOf(df: DataFrame) = IvfIndex
+      .assignCells(df, centers, "doc_id", "embedding", cfg.semNprobe)
+    val chainVecs = embAll
+      .where(col("doc_id") >= PlantedSemChain1Base).select("doc_id", "embedding")
+    val chainAssigned = probesOf(chainVecs).cache()
+    val homeOfBase = probesOf(
+        embAll.where(col("day") === 1 && col("doc_id") < PlantedTwinBase)
+          .join(s2.select("doc_id"), Seq("doc_id"))
+          .select("doc_id", "embedding"))
+      .select(col("id").as("base"), col("probes").getItem(0).as("home_b"))
+    // pairs where base ∈ clean AND home(base) ∈ probes(t1): t1 must
+    // have been dropped from day 1's survivors
+    val t1Cand = chainAssigned
+      .where(col("id") < PlantedSemChain2Base)
+      .select((col("id") - PlantedSemChain1Base).as("base"),
+        col("id").as("t1"), col("probes").as("p1"))
+      .join(homeOfBase, Seq("base"))
+      .where(array_contains(col("p1"), col("home_b")))
+      .cache()
+    val nT1Cand = t1Cand.count()
+    val day1Out = s.read.parquet(DailyIngest.textOut(root, 1)).select("doc_id")
+    val t1NotDropped = day1Out
+      .join(t1Cand.select(col("t1").as("doc_id")), Seq("doc_id")).count()
+    // pairs where home(t1) ∈ probes(t2): t2 must be shed today, and by
+    // t1 alone (cos(t2, base) ≈ 0.73 is below the 0.9 bar)
+    val homeOfT1 = chainAssigned
+      .where(col("id") < PlantedSemChain2Base)
+      .select((col("id") - PlantedSemChain1Base).as("base"),
+        col("probes").getItem(0).as("home_t1"))
+    val t2Cand = chainAssigned
+      .where(col("id") >= PlantedSemChain2Base)
+      .select((col("id") - PlantedSemChain2Base).as("base"),
+        col("id").as("t2"), col("probes").as("p2"))
+      .join(homeOfT1, Seq("base"))
+      .where(array_contains(col("p2"), col("home_t1")))
+    val nT2Cand = t2Cand.count()
+    val t2Leaked = todayText
+      .join(t2Cand.select(col("t2").as("id")), Seq("id")).count()
+    chainAssigned.unpersist(); t1Cand.unpersist()
+    // ---- 3c. the embedding store serves at scale --------------------
+    // daily appends ≡ one-shot rebuild: assigning ALL ingested days'
+    // clean vectors under the frozen centers must reproduce the
+    // postings row set bit-level ((id, cell, nrm) — v omitted only
+    // because exceptAll on float arrays is already covered by nrm's
+    // full-precision equality plus the id identity)
+    val postingsDf = s.read
+      .parquet(s"${DailyIngest.embStore(root)}/postings.parquet")
+    val histTwin = probesOf(
+        embAll.where(col("day") < D).select("doc_id", "embedding")
+          .join(s2.select("doc_id"), Seq("doc_id")))
+      .select(col("id"), col("probes").getItem(0).as("cell"), col("nrm"))
+    val storeRows = postingsDf.select(col("id"), col("cell"), col("nrm"))
+    val postingsDiff = storeRows.exceptAll(histTwin).count() +
+      histTwin.exceptAll(storeRows).count()
+    // probe-cost shape: today's candidate mass == Σ over (vector,
+    // probed cell) of |cell| — the probed-cell fraction of day ×
+    // history (≈ nprobe/nlist on near-uniform occupancy), never the
+    // cross product
+    val todayAssigned = probesOf(
+      embAll.where(col("day") === D).select("doc_id", "embedding")
+        .join(s2.select("doc_id"), Seq("doc_id")))
+    val cellSizes = postingsDf.groupBy("cell").agg(count(lit(1)).as("n"))
+    val semCand = todayAssigned
+      .select(col("id"), explode(col("probes")).as("cell"))
+      .join(cellSizes, Seq("cell"))
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    val nTodayVecs = todayAssigned.count()
+    val nHistVecs = postingsDf.count()
+    val semCandFrac =
+      if (nTodayVecs * nHistVecs == 0) 1.0
+      else semCand.toDouble / (nTodayVecs * nHistVecs)
+    // drift monitor: one logged row per append day (day 0 is the build)
+    val driftRows = s.read
+      .parquet(s"${DailyIngest.embStore(root)}/drift_log.parquet").count()
+    // ---- 3d. per-day media byte shards ------------------------------
+    // the multimodal_shard_assembly check, per ingested day: every
+    // surviving asset slices back out of its day's shard stream
+    // byte-exactly at its recorded (offset, nbytes)
+    var shardBadSlices = 0L
+    var shardCovered = 0L
+    var shardExpected = 0L
+    (0 until D).foreach { i =>
+      val idx = s.read.parquet(DailyIngest.mediaIndexOut(root, i))
+      val asm = s.read.parquet(DailyIngest.mediaShardOut(root, i))
+      val sliced = idx
+        .join(media.select(col("media_id"), md5(col("content")).as("want_md5")),
+          Seq("media_id"))
+        .join(asm, Seq("kind", "shard"))
+        .withColumn("got_md5", md5(expr(
+          "substring(shard_bytes, cast(offset + 1 as int), cast(nbytes as int))")))
+      shardBadSlices += sliced.where(col("got_md5") =!= col("want_md5")).count()
+      shardCovered += sliced.count()
+      shardExpected += s.read.parquet(DailyIngest.mediaOut(root, i)).count()
+    }
     // ---- 4. today's decode budget ----------------------------------
     // parquet-stage today's media first: the fixture's planted-twin
     // synthesis UDF itself decodes (re-encode twins), and measuring
@@ -1535,9 +1828,11 @@ object OpsQueries {
     if (!new java.io.File(staged).exists())
       media.where(col("day") === D).write.mode("overwrite").parquet(staged)
     val todayMediaDf = s.read.parquet(staged)
+    val embToday = embAll.where(col("day") === D).drop("day")
     Codec.decodeCalls.reset()
     val (txt2, med2) = DailyIngest.probeDay(s,
-      docs.where(col("day") === D), todayMediaDf, bench, root)
+      docs.where(col("day") === D), todayMediaDf, bench, root,
+      dayEmb = Some(embToday), cfg = cfg)
     med2.count(); txt2.count()
     val bill = Codec.decodeCalls.sum()
     val pqToday = postQ.where(col("day") === D)
@@ -1561,6 +1856,21 @@ object OpsQueries {
         }
         quality + (if (pqToday(id)) sigPass else 0L)
       }.sum
+    // ---- 5. tracked probe releases everything it cached -------------
+    // the bench-loop contract: a probeDayTracked call whose caches are
+    // unpersisted leaves the persistent-RDD census exactly where it
+    // was (shared plan-matched entries may shrink it — never grow it).
+    // LAST, because unpersisting plan-shared entries would disturb
+    // earlier measurements.
+    val rddsBeforeIds = DailyIngest.rddIds(s)
+    val bloom2 = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    val (txt3, med3, caches3) = DailyIngest.probeDayTracked(s,
+      docs.where(col("day") === D), todayMediaDf, bench, root,
+      benchBloom = Some(bloom2), dayEmb = Some(embToday), cfg = cfg)
+    txt3.count(); med3.count()
+    DailyIngest.sweepCaches(s, rddsBeforeIds, caches3)
+    bloom2.destroy()
+    val rddsAfter = s.sparkContext.getPersistentRDDs.size
     s2.unpersist(); postQ.unpersist(); docs.unpersist()
     Seq(
       Gate("rerun_store_drift", rerunDrift.toDouble, rerunDrift == 0),
@@ -1575,7 +1885,25 @@ object OpsQueries {
       Gate("media_twins_leaked", mTwinsLeaked.toDouble, mTwinsLeaked == 0),
       Gate("fresh_media_kept", mFreshKept.toDouble,
         mFreshTotal > 0 && mFreshKept == mFreshTotal),
-      Gate("probe_decode_budget_dev", (bill - expected).toDouble, bill == expected))
+      Gate("sem_twins_conditional", nSemTwins.toDouble, nSemTwins > 3),
+      Gate("sem_twins_leaked", semTwinsLeaked.toDouble, semTwinsLeaked == 0),
+      Gate("sem_chain_t1_all_clean", chainT1Clean.toDouble,
+        nChainT1 > 1 && chainT1Clean == nChainT1),
+      Gate("sem_chain_t1_candidates", nT1Cand.toDouble, nT1Cand >= 2),
+      Gate("sem_chain_t1_not_dropped", t1NotDropped.toDouble, t1NotDropped == 0),
+      Gate("sem_chain_t2_candidates", nT2Cand.toDouble, nT2Cand >= 2),
+      Gate("sem_chain_t2_leaked", t2Leaked.toDouble, t2Leaked == 0),
+      Gate("emb_postings_vs_rebuild_diff", postingsDiff.toDouble,
+        postingsDiff == 0),
+      Gate("sem_probe_candidate_frac", semCandFrac, semCandFrac <= 0.5),
+      Gate("emb_drift_log_days", driftRows.toDouble, driftRows == (D - 1).toLong),
+      Gate("media_shard_slice_mismatches", shardBadSlices.toDouble,
+        shardBadSlices == 0),
+      Gate("media_shard_assets_covered", shardCovered.toDouble,
+        shardCovered == shardExpected && shardExpected > 0),
+      Gate("probe_decode_budget_dev", (bill - expected).toDouble, bill == expected),
+      Gate("probe_cache_release_leak", (rddsAfter - rddsBeforeIds.size).toDouble,
+        rddsAfter <= rddsBeforeIds.size))
   }
 
   def all: Seq[Q] = Seq(

@@ -176,4 +176,34 @@ class DailyIngestSpec extends AnyFunSuite {
     assert(MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root)).count() == sig3,
       "a day with its final marker must not touch any store")
   }
+
+  test("prefixChars is a caller decision: the exact-novelty key length changes which docs deduplicate") {
+    import spark.implicits._
+    // two docs sharing their first ~87 chars but diverging after: under
+    // the default 80-char key they are the SAME content (day-1 copy
+    // shed by the store); under a 200-char key they are different.
+    // Distinct words throughout → trigram repetition 0, gopher-passing.
+    val head = "the copper gasket turbine velvet anchor mineral doctrine " +
+      "harbor lantern prairie goblet" // 89 chars > 80
+    val docA = (1L, "https://p.ex/a", s"$head original drift sentences continue with unique morning stations beyond those ridges", "en", "w", 0L)
+    val docB = (2L, "https://p.ex/b", s"$head divergent finale carries separate evening clusters toward another quiet meadow", "en", "w", 0L)
+    def mkDocs(day: Int, row: (Long, String, String, String, String, Long)) =
+      Seq(row).toDF("doc_id", "url", "text", "lang", "source", "n_chars")
+        .withColumn("day", lit(day))
+    val media0 = graft.multimodal.Multimodal
+      .syntheticMedia(spark, dir).limit(0)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    def runBoth(prefixChars: Int): Long = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"di-prefix-$prefixChars").toString
+      val cfg = DailyIngest.IngestConfig(prefixChars = prefixChars)
+      DailyIngest.ingestDay(spark, mkDocs(0, docA), media0, bench, root, 0, cfg)
+      DailyIngest.ingestDay(spark, mkDocs(1, docB), media0, bench, root, 1, cfg)
+      spark.read.parquet(DailyIngest.textOut(root, 1)).count()
+    }
+    assert(runBoth(80) == 0L,
+      "under the 80-char key the shared head makes docB a duplicate")
+    assert(runBoth(200) == 1L,
+      "under a 200-char key the divergent tails make docB novel")
+  }
 }
