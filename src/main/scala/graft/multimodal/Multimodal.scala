@@ -392,7 +392,17 @@ object Multimodal {
     *    match-fraction DENOMINATOR keeps counting the dropped sim
     *    (conservative: fractions only shrink, never inflate), so the
     *    documented trade is recall on assets whose overlap is mostly
-    *    stop-sims — content that is degenerate by construction. A
+    *    stop-sims — content that is degenerate by construction. The
+    *    cap is the SECOND line of defense: wholly-degenerate assets
+    *    (solid-black stills/clips, silent audio) should never reach
+    *    candidacy at all — the quality pre-filters
+    *    ([[imageQualityStats]], [[audioQualityStats]],
+    *    [[videoQualityStats]], unioned by [[lowInformationIds]]) drop
+    *    them BEFORE any signature pass, so they cost no decode and no
+    *    banding mass (MediaPipelineSpec pins the zero-signature-decode
+    *    property; `MediaPipeline` and `examples.DailyIngest` both wire
+    *    the filter ahead of the near-dup stages), and the cap's job
+    *    reduces to degenerate REGIONS inside otherwise-real content. A
     *    star-on-representative (the [[graft.ops.Dedup.hammingPairs]]
     *    escape hatch) is NOT usable here: match_frac gates pairs
     *    before components form, so starring would silently zero the

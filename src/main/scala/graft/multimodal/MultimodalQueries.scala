@@ -858,7 +858,178 @@ object MultimodalQueries {
       Gate("rerun_drift_shards", drift.toDouble, drift == 0))
   }
 
+  /** VERIFY-BUDGET ENVELOPE — the perceptual twin of
+    * `dedup_minhash_est_envelope`: planted signature pairs AT the
+    * budget boundaries where [[SignatureStore.matchedIds]]' verify
+    * flips, pinning the decision envelope as a measured contract
+    * instead of a scale-sweep surprise (the r16 sf0.1 decontam
+    * calibration showed real re-encode twins sample these budget
+    * tails). Signature-level by design: the contract under test is the
+    * store's DECISION FUNCTION (Hamming candidacy + bit_count verify +
+    * thumb-MAE verify + containment fraction), which consumes
+    * signature rows — raw pixels cannot place a pair at an exact
+    * Hamming distance or an exact MAE, signatures can, to ±1 bit and
+    * ±1/64 MAE.
+    *
+    * Families and their pinned boundaries (store defaults):
+    *  - image (maxHamming 7, thumb MAE ≤ 6.0, containment 1.0 over
+    *    single sigs): the 3×3 grid hamming {6,7,8} × MAE
+    *    {383,384,385}/64 — match iff h ≤ 7 AND MAE ≤ 6.0 exactly; the
+    *    AT-budget cell (7, 6.0) MATCHES (budgets are inclusive).
+    *  - video (frame hamming 7, frame MAE ≤ 3.0, containment ≥ 0.8):
+    *    exact-frame containment {7,8,9}/10 — match iff ≥ 8/10; plus
+    *    all-frames-at (7, 192/64=3.0) matches while (7, 193/64) and
+    *    (8, 0) do not.
+    *  - audio (window hamming 3, containment ≥ 0.9, no thumbs):
+    *    hamming-3 window containment {8,9}/10 — match iff ≥ 9/10;
+    *    all-windows-at-hamming-4 does not match (candidacy via chunk
+    *    agreement survives, the bit_count verify kills it). */
+  val budgetEnvelope: Q = Q.gated("multimodal_budget_envelope") { (s, d) =>
+    import s.implicits._
+    val rnd = new scala.util.Random(421)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // pairwise-far signatures: every planted perturbation (≤ 8 bits at
+    // 64-bit, ≤ 4 at 32-bit) stays well clear of every OTHER pool
+    // member, so each probe row can only ever match its own base.
+    // minSep respects code capacity: 24-of-64 is roomy; 24-of-32 would
+    // exceed the Plotkin bound and never terminate — 12-of-32 leaves
+    // 12 − (3+4) > 0 margin and random 32-bit words satisfy it readily
+    def farSigs(n: Int, bits: Int, minSep: Int): IndexedSeq[Long] = {
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      while (out.length < n) {
+        val c =
+          if (bits == 64) rnd.nextLong()
+          else rnd.nextInt().toLong & 0xffffffffL
+        if (out.forall(x => ham(x, c) >= minSep)) out += c
+      }
+      out.toIndexedSeq
+    }
+    def flipLow(sig: Long, h: Int): Long = sig ^ ((1L << h) - 1)
+    // mid-range thumbs (60..189) so a +6/byte shift can never clip at
+    // 255 and change the realized total diff
+    def thumbOf(seed: Int): Array[Byte] =
+      Array.tabulate(64)(i => (60 + ((seed * 31 + i * 7) % 130)).toByte)
+    def thumbShift(t: Array[Byte], total: Int): Array[Byte] = {
+      val out = t.clone()
+      var left = total
+      var i = 0
+      while (left > 0) {
+        val step = math.min(7, left) // 64·7 = 448 ≥ every planted total
+        out(i) = ((out(i) & 0xff) + step).toByte
+        left -= step
+        i += 1
+      }
+      out
+    }
+    // (media_id, sig, thumb) probe rows; store rows add the n_sigs census
+    val cases = scala.collection.mutable.ArrayBuffer[(String, String, Long, Int)]()
+
+    // ---------------- image: hamming × MAE grid ----------------------
+    val imgGrid = for { h <- Seq(6, 7, 8); dTot <- Seq(383, 384, 385) }
+      yield (h, dTot)
+    val imgBases = farSigs(imgGrid.length, 64, 24)
+    val imgHist = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Byte], Int)]()
+    val imgIn = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Byte])]()
+    imgGrid.zipWithIndex.foreach { case ((h, dTot), k) =>
+      val t = thumbOf(k)
+      imgHist += ((k.toLong, imgBases(k), t, 1))
+      val inId = 1000L + k
+      imgIn += ((inId, flipLow(imgBases(k), h), thumbShift(t, dTot)))
+      cases += (("image", s"h${h}_d$dTot", inId,
+        if (h <= 7 && dTot <= 384) 1 else 0))
+    }
+    val imgMatched = SignatureStore.matchedIds(
+      imgIn.toSeq.toDF("media_id", "sig", "thumb"),
+      imgHist.toSeq.toDF("media_id", "sig", "thumb", "n_sigs"),
+      maxHamming = 7, bits = 64, minMatchFrac = 1.0, Some(6.0))
+
+    // ---------------- video: containment + per-frame budgets ---------
+    val nFrames = 10
+    val vidCaseDefs = Seq(
+      ("contain7", 7, 0, 0), ("contain8", 8, 0, 0), ("contain9", 9, 0, 0),
+      ("frames_h7_d192", nFrames, 7, 192),   // all frames AT both budgets
+      ("frames_h7_d193", nFrames, 7, 193),   // MAE one step over
+      ("frames_h8_d0", nFrames, 8, 0))       // hamming one bit over
+    // ONE pool covering bases and fills: fills are then provably far
+    // from every base, not just probabilistically
+    val vidPool = farSigs(vidCaseDefs.length * nFrames * 2, 64, 24)
+    val vidBases = vidPool.take(vidCaseDefs.length * nFrames)
+    val vidFill = vidPool.drop(vidCaseDefs.length * nFrames)
+    val vidHist = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Byte], Int)]()
+    val vidIn = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Byte])]()
+    vidCaseDefs.zipWithIndex.foreach { case ((cid, m, h, dTot), k) =>
+      val histId = 100L + k
+      val inId = 2000L + k
+      (0 until nFrames).foreach { fi =>
+        val base = vidBases(k * nFrames + fi)
+        val t = thumbOf(k * 100 + fi)
+        vidHist += ((histId, base, t, nFrames))
+        if (fi < m) vidIn += ((inId, flipLow(base, h), thumbShift(t, dTot)))
+        else vidIn += ((inId, vidFill(k * nFrames + fi), thumbOf(k * 100 + fi + 50)))
+      }
+      val frameMatches = h <= 7 && dTot <= 192
+      cases += (("video", cid, inId, if (frameMatches && m >= 8) 1 else 0))
+    }
+    val vidMatched = SignatureStore.matchedIds(
+      vidIn.toSeq.toDF("media_id", "sig", "thumb"),
+      vidHist.toSeq.toDF("media_id", "sig", "thumb", "n_sigs"),
+      maxHamming = 7, bits = 64, minMatchFrac = 0.8, Some(3.0))
+
+    // ---------------- audio: window containment, 32-bit --------------
+    val audCaseDefs = Seq(
+      ("contain8_h3", 8, 3), ("contain9_h3", 9, 3), ("windows_h4", nFrames, 4))
+    val audPool = farSigs(audCaseDefs.length * nFrames * 2, 32, 12)
+    val audBases = audPool.take(audCaseDefs.length * nFrames)
+    val audFill = audPool.drop(audCaseDefs.length * nFrames)
+    val audHist = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Byte], Int)]()
+    val audIn = scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Byte])]()
+    audCaseDefs.zipWithIndex.foreach { case ((cid, m, h), k) =>
+      val histId = 200L + k
+      val inId = 3000L + k
+      (0 until nFrames).foreach { fi =>
+        val base = audBases(k * nFrames + fi)
+        audHist += ((histId, base, null, nFrames))
+        if (fi < m) audIn += ((inId, flipLow(base, h), null))
+        else audIn += ((inId, audFill(k * nFrames + fi), null))
+      }
+      cases += (("audio", cid, inId, if (h <= 3 && m >= 9) 1 else 0))
+    }
+    val audMatched = SignatureStore.matchedIds(
+      audIn.toSeq.toDF("media_id", "sig", "thumb"),
+      audHist.toSeq.toDF("media_id", "sig", "thumb", "n_sigs"),
+      maxHamming = 3, bits = 32, minMatchFrac = 0.9, None)
+
+    val matchedAll = imgMatched.select(col("media_id"), lit("image").as("kind"))
+      .unionByName(vidMatched.select(col("media_id"), lit("video").as("kind")))
+      .unionByName(audMatched.select(col("media_id"), lit("audio").as("kind")))
+    cases.toSeq.toDF("kind", "case_id", "in_id", "expected")
+      .join(matchedAll.select(col("kind"), col("media_id").as("in_id"),
+        lit(1).as("matched")), Seq("kind", "in_id"), "left")
+      .withColumn("matched", coalesce(col("matched"), lit(0)))
+      .select("kind", "case_id", "expected", "matched")
+      .orderBy("kind", "case_id")
+  } { (s, d, res) =>
+    val mismatches = res.where(col("matched") =!= col("expected")).count()
+    val nCases = res.count()
+    val posCases = res.where(col("expected") === 1).count()
+    val negCases = res.where(col("expected") === 0).count()
+    val atBudgetMatched = res.where(col("case_id").isin("h7_d384",
+      "frames_h7_d192", "contain8") && col("matched") === 1).count()
+    val oneOverRejected = res.where(col("case_id").isin("h8_d384", "h7_d385",
+      "frames_h7_d193", "frames_h8_d0", "contain7", "contain8_h3")
+      && col("matched") === 0).count()
+    Seq(
+      Gate("envelope_mismatches", mismatches.toDouble, mismatches == 0),
+      Gate("envelope_cases", nCases.toDouble, nCases == 18),
+      Gate("envelope_positive_cases", posCases.toDouble, posCases >= 6),
+      Gate("envelope_negative_cases", negCases.toDouble, negCases >= 6),
+      Gate("at_budget_all_match", atBudgetMatched.toDouble, atBudgetMatched == 3),
+      Gate("one_step_over_all_reject", oneOverRejected.toDouble,
+        oneOverRejected == 6))
+  }
+
   def all: Seq[Q] = Seq(features, frameCounts, resized, phashDedup, videoNearDup,
     audioNearDup, phashNovelty, imageQuality, audioQuality, videoQuality,
-    shardPack, signatureStore, avNovelty, benchmarkDecontam, shardAssembly)
+    shardPack, signatureStore, avNovelty, benchmarkDecontam, shardAssembly,
+    budgetEnvelope)
 }

@@ -223,6 +223,60 @@ object DocsStream {
       }
       .start()
 
+  /** Crawl-document schema: the documents fixture plus the fetch URL —
+    * what the daily-ingest stream consumes. */
+  val crawlDocSchema: StructType = StructType(
+    StructField("url", StringType) +: docSchema.fields)
+
+  /** The text side of the DAILY-INGEST keystone as ONE streaming query
+    * — the micro-batch form of [[graft.examples.DailyIngest]]: each
+    * arriving file batch is one "day" whose docs flow URL frontier →
+    * exact novelty → hygiene + benchmark decontam → near-dup novelty,
+    * every store appended with what the batch SAW. The micro-batch's
+    * `batchId` IS the ledger day, which makes foreachBatch's replay
+    * semantics and the two-phase ledger COMPOSE into exactly-once:
+    * Structured Streaming re-delivers a crashed batch under the SAME
+    * batchId, and the ledger either short-circuits (final marker
+    * present), resumes phase 2 from the staged inputs (.computed
+    * present), or recomputes against still-unmutated stores — the
+    * identical crash-retry contract DailyIngestSpec drives in batch,
+    * with no sink transactionality required. Survivors land under
+    * `DailyIngest.textOut(root, batchId)`; media/embedding branches
+    * run empty (this is the text-path twin; the media stream twins
+    * live in [[MediaStream]]).
+    *
+    * The per-batch benchmark bloom is built and destroyed inside
+    * [[graft.examples.DailyIngest.ingestDay]] — an unbounded
+    * micro-batch loop must not accumulate broadcasts. */
+  def startDailyIngestQuery(spark: SparkSession, dir: String,
+      checkpoint: String, root: String, benchDocs: DataFrame,
+      cfg: graft.examples.DailyIngest.IngestConfig =
+        graft.examples.DailyIngest.IngestConfig()): StreamingQuery = {
+    // the media fixture's full shape — the pipeline's image-quality
+    // stage reads width/height metadata even from an empty frame
+    val mediaSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("content", BinaryType)))
+    spark.readStream.schema(crawlDocSchema)
+      .option("maxFilesPerTrigger", 1) // one staged file = one day
+      .parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val emptyMedia = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mediaSchema)
+        graft.examples.DailyIngest.ingestDay(spark, batch, emptyMedia,
+          benchDocs, root, batchId.toInt, cfg): Unit
+      }
+      .start()
+  }
+
   /** Crawler-feed schema: the documents fixture plus the crawl/ingestion
     * event time the dedup horizon is measured against. */
   val crawlSchema: StructType = StructType(

@@ -852,6 +852,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming daily ingest: foreachBatch batchId + two-phase ledger equals batch ingestDay per day") {
+    import graft.examples.DailyIngest
+    import graft.streaming.DocsStream
+    import graft.ops.OpsQueries
+    val docs = OpsQueries.dailyDocs(spark, dir, 1)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    val cols = Seq("url", "doc_id", "text", "lang", "source", "n_chars").map(col)
+    val day0 = docs.where(col("day") === 0).select(cols: _*)
+    val day1 = docs.where(col("day") === 1).select(cols: _*)
+    def emptyMedia = spark.range(0).select(col("id").as("media_id"),
+      lit("image").as("kind"), lit("image/png").as("mime"),
+      lit(16).as("width"), lit(16).as("height"), lit(1).as("n_frames"),
+      lit(0).as("sample_rate"), lit(null).cast("binary").as("content"))
+    // batch twin: the same two days through ingestDay directly
+    val rootB = java.nio.file.Files.createTempDirectory("di-stream-batch").toString
+    DailyIngest.ingestDay(spark, day0, emptyMedia, bench, rootB, 0)
+    DailyIngest.ingestDay(spark, day1, emptyMedia, bench, rootB, 1)
+    // stream: two staged files with ordered mtimes — one file per
+    // micro-batch (maxFilesPerTrigger=1), so batchId 0 is day 0
+    val streamDir = java.nio.file.Files.createTempDirectory("di-stream-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("di-stream-ckpt").toString
+    val rootS = java.nio.file.Files.createTempDirectory("di-stream-root").toString
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"di-stage-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime), "test setup: mtime must stick")
+    }
+    val now = System.currentTimeMillis()
+    stageFile(day0, "day0.parquet", now - 120000)
+    stageFile(day1, "day1.parquet", now - 60000)
+    val q = DocsStream.startDailyIngestQuery(spark, streamDir, ckpt, rootS, bench)
+    try q.processAllAvailable() finally q.stop()
+    (0 to 1).foreach { day =>
+      val b = spark.read.parquet(DailyIngest.textOut(rootB, day))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val st = spark.read.parquet(DailyIngest.textOut(rootS, day))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(b.nonEmpty, s"fixture sanity: day $day must keep documents")
+      assert(st == b, s"stream/batch divergence on day $day: ${st.size} vs ${b.size}")
+    }
+    // the stores the two paths accumulated are BYTE-equal: same days,
+    // same order, same append inputs
+    def md5Of(p: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      .map("%02x".format(_)).mkString
+    assert(md5Of(s"${DailyIngest.urlStore(rootS)}/bloom.bin") ==
+      md5Of(s"${DailyIngest.urlStore(rootB)}/bloom.bin"),
+      "stream and batch URL frontier blooms must be byte-identical")
+    assert(md5Of(s"${DailyIngest.textStore(rootS)}/bloom.bin") ==
+      md5Of(s"${DailyIngest.textStore(rootB)}/bloom.bin"),
+      "stream and batch content blooms must be byte-identical")
+  }
+
   test("streaming store novelty (all kinds) equals its batch twin") {
     import graft.multimodal.{Multimodal, MultimodalQueries, SignatureStore}
     import graft.streaming.MediaStream

@@ -56,6 +56,39 @@ class MediaPipelineSpec extends AnyFunSuite {
     } finally packed.unpersist()
   }
 
+  test("quality pre-filter drops degenerates BEFORE candidacy: zero signature decodes for flagged assets") {
+    import graft.multimodal.{Codec, SignatureStore}
+    // parquet-stage first: synthesis UDF decodes and LocalRelation
+    // constant folding both poison decode budgets (SCALING.md)
+    val staged = java.nio.file.Files.createTempDirectory("prefilter-budget").toString
+    MultimodalQueries.mediaWithPlantedBlanks(spark, dir)
+      .write.mode("overwrite").parquet(staged)
+    val media = spark.read.parquet(staged)
+    // flag set materialized to a literal filter so the signature passes
+    // below carry NO quality-stat UDFs in their plans — we are billing
+    // the signature stage alone
+    val flagged = Multimodal.lowInformationIds(media)
+      .collect().map(_.getLong(0)).toSeq
+    assert(flagged.nonEmpty, "fixture must contain planted degenerates")
+    def sigBill(df: org.apache.spark.sql.DataFrame): Long = {
+      Codec.decodeCalls.reset()
+      SignatureStore.signatures(df).count()
+      Codec.decodeCalls.sum()
+    }
+    val billAll = sigBill(media)
+    val billFlagged = sigBill(media.where(col("media_id").isin(flagged: _*)))
+    val billPost = sigBill(media.where(!col("media_id").isin(flagged: _*)))
+    assert(billFlagged > 0,
+      "planted degenerates are decodable — their signature cost is real")
+    // the stop-sim cap merely bounds degenerate content INSIDE
+    // candidacy; the pre-filter removes its entire signature-stage cost
+    // — a flagged asset is dropped before any signature decode, not
+    // capped after one
+    assert(billPost + billFlagged == billAll,
+      s"filtered signature bill $billPost must be the full bill $billAll minus " +
+        s"the flagged assets' own cost $billFlagged")
+  }
+
   test("store-path pipeline: zero history decodes; A/V history twins shed too") {
     import graft.multimodal.{Codec, SignatureStore}
     val all = MultimodalQueries.mediaWithPlantedNearDups(spark, dir)
