@@ -199,12 +199,11 @@ object DailyIngest {
     }
   }
 
-  /** The exact-novelty content key — MUST mirror
-    * [[NoveltyBloomStore]]'s key form so the within-day keep-first and
-    * the store probe agree (see [[IngestConfig.prefixChars]]). */
+  /** The exact-novelty content key — [[NoveltyBloomStore]]'s own key
+    * definition (ONE definition, not a mirrored copy), so the
+    * within-day keep-first and the store probe cannot drift apart. */
   private def contentKey(textCol: String, prefixChars: Int) =
-    if (prefixChars == 0) md5(col(textCol))
-    else md5(substring(lower(col(textCol)), 1, prefixChars))
+    NoveltyBloomStore.docKey(textCol, prefixChars)
 
   /** Persistent-RDD ids right now — capture BEFORE a day's compute or
     * probe, hand to [[sweepCaches]] once its consumers materialized. */
@@ -258,11 +257,20 @@ object DailyIngest {
     * shape, never all-pairs. */
   private[graft] def semanticOrderedDrops(vecs: DataFrame, ord: DataFrame,
       centers: Array[Array[Double]], nprobe: Int,
+      threshold: Double): DataFrame =
+    semanticOrderedDropsFromAssigned(
+      IvfIndex.assignCells(vecs, centers, "doc_id", "embedding", nprobe)
+        .join(ord.select(col(ord.columns.head).as("id"), col("ord")), Seq("id")),
+      threshold)
+
+  /** [[semanticOrderedDrops]] over a caller-owned (ideally cached)
+    * assigned frame carrying an `ord` column — the self-join's two
+    * sides then share one assignment materialization instead of
+    * re-running the quantizer UDF per side (the [[IvfIndex]]
+    * one-assign-pass discipline). */
+  private[graft] def semanticOrderedDropsFromAssigned(assigned: DataFrame,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.arrayDot
-    val assigned = IvfIndex
-      .assignCells(vecs, centers, "doc_id", "embedding", nprobe)
-      .join(ord.select(col(ord.columns.head).as("id"), col("ord")), Seq("id"))
     val probeSide = assigned.select(col("id"), col("v"), col("nrm"),
       col("ord"), explode(col("probes")).as("cell"))
     val homeSide = assigned.select(col("id").as("id_h"), col("v").as("v_h"),
@@ -302,6 +310,18 @@ object DailyIngest {
     // a page with no text has no content to dedup on — production
     // drops empty fetches here
     val exactCand = urlKept.where(col("text").isNotNull)
+    // the store header is the key-mode authority: a cfg.prefixChars
+    // that contradicts it would silently split the within-day
+    // keep-first key from the store probe/append key (mixed key forms
+    // — the divergence the header exists to prevent), so fail loudly
+    if (bloomReady(spark, textStore(root))) {
+      val recorded = NoveltyBloomStore.recordedPrefixChars(spark, textStore(root))
+      require(recorded == cfg.prefixChars,
+        s"IngestConfig.prefixChars=${cfg.prefixChars} contradicts the content " +
+          s"bloom's recorded key mode $recorded at ${textStore(root)} — the " +
+          "store's key length is a build-time commitment; rebuild the store " +
+          "to change it")
+    }
     val exactFirst = exactCand
       .withColumn("_k", contentKey("text", cfg.prefixChars))
       .withColumn("_rn",
@@ -341,8 +361,8 @@ object DailyIngest {
     // a PARALLEL drop rule over the same clean set (see the object
     // scaladoc): docs without a vector pass — an unprovable semantic
     // dup is never dropped, the family-wide rule
-    val (semDrops, semSeen, trainedCenters) = dayEmb match {
-      case None => (None, None, None)
+    val (semDrops, semSeen, trainedCenters, semCaches) = dayEmb match {
+      case None => (None, None, None, Nil)
       case Some(embDf) =>
         val cleanVecs = embDf.select(col("doc_id"), col("embedding"))
           .join(clean.select("doc_id"), Seq("doc_id"))
@@ -362,20 +382,27 @@ object DailyIngest {
               cfg.semNlist, cfg.semIters), true))
           else None
         centersOpt match {
-          case None => (None, Some(cleanVecs), None)
+          case None => (None, Some(cleanVecs), None, Nil)
           case Some((ctrs, trained)) =>
-            val within = semanticOrderedDrops(cleanVecs,
-              cleanVecs.select(col("doc_id"), col("doc_id").as("ord")),
-              ctrs, cfg.semNprobe, cfg.semThreshold)
+            // ONE quantizer-assignment pass for the whole stage: the
+            // within-day self-join's two sides AND the store probe's
+            // two consumptions (probed-cell collect + candidate join)
+            // all read this cached frame (day-sized, spills past
+            // memory; released with the day's other caches)
+            val assigned = IvfIndex
+              .assignCells(cleanVecs, ctrs, "doc_id", "embedding", cfg.semNprobe)
+              .withColumn("ord", col("id"))
+              .cache()
+            val within = semanticOrderedDropsFromAssigned(assigned,
+              cfg.semThreshold)
             val cross =
               if (storeReady)
-                IvfIndex.matchedAgainstIndex(cleanVecs, embStore(root),
-                    idCol = "doc_id", vecCol = "embedding",
-                    threshold = cfg.semThreshold, nprobe = cfg.semNprobe)
+                IvfIndex.matchedFromAssigned(assigned, embStore(root),
+                    cfg.semThreshold)
                   .select(col("id").as("doc_id"))
               else within.limit(0)
             (Some(within.unionByName(cross)), Some(cleanVecs),
-              if (trained) Some(ctrs) else None)
+              if (trained) Some(ctrs) else None, Seq(assigned))
         }
     }
     val textSurvivors0 = crossKept.join(withinDrops, Seq("doc_id"), "left_anti")
@@ -407,7 +434,7 @@ object DailyIngest {
       .join(mediaWithinDrops, Seq("media_id"), "left_anti")
     DayFrames(canon, urlKept, exactKept, clean, textSurvivors,
       postQuality, mediaSurvivors, semSeen, trainedCenters,
-      caches = Seq(clean, postQuality, estCache, imgSigCache))
+      caches = Seq(clean, postQuality, estCache, imgSigCache) ++ semCaches)
   }
 
   /** Pairwise media near-dup pairs under the SIGNATURE-STORE path's
@@ -586,15 +613,22 @@ object DailyIngest {
     // or first-build from the STAGED centers phase 1 trained
     if (exists(spark, s"$stage/emb_seen")) {
       val embStaged = spark.read.parquet(s"$stage/emb_seen")
-      if (embReady(spark, embStore(root)))
-        IvfIndex.append(embStaged, embStore(root),
-          idCol = "doc_id", vecCol = "embedding")
-      else if (exists(spark, s"$stage/emb_centers")) {
+      // STAGED CENTERS TAKE PRECEDENCE over store readiness: a day
+      // that staged centers is the FIRST-BUILD day, and a crash inside
+      // buildFromCenters writes centers.parquet before postings and
+      // the drift reference — routing the retry by embReady would
+      // append onto the partial build and silently skip the drift
+      // reference FOREVER (every later day unmonitored). The build is
+      // overwrite-idempotent, so the retry just re-runs it; only days
+      // with no staged centers (the store predates them) append.
+      if (exists(spark, s"$stage/emb_centers")) {
         val ctrs = spark.read.parquet(s"$stage/emb_centers")
           .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
         IvfIndex.buildFromCenters(embStaged, embStore(root), ctrs,
           idCol = "doc_id", vecCol = "embedding")
-      }
+      } else if (embReady(spark, embStore(root)))
+        IvfIndex.append(embStaged, embStore(root),
+          idCol = "doc_id", vecCol = "embedding")
       // no centers staged and no store: the day had no vectors — the
       // first day WITH vectors builds
     }
@@ -620,8 +654,12 @@ object DailyIngest {
         org.apache.spark.util.sketch.BloomFilter]] = None,
       dayEmb: Option[DataFrame] = None,
       cfg: IngestConfig = IngestConfig()): (DataFrame, DataFrame) = {
-    val (txt, med, _) = probeDayTracked(spark, dayDocs, dayMedia, benchDocs,
-      root, benchBloom, dayEmb, cfg)
+    // a locally built bloom here lives until session end (one-shot
+    // contract — like the caches, acceptable once, not in a loop)
+    val bloom = benchBloom.getOrElse(
+      TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4))
+    val (txt, med, _) = probeDayTracked(spark, dayDocs, dayMedia,
+      root, bloom, dayEmb, cfg)
     (txt, med)
   }
 
@@ -634,15 +672,18 @@ object DailyIngest {
     * refs alone under-release: the probe paths pin operator-internal
     * caches too — see [[sweepCaches]]). */
   private[graft] def probeDayTracked(spark: SparkSession, dayDocs: DataFrame,
-      dayMedia: DataFrame, benchDocs: DataFrame, root: String,
-      benchBloom: Option[org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter]] = None,
+      dayMedia: DataFrame, root: String,
+      benchBloom: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
       dayEmb: Option[DataFrame] = None,
       cfg: IngestConfig = IngestConfig())
       : (DataFrame, DataFrame, Seq[DataFrame]) = {
-    val bloom = benchBloom.getOrElse(
-      TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4))
-    val f = processDay(spark, dayDocs, dayMedia, dayEmb, bloom, root, cfg)
+    // the bench bloom is REQUIRED here, not built on demand: this is
+    // the looping-caller API, and a per-iteration broadcast that only
+    // the callee knows about cannot be destroyed by the caller — the
+    // exact accumulation ingestDay's finally-destroy closes. The loop
+    // owns one bloom for its lifetime and destroys it when done.
+    val f = processDay(spark, dayDocs, dayMedia, dayEmb, benchBloom, root, cfg)
     (f.textSurvivors, f.mediaSurvivors, f.caches)
   }
 

@@ -75,6 +75,11 @@ object IvfIndex {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+      // zero vectors are unindexable: no direction, cosine undefined
+      // (ANSI division error) — excluding them HERE keeps the postings
+      // population identical to [[assignCells]]' (the bit-level
+      // append≡rebuild gate compares the two row sets)
+      .where(col("nrm") > 0)
       .withColumn("cd", cellDistUdf(col("v")))
       .select(col("id"), col("v"), col("nrm"),
         col("cd._1").as("cell"), col("cd._2").as("dist"))
@@ -407,7 +412,21 @@ object IvfIndex {
     val spark = emb.sparkSession
     val centers = loadCenters(spark, dir)
     require(centers.nonEmpty, s"no centers at $dir — build() first")
-    val q = assignCells(emb, centers, idCol, vecCol, nprobe)
+    // NOTE this one-shot form evaluates the assignment UDF twice (the
+    // probed-cell collect + the join); a looping caller should cache
+    // an [[assignCells]] frame and use [[matchedFromAssigned]] — the
+    // serving discipline the daily ingest follows
+    matchedFromAssigned(assignCells(emb, centers, idCol, vecCol, nprobe),
+      dir, threshold)
+  }
+
+  /** [[matchedAgainstIndex]] over a caller-owned (ideally cached)
+    * [[assignCells]] frame — both consumptions (the bounded probed-cell
+    * collect and the candidate join) then hit one materialization. */
+  private[graft] def matchedFromAssigned(assigned: DataFrame, dir: String,
+      threshold: Double): DataFrame = {
+    val spark = assigned.sparkSession
+    val q = assigned
       .select(col("id"), col("v"), col("nrm"), explode(col("probes")).as("cell"))
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
     val postings = spark.read.parquet(s"$dir/postings.parquet")
@@ -435,6 +454,7 @@ object IvfIndex {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+      .where(col("nrm") > 0) // a zero query vector has no neighbors, not an ANSI error
       .select(col("id"), col("v"), col("nrm"),
         explode(probeUdf(col("v"))).as("cell"))
 

@@ -38,9 +38,21 @@ object NoveltyBloomStore {
     * ([[graft.text.TextFunctions.canonicalizeUrl]]): the crawl
     * frontier's seen-URL set. The mode is recorded in the store header
     * (prefixChars), so probes can never mix key forms. */
-  private def docKey(textCol: String, prefixChars: Int) =
+  private[graft] def docKey(textCol: String, prefixChars: Int) =
     if (prefixChars == 0) md5(col(textCol))
     else md5(substring(lower(col(textCol)), 1, prefixChars))
+
+  /** The key mode recorded in the store header — callers that derive
+    * their OWN keys from the same column (e.g. a within-batch
+    * keep-first that must agree with the store probe) validate their
+    * configured mode against this instead of trusting call-site
+    * discipline. */
+  def recordedPrefixChars(spark: SparkSession, dir: String): Int = {
+    val live = new org.apache.hadoop.fs.Path(dir, "bloom.bin")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(fs.open(live))
+    try in.readInt() finally in.close() // header-only: no bloom deserialization
+  }
 
   private def keyBloom(df: DataFrame, textCol: String, prefixChars: Int,
       fpp: Double, capacity: Long): BloomFilter =

@@ -1556,8 +1556,8 @@ object OpsQueries {
     val rddsBefore = DailyIngest.rddIds(s)
     val (txt, med, caches) = DailyIngest.probeDayTracked(s,
       docs.where(col("day") === IngestDays),
-      media.where(col("day") === IngestDays), bench, root,
-      benchBloom = Some(benchBloom),
+      media.where(col("day") === IngestDays), root,
+      benchBloom = benchBloom,
       dayEmb = Some(emb.where(col("day") === IngestDays).drop("day")),
       cfg = cfg)
     val out = txt.select(col("doc_id").as("id"), lit("text").as("family"))
@@ -1865,8 +1865,8 @@ object OpsQueries {
     val rddsBeforeIds = DailyIngest.rddIds(s)
     val bloom2 = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
     val (txt3, med3, caches3) = DailyIngest.probeDayTracked(s,
-      docs.where(col("day") === D), todayMediaDf, bench, root,
-      benchBloom = Some(bloom2), dayEmb = Some(embToday), cfg = cfg)
+      docs.where(col("day") === D), todayMediaDf, root,
+      benchBloom = bloom2, dayEmb = Some(embToday), cfg = cfg)
     txt3.count(); med3.count()
     DailyIngest.sweepCaches(s, rddsBeforeIds, caches3)
     bloom2.destroy()
