@@ -1349,9 +1349,19 @@ object OpsQueries {
           lit("en").as("lang"), lit(src).as("source"),
           lit(day).cast("int").as("day"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-    val semToday = semDoc(crawl.where(semTodayPred(nDays)).select("doc_id"),
+    // plant ONLY for bases that HAVE vectors: the fixtures' doc and
+    // embedding tables do not cover the same id range at every SF
+    // (sf0.1: 5000 docs, 2000 vectors), and a "paraphrase twin" whose
+    // base has no vector would — correctly, by the no-vector-passes
+    // rule — survive the semantic stage and read as a planted leak
+    // (the sf0.1 sweep caught exactly this)
+    val vecIds = Tables.embeddings(s, d).select(col("vec_id").as("doc_id"))
+    val semToday = semDoc(
+      crawl.where(semTodayPred(nDays)).select("doc_id")
+        .join(vecIds, Seq("doc_id"), "left_semi"),
       PlantedSemTwinBase, nDays, "semfarm")
     val chainBases = crawl.where(semChainPred(nDays)).select("doc_id")
+      .join(vecIds, Seq("doc_id"), "left_semi")
     val semChain1 = semDoc(chainBases, PlantedSemChain1Base, 1, "semchain1")
     val semChain2 = semDoc(chainBases, PlantedSemChain2Base, nDays, "semchain2")
     val cols = base.columns.map(col)
