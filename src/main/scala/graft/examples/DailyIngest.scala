@@ -87,10 +87,9 @@ import org.apache.spark.sql.functions._
   *    then write `_ledger/day_N`. A crash mid-phase-2 retries the
   *    appends from the same staged bytes: blooms are byte-idempotent
   *    under re-insertion, and the band/signature/postings tables gain
-  *    duplicate rows that probes tolerate (distinct-aggregating) —
-  *    band/signature duplicates are repaired by their compact()s; a
-  *    rare postings duplicate persists harmlessly until a rebuild —
-  *    the documented append-retry state, never recomputation against
+  *    duplicate rows that probes tolerate (distinct-aggregating) and
+  *    each store's compact() repairs — the documented append-retry
+  *    state, never recomputation against
   *    mutated stores. Markers are written via tmp+rename, so a
   *    marker's existence implies a complete record; a crashed bloom
   *    appender's stale `append.lock` is cleared by the retry under the

@@ -286,10 +286,15 @@ object IvfIndex {
     * checked trash-ordered rename pair (same contract as
     * [[graft.io.Layout.deleteRows]]: no torn/mixed directory ever; a
     * crash between the two renames leaves the cell temporarily absent
-    * with data recoverable from trash/staging). Search results are
+    * with data recoverable from trash/staging). Exact-duplicate rows
+    * (a retried append's state) collapse during the rewrite — append
+    * idempotence is restored here, the [[graft.multimodal
+    * .SignatureStore.compact]] contract. Search results are
     * byte-identical before/after by construction — compaction moves
-    * rows between files, never across cells (gated in
-    * ann_ivf_index_maintain). Returns the compacted cell values. */
+    * rows between files, never across cells, and duplicate collapse
+    * only removes rows the distinct-aggregating consumers already
+    * ignored (gated in ann_ivf_index_maintain). Returns the compacted
+    * cell values. */
   def compactPostings(spark: SparkSession, dir: String,
       saltBuckets: Int = 4, maxRecordsPerFile: Long = 5000000L,
       minFilesPerCell: Int = 2): Seq[String] = {
@@ -301,6 +306,12 @@ object IvfIndex {
     val staging = s"$postings.compact_$token"
     val df = spark.read.parquet(postings)
       .where(col("cell").cast("string").isin(victims: _*))
+      // exact-duplicate rows collapse here — a RETRIED append leaves
+      // byte-identical postings copies (harmless for the
+      // distinct-aggregating probes, wasteful for scans); append
+      // idempotence is restored at maintenance, the same contract as
+      // SignatureStore.compact / MinHashBandStore.compact
+      .distinct()
     val dataCols = df.columns.filter(_ != "cell").map(col)
     df.withColumn("_salt", pmod(hash(dataCols: _*), lit(saltBuckets)))
       .repartition(col("cell"), col("_salt"))

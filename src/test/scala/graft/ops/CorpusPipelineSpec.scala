@@ -177,6 +177,47 @@ class DailyIngestSpec extends AnyFunSuite {
       "a day with its final marker must not touch any store")
   }
 
+  test("phase-2 crash inside the FIRST embedding-store build: retry rebuilds from staged centers, drift monitoring intact") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val D = 1
+    val root = java.nio.file.Files.createTempDirectory("di-emb-crash").toString
+    val docs = OpsQueries.dailyDocs(spark, dir, D)
+    val media = OpsQueries.dailyMedia(spark, dir, D)
+    val emb = OpsQueries.dailyEmb(spark, dir, D)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    val benchBloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    val c0 = DailyIngest.ingestDayCompute(spark, docs.where(col("day") === 0),
+      media.where(col("day") === 0), benchBloom, root, 0,
+      dayEmb = Some(emb.where(col("day") === 0).drop("day")))
+    // simulate the crash window: buildFromCenters wrote centers.parquet
+    // and DIED before postings/drift_ref — the store LOOKS ready
+    // (embReady keys on centers.parquet) but is a partial build
+    val stagedCenters = spark.read.parquet(s"$root/_stage/day_0/emb_centers")
+    val embDir = DailyIngest.embStore(root)
+    stagedCenters.write.mode("overwrite").parquet(s"$embDir/centers.parquet")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$embDir/postings.parquet")),
+      "test setup: the crash left no postings")
+    // retry phase 2: MUST route by the staged centers (rebuild), not by
+    // store readiness (append) — the append path would leave drift_ref
+    // absent forever and every later day's append unmonitored
+    DailyIngest.ingestDayAppend(spark, root, 0, c0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$embDir/drift_ref.parquet")),
+      "retry must complete the build: drift reference present")
+    val nPostings = spark.read.parquet(s"$embDir/postings.parquet").count()
+    val nStaged = c0.cleanKept // clean docs with vectors <= cleanKept; >0 expected
+    assert(nPostings > 0 && nPostings <= nStaged,
+      s"retry must index the staged vectors once ($nPostings of <= $nStaged)")
+    // and the monitor WORKS from here on: a second day's append logs drift
+    DailyIngest.ingestDay(spark, docs.where(col("day") === 1),
+      media.where(col("day") === 1), bench, root, 1,
+      dayEmb = Some(emb.where(col("day") === 1).drop("day")))
+    assert(spark.read.parquet(s"$embDir/drift_log.parquet").count() == 1,
+      "the first post-build append day must be drift-monitored")
+    benchBloom.destroy()
+  }
+
   test("prefixChars is a caller decision: the exact-novelty key length changes which docs deduplicate") {
     import spark.implicits._
     // two docs sharing their first ~87 chars but diverging after: under
