@@ -88,8 +88,10 @@ import org.apache.spark.sql.functions._
   *    appends from the same staged bytes: blooms are byte-idempotent
   *    under re-insertion, and the band/signature/postings tables gain
   *    duplicate rows that probes tolerate (distinct-aggregating) and
-  *    each store's compact() repairs — the documented append-retry
-  *    state, never recomputation against
+  *    each store's compact() repairs; the drift LOG may gain a
+  *    duplicate row for the retried day (a monitoring artifact — the
+  *    batch numbering shifts by one — never a decision input) — the
+  *    documented append-retry state, never recomputation against
   *    mutated stores. Markers are written via tmp+rename, so a
   *    marker's existence implies a complete record; a crashed bloom
   *    appender's stale `append.lock` is cleared by the retry under the
@@ -174,6 +176,39 @@ object DailyIngest {
     * via tmp+rename, so its existence implies a complete store. */
   private def bloomReady(spark: SparkSession, dir: String): Boolean =
     exists(spark, s"$dir/bloom.bin")
+
+  /** True iff ANY day other than `exceptDay` has completed (final
+    * ledger marker present). This is the guard that keeps a missing
+    * `bloom.bin` from being misread as "first build": completed days
+    * imply the bloom existed, so its absence is the writeStore
+    * delete→rename crash window — rebuilding from one day's staged
+    * keys there would SILENTLY discard every prior day's history
+    * (known duplicates re-admitted with no error, the worst failure
+    * class). [[requireBloomOrFirstBuild]] throws instead, with the
+    * recovery path (the replacement bloom survives as a complete
+    * `bloom.bin.tmp_*` — rename it back). */
+  private def anyCompletedDay(spark: SparkSession, root: String,
+      exceptDay: Int): Boolean = {
+    val (ledger, f) = fs(spark, s"$root/_ledger")
+    f.exists(ledger) && f.listStatus(ledger).exists { st =>
+      val n = st.getPath.getName
+      n.matches("day_\\d+") && n != s"day_$exceptDay"
+    }
+  }
+
+  /** Routing guard for the two bloom stores: ready → fine; not ready
+    * with NO completed history → first build; not ready WITH completed
+    * history → the mid-replace crash state — fail loudly. */
+  private def requireBloomOrFirstBuild(spark: SparkSession, root: String,
+      dir: String, exceptDay: Int): Unit =
+    if (!bloomReady(spark, dir) && anyCompletedDay(spark, root, exceptDay))
+      throw new java.io.IOException(
+        s"DailyIngest: $dir/bloom.bin is MISSING but completed day markers " +
+          "exist — a bloom replacement crashed between delete and rename. " +
+          "Recover by renaming the completed bloom.bin.tmp_* back to " +
+          "bloom.bin (the replacement was fully written before the delete), " +
+          "or rebuild the store from the full corpus. Rebuilding from one " +
+          "day's staged keys would silently discard all prior history.")
 
   /** Embedding-store readiness: the quantizer file. Centers exist only
     * after a completed (or at worst postings-writing) build, and the
@@ -300,6 +335,11 @@ object DailyIngest {
       .withColumn("_rn",
         row_number().over(Window.partitionBy("curl").orderBy("doc_id")))
       .where(col("_rn") === 1).drop("_rn")
+    // probes carry the same mid-replace guard as the appends: a probe
+    // against a history-holding root whose bloom is mid-replacement
+    // must not silently keep everything (only reachable outside the
+    // ledger's retry ordering — e.g. a probeDay against a crashed root)
+    requireBloomOrFirstBuild(spark, root, urlStore(root), exceptDay = -1)
     val urlKept =
       if (bloomReady(spark, urlStore(root)))
         NoveltyBloomStore.novelAgainst(urlFirst, urlStore(root),
@@ -326,6 +366,7 @@ object DailyIngest {
       .withColumn("_rn",
         row_number().over(Window.partitionBy("_k").orderBy("doc_id")))
       .where(col("_rn") === 1).drop("_rn", "_k")
+    requireBloomOrFirstBuild(spark, root, textStore(root), exceptDay = -1)
     val exactKept =
       if (bloomReady(spark, textStore(root)))
         NoveltyBloomStore.novelAgainst(exactFirst, textStore(root)).drop("h")
@@ -361,7 +402,17 @@ object DailyIngest {
     // scaladoc): docs without a vector pass — an unprovable semantic
     // dup is never dropped, the family-wide rule
     val (semDrops, semSeen, trainedCenters, semCaches) = dayEmb match {
-      case None => (None, None, None, Nil)
+      case None =>
+        // text-only mode is legitimate ONLY while no embedding store
+        // exists: once one does, a vector-less day would neither probe
+        // nor append — its content invisible to every later semantic
+        // probe, batch equivalence silently broken. A day genuinely
+        // without vectors passes an EMPTY frame, not None.
+        require(!embReady(spark, embStore(root)),
+          s"an embedding store exists at ${embStore(root)} but this day " +
+            "supplied no vectors (dayEmb=None) — pass the day's embeddings " +
+            "(an empty frame if the day truly has none) or remove the store")
+        (None, None, None, Nil)
       case Some(embDf) =>
         val cleanVecs = embDf.select(col("doc_id"), col("embedding"))
           .join(clean.select("doc_id"), Seq("doc_id"))
@@ -532,13 +583,21 @@ object DailyIngest {
           .select(col("doc_id"), col("source"),
             TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
           .write.mode("overwrite").parquet(textOut(root, day))
-        f.mediaSurvivors.select(col("media_id"), col("kind"))
+        // ONE evaluation of the survivor pipeline (store probe +
+        // within-day anti-join) for its three consumers — the id list,
+        // the shard index, and the byte assembly; without the persist,
+        // each write re-runs the perceptual store probe over the day.
+        // Day-sized (payloads included), spills to disk; released with
+        // the day's other caches below.
+        val mediaSurv = f.mediaSurvivors
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mediaSurv.select(col("media_id"), col("kind"))
           .write.mode("overwrite").parquet(mediaOut(root, day))
         // training-ready media byte shards for the day: packed payload
         // streams + the (offset, nbytes) slice index — the byte-exact
         // assembly pair, gated per day by md5 slice roundtrip. Payload
         // bytes come from the cached post-quality frame (no decodes).
-        val survivorPayloads = f.mediaSurvivors
+        val survivorPayloads = mediaSurv
           .select(col("media_id"), col("kind"), col("content"))
         Multimodal.shardIndex(survivorPayloads, cfg.mediaShardBudgetBytes)
           .write.mode("overwrite").parquet(mediaIndexOut(root, day))
@@ -575,7 +634,7 @@ object DailyIngest {
           mediaKept = spark.read.parquet(mediaOut(root, day)).count(),
           textShards = shards, mediaShards = mShards)
         writeCounts(spark, computedMarker, c)
-        sweepCaches(spark, rddsBefore, f.caches)
+        sweepCaches(spark, rddsBefore, f.caches :+ mediaSurv)
         c
       }
     counts
@@ -588,12 +647,14 @@ object DailyIngest {
     val stage = s"$root/_stage/day_$day"
     // ---- phase 2: appends, from the staged inputs only ---------------
     val seenUrls = spark.read.parquet(s"$stage/seen_urls")
+    requireBloomOrFirstBuild(spark, root, urlStore(root), day)
     if (bloomReady(spark, urlStore(root))) {
       clearStaleAppendLock(spark, urlStore(root))
       NoveltyBloomStore.append(seenUrls, urlStore(root), textCol = "curl")
     } else NoveltyBloomStore.build(seenUrls, urlStore(root), textCol = "curl",
       prefixChars = 0, capacity = cfg.bloomCapacity)
     val exactSeen = spark.read.parquet(s"$stage/exact_seen")
+    requireBloomOrFirstBuild(spark, root, textStore(root), day)
     if (bloomReady(spark, textStore(root))) {
       clearStaleAppendLock(spark, textStore(root))
       NoveltyBloomStore.append(exactSeen, textStore(root))
@@ -733,7 +794,14 @@ object DailyIngest {
     val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val v = line.trim.split(",").map(_.toLong)
-    require(v.length == 11, s"malformed ledger marker $markerPath: '$line'")
+    // the marker field count IS the ledger format version: a root whose
+    // days completed under a different field set is a different-format
+    // ledger — finish it with the version that started it (or start a
+    // new root); silently defaulting missing counts would misreport
+    require(v.length == 11,
+      s"ledger marker $markerPath has ${v.length} fields, this version " +
+        s"writes 11 — a root begun under another version must be finished " +
+        s"by it, or re-ingested into a fresh root: '$line'")
     DayCounts(v(0).toInt, v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8),
       v(9), v(10))
   }

@@ -169,8 +169,18 @@ object IvfIndex {
       val occRows0 = assigned.groupBy("cell").agg(count(lit(1)).as("n")).collect()
       val refOcc = occRows0.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
       val refN = refOcc.values.sum
-      val refP95 = assigned.where(if (holdout) holdoutPred else lit(true))
-        .agg(expr("percentile_approx(dist, 0.95, 10000)")).head.getDouble(0)
+      // the holdout decision counts non-null vectors, but the assigned
+      // population additionally drops zero-norm rows — a holdout slice
+      // whose vectors are all zero-norm leaves percentile_approx NULL;
+      // fall back to the full assigned p95 (and 0.0 on a wholly
+      // degenerate corpus) rather than dying deterministically inside
+      // a ledger-retried phase 2
+      def p95Of(df: DataFrame): Option[Double] = {
+        val r = df.agg(expr("percentile_approx(dist, 0.95, 10000)")).head
+        if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      }
+      val refP95 = p95Of(assigned.where(if (holdout) holdoutPred else lit(true)))
+        .orElse(p95Of(assigned)).getOrElse(0.0)
       val occRows = (0 until nlist).map(c =>
         (c, refOcc.getOrElse(c, 0L).toDouble / math.max(1L, refN), refP95, refN))
       occRows.toDF("cell", "train_frac", "p95_dist", "n_train")

@@ -1614,7 +1614,10 @@ object OpsQueries {
         Window.partitionBy("curl").orderBy("day", "doc_id")))
       .where(col("_rn") === 1).drop("_rn")
     val s1 = s0.where(col("text").isNotNull)
-      .withColumn("_k", md5(substring(lower(col("text")), 1, 80)))
+      // the store's own key definition under the cfg under test — a
+      // hard-coded 80 here would silently diverge from the pipeline if
+      // the config ever changes
+      .withColumn("_k", NoveltyBloomStore.docKey("text", cfg.prefixChars))
       .withColumn("_rn", row_number().over(
         Window.partitionBy("_k").orderBy("day", "doc_id")))
       .where(col("_rn") === 1).drop("_rn", "_k")
