@@ -766,6 +766,96 @@ object DailyIngest {
     } finally benchBloom.destroy()
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN across the keystone: remove the given
+    * documents and media assets from every place the daily loop put
+    * them — all five frozen-history stores AND the per-day survivor
+    * outputs/shards — so the content stops being served AND stops
+    * suppressing its own look-alikes (a victim's re-crawl or re-encode
+    * must become NOVEL again; takedown that leaves the stores knowing
+    * the content is not a takedown).
+    *
+    * Per store:
+    *  - MinHash bands / signatures / IVF postings: targeted deletes
+    *    ([[MinHashBandStore.deleteDocs]],
+    *    [[SignatureStore.deleteSignatures]],
+    *    [[IvfIndex.deleteVectors]]) — only victim-holding partitions
+    *    rewritten, checked swaps throughout.
+    *  - The two BLOOMS cannot delete (insert-only sketches), so they
+    *    are REBUILT from the caller's raw data lake minus the victims,
+    *    under each store's RECORDED commitments
+    *    ([[NoveltyBloomStore.readParams]]: key mode, fpp, capacity)
+    *    and the SAME key derivations the ingest stages used. The
+    *    rebuilt content bloom keys the order-free batch form of the
+    *    stage-0 survivor set; it can additionally hold keys of pages a
+    *    historical bloom FALSE POSITIVE dropped at fetch time — a
+    *    superset in the conservative direction (seen content stays
+    *    seen; only MORE future duplicates shed, never fewer).
+    *  - Survivor outputs: victim rows leave every day's textOut /
+    *    mediaOut via [[graft.io.Layout.deleteRows]] (only
+    *    victim-holding day partitions rewritten), and every affected
+    *    day's media BYTE shards are re-packed from the surviving
+    *    payloads — the assembled streams physically contained the
+    *    victim bytes, so row-level deletion alone would be takedown
+    *    theater.
+    *
+    * `docs`/`media` are the SAME full concatenated frames the ingest
+    * run consumed (the raw data lake: day + url + text / payloads) —
+    * the bloom rebuilds and shard re-packs need them. Ledger markers
+    * are ingest-time records and deliberately keep their original
+    * counts (they answer "what did day N see/keep at ingest", not a
+    * post-takedown census). */
+  def takedown(spark: SparkSession, root: String, docs: DataFrame,
+      media: DataFrame, victimDocIds: DataFrame, victimMediaIds: DataFrame,
+      cfg: IngestConfig = IngestConfig()): Unit = {
+    val vDocs = victimDocIds
+      .select(col(victimDocIds.columns.head).cast("long").as("doc_id"))
+    val vMedia = victimMediaIds
+      .select(col(victimMediaIds.columns.head).cast("long").as("media_id"))
+    // targeted store deletes
+    if (exists(spark, mhStore(root)))
+      MinHashBandStore.deleteDocs(spark, mhStore(root), vDocs)
+    if (exists(spark, sigStore(root)))
+      SignatureStore.deleteSignatures(spark, sigStore(root), vMedia)
+    if (embReady(spark, embStore(root)))
+      IvfIndex.deleteVectors(spark, embStore(root), vDocs)
+    // bloom rebuilds from the lake minus victims, recorded commitments
+    val keptDocs = docs.join(vDocs, Seq("doc_id"), "left_anti")
+    val canon = keptDocs.withColumn("curl",
+      TextFunctions.canonicalizeUrl(col("url")))
+    if (bloomReady(spark, urlStore(root))) {
+      val (pc, fpp, cap) = NoveltyBloomStore.readParams(spark, urlStore(root))
+      NoveltyBloomStore.build(canon.select("curl").distinct(), urlStore(root),
+        textCol = "curl", prefixChars = pc, fpp = fpp, capacity = cap)
+    }
+    if (bloomReady(spark, textStore(root))) {
+      val (pc, fpp, cap) = NoveltyBloomStore.readParams(spark, textStore(root))
+      // the order-free batch form of stage 0: global URL keep-first
+      // over (day, doc_id) — the content every surviving fetch exposed
+      val s0 = canon.withColumn("_rn", row_number().over(
+          Window.partitionBy("curl").orderBy("day", "doc_id")))
+        .where(col("_rn") === 1).drop("_rn")
+        .where(col("text").isNotNull)
+      NoveltyBloomStore.build(s0, textStore(root),
+        prefixChars = pc, fpp = fpp, capacity = cap)
+    }
+    // survivor outputs: only victim-holding day partitions rewritten
+    graft.io.Layout.deleteRows(spark, s"$root/corpus/text", vDocs,
+      "doc_id", "day")
+    val affectedMediaDays = graft.io.Layout.deleteRows(spark,
+      s"$root/corpus/media", vMedia, "media_id", "day")
+    // re-pack the affected days' byte shards from surviving payloads
+    affectedMediaDays.map(_.toInt).foreach { day =>
+      val surviving = spark.read.parquet(mediaOut(root, day))
+        .select("media_id")
+      val payloads = media.join(surviving, Seq("media_id"), "left_semi")
+        .select(col("media_id"), col("kind"), col("content"))
+      Multimodal.shardIndex(payloads, cfg.mediaShardBudgetBytes)
+        .write.mode("overwrite").parquet(mediaIndexOut(root, day))
+      Multimodal.assembleShards(payloads, cfg.mediaShardBudgetBytes)
+        .write.mode("overwrite").parquet(mediaShardOut(root, day))
+    }
+  }
+
   /** Ledger markers are written tmp+rename (the
     * [[NoveltyBloomStore]] writeStore pattern): marker existence
     * implies a COMPLETE record — a crash mid-write leaves only a tmp

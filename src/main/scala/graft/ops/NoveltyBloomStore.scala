@@ -47,11 +47,19 @@ object NoveltyBloomStore {
     * keep-first that must agree with the store probe) validate their
     * configured mode against this instead of trusting call-site
     * discipline. */
-  def recordedPrefixChars(spark: SparkSession, dir: String): Int = {
+  def recordedPrefixChars(spark: SparkSession, dir: String): Int =
+    readParams(spark, dir)._1
+
+  /** The full recorded store parameters (prefixChars, fpp, capacity) —
+    * what a REBUILD must reuse to stay geometry-compatible with the
+    * store it replaces (a bloom cannot delete: takedown rebuilds from
+    * the corpus minus the victims, under the same commitments).
+    * Header-only read, no bloom deserialization. */
+  def readParams(spark: SparkSession, dir: String): (Int, Double, Long) = {
     val live = new org.apache.hadoop.fs.Path(dir, "bloom.bin")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new java.io.DataInputStream(fs.open(live))
-    try in.readInt() finally in.close() // header-only: no bloom deserialization
+    try (in.readInt(), in.readDouble(), in.readLong()) finally in.close()
   }
 
   private def keyBloom(df: DataFrame, textCol: String, prefixChars: Int,

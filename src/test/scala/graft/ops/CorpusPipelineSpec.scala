@@ -218,6 +218,82 @@ class DailyIngestSpec extends AnyFunSuite {
     benchBloom.destroy()
   }
 
+  test("takedown forgets across all five stores, outputs, and shard BYTES; victims' twins become novel, others still shed") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val D = 1
+    val root = java.nio.file.Files.createTempDirectory("di-takedown").toString
+    val docs = OpsQueries.dailyDocs(spark, dir, D)
+    val media = OpsQueries.dailyMedia(spark, dir, D)
+    val emb = OpsQueries.dailyEmb(spark, dir, D)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    DailyIngest.run(spark, docs, media, bench, root, D, emb = Some(emb))
+    // victims: surviving day-0 docs/assets (so every surface holds them)
+    val outDocs = spark.read.parquet(DailyIngest.textOut(root, 0))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val outMedia = spark.read.parquet(DailyIngest.mediaOut(root, 0))
+      .select("media_id").collect().map(_.getLong(0)).sorted
+    assert(outDocs.length > 4 && outMedia.length > 4, "fixture sanity")
+    val (vDoc, ctlDoc) = (outDocs(0), outDocs(1))
+    val (vMed, ctlMed) = (outMedia(0), outMedia(1))
+    import spark.implicits._
+    DailyIngest.takedown(spark, root, docs, media,
+      Seq(vDoc).toDF("doc_id"), Seq(vMed).toDF("media_id"))
+    // (a) outputs scrubbed; stores scrubbed
+    assert(spark.read.parquet(DailyIngest.textOut(root, 0))
+      .where(col("doc_id") === vDoc).count() == 0, "victim doc still in output")
+    assert(spark.read.parquet(DailyIngest.mediaOut(root, 0))
+      .where(col("media_id") === vMed).count() == 0, "victim asset still in output")
+    assert(MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root))
+      .where(col("doc_id") === vDoc).count() == 0, "victim still in band store")
+    assert(graft.multimodal.SignatureStore.load(spark, DailyIngest.sigStore(root))
+      .where(col("media_id") === vMed).count() == 0, "victim still in signature store")
+    assert(spark.read.parquet(s"${DailyIngest.embStore(root)}/postings.parquet")
+      .where(col("id") === vDoc).count() == 0, "victim still in IVF postings")
+    // (b) the re-packed shard BYTES: every surviving asset still slices
+    // out md5-exactly, and total stream mass is exactly the survivors'
+    val idx = spark.read.parquet(DailyIngest.mediaIndexOut(root, 0))
+    val asm = spark.read.parquet(DailyIngest.mediaShardOut(root, 0))
+    assert(idx.where(col("media_id") === vMed).count() == 0,
+      "victim still indexed in shards")
+    val sliced = idx
+      .join(media.select(col("media_id"), md5(col("content")).as("want")), Seq("media_id"))
+      .join(asm, Seq("kind", "shard"))
+      .withColumn("got", md5(expr(
+        "substring(shard_bytes, cast(offset + 1 as int), cast(nbytes as int))")))
+    assert(sliced.where(col("got") =!= col("want")).count() == 0,
+      "a surviving asset no longer slices out byte-exactly")
+    assert(sliced.count() ==
+      spark.read.parquet(DailyIngest.mediaOut(root, 0)).count(),
+      "shard coverage must equal the surviving asset set")
+    // (c) novelty freed for the victim, intact for the control: probe a
+    // re-crawl day carrying EXACT copies of both
+    val probeBase = 1L << 50
+    def copyDoc(id: Long, newId: Long) = docs.where(col("doc_id") === id)
+      .withColumn("doc_id", lit(newId))
+    val probeDocs = copyDoc(vDoc, probeBase).unionByName(copyDoc(ctlDoc, probeBase + 1))
+      .drop("day")
+    val probeMedia = media.where(col("media_id").isin(vMed, ctlMed))
+      .withColumn("media_id",
+        when(col("media_id") === vMed, probeBase).otherwise(probeBase + 1))
+      .drop("day")
+    val probeEmb = emb.where(col("doc_id").isin(vDoc, ctlDoc))
+      .withColumn("doc_id",
+        when(col("doc_id") === vDoc, probeBase).otherwise(probeBase + 1))
+      .drop("day")
+    val (txt, med) = DailyIngest.probeDay(spark, probeDocs, probeMedia, bench,
+      root, dayEmb = Some(probeEmb))
+    val keptDocs2 = txt.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptMedia2 = med.select("media_id").collect().map(_.getLong(0)).toSet
+    assert(keptDocs2.contains(probeBase),
+      "the victim's re-crawl must be NOVEL after takedown (forgotten everywhere)")
+    assert(!keptDocs2.contains(probeBase + 1),
+      "the control's re-crawl must still be shed (stores intact for non-victims)")
+    assert(keptMedia2.contains(probeBase),
+      "the victim asset's copy must be novel after takedown")
+    assert(!keptMedia2.contains(probeBase + 1),
+      "the control asset's copy must still be shed")
+  }
+
   test("prefixChars is a caller decision: the exact-novelty key length changes which docs deduplicate") {
     import spark.implicits._
     // two docs sharing their first ~87 chars but diverging after: under
