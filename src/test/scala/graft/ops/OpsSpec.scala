@@ -629,6 +629,32 @@ class IvfIndexSpec extends AnyFunSuite {
       s"probed-cell IN filter must prune partitions at the scan:\n$plan")
     res.collect() // executes against the pruned scan
   }
+
+  test("matchedAgainstIndex: threshold semantics + the same pruned-scan shape as search") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx3").toString
+    IvfIndex.build(emb, dir, nlist = 16)
+    // a COPY of an indexed vector matches (cos 1.0 >= any threshold);
+    // a disjoint-support synthetic vector matches nothing at 0.9 (the
+    // fixture's natural pairwise max is ~0.51)
+    val base = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val fresh = Array.tabulate(base.length) { i =>
+      (((i * 2654435761L) % 1999L).toFloat - 999f) / 1000f
+    }.toSeq
+    val probes = Seq((900001L, base), (900002L, fresh))
+      .toDF("vec_id", "embedding")
+    val res = IvfIndex.matchedAgainstIndex(probes, dir, threshold = 0.9, nprobe = 3)
+    val plan = res.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("postings.parquet") && l.contains("PartitionFilters"))
+      .getOrElse(plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse(""))
+    assert(scanLine.contains("cell IN") || scanLine.matches(".*PartitionFilters: \\[[^\\]].*"),
+      s"the frozen-history probe must prune history to probed cells:\n$plan")
+    val matched = res.collect().map(_.getLong(0)).toSet
+    assert(matched == Set(900001L),
+      s"the copy must match and the disjoint vector must not: $matched")
+  }
 }
 
 class MinHashBandStoreSpec extends AnyFunSuite {
