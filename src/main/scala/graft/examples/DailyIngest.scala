@@ -110,7 +110,16 @@ import org.apache.spark.sql.functions._
   * probes' own decision functions ([[MinHashBandStore.estPairs]];
   * store-parity media pairs below; [[semanticOrderedDrops]] under the
   * store's frozen centers) so the equality is bit-level, not
-  * approximate. */
+  * approximate.
+  *
+  * PRECONDITION: `doc_id` / `media_id` are globally unique across ALL
+  * days — every store keys on the id, the probes exclude same-id
+  * candidates as self-matches, and the batch twins order by
+  * (day, doc_id). A crawl that re-issues an id on a later day would
+  * make the incremental probes keep the re-fetch (same-id exclusion)
+  * while the batch twin drops it (strictly earlier order) — the
+  * equivalence contract silently assumes what this line makes
+  * explicit. */
 object DailyIngest {
 
   final case class DayCounts(day: Int, incoming: Long, urlKept: Long,
@@ -152,6 +161,10 @@ object DailyIngest {
   def sigStore(root: String): String = s"$root/stores/sig_store"
   def embStore(root: String): String = s"$root/stores/ivf_index"
   def textOut(root: String, day: Int): String = s"$root/corpus/text/day=$day"
+  def textShardOut(root: String, day: Int): String =
+    s"$root/corpus/text_shards/day=$day"
+  def textIndexOut(root: String, day: Int): String =
+    s"$root/corpus/text_index/day=$day"
   def mediaOut(root: String, day: Int): String = s"$root/corpus/media/day=$day"
   def mediaShardOut(root: String, day: Int): String =
     s"$root/corpus/media_shards/day=$day"
@@ -414,19 +427,33 @@ object DailyIngest {
             "(an empty frame if the day truly has none) or remove the store")
         (None, None, None, Nil)
       case Some(embDf) =>
+        import graft.functions.VectorFunctions.arraySqNorm
         val cleanVecs = embDf.select(col("doc_id"), col("embedding"))
           .join(clean.select("doc_id"), Seq("doc_id"))
         val storeReady = embReady(spark, embStore(root))
+        // capture the quantizer generation WITH the centers: phase 2
+        // (or a rebuild landing between compute and probe) must not
+        // silently join postings the loaded centers no longer route —
+        // matchedFromAssigned fails loudly on the mismatch
+        val storeGen =
+          if (storeReady) Some(IvfIndex.generation(spark, embStore(root)))
+          else None
         // the quantizer is FROZEN at first build: later days load it;
         // the first day with vectors trains it ONCE here (phase 1),
         // uses it for its own within-day decisions, and stages the
         // array so phase 2 persists the SAME centers — retraining
         // from re-read rows could flip low-order bits and with them a
-        // boundary pair's cell (see IvfIndex.trainCenters)
+        // boundary pair's cell (see IvfIndex.trainCenters). The train
+        // guard requires an INDEXABLE vector (non-null AND norm > 0):
+        // a day of all-zero vectors has nothing the index could hold,
+        // and buildFromCenters now fails loudly on an empty build —
+        // such a day passes semantically untouched, like a vector-less
+        // day, and the first day with a real vector builds.
         val centersOpt: Option[(Array[Array[Double]], Boolean)] =
           if (storeReady)
             Some((IvfIndex.loadCenters(spark, embStore(root)), false))
-          else if (cleanVecs.where(col("embedding").isNotNull)
+          else if (cleanVecs.where(col("embedding").isNotNull &&
+              arraySqNorm(col("embedding").cast("array<double>")) > 0)
               .limit(1).count() > 0)
             Some((IvfIndex.trainCenters(cleanVecs, "doc_id", "embedding",
               cfg.semNlist, cfg.semIters), true))
@@ -448,7 +475,7 @@ object DailyIngest {
             val cross =
               if (storeReady)
                 IvfIndex.matchedFromAssigned(assigned, embStore(root),
-                    cfg.semThreshold)
+                    cfg.semThreshold, expectGeneration = storeGen)
                   .select(col("id").as("doc_id"))
               else within.limit(0)
             (Some(within.unionByName(cross)), Some(cleanVecs),
@@ -578,11 +605,31 @@ object DailyIngest {
           root, cfg)
         // survivors (with the packing metadata a shard writer needs),
         // materialized strictly BEFORE any append mutates the stores
-        // the probe plans read
-        f.textSurvivors
-          .select(col("doc_id"), col("source"),
+        // the probe plans read. ONE evaluation of the text-survivor
+        // pipeline for its three writers (id list, shard index, shard
+        // streams) — the media-side mediaSurv discipline
+        val textSurv = f.textSurvivors
+          .select(col("doc_id"), col("source"), col("text"),
             TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        textSurv.select(col("doc_id"), col("source"), col("n_bpe"))
           .write.mode("overwrite").parquet(textOut(root, day))
+        // training-ready TEXT byte shards for the day — the media
+        // branch's packed-stream + slice-index pair, text form: per
+        // (source, shard) assembled document streams plus each doc's
+        // (offset, nchars) span, gated per day by md5 slice roundtrip
+        graft.ops.Corpus.shardTextIndex(textSurv,
+            partitionKey = col("source"), order = col("doc_id"),
+            weight = col("n_bpe"), text = col("text"),
+            budget = cfg.shardBudgetBpe)
+          .select(col("doc_id"), col("source"), col("shard"),
+            col("offset"), col("nchars"))
+          .write.mode("overwrite").parquet(textIndexOut(root, day))
+        graft.ops.Corpus.assembleTextShards(textSurv,
+            partitionKey = col("source"), order = col("doc_id"),
+            weight = col("n_bpe"), text = col("text"),
+            budget = cfg.shardBudgetBpe)
+          .write.mode("overwrite").parquet(textShardOut(root, day))
         // ONE evaluation of the survivor pipeline (store probe +
         // within-day anti-join) for its three consumers — the id list,
         // the shard index, and the byte assembly; without the persist,
@@ -611,7 +658,15 @@ object DailyIngest {
         f.clean.select("doc_id", "text")
           .write.mode("overwrite").parquet(s"$stage/clean")
         f.postQuality.write.mode("overwrite").parquet(s"$stage/postq")
-        f.semSeen.foreach(_.write.mode("overwrite").parquet(s"$stage/emb_seen"))
+        // canonical types at staging so phase 2 reads with an EXPLICIT
+        // schema: a day with an embedding frame but zero clean vectors
+        // (empty frame, or every vector null/zero-norm — the streaming
+        // text keystone's every batch) stages an EMPTY parquet, which
+        // can materialize as zero data files, and a schema-inferring
+        // read of that dies instead of appending nothing
+        f.semSeen.foreach(_.select(col("doc_id").cast("long"),
+            col("embedding").cast("array<double>"))
+          .write.mode("overwrite").parquet(s"$stage/emb_seen"))
         f.trainedCenters.foreach { ctrs =>
           val sp = spark
           import sp.implicits._
@@ -619,22 +674,19 @@ object DailyIngest {
             .toDF("cell", "center").repartition(1)
             .write.mode("overwrite").parquet(s"$stage/emb_centers")
         }
-        val textKept = spark.read.parquet(textOut(root, day))
-        val shards = graft.ops.Corpus.packShards(textKept,
-            partitionKey = col("source"), order = col("doc_id"),
-            weight = col("n_bpe"), budget = cfg.shardBudgetBpe)
+        val shards = spark.read.parquet(textIndexOut(root, day))
           .select("source", "shard").distinct().count()
         val mShards = spark.read.parquet(mediaIndexOut(root, day))
           .select("kind", "shard").distinct().count()
         val c = DayCounts(day,
           incoming = dayDocs.count(), urlKept = f.urlKept.count(),
           exactKept = f.exactKept.count(), cleanKept = f.clean.count(),
-          textKept = textKept.count(), mediaIncoming = dayMedia.count(),
+          textKept = textSurv.count(), mediaIncoming = dayMedia.count(),
           mediaQualityKept = f.postQuality.count(),
           mediaKept = spark.read.parquet(mediaOut(root, day)).count(),
           textShards = shards, mediaShards = mShards)
         writeCounts(spark, computedMarker, c)
-        sweepCaches(spark, rddsBefore, f.caches :+ mediaSurv)
+        sweepCaches(spark, rddsBefore, f.caches ++ Seq(mediaSurv, textSurv))
         c
       }
     counts
@@ -672,7 +724,14 @@ object DailyIngest {
     // monitored per day — IvfIndex.append logs DriftStats per batch),
     // or first-build from the STAGED centers phase 1 trained
     if (exists(spark, s"$stage/emb_seen")) {
-      val embStaged = spark.read.parquet(s"$stage/emb_seen")
+      val embStaged = spark.read.schema(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("embedding",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
+        .parquet(s"$stage/emb_seen")
       // STAGED CENTERS TAKE PRECEDENCE over store readiness: a day
       // that staged centers is the FIRST-BUILD day, and a crash inside
       // buildFromCenters writes centers.parquet before postings and
@@ -798,6 +857,30 @@ object DailyIngest {
     *    victim bytes, so row-level deletion alone would be takedown
     *    theater.
     *
+    * TRANSITIVE closure (`transitive = true`, the default): under the
+    * SEEN-vs-KEPT discipline every shed duplicate/near-dup of a victim
+    * is itself recorded (band rows, postings, signatures, content
+    * keys), so deleting only the enumerated ids would leave the stores
+    * recognizing the victim's CONTENT through its recorded copies — a
+    * victim's re-crawl would stay suppressed, contradicting the
+    * contract above. [[expandVictims]] therefore widens the victim set
+    * ONE HOP by each store's own decision function (exact content-key
+    * equality; est-Jaccard band match; one-sided semantic match;
+    * store-parity perceptual match) before any deletion — one hop is
+    * exactly the set a re-crawl of the victim's content could match,
+    * because every decision function evaluates the re-crawl against
+    * single stored rows, never against chains. Callers that truly
+    * enumerate every copy themselves can pass `transitive = false`.
+    *
+    * IDEMPOTENCE: multi-step (store deletes, bloom rebuilds, row
+    * deletes, shard re-packs) with a COMPLETION marker
+    * (`_ledger/takedown_<id>`, tmp+rename) written last — a missing
+    * marker after a crash means re-run the whole takedown with the
+    * same arguments; every step converges (deletes of deleted rows
+    * no-op, rebuilds/re-packs overwrite). A present marker
+    * short-circuits. `takedownId` names the operation; the caller owns
+    * its uniqueness per distinct victim set.
+    *
     * `docs`/`media` are the SAME full concatenated frames the ingest
     * run consumed (the raw data lake: day + url + text / payloads) —
     * the bloom rebuilds and shard re-packs need them. Ledger markers
@@ -806,11 +889,17 @@ object DailyIngest {
     * post-takedown census). */
   def takedown(spark: SparkSession, root: String, docs: DataFrame,
       media: DataFrame, victimDocIds: DataFrame, victimMediaIds: DataFrame,
-      cfg: IngestConfig = IngestConfig()): Unit = {
-    val vDocs = victimDocIds
+      cfg: IngestConfig = IngestConfig(), takedownId: String = "takedown",
+      transitive: Boolean = true): Unit = {
+    val (mPath, mFs) = fs(spark, s"$root/_ledger/takedown_$takedownId")
+    if (mFs.exists(mPath)) return
+    val vDocs0 = victimDocIds
       .select(col(victimDocIds.columns.head).cast("long").as("doc_id"))
-    val vMedia = victimMediaIds
+    val vMedia0 = victimMediaIds
       .select(col(victimMediaIds.columns.head).cast("long").as("media_id"))
+    val (vDocs, vMedia) =
+      if (transitive) expandVictims(spark, root, docs, vDocs0, vMedia0, cfg)
+      else (vDocs0, vMedia0)
     // targeted store deletes
     if (exists(spark, mhStore(root)))
       MinHashBandStore.deleteDocs(spark, mhStore(root), vDocs)
@@ -839,11 +928,28 @@ object DailyIngest {
         prefixChars = pc, fpp = fpp, capacity = cap)
     }
     // survivor outputs: only victim-holding day partitions rewritten
-    graft.io.Layout.deleteRows(spark, s"$root/corpus/text", vDocs,
-      "doc_id", "day")
+    val affectedTextDays = graft.io.Layout.deleteRows(spark,
+      s"$root/corpus/text", vDocs, "doc_id", "day")
     val affectedMediaDays = graft.io.Layout.deleteRows(spark,
       s"$root/corpus/media", vMedia, "media_id", "day")
-    // re-pack the affected days' byte shards from surviving payloads
+    // re-pack the affected days' TEXT byte shards: the assembled
+    // streams physically contain victim text, so the row deletion
+    // above alone would be takedown theater — same reasoning as media
+    affectedTextDays.map(_.toInt).foreach { day =>
+      val surv = spark.read.parquet(textOut(root, day))
+      val texts = surv.join(docs.select("doc_id", "text"), Seq("doc_id"))
+      graft.ops.Corpus.shardTextIndex(texts, partitionKey = col("source"),
+          order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
+          budget = cfg.shardBudgetBpe)
+        .select(col("doc_id"), col("source"), col("shard"),
+          col("offset"), col("nchars"))
+        .write.mode("overwrite").parquet(textIndexOut(root, day))
+      graft.ops.Corpus.assembleTextShards(texts, partitionKey = col("source"),
+          order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
+          budget = cfg.shardBudgetBpe)
+        .write.mode("overwrite").parquet(textShardOut(root, day))
+    }
+    // re-pack the affected days' media byte shards from surviving payloads
     affectedMediaDays.map(_.toInt).foreach { day =>
       val surviving = spark.read.parquet(mediaOut(root, day))
         .select("media_id")
@@ -854,6 +960,79 @@ object DailyIngest {
       Multimodal.assembleShards(payloads, cfg.mediaShardBudgetBytes)
         .write.mode("overwrite").parquet(mediaShardOut(root, day))
     }
+    // completion marker LAST — its absence after a crash means the
+    // takedown must be re-run (each step above is idempotent)
+    writeMarkerFile(spark, s"$root/_ledger/takedown_$takedownId",
+      s"docs=${vDocs.count()},media=${vMedia.count()}")
+  }
+
+  /** Widen a victim set ONE HOP by each store's own decision function —
+    * the transitive closure [[takedown]] needs so the stores stop
+    * recognizing the victims' CONTENT, not merely their ids (see the
+    * takedown scaladoc). Reads recorded FEATURES from the stores
+    * themselves wherever they exist (band rows + signatures for
+    * near-dup; postings vectors for semantic; signature rows for
+    * perceptual) — the lake is consulted only for exact-content-key
+    * equality, which only the insert-only bloom recorded. Each probe
+    * is the store's own bounded candidate join (banded buckets /
+    * probed cells / sentinel-indexed sims), never victims × corpus. */
+  private[graft] def expandVictims(spark: SparkSession, root: String,
+      docs: DataFrame, vDocs: DataFrame, vMedia: DataFrame,
+      cfg: IngestConfig): (DataFrame, DataFrame) = {
+    // exact: every lake doc sharing a victim's content key (the bloom
+    // is insert-only, so the key match runs against the lake)
+    val keyed = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), contentKey("text", cfg.prefixChars).as("_k"))
+    val vKeys = keyed.join(vDocs, Seq("doc_id"), "left_semi")
+      .select("_k").distinct()
+    val exactPartners = keyed.join(vKeys, Seq("_k")).select("doc_id")
+    // near-dup: partners by the band store's est-Jaccard decision,
+    // from STORED sigs/bands only
+    val mhPartners =
+      if (exists(spark, mhStore(root)))
+        MinHashBandStore.matchedPairsFromStore(spark, mhStore(root), vDocs)
+          .select(col("hist_id").as("doc_id"))
+      else vDocs.limit(0)
+    // semantic: partners by the index's one-sided rule, victim vectors
+    // read from the postings themselves
+    val semPartners =
+      if (embReady(spark, embStore(root))) {
+        val centers = IvfIndex.loadCenters(spark, embStore(root))
+        val vVecs = spark.read
+          .parquet(s"${embStore(root)}/postings.parquet")
+          .join(vDocs.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+          .select(col("id").as("doc_id"), col("v").as("embedding"))
+        IvfIndex.matchedPairsFromAssigned(
+            IvfIndex.assignCells(vVecs, centers, "doc_id", "embedding",
+              cfg.semNprobe),
+            embStore(root), cfg.semThreshold)
+          .select(col("hist_id").as("doc_id"))
+      } else vDocs.limit(0)
+    // perceptual: partners by the signature store's own per-kind
+    // budgets, victim signature rows read from the store
+    val sigPartners =
+      if (exists(spark, sigStore(root)))
+        SignatureStore.matchedPairsFromStore(spark, sigStore(root), vMedia)
+          .select(col("hist_id").as("media_id"))
+      else vMedia.limit(0)
+    (vDocs.unionByName(exactPartners).unionByName(mhPartners)
+       .unionByName(semPartners).distinct(),
+     vMedia.unionByName(sigPartners).distinct())
+  }
+
+  /** Tmp+rename marker write (the [[writeCounts]] discipline) for
+    * markers that carry no DayCounts payload. */
+  private def writeMarkerFile(spark: SparkSession, markerPath: String,
+      content: String): Unit = {
+    val (p, f) = fs(spark, markerPath)
+    val tmp = new org.apache.hadoop.fs.Path(
+      markerPath + s".tmp_${spark.sparkContext.applicationId}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(p) && !f.delete(p, false))
+      throw new java.io.IOException(s"DailyIngest: delete of stale $p failed")
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(s"DailyIngest: rename $tmp -> $p failed")
   }
 
   /** Ledger markers are written tmp+rename (the

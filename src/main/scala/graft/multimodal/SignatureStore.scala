@@ -341,6 +341,20 @@ object SignatureStore {
     * the re-join) — 16–72-byte rows, no decodes either way. */
   private[graft] def matchedIds(inSigs: DataFrame, histSigs: DataFrame,
       maxHamming: Int, bits: Int, minMatchFrac: Double,
+      maxThumbMae: Option[Double], maxBucket: Int = 4096): DataFrame =
+    matchedPairs(inSigs, histSigs, maxHamming, bits, minMatchFrac,
+      maxThumbMae, maxBucket)
+      .select(col("in_id").as("media_id")).distinct()
+
+  /** The PAIR form of [[matchedIds]]: (in_id, hist_id) for every
+    * (incoming, history) asset pair the containment decision matches —
+    * the takedown expansion's working set. Same candidacy, verify, and
+    * containment thresholding; pairs are distinct; no self-exclusion
+    * (in/history are distinct domains for the probe/decontam callers —
+    * [[matchedPairsFromStore]] filters self when both sides are the
+    * same store). */
+  private[graft] def matchedPairs(inSigs: DataFrame, histSigs: DataFrame,
+      maxHamming: Int, bits: Int, minMatchFrac: Double,
       maxThumbMae: Option[Double], maxBucket: Int = 4096): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 30,
       s"maxHamming in [1,30), got $maxHamming")
@@ -395,7 +409,31 @@ object SignatureStore {
         max(col("_n_in")).as("n_in"), max(col("_n_hist")).as("n_hist"))
       .where(col("n_matched").cast("double") /
         least(col("n_in"), col("n_hist")) >= minMatchFrac)
-      .select(col("in_id").as("media_id")).distinct()
+      .select(col("in_id"), col("hist_id")).distinct()
+  }
+
+  /** (victim media_id, history media_id) pairs under the store's own
+    * per-kind containment decisions, computed entirely from STORED
+    * signature rows (the victim's recorded signatures are the probe
+    * side — no payload decode anywhere). Budgets are the
+    * [[matchedAgainstStore]] defaults, i.e. store-parity. Self-pairs
+    * excluded. */
+  def matchedPairsFromStore(spark: SparkSession, dir: String,
+      ids: DataFrame): DataFrame = {
+    val store = load(spark, dir)
+    val vIds = ids.select(col(ids.columns.head).cast("long").as("media_id"))
+    def slice(k: String) = store.where(col("kind") === k)
+      .select(col("media_id"), col("sig"), col("thumb"), col("n_sigs"))
+    def vSlice(k: String) = slice(k).join(vIds, Seq("media_id"), "left_semi")
+    val img = matchedPairs(vSlice("image"), slice("image"),
+      maxHamming = 7, bits = 64, minMatchFrac = 1.0, Some(6.0))
+    val vid = matchedPairs(vSlice("video"), slice("video"),
+      maxHamming = 7, bits = 64, minMatchFrac = 0.8, Some(3.0))
+    val aud = matchedPairs(vSlice("audio"), slice("audio"),
+      maxHamming = 3, bits = 32, minMatchFrac = 0.9, None)
+    img.unionByName(vid).unionByName(aud)
+      .where(col("in_id") =!= col("hist_id"))
+      .select(col("in_id").as("media_id"), col("hist_id")).distinct()
   }
 
   /** Frozen-history perceptual novelty for ALL media kinds against the

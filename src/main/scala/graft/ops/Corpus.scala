@@ -151,6 +151,45 @@ object Corpus {
       .drop("_w", "_cum")
   }
 
+  /** Per-document slice coordinates inside the [[assembleTextShards]]
+    * byte streams: each input row, its [[packShards]] shard id, and the
+    * CHARACTER span `[offset, offset + nchars)` of its text inside the
+    * assembled `(key, shard)` stream — documents are laid out in pack
+    * order, joined by the two-character `\n\n` separator. `substring
+    * (shard_text, offset + 1, nchars)` (1-based, character semantics on
+    * both Spark and ANSI SQL) reproduces the document exactly, which is
+    * what the daily-ingest gate pins md5-exact. Same cost shape as
+    * [[packShards]]: the pack window's hash exchange, then per-(key,
+    * shard) windows that reuse its clustering. */
+  def shardTextIndex(df: DataFrame, partitionKey: Column, order: Column,
+      weight: Column, text: Column, budget: Long): DataFrame = {
+    val packed = packShards(df, partitionKey, order, weight, budget)
+    val w = Window.partitionBy(partitionKey, col("shard")).orderBy(order)
+    packed.withColumn("_len", length(text).cast("long"))
+      .withColumn("_cum", sum(col("_len")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("offset",
+        col("_cum") - col("_len") + lit(2L) * (col("_rn") - 1))
+      .withColumn("nchars", col("_len"))
+      .drop("_len", "_cum", "_rn")
+  }
+
+  /** The assembled training-text streams [[shardTextIndex]] indexes
+    * into: per `(key, shard)`, the documents concatenated in pack order
+    * with a `\n\n` separator — the text twin of
+    * [[graft.multimodal.Multimodal.assembleShards]]. Output: the key
+    * column (its own name), shard, shard_text. Per-group state is one
+    * shard's documents — bounded by the pack budget, never by the
+    * corpus. */
+  def assembleTextShards(df: DataFrame, partitionKey: Column, order: Column,
+      weight: Column, text: Column, budget: Long): DataFrame =
+    packShards(df, partitionKey, order, weight, budget)
+      .groupBy(partitionKey, col("shard"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(order.as("_o"), text.as("_t")))),
+        x => x.getField("_t")), "\n\n").as("shard_text"))
+
   /** Concat-then-chunk sequence packing — the OTHER packing discipline
     * (GPT-style pretraining dataloaders): per partition key, documents
     * are laid end-to-end into one token stream and cut into fixed

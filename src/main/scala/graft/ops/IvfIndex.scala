@@ -143,7 +143,11 @@ object IvfIndex {
   }
 
   /** [[build]] with the quantizer SUPPLIED: write centers + postings +
-    * drift reference without retraining. */
+    * drift reference without retraining. Fails loudly when the frame
+    * holds NO indexable vector (all null or zero-norm): a silently
+    * "ready" store whose postings directory has no data files poisons
+    * every later read with a schema-inference error instead of a
+    * meaningful one. */
   def buildFromCenters(emb: DataFrame, dir: String,
       centers: Array[Array[Double]], idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Double]] = {
@@ -152,42 +156,58 @@ object IvfIndex {
     val nlist = centers.length
     val holdoutPred = pmod(col("id"), lit(5)) === 0
     val holdout = useHoldout(emb, idCol, vecCol, nlist)
-    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "center")
-      .repartition(1) // nlist rows — one small file, read whole at search
-      .write.mode("overwrite").parquet(s"$dir/centers.parquet")
 
     val assigned = assignedFrame(emb, centers, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // loud-fail BEFORE any write: an all-null/zero-norm frame would
+      // otherwise leave centers.parquet beside a file-less postings
+      // directory — embReady then reports the store ready while every
+      // read dies on 'Unable to infer schema'
+      require(assigned.limit(1).count() > 0,
+        s"IvfIndex.buildFromCenters: no indexable vectors (every $vecCol " +
+          "is null or zero-norm) — an empty index cannot be built; feed " +
+          "at least one non-zero vector or skip the build")
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "center")
+        .repartition(1) // nlist rows — one small file, read whole at search
+        .write.mode("overwrite").parquet(s"$dir/centers.parquet")
       assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dir/postings.parquet")
-
-      // drift reference: full-corpus occupancy + held-out p95 — both are
-      // re-aggregations of the cached assigned frame; nlist rows out
-      val occRows0 = assigned.groupBy("cell").agg(count(lit(1)).as("n")).collect()
-      val refOcc = occRows0.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
-      val refN = refOcc.values.sum
-      // the holdout decision counts non-null vectors, but the assigned
-      // population additionally drops zero-norm rows — a holdout slice
-      // whose vectors are all zero-norm leaves percentile_approx NULL;
-      // fall back to the full assigned p95 (and 0.0 on a wholly
-      // degenerate corpus) rather than dying deterministically inside
-      // a ledger-retried phase 2
-      def p95Of(df: DataFrame): Option[Double] = {
-        val r = df.agg(expr("percentile_approx(dist, 0.95, 10000)")).head
-        if (r.isNullAt(0)) None else Some(r.getDouble(0))
-      }
-      val refP95 = p95Of(assigned.where(if (holdout) holdoutPred else lit(true)))
-        .orElse(p95Of(assigned)).getOrElse(0.0)
-      val occRows = (0 until nlist).map(c =>
-        (c, refOcc.getOrElse(c, 0L).toDouble / math.max(1L, refN), refP95, refN))
-      occRows.toDF("cell", "train_frac", "p95_dist", "n_train")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$dir/drift_ref.parquet")
+      writeDriftRef(spark, dir, assigned, nlist,
+        if (holdout) Some(holdoutPred) else None)
       centers
     } finally assigned.unpersist()
+  }
+
+  /** Drift REFERENCE from a cached assigned frame: full-population
+    * occupancy + (held-out where possible) p95 nearest-center distance,
+    * nlist rows out — shared by [[buildFromCenters]] and [[rebuild]]. */
+  private def writeDriftRef(spark: SparkSession, dir: String,
+      assigned: DataFrame, nlist: Int,
+      holdoutPred: Option[org.apache.spark.sql.Column]): Unit = {
+    import spark.implicits._
+    val occRows0 = assigned.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+    val refOcc = occRows0.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
+    val refN = refOcc.values.sum
+    // the holdout decision counts non-null vectors, but the assigned
+    // population additionally drops zero-norm rows — a holdout slice
+    // whose vectors are all zero-norm leaves percentile_approx NULL;
+    // fall back to the full assigned p95 (and 0.0 on a wholly
+    // degenerate corpus) rather than dying deterministically inside
+    // a ledger-retried phase 2
+    def p95Of(df: DataFrame): Option[Double] = {
+      val r = df.agg(expr("percentile_approx(dist, 0.95, 10000)")).head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val refP95 = p95Of(assigned.where(holdoutPred.getOrElse(lit(true))))
+      .orElse(p95Of(assigned)).getOrElse(0.0)
+    val occRows = (0 until nlist).map(c =>
+      (c, refOcc.getOrElse(c, 0L).toDouble / math.max(1L, refN), refP95, refN))
+    occRows.toDF("cell", "train_frac", "p95_dist", "n_train")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/drift_ref.parquet")
   }
 
   /** Incrementally index NEW vectors against the EXISTING quantizer —
@@ -363,6 +383,182 @@ object IvfIndex {
     graft.io.Layout.deleteRows(spark, s"$dir/postings.parquet",
       ids.select(col(ids.columns.head).cast("long").as("id")), "id", "cell")
 
+  // ---- quantizer generations + rebuild -----------------------------
+
+  private val QuantizerFile = "_quantizer.properties" // underscore: ignored by Spark's file index
+  private val RebuildMarker = "rebuild.inprogress"
+  private val RebuildStaging = "_rebuild_staging"
+  // everything a rebuild swaps, in swap order; _quantizer.properties
+  // LAST so a crash between swaps is always detectable as a
+  // generation that predates the data (the marker catches it anyway)
+  private val RebuildComponents =
+    Seq("centers.parquet", "postings.parquet", "drift_ref.parquet", QuantizerFile)
+
+  /** The store's quantizer GENERATION: 0 for a store that has never
+    * been [[rebuild]]t (including every store predating the header),
+    * +1 per completed rebuild. Probes that cache centers across time
+    * ([[matchedFromAssigned]] with `expectGeneration`) use it to fail
+    * loudly instead of joining postings that a rebuild re-routed under
+    * different cells. */
+  def generation(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, QuantizerFile)
+    if (!hfs.exists(p)) 0
+    else {
+      val in = hfs.open(p)
+      val props = new java.util.Properties()
+      try props.load(in) finally in.close()
+      Option(props.getProperty("generation")).map(_.toInt).getOrElse(0)
+    }
+  }
+
+  /** Throws while a crashed [[rebuild]]'s swap is pending: between the
+    * marker and the final cleanup the store may hold MIXED generations
+    * (new centers beside old postings), and any probe against that
+    * state is silently wrong — re-running rebuild() completes the
+    * pending swap first (roll-forward from the complete staging). */
+  private def requireNoPendingRebuild(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(new org.apache.hadoop.fs.Path(root, RebuildMarker)))
+      throw new java.io.IOException(
+        s"IvfIndex: $dir has a pending rebuild ($RebuildMarker present) — " +
+          "a rebuild crashed mid-swap and the store may hold mixed " +
+          "generations. Re-run IvfIndex.rebuild(dir, ...) to complete it " +
+          "(the staged data is complete; recovery rolls forward).")
+  }
+
+  /** QUANTIZER MIGRATION — the actuator the drift monitor's warnings
+    * point at: retrain the coarse quantizer at `newNlist` (typically
+    * larger, tracking corpus growth so per-cell postings mass — and
+    * with it per-day probe cost — stays bounded), re-assign EVERY
+    * existing posting under the new centers in one nearest-center
+    * pass, refresh the drift reference from the re-assigned corpus,
+    * and bump the recorded generation. Search/probe semantics are
+    * preserved by construction: the posting ROWS (id, v, nrm) are
+    * untouched (exact-duplicate rows from retried appends collapse,
+    * the [[compactPostings]] contract) — only their cell routing
+    * changes, and every probe derives its cells from the same centers
+    * file the postings were assigned under.
+    *
+    * Training reads a deterministic hash-sample of the corpus
+    * (`trainFraction`; id-hash-keyed so re-runs sample identically)
+    * through [[trainCenters]]' usual holdout discipline; assignment
+    * always covers ALL vectors.
+    *
+    * Crash safety (the [[compactPostings]] trash-ordered discipline,
+    * whole-store scope): all four components (centers, postings,
+    * drift_ref, quantizer header) are STAGED completely, then a
+    * `rebuild.inprogress` marker lands (tmp+rename), then each
+    * component swaps live → trash, staged → live, then the old drift
+    * LOG is trashed (its rows reference the retired drift reference;
+    * post-rebuild appends restart the log under the new one), then
+    * trash + staging + marker are removed. Every reader throws while
+    * the marker exists ([[requireNoPendingRebuild]]), and re-running
+    * rebuild() first completes a pending swap from the still-complete
+    * staging (roll-forward), so no mixed-generation store is ever
+    * probed. Returns the new centers. */
+  def rebuild(spark: SparkSession, dir: String, newNlist: Int,
+      iters: Int = 10, trainFraction: Double = 1.0): Array[Array[Double]] = {
+    require(newNlist >= 1, s"newNlist >= 1, got $newNlist")
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction in (0,1], got $trainFraction")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerPath = new org.apache.hadoop.fs.Path(root, RebuildMarker)
+    if (hfs.exists(markerPath)) {
+      System.err.println(s"[ivf] NOTE completing a crashed rebuild at $dir " +
+        "(roll-forward from staging) before starting the requested one")
+      completePendingRebuild(spark, dir)
+    }
+    val oldGen = generation(spark, dir)
+    // retried appends leave byte-identical posting copies; the rebuild
+    // is the other maintenance pass that collapses them
+    val vecs = spark.read.parquet(s"$dir/postings.parquet")
+      .select(col("id"), col("v")).distinct()
+    val trainOn =
+      if (trainFraction >= 1.0) vecs
+      else vecs.where(pmod(hash(col("id")), lit(1000)) <
+        lit(math.max(1, (trainFraction * 1000).toInt)))
+    val centers = trainCenters(trainOn, "id", "v", newNlist, iters)
+    val staging = s"$dir/$RebuildStaging"
+    val assigned = assignedFrame(vecs, centers, "id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(assigned.limit(1).count() > 0,
+        s"IvfIndex.rebuild: no indexable vectors in $dir/postings.parquet")
+      import spark.implicits._
+      centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "center").repartition(1)
+        .write.mode("overwrite").parquet(s"$staging/centers.parquet")
+      assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/postings.parquet")
+      writeDriftRef(spark, staging, assigned, newNlist,
+        if (useHoldout(vecs, "id", "v", newNlist))
+          Some(pmod(col("id"), lit(5)) === 0)
+        else None)
+      writeFileAtomic(hfs, new org.apache.hadoop.fs.Path(
+          s"$staging/$QuantizerFile"),
+        s"generation=${oldGen + 1}\nnlist=$newNlist\n")
+    } finally assigned.unpersist()
+    // the point of no return: staging is COMPLETE, readers now throw
+    // until the swap finishes, and any crash below rolls forward
+    writeFileAtomic(hfs, markerPath, s"from_generation=$oldGen\n")
+    completePendingRebuild(spark, dir)
+    centers
+  }
+
+  /** Roll a pending rebuild forward: swap every staged component into
+    * place (idempotent per component), trash the retired drift log,
+    * then clean trash, staging, and the marker. Safe at any crash
+    * point after the marker landed — staging is complete by then. */
+  private def completePendingRebuild(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!hfs.rename(src, dst))
+        throw new java.io.IOException(s"rebuild: rename $src -> $dst failed")
+    RebuildComponents.foreach { name =>
+      val staged = p(s"$dir/$RebuildStaging/$name")
+      val live = p(s"$dir/$name")
+      val trash = p(s"$dir/.trash_rebuild_$name")
+      if (hfs.exists(staged)) {
+        if (hfs.exists(live)) {
+          if (hfs.exists(trash)) hfs.delete(trash, true) // stale from an earlier crash window
+          move(live, trash)
+        }
+        move(staged, live)
+      } // else: this component's swap already completed
+    }
+    // the old drift LOG references the retired drift reference —
+    // post-rebuild appends restart the log against the new one. Mid-
+    // rebuild there is no concurrent appender (single-writer contract),
+    // so any log present here is pre-rebuild.
+    val log = p(s"$dir/drift_log.parquet")
+    if (hfs.exists(log)) move(log, p(s"$dir/.trash_rebuild_drift_log.parquet"))
+    // cleanup LAST: trash survives until every swap landed
+    (RebuildComponents.map(n => s"$dir/.trash_rebuild_$n") ++
+      Seq(s"$dir/.trash_rebuild_drift_log.parquet", s"$dir/$RebuildStaging"))
+      .foreach { t => val tp = p(t); if (hfs.exists(tp)) hfs.delete(tp, true) }
+    if (!hfs.delete(p(s"$dir/$RebuildMarker"), false))
+      throw new java.io.IOException(s"rebuild: marker delete failed at $dir")
+  }
+
+  private def writeFileAtomic(hfs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + s".tmp_${System.identityHashCode(this)}")
+    val out = hfs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (hfs.exists(path) && !hfs.delete(path, false))
+      throw new java.io.IOException(s"delete of stale $path failed")
+    if (!hfs.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
+
   private def nearestCellsJvm(centers: Array[Array[Double]], v: Seq[Double],
       m: Int): Seq[Int] = {
     val d2 = centers.map { c =>
@@ -375,11 +571,15 @@ object IvfIndex {
       .map(_._2).toSeq
   }
 
-  /** Load the persisted quantizer (nlist rows — bounded). */
-  def loadCenters(spark: SparkSession, dir: String): Array[Array[Double]] =
+  /** Load the persisted quantizer (nlist rows — bounded). Throws while
+    * a crashed rebuild's swap is pending — see
+    * [[requireNoPendingRebuild]]. */
+  def loadCenters(spark: SparkSession, dir: String): Array[Array[Double]] = {
+    requireNoPendingRebuild(spark, dir)
     spark.read.parquet(s"$dir/centers.parquet")
       .orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
+  }
 
   /** Cell assignment under a FROZEN quantizer: one UDF pass emitting
     * `(id, v, nrm, probes)` where `probes` is the `nprobe` nearest
@@ -426,7 +626,15 @@ object IvfIndex {
     * (PartitionFilters at the scan — the [[search]] discipline);
     * the candidate join is a cell equi-join of O(batch · probed-cell
     * mass) pairs, never batch × history. Returns the distinct matched
-    * incoming ids. */
+    * incoming ids.
+    *
+    * PRECONDITION (every store API keys on the id): ids are globally
+    * unique across all append batches/days. Candidates with
+    * `a.id == b.id` are excluded as self-matches, so a RECURRING id on
+    * a later day would be treated as the same document and kept —
+    * silently diverging from any ordered batch twin that orders by
+    * (day, id). Callers own id uniqueness; the daily-ingest
+    * equivalence gates depend on it. */
   def matchedAgainstIndex(emb: DataFrame, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       threshold: Double = 0.9, nprobe: Int = 4): DataFrame = {
@@ -443,10 +651,36 @@ object IvfIndex {
 
   /** [[matchedAgainstIndex]] over a caller-owned (ideally cached)
     * [[assignCells]] frame — both consumptions (the bounded probed-cell
-    * collect and the candidate join) then hit one materialization. */
+    * collect and the candidate join) then hit one materialization.
+    *
+    * `expectGeneration`: the quantizer generation the caller's
+    * `assigned` frame was built under ([[generation]] read beside
+    * [[loadCenters]]). A [[rebuild]] landing between the caller's
+    * centers load and this probe re-routes every posting to cells the
+    * frame's probe sets no longer mean — the guard turns that silent
+    * wrong-candidate join into a loud error. */
   private[graft] def matchedFromAssigned(assigned: DataFrame, dir: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, expectGeneration: Option[Int] = None): DataFrame =
+    matchedPairsFromAssigned(assigned, dir, threshold, expectGeneration)
+      .select(col("id")).distinct()
+
+  /** The PAIR form of [[matchedFromAssigned]]: (id, hist_id) for every
+    * (incoming, history) pair the store's one-sided decision function
+    * matches — the takedown expansion's working set (which history
+    * docs would keep suppressing this content?). Same probed-cell
+    * pruning and candidate-join shape; pairs are distinct. */
+  private[graft] def matchedPairsFromAssigned(assigned: DataFrame, dir: String,
+      threshold: Double, expectGeneration: Option[Int] = None): DataFrame = {
     val spark = assigned.sparkSession
+    requireNoPendingRebuild(spark, dir)
+    expectGeneration.foreach { g =>
+      val now = generation(spark, dir)
+      require(now == g,
+        s"IvfIndex: store at $dir is quantizer generation $now but the " +
+          s"caller's assigned frame was built under generation $g — a " +
+          "rebuild re-routed the postings; reload centers (loadCenters) " +
+          "and re-assign before probing")
+    }
     val q = assigned
       .select(col("id"), col("v"), col("nrm"), explode(col("probes")).as("cell"))
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
@@ -458,7 +692,7 @@ object IvfIndex {
       .where(col("a.id") =!= col("b.id"))
       .where(arrayDot(col("a.v"), col("b.v")) /
         (col("a.nrm") * col("b.nrm")) >= threshold)
-      .select(col("a.id").as("id")).distinct()
+      .select(col("a.id").as("id"), col("b.id").as("hist_id")).distinct()
   }
 
   /** Top-k neighbors of each query vector against the persisted index.
@@ -485,6 +719,10 @@ object IvfIndex {
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
     val postings = spark.read.parquet(s"$dir/postings.parquet")
       .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+      // legacy stores indexed before the zero-norm exclusion can hold
+      // nrm==0 rows; under ANSI mode the cosine division would then
+      // kill the query — filter the postings side like the query side
+      .where(col("nrm") > 0)
 
     val pairs = q.as("a")
       .join(postings.as("b"), Seq("cell"))

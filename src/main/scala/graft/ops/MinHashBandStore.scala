@@ -414,6 +414,42 @@ object MinHashBandStore {
       .select(col("id_a"), col("id_b")) -> rows
   }
 
+  /** (victim doc_id, history doc_id) pairs under the store's OWN
+    * est-Jaccard decision function, computed entirely from STORED
+    * features — band rows for candidacy, signatures for verification;
+    * no text is re-read, so a takedown can expand its victim set on a
+    * corpus whose raw text is no longer at hand. Candidacy treats
+    * every band row (sentinel included) as an ordinary bounded
+    * postings bucket, the [[matchedIdsExact]] shape; over-cap buckets
+    * leave candidacy — the documented hot-bucket trade. Self-pairs
+    * excluded; both directions of a pair are reachable because the
+    * victim's own band rows are the probe side. */
+  def matchedPairsFromStore(spark: SparkSession, dir: String, ids: DataFrame,
+      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    val p = readParams(spark, dir)
+    val vIds = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+    val storeBands = loadBands(spark, dir)
+    val vBands = storeBands.join(vIds, Seq("doc_id"), "left_semi").distinct()
+    val probeKeys = vBands.select("band_id", "band_hash").distinct()
+    val postings = storeBands
+      .join(probeKeys, Seq("band_id", "band_hash"), "left_semi")
+      .distinct() // retried-append duplicate rows must not inflate buckets
+      .groupBy("band_id", "band_hash")
+      .agg(org.apache.spark.sql.graft.BoundedIdList
+        .boundedList(maxBucket, col("doc_id")).as("_hs"))
+      .where(col("_hs").isNotNull)
+    val sigs = loadSigs(spark, dir)
+    vBands.join(postings, Seq("band_id", "band_hash"))
+      .select(col("doc_id"), explode(col("_hs")).as("hist_id"))
+      .where(col("doc_id") =!= col("hist_id"))
+      .distinct()
+      .join(sigs.select(col("doc_id"), col("sig").as("_sv")), Seq("doc_id"))
+      .join(sigs.select(col("doc_id").as("hist_id"), col("sig").as("_sh")),
+        Seq("hist_id"))
+      .where(estJaccard(col("_sv"), col("_sh"), p.numHashes) >= threshold)
+      .select(col("doc_id"), col("hist_id")).distinct()
+  }
+
   /** Exact-Jaccard audit twin of [[noveltyAgainstStore]]'s decision:
     * matched batch doc ids verified against ACTUAL history text (a
     * candidate-bounded join back to the history corpus — selective,

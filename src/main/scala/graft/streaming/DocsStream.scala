@@ -271,8 +271,22 @@ object DocsStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val emptyMedia = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mediaSchema)
+        // an EMPTY embedding frame, not None: text-only mode (dayEmb =
+        // None) is rejected once an embedding store exists at the root
+        // (a vector-less day would neither probe nor append — batch
+        // equivalence silently broken), so a stream that may run
+        // against a root a batch run gave an embedding store passes
+        // the empty frame — probes nothing, appends nothing, drift
+        // logs the empty batch
+        val emptyEmb = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("embedding",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
         graft.examples.DailyIngest.ingestDay(spark, batch, emptyMedia,
-          benchDocs, root, batchId.toInt, cfg): Unit
+          benchDocs, root, batchId.toInt, cfg,
+          dayEmb = Some(emptyEmb)): Unit
       }
       .start()
   }
