@@ -127,7 +127,7 @@ object Bench {
     // untouched queries past 2x (measured, same build: events_windowed
     // 1.73 s in-sweep vs 0.26 s isolated) — a gate that reds on that
     // noise trains its readers to ignore it.
-    val gateResult: Option[(Seq[String], Int)] = sys.env.get("SPARK_GRAFT_BASELINE").map { bl =>
+    val gateResult: Option[(Seq[String], Int, Double)] = sys.env.get("SPARK_GRAFT_BASELINE").map { bl =>
       val path = if (bl == "1") "baseline_pins.json" else bl
       val text = scala.io.Source.fromFile(path)
       // real JSON parse (json4s ships with Spark) of the `queries` map —
@@ -179,21 +179,32 @@ object Bench {
       val unpinned = results.keySet -- pins.keySet -- failed
       if (unpinned.nonEmpty)
         System.err.println(s"[baseline] WARN unpinned queries (add to $path): ${unpinned.toSeq.sorted.mkString(", ")}")
+      // aggregate-vs-pins: Σ in-sweep minima over pinned queries / Σ
+      // pins — the sweep-environment health number round_health WARNs
+      // on above ~1.05 (a sweep that only passes via isolated retries
+      // is the gate working hard, not the environment being honest)
+      val pinnedRead = results.toSeq.flatMap { case (name, v) =>
+        pins.get(name).filter(_ => v.nonEmpty).map(pin => (v.min, pin))
+      }
+      val aggregateVsPins =
+        if (pinnedRead.isEmpty) 1.0
+        else pinnedRead.map(_._1).sum / pinnedRead.map(_._2).sum
+      System.err.println(f"[baseline] aggregate vs pins: $aggregateVsPins%.3f over ${pinnedRead.size} pinned queries")
       if (violations.nonEmpty || failed.nonEmpty) {
         (violations ++ failed.map(f => s"$f: FAILED to run")).foreach(v =>
           System.err.println(s"[baseline] REGRESSION $v"))
-        (violations, 1)
+        (violations, 1, aggregateVsPins)
       } else {
         System.err.println(s"[baseline] OK: ${pins.size} pins, 0 regressions")
-        (Seq.empty[String], 0)
+        (Seq.empty[String], 0, aggregateVsPins)
       }
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val gateJson = gateResult match {
       case None => """{"status":"not_run"}"""
-      case Some((viol, rc)) =>
+      case Some((viol, rc, agg)) =>
         val status = if (rc == 0) "ok" else "violations"
-        s"""{"status":"$status","violations":${viol.map(jstr).mkString("[", ",", "]")}}"""
+        s"""{"status":"$status","violations":${viol.map(jstr).mkString("[", ",", "]")},"aggregate_vs_pins":$agg}"""
     }
     val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"protocol":"$protocol","failed":$failedJson,"baseline_gate":$gateJson,"sf":"$sfDir"}"""
     println(benchJson)

@@ -897,9 +897,17 @@ object DailyIngest {
       .select(col(victimDocIds.columns.head).cast("long").as("doc_id"))
     val vMedia0 = victimMediaIds
       .select(col(victimMediaIds.columns.head).cast("long").as("media_id"))
-    val (vDocs, vMedia) =
+    val (vDocsL, vMediaL) =
       if (transitive) expandVictims(spark, root, docs, vDocs0, vMedia0, cfg)
       else (vDocs0, vMedia0)
+    // EAGERLY materialize the victim sets before any mutation: the
+    // expansion plans read the very stores the deletes below rewrite
+    // (a lazy frame snapshots its file listing at creation, so the
+    // third store's delete would re-evaluate a plan whose files the
+    // first store's swap already replaced — FILE_NOT_EXIST). Victim
+    // ids are a bounded set, so the checkpoint is cheap.
+    val vDocs = vDocsL.localCheckpoint(true)
+    val vMedia = vMediaL.localCheckpoint(true)
     // targeted store deletes
     if (exists(spark, mhStore(root)))
       MinHashBandStore.deleteDocs(spark, mhStore(root), vDocs)

@@ -197,6 +197,11 @@ object Layout {
       }
       if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
         System.err.println(s"[layout] WARN deleteRows: cleanup of $staging failed (swap complete; leftover staging only)")
+      // the swap bypassed Spark's write path, so the session's file-
+      // status cache may still hold the replaced partitions' listings —
+      // a later same-session read of an affected path would die on the
+      // renamed-away files (normal writes refresh this themselves)
+      spark.catalog.refreshByPath(layoutPath)
     }
     affected
   }

@@ -349,6 +349,121 @@ object OpsQueries {
       Gate("recall_at_5_vs_exact_surviving", recall, recall >= 0.8))
   }
 
+  /** QUANTIZER MIGRATION ([[IvfIndex.rebuild]]) — the actuator for the
+    * drift monitor's warnings and the close of the frozen-quantizer
+    * scale gap: per-cell postings mass grows linearly with the corpus
+    * under a frozen nlist, so the per-day semantic probe's cost is
+    * O(day · history/nlist) until nlist is raised — which only a
+    * rebuild can do. The query drives the full migration on a grown
+    * corpus and gates every contract the migration must preserve:
+    *
+    *  1. a store built at nlist=8 from 60% of the corpus, grown by
+    *     appends to 90% (the migration trigger shape);
+    *  2. rebuild to nlist=32: generation 0 → 1, and a probe holding
+    *     the PRE-rebuild centers fails LOUDLY (`expectGeneration`) —
+    *     never a silent wrong-cell join;
+    *  3. a post-migration append (the last 10%) lands under the new
+    *     quantizer and restarts the drift log against the refreshed
+    *     reference (exactly one logged batch);
+    *  4. append ≡ rebuild stays bit-level THROUGH the migration: the
+    *     store's (id, cell, nrm) rows equal one assignment pass over
+    *     the whole corpus under the new centers — re-assigned history
+    *     and post-migration appends alike;
+    *  5. the migration's point: at the keystone's FIXED nprobe=4, the
+    *     probed candidate fraction drops ~nlist-proportionally (gated
+    *     at < 0.5× the old fraction), while recall at MATCHED probed
+    *     fraction (nprobe 2-of-8 pre vs 8-of-32 post, both 25%) does
+    *     not degrade — finer cells buy the cost drop without paying
+    *     recall. */
+  val annIvfRebuild: Q = Q.gated("ann_ivf_rebuild") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
+    val embA = emb.where(pmod(col("vec_id"), lit(10)) < 9)
+    IvfIndex.build(embA.where(pmod(col("vec_id"), lit(10)) < 6), dir, nlist = 8)
+    IvfIndex.append(embA.where(pmod(col("vec_id"), lit(10)) >= 6), dir)
+    // probed candidate FRACTION of queries × corpus at the keystone's
+    // fixed nprobe — the quantity whose growth the migration resets
+    def candFrac(nprobe: Int): Double = {
+      val centers = IvfIndex.loadCenters(s, dir)
+      val postings = s.read.parquet(s"$dir/postings.parquet")
+      val cells = postings.groupBy("cell").agg(count(lit(1)).as("n"))
+      val q = IvfIndex.assignCells(
+        emb.where(pmod(col("vec_id"), lit(5)) === 0), centers,
+        "vec_id", "embedding", nprobe)
+      val mass = q.select(explode(col("probes")).as("cell"))
+        .join(cells, Seq("cell"))
+        .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+      mass.toDouble / math.max(1L, q.count() * postings.count())
+    }
+    val fracBefore = candFrac(4)
+    // pre-rebuild recall at 25% matched probed fraction (2 of 8),
+    // vs the exact twin over the store's own corpus
+    val exactA = SimilaritySearch.bruteTopK(embA, k = 5)
+      .where(pmod(col("i"), lit(5)) === 0).select("i", "j")
+    val preSearch = IvfIndex.search(s, dir,
+        embA.where(pmod(col("vec_id"), lit(5)) === 0), k = 5, nprobe = 2)
+      .select("i", "j")
+    val (preRecall, _) = pairRecall(preSearch, exactA, Seq("i", "j"))
+    val genBefore = IvfIndex.generation(s, dir)
+    val oldCenters = IvfIndex.loadCenters(s, dir)
+    IvfIndex.rebuild(s, dir, newNlist = 32)
+    val genAfter = IvfIndex.generation(s, dir)
+    val mismatchCaught =
+      try {
+        IvfIndex.matchedFromAssigned(
+          IvfIndex.assignCells(embA, oldCenters, "vec_id", "embedding", 4),
+          dir, threshold = 0.9, expectGeneration = Some(genBefore)).count()
+        0L
+      } catch { case _: IllegalArgumentException => 1L }
+    // post-migration append under the new quantizer
+    IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === 9), dir)
+    val driftRows = s.read.parquet(s"$dir/drift_log.parquet").count()
+    val newCenters = IvfIndex.loadCenters(s, dir)
+    val twin = IvfIndex.assignCells(emb, newCenters, "vec_id", "embedding", 1)
+      .select(col("id"), col("probes").getItem(0).as("cell"), col("nrm"))
+    val store = s.read.parquet(s"$dir/postings.parquet")
+      .select(col("id"), col("cell"), col("nrm"))
+    val postingsDiff = store.exceptAll(twin).count() +
+      twin.exceptAll(store).count()
+    val fracAfter = candFrac(4)
+    IvfIndex.search(s, dir, emb.where(pmod(col("vec_id"), lit(5)) === 0),
+        k = 5, nprobe = 8)
+      .withColumn("gen_before", lit(genBefore))
+      .withColumn("gen_after", lit(genAfter))
+      .withColumn("mismatch_caught", lit(mismatchCaught))
+      .withColumn("postings_diff", lit(postingsDiff))
+      .withColumn("frac_before", lit(fracBefore))
+      .withColumn("frac_after", lit(fracAfter))
+      .withColumn("pre_recall", lit(preRecall))
+      .withColumn("drift_rows_after", lit(driftRows))
+  } { (s, d, res) =>
+    val head = res.select("gen_before", "gen_after", "mismatch_caught",
+      "postings_diff", "frac_before", "frac_after", "pre_recall",
+      "drift_rows_after").head
+    val exact = SimilaritySearch.bruteTopK(Tables.embeddings(s, d), k = 5)
+      .where(pmod(col("i"), lit(5)) === 0)
+    val (postRecall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
+    val preRecall = head.getDouble(6)
+    Seq(
+      Gate("generation_before", head.getInt(0).toDouble, head.getInt(0) == 0),
+      Gate("generation_after", head.getInt(1).toDouble, head.getInt(1) == 1),
+      Gate("stale_centers_probe_caught", head.getLong(2).toDouble,
+        head.getLong(2) == 1),
+      Gate("postings_vs_full_reassign_diff", head.getLong(3).toDouble,
+        head.getLong(3) == 0),
+      Gate("probe_frac_shrink", head.getDouble(5) / head.getDouble(4),
+        head.getDouble(5) < 0.5 * head.getDouble(4)),
+      // measured 0.488/0.642 (sf0.01): the finer quantizer IMPROVES
+      // recall at matched probed fraction; the floors keep slack for
+      // the larger-corpus fixture while pinning "post never degrades"
+      Gate("pre_recall_matched_frac", preRecall, preRecall >= 0.4),
+      Gate("post_recall_matched_frac", postRecall,
+        postRecall >= preRecall - 0.05 && postRecall >= 0.45),
+      Gate("drift_log_restarted", head.getLong(7).toDouble,
+        head.getLong(7) == 1))
+  }
+
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
     * cell candidates as IVF, but the index side of the join carries m=16
     * RESIDUAL code bytes (ARRAY<TINYINT>) instead of 64 doubles (32×
@@ -1502,6 +1617,51 @@ object OpsQueries {
   private def dailyBloomCapacity(s: SparkSession, d: String): Long =
     math.max(1000000L, 20L * Tables.documents(s, d).count())
 
+  /** Unordered near-dup pairs → the LATER-ordered member of each pair
+    * under (day, id) order — the batch twin of every "drop iff an
+    * earlier-ordered partner exists" stage (shared by the daily-ingest,
+    * rebuild, and takedown equivalence gates). */
+  private def orderedDrops(pairs: DataFrame, dayMap: DataFrame): DataFrame = pairs
+    .join(dayMap.select(col("id").as("id_a"), col("day").as("_da")), Seq("id_a"))
+    .join(dayMap.select(col("id").as("id_b"), col("day").as("_db")), Seq("id_b"))
+    .select(when(struct(col("_da"), col("id_a")) < struct(col("_db"), col("id_b")),
+      col("id_b")).otherwise(col("id_a")).as("id"))
+    .distinct()
+
+  /** The order-free batch twin of ingest stages 0–2 over the
+    * concatenated days: global URL keep-first → content keep-first
+    * (the store's own key definition under the cfg under test — a
+    * hard-coded prefix here would silently diverge from the pipeline
+    * if the config ever changes) → hygiene → decontamination. Returns
+    * the CLEAN set; callers cache it. Shared by the daily-ingest,
+    * rebuild, and takedown equivalence gates. */
+  private def batchCleanTwin(s: SparkSession, docs: DataFrame,
+      bench: DataFrame,
+      cfg: graft.examples.DailyIngest.IngestConfig): DataFrame = {
+    import graft.text.{TextFunctions, TextQueries}
+    import org.apache.spark.sql.expressions.Window
+    val canon = docs.withColumn("curl",
+      TextFunctions.canonicalizeUrl(col("url")))
+    val s0 = canon.withColumn("_rn", row_number().over(
+        Window.partitionBy("curl").orderBy("day", "doc_id")))
+      .where(col("_rn") === 1).drop("_rn")
+    val s1 = s0.where(col("text").isNotNull)
+      .withColumn("_k", NoveltyBloomStore.docKey("text", cfg.prefixChars))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("_k").orderBy("day", "doc_id")))
+      .where(col("_rn") === 1).drop("_rn", "_k")
+    val qualityIds = TextQueries.gopherRules(s1, minStopHits = 1)
+      .select("doc_id")
+    val dCols = Seq("doc_id", "text").map(col)
+    val decontamIn = bench.select(dCols: _*).withColumn("_b", lit(true))
+      .unionByName(s1.select(dCols: _*).withColumn("_b", lit(false)))
+    val contaminated = TextQueries
+      .contaminationBloomVs(decontamIn, col("_b"), threshold = 0.05, fpp = 1e-4)
+      .select("doc_id")
+    s1.join(qualityIds, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   private def dailyRoot(s: SparkSession, d: String) = {
     val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_daily/$tag"
@@ -1608,34 +1768,7 @@ object OpsQueries {
     DailyIngest.run(s, docs, media, bench, root, D, cfg, emb = Some(embAll))
     val rerunDrift = if (snapshot() == snap1) 0 else 1
     // ---- 2. batch twins (the one-shot pipeline over all days) ------
-    val canon = docs.withColumn("curl",
-      TextFunctions.canonicalizeUrl(col("url")))
-    val s0 = canon.withColumn("_rn", row_number().over(
-        Window.partitionBy("curl").orderBy("day", "doc_id")))
-      .where(col("_rn") === 1).drop("_rn")
-    val s1 = s0.where(col("text").isNotNull)
-      // the store's own key definition under the cfg under test — a
-      // hard-coded 80 here would silently diverge from the pipeline if
-      // the config ever changes
-      .withColumn("_k", NoveltyBloomStore.docKey("text", cfg.prefixChars))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("_k").orderBy("day", "doc_id")))
-      .where(col("_rn") === 1).drop("_rn", "_k")
-    val qualityIds = TextQueries.gopherRules(s1, minStopHits = 1).select("doc_id")
-    val dCols = Seq("doc_id", "text").map(col)
-    val decontamIn = bench.select(dCols: _*).withColumn("_b", lit(true))
-      .unionByName(s1.select(dCols: _*).withColumn("_b", lit(false)))
-    val contaminated = TextQueries
-      .contaminationBloomVs(decontamIn, col("_b"), threshold = 0.05, fpp = 1e-4)
-      .select("doc_id")
-    val s2 = s1.join(qualityIds, Seq("doc_id"))
-      .join(contaminated, Seq("doc_id"), "left_anti").cache()
-    def orderedDrops(pairs: DataFrame, dayMap: DataFrame): DataFrame = pairs
-      .join(dayMap.select(col("id").as("id_a"), col("day").as("_da")), Seq("id_a"))
-      .join(dayMap.select(col("id").as("id_b"), col("day").as("_db")), Seq("id_b"))
-      .select(when(struct(col("_da"), col("id_a")) < struct(col("_db"), col("id_b")),
-        col("id_b")).otherwise(col("id_a")).as("id"))
-      .distinct()
+    val s2 = batchCleanTwin(s, docs, bench, cfg).cache()
     val dayOf = docs.select(col("doc_id").as("id"), col("day"))
     val textDrops = orderedDrops(MinHashBandStore.estPairs(s2), dayOf)
     // semantic twin: the SAME one-sided rule the daily stages apply,
@@ -1833,6 +1966,26 @@ object OpsQueries {
       shardCovered += sliced.count()
       shardExpected += s.read.parquet(DailyIngest.mediaOut(root, i)).count()
     }
+    // ---- 3e. per-day TEXT byte shards --------------------------------
+    // the text twin of 3d: every surviving document slices back out of
+    // its day's assembled (source, shard) text stream at its recorded
+    // (offset, nchars) character span, md5-exact
+    var tShardBad = 0L
+    var tShardCov = 0L
+    var tShardExp = 0L
+    (0 until D).foreach { i =>
+      val idx = s.read.parquet(DailyIngest.textIndexOut(root, i))
+      val asm = s.read.parquet(DailyIngest.textShardOut(root, i))
+      val sliced = idx
+        .join(docs.select(col("doc_id"), md5(col("text")).as("want_md5")),
+          Seq("doc_id"))
+        .join(asm, Seq("source", "shard"))
+        .withColumn("got_md5", md5(expr(
+          "substring(shard_text, cast(offset + 1 as int), cast(nchars as int))")))
+      tShardBad += sliced.where(col("got_md5") =!= col("want_md5")).count()
+      tShardCov += sliced.count()
+      tShardExp += s.read.parquet(DailyIngest.textOut(root, i)).count()
+    }
     // ---- 4. today's decode budget ----------------------------------
     // parquet-stage today's media first: the fixture's planted-twin
     // synthesis UDF itself decodes (re-encode twins), and measuring
@@ -1914,17 +2067,419 @@ object OpsQueries {
         shardBadSlices == 0),
       Gate("media_shard_assets_covered", shardCovered.toDouble,
         shardCovered == shardExpected && shardExpected > 0),
+      Gate("text_shard_slice_mismatches", tShardBad.toDouble, tShardBad == 0),
+      Gate("text_shard_docs_covered", tShardCov.toDouble,
+        tShardCov == tShardExp && tShardExp > 0),
       Gate("probe_decode_budget_dev", (bill - expected).toDouble, bill == expected),
       Gate("probe_cache_release_leak", (rddsAfter - rddsBeforeIds.size).toDouble,
         rddsAfter <= rddsBeforeIds.size))
   }
 
+  /** QUANTIZER REBUILD MID-HISTORY under the keystone — the composition
+    * gate [[annIvfRebuild]]'s store-level contracts feed: ingest days
+    * 0–1 under the day-0-trained generation-0 quantizer, run
+    * [[IvfIndex.rebuild]] (nlist 16 → 32), then ingest day 2 under
+    * generation 1 — and prove the day-by-day run STILL equals a batch
+    * twin, now TWO-SEGMENT: days ≤ 1 decided under the retired gen-0
+    * centers over days ≤ 1 (history at decision time), day 2 decided
+    * under the gen-1 centers over the FULL re-assigned population.
+    * Both segments are [[graft.examples.DailyIngest.semanticOrderedDrops]]
+    * — the same function, different centers — so the equality stays
+    * bit-level through the migration. Planted semantic-paraphrase
+    * twins of day-0 bases arrive on day 2 and must still shed:
+    * frozen-HISTORY semantics survive the quantizer swap (their
+    * candidacy is structural — a 0.999995-cosine twin shares its
+    * base's home cell under ANY quantizer). Media runs empty — the
+    * migration touches only the embedding store, and the full media
+    * composition is pipeline_daily_ingest's job. */
+  val ingestRebuild: Q = Q.gated("pipeline_ingest_rebuild") { (s, d) =>
+    import graft.examples.DailyIngest
+    val D = 3 // the planted-fixture day count; rebuild lands after day 1
+    val root = dailyRoot(s, d) + "_rebuild"
+    val docs = dailyDocs(s, d, D)
+    val emb = dailyEmb(s, d, D)
+    val bench = dailyBench(s, d)
+    val media = dailyMedia(s, d, D).where(lit(false))
+    val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
+    val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    try {
+      (0 to 1).foreach { i =>
+        DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
+          root, i, cfg, benchBloom = Some(bloom),
+          dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
+      }
+      // stage the retiring generation's centers for the gate's
+      // two-segment twin (the rebuild trashes the live copy)
+      val gen0Dir = s"$root/_gate/gen0_centers.parquet"
+      if (!new java.io.File(gen0Dir).exists())
+        s.read.parquet(s"${DailyIngest.embStore(root)}/centers.parquet")
+          .write.mode("overwrite").parquet(gen0Dir)
+      if (IvfIndex.generation(s, DailyIngest.embStore(root)) == 0)
+        IvfIndex.rebuild(s, DailyIngest.embStore(root), newNlist = 32)
+      (2 to D).foreach { i =>
+        DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
+          root, i, cfg, benchBloom = Some(bloom),
+          dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
+      }
+    } finally bloom.destroy()
+    (0 to D).map(i => s.read.parquet(DailyIngest.textOut(root, i))
+        .select(col("doc_id"), lit(i).as("day")))
+      .reduce(_ unionByName _)
+  } { (s, d, res) =>
+    import graft.examples.DailyIngest
+    val D = 3
+    val root = dailyRoot(s, d) + "_rebuild"
+    val docs = dailyDocs(s, d, D).cache()
+    val embAll = dailyEmb(s, d, D)
+    val bench = dailyBench(s, d)
+    val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
+    val s2 = batchCleanTwin(s, docs, bench, cfg).cache()
+    val dayOf = docs.select(col("doc_id").as("id"), col("day"))
+    val textDrops = orderedDrops(MinHashBandStore.estPairs(s2), dayOf)
+    // two-segment semantic twin
+    val gen0Centers = s.read.parquet(s"$root/_gate/gen0_centers.parquet")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    val gen1Centers = IvfIndex.loadCenters(s, DailyIngest.embStore(root))
+    val cleanVecsAll = embAll.select("doc_id", "embedding")
+      .join(s2.select("doc_id"), Seq("doc_id"))
+    val ord = embAll.select(col("doc_id"),
+      struct(col("day"), col("doc_id")).as("ord"))
+    // the rebuild landed after day 1: days 0–1 decided under gen-0
+    // centers over days 0–1 (their history at decision time), days 2+
+    // under gen-1 centers over the full re-assigned population
+    val preDays = dayOf.where(col("day") < 2).select(col("id").as("doc_id"))
+    val dropsG0 = DailyIngest.semanticOrderedDrops(
+      cleanVecsAll.join(preDays, Seq("doc_id"), "left_semi"),
+      ord, gen0Centers, cfg.semNprobe, cfg.semThreshold)
+    val dropsG1 = DailyIngest.semanticOrderedDrops(cleanVecsAll, ord,
+        gen1Centers, cfg.semNprobe, cfg.semThreshold)
+      .join(dayOf.where(col("day") >= 2).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val semDrops = dropsG0.unionByName(dropsG1).distinct()
+    val s3 = s2
+      .join(textDrops.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .join(semDrops, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+    val incre = res.select("doc_id")
+    val textDiff = s3.exceptAll(incre).count() + incre.exceptAll(s3).count()
+    // the embedding store after migration + day-2 append equals one
+    // assignment pass over all clean vectors under the gen-1 centers
+    val twin = IvfIndex.assignCells(cleanVecsAll, gen1Centers,
+        "doc_id", "embedding", 1)
+      .select(col("id"), col("probes").getItem(0).as("cell"), col("nrm"))
+    val store = s.read
+      .parquet(s"${DailyIngest.embStore(root)}/postings.parquet")
+      .select(col("id"), col("cell"), col("nrm"))
+    val postingsDiff = store.exceptAll(twin).count() +
+      twin.exceptAll(store).count()
+    val gen = IvfIndex.generation(s, DailyIngest.embStore(root))
+    // planted paraphrase twins of day-0 bases, arriving POST-rebuild
+    // (day 2): conditional on the base reaching the clean set
+    val condSemTwins = docs
+      .where(col("doc_id") >= PlantedSemTwinBase &&
+        col("doc_id") < PlantedSemChain1Base)
+      .select(col("doc_id"), (col("doc_id") - PlantedSemTwinBase).as("base"))
+      .join(s2.select(col("doc_id").as("base")), Seq("base"))
+    val nSemTwins = condSemTwins.count()
+    val semTwinsLeaked = res.where(col("day") === D)
+      .join(condSemTwins.select(col("doc_id").as("doc_id")), Seq("doc_id"))
+      .count()
+    s2.unpersist(); docs.unpersist()
+    Seq(
+      Gate("generation_after", gen.toDouble, gen == 1),
+      Gate("text_vs_two_segment_batch_diff", textDiff.toDouble, textDiff == 0),
+      Gate("postings_vs_gen1_reassign_diff", postingsDiff.toDouble,
+        postingsDiff == 0),
+      Gate("sem_twins_conditional", nSemTwins.toDouble, nSemTwins > 3),
+      Gate("sem_twins_leaked_post_rebuild", semTwinsLeaked.toDouble,
+        semTwinsLeaked == 0))
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN across the keystone
+    * ([[graft.examples.DailyIngest.takedown]]) — the composition's most
+    * dangerous operation, promoted from spec-only to a driver gate:
+    * ingest 3 days (the planted day included, so the stores hold
+    * seen-but-SHED copies of victim content — edited near-dup twins,
+    * semantic paraphrase twins, media re-encode twins), take down a
+    * victim set drawn from day-0 survivors that HAVE such copies, and
+    * gate the whole contract:
+    *
+    *  1. transitive expansion is non-vacuous: the expanded set strictly
+    *     exceeds the enumerated one (the shed twins are found via the
+    *     stores' own decision functions);
+    *  2. every expanded victim is gone from all five stores and every
+    *     day's survivor outputs;
+    *  3. the re-packed BYTE shards: every surviving doc/asset still
+    *     slices out md5-exact, each stream's length equals its last
+    *     slice's end (no trailing victim bytes), and no victim text
+    *     occurs as a substring of any same-day stream;
+    *  4. the semantics flip: a re-crawl of each victim's content (and
+    *     of its shed TWIN's content — the seen-but-shed case the spec
+    *     alone used to miss) is NOVEL in a post-takedown probe day,
+    *     while a re-crawl of a control survivor's content is still
+    *     SHED;
+    *  5. the completion marker exists and a re-run short-circuits
+    *     byte-identically (bloom md5s unchanged).
+    *
+    * Victims are chosen pairwise non-near-dup (their re-crawls share a
+    * probe day; a mutual-near-dup victim pair would shed each other's
+    * re-crawl within-day and read as a leak). */
+  val ingestTakedown: Q = Q.gated("pipeline_takedown") { (s, d) =>
+    import graft.examples.DailyIngest
+    val D = 3 // the planted-fixture day count (sem twins exist only here)
+    val root = dailyRoot(s, d) + "_takedown"
+    val docs = dailyDocs(s, d, D)
+    val media = dailyMedia(s, d, D)
+    val embAll = dailyEmb(s, d, D)
+    val bench = dailyBench(s, d)
+    val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
+    val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    try {
+      (0 to D).foreach { i =>
+        DailyIngest.ingestDay(s, docs.where(col("day") === i),
+          media.where(col("day") === i), bench, root, i, cfg,
+          benchBloom = Some(bloom),
+          dayEmb = Some(embAll.where(col("day") === i).drop("day"))): Unit
+      }
+      // ---- victim selection: day-0 SURVIVORS with planted shed copies
+      val day0Out = s.read.parquet(DailyIngest.textOut(root, 0)).select("doc_id")
+      val twinBases = docs.where(col("day") === 0 &&
+        col("doc_id") % 11 === 3 &&
+        size(split(trim(col("text")), "\\s+")) >= 25).select("doc_id")
+      val semBases = docs.where(col("day") === 0 &&
+          pmod(col("doc_id"), lit(D + 1)) === 0 && col("doc_id") % 9 === 2 &&
+          col("doc_id") < PlantedTwinBase).select("doc_id")
+        .join(embAll.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      val vCand = twinBases.unionByName(semBases).distinct()
+        .join(day0Out, Seq("doc_id"), "left_semi")
+      // pairwise non-near-dup victims: drop BOTH ends of any candidate
+      // pair — a kept near-dup candidate's own planted twin would
+      // otherwise survive expansion's one hop and suppress the shed-twin
+      // re-crawl (A~B, twin(B)~twin(A) but twin(B) possibly < threshold
+      // from A itself)
+      val vPairs = MinHashBandStore.estPairs(
+        docs.join(vCand, Seq("doc_id"), "left_semi"))
+      val vDocs = vCand
+        .join(vPairs.select(col("id_b").as("doc_id"))
+            .unionByName(vPairs.select(col("id_a").as("doc_id"))),
+          Seq("doc_id"), "left_anti").localCheckpoint(true)
+      val m0Out = s.read.parquet(DailyIngest.mediaOut(root, 0)).select("media_id")
+      val mCand = media.where(col("day") === 0 && col("media_id") % 9 === 2)
+        .select("media_id").join(m0Out, Seq("media_id"), "left_semi")
+      val mPairs = DailyIngest.storeParityMediaPairs(
+        media.join(mCand, Seq("media_id"), "left_semi"))
+      val vMedia = mCand
+        .join(mPairs.select(col("id_b").as("media_id"))
+            .unionByName(mPairs.select(col("id_a").as("media_id"))),
+          Seq("media_id"), "left_anti").localCheckpoint(true)
+      // expansion snapshot BEFORE the deletes (the gate's truth set)
+      val (expDocs0, expMedia0) = DailyIngest.expandVictims(s, root, docs,
+        vDocs, vMedia, cfg)
+      val expDocs = expDocs0.localCheckpoint(true)
+      val expMedia = expMedia0.localCheckpoint(true)
+      DailyIngest.takedown(s, root, docs, media, vDocs, vMedia, cfg,
+        takedownId = "gate")
+      // ---- post-takedown probe day: re-crawls of victim / shed-twin /
+      // control content at fresh ids and urls
+      val VR = 1L << 45            // victim re-crawl ids
+      val TR = VR + (1L << 43)     // shed-twin re-crawl ids
+      val CR = VR + (1L << 44)     // control re-crawl ids
+      def recrawlDocs(bases: DataFrame, off: Long, src: String) = docs
+        .join(bases, Seq("doc_id"), "left_semi")
+        .select((col("doc_id") + off).as("doc_id"),
+          concat(lit(s"https://re.ex/$src/"), col("doc_id").cast("string")).as("url"),
+          col("text"), col("lang"), lit(src).as("source"),
+          col("n_chars"), lit(D + 1).cast("int").as("day"))
+      val shedTwins = expDocs.join(vDocs, Seq("doc_id"), "left_anti")
+        .where(col("doc_id") >= PlantedTwinBase && col("doc_id") < PlantedFreshBase)
+      val controls = day0Out.join(expDocs, Seq("doc_id"), "left_anti")
+        .where(col("doc_id") % 7 === 1 && col("doc_id") < PlantedTwinBase)
+        .limit(10).localCheckpoint(true)
+      // twin re-crawls probe in a SEPARATE day below: a victim's
+      // re-crawl and its shed twin's re-crawl are near-dups of EACH
+      // OTHER, so sharing a probe day would (correctly) shed the
+      // later-id twin within-day — which is pipeline behavior, not
+      // store memory, and not what this gate measures
+      val probeDocs = recrawlDocs(vDocs, VR, "vrecrawl")
+        .unionByName(recrawlDocs(controls, CR, "crecrawl"))
+      val probeEmb = embAll.drop("day")
+        .join(vDocs, Seq("doc_id"), "left_semi")
+        .select((col("doc_id") + VR).as("doc_id"), col("embedding"))
+      def recrawlMedia(bases: DataFrame, off: Long) = media
+        .join(bases, Seq("media_id"), "left_semi")
+        .select((col("media_id") + off).as("media_id"), col("kind"),
+          col("mime"), col("width"), col("height"), col("n_frames"),
+          col("sample_rate"), col("content"), lit(D + 1).cast("int").as("day"))
+      val mControls = m0Out.join(expMedia, Seq("media_id"), "left_anti")
+        .where(col("media_id") % 7 === 1).limit(6).localCheckpoint(true)
+      val probeMedia = recrawlMedia(vMedia, VR)
+        .unionByName(recrawlMedia(mControls, CR))
+      val (ptxt, pmed) = DailyIngest.probeDay(s, probeDocs, probeMedia,
+        bench, root, benchBloom = Some(bloom),
+        dayEmb = Some(probeEmb), cfg = cfg)
+      val (ptxt2, _) = DailyIngest.probeDay(s,
+        recrawlDocs(shedTwins, TR, "trecrawl"), probeMedia.where(lit(false)),
+        bench, root, benchBloom = Some(bloom),
+        dayEmb = Some(embAll.drop("day").limit(0)), cfg = cfg)
+      val out = ptxt.select(col("doc_id").as("id"), lit("text").as("family"))
+        .unionByName(ptxt2.select(col("doc_id").as("id"), lit("text2").as("family")))
+        .unionByName(pmed.select(col("media_id").as("id"), lit("media").as("family")))
+        .unionByName(expDocs.select(col("doc_id").as("id"), lit("vdoc").as("family")))
+        .unionByName(expMedia.select(col("media_id").as("id"), lit("vmedia").as("family")))
+        .unionByName(vDocs.select(col("doc_id").as("id"), lit("vdoc_orig").as("family")))
+        .unionByName(vMedia.select(col("media_id").as("id"), lit("vmedia_orig").as("family")))
+        .unionByName(shedTwins.select(col("doc_id").as("id"), lit("shed_twin").as("family")))
+        .unionByName(controls.select(col("doc_id").as("id"), lit("control_doc").as("family")))
+        .unionByName(mControls.select(col("media_id").as("id"), lit("control_media").as("family")))
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally bloom.destroy()
+  } { (s, d, res) =>
+    import graft.examples.DailyIngest
+    import graft.multimodal.SignatureStore
+    val D = 3
+    val root = dailyRoot(s, d) + "_takedown"
+    val docs = dailyDocs(s, d, D).cache()
+    def fam(f: String) = res.where(col("family") === f).select(col("id"))
+    val expDocs = fam("vdoc").select(col("id").as("doc_id"))
+    val expMedia = fam("vmedia").select(col("id").as("media_id"))
+    val nEnumDocs = fam("vdoc_orig").count()
+    val nExpDocs = expDocs.count()
+    val nEnumMedia = fam("vmedia_orig").count()
+    val nExpMedia = expMedia.count()
+    // ---- 2. gone from all five stores + every day's outputs ---------
+    val bandRows = MinHashBandStore.loadBands(s, DailyIngest.mhStore(root))
+      .join(expDocs, Seq("doc_id"), "left_semi").count() +
+      MinHashBandStore.loadSigs(s, DailyIngest.mhStore(root))
+        .join(expDocs, Seq("doc_id"), "left_semi").count()
+    val sigRows = SignatureStore.load(s, DailyIngest.sigStore(root))
+      .join(expMedia, Seq("media_id"), "left_semi").count()
+    val postRows = s.read
+      .parquet(s"${DailyIngest.embStore(root)}/postings.parquet")
+      .join(expDocs.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .count()
+    // the blooms cannot be enumerated — probe them: every victim's
+    // exact content key must read NOVEL against the rebuilt store
+    val vTexts = docs.join(fam("vdoc_orig").select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val bloomKnows = vTexts.count() - NoveltyBloomStore
+      .novelAgainst(vTexts, DailyIngest.textStore(root)).count()
+    val outRows = (0 to D).map(i =>
+      s.read.parquet(DailyIngest.textOut(root, i))
+        .join(expDocs, Seq("doc_id"), "left_semi").count() +
+      s.read.parquet(DailyIngest.mediaOut(root, i))
+        .join(expMedia, Seq("media_id"), "left_semi").count()).sum
+    // ---- 3. re-packed byte shards -----------------------------------
+    var badSlices = 0L
+    var covered = 0L
+    var expected = 0L
+    var lenMismatch = 0L
+    (0 to D).foreach { i =>
+      val tIdx = s.read.parquet(DailyIngest.textIndexOut(root, i))
+      val tAsm = s.read.parquet(DailyIngest.textShardOut(root, i))
+      val tSliced = tIdx
+        .join(docs.select(col("doc_id"), md5(col("text")).as("want")), Seq("doc_id"))
+        .join(tAsm, Seq("source", "shard"))
+        .withColumn("got", md5(expr(
+          "substring(shard_text, cast(offset + 1 as int), cast(nchars as int))")))
+      badSlices += tSliced.where(col("got") =!= col("want")).count()
+      covered += tSliced.count()
+      expected += s.read.parquet(DailyIngest.textOut(root, i)).count()
+      // stream ends exactly at its last slice — no trailing victim bytes
+      lenMismatch += tIdx.groupBy("source", "shard")
+        .agg(max(col("offset") + col("nchars")).as("end"))
+        .join(tAsm, Seq("source", "shard"))
+        .where(length(col("shard_text")).cast("long") =!= col("end")).count()
+      val mIdx = s.read.parquet(DailyIngest.mediaIndexOut(root, i))
+      lenMismatch += mIdx.groupBy("kind", "shard")
+        .agg(max(col("offset") + col("nbytes")).as("end"))
+        .join(s.read.parquet(DailyIngest.mediaShardOut(root, i)), Seq("kind", "shard"))
+        .where(length(col("shard_bytes")).cast("long") =!= col("end")).count()
+    }
+    // no victim text survives as a SUBSTRING of its day's streams
+    val day0Asm = s.read.parquet(DailyIngest.textShardOut(root, 0))
+    val victimInStream = vTexts.select(col("text").as("_vt"))
+      .crossJoin(day0Asm.select("shard_text"))
+      .where(instr(col("shard_text"), col("_vt")) > 0).count()
+    // ---- 4. the semantics flip --------------------------------------
+    val kept = fam("text")
+    val keptM = fam("media")
+    val VR = 1L << 45
+    val TR = VR + (1L << 43)
+    val CR = VR + (1L << 44)
+    val vRecrawls = fam("vdoc_orig").select((col("id") + VR).as("id"))
+    val tRecrawls = fam("shed_twin").select((col("id") + TR).as("id"))
+    val cRecrawls = fam("control_doc").select((col("id") + CR).as("id"))
+    val nVRecrawl = vRecrawls.count()
+    val vRecrawlKept = kept.join(vRecrawls, Seq("id"), "left_semi").count()
+    val nTRecrawl = tRecrawls.count()
+    val tRecrawlKept = fam("text2").join(tRecrawls, Seq("id"), "left_semi").count()
+    val nCRecrawl = cRecrawls.count()
+    val cRecrawlKept = kept.join(cRecrawls, Seq("id"), "left_semi").count()
+    val vmRecrawls = fam("vmedia_orig").select((col("id") + VR).as("id"))
+    val cmRecrawls = fam("control_media").select((col("id") + CR).as("id"))
+    val nVmRecrawl = vmRecrawls.count()
+    val vmRecrawlKept = keptM.join(vmRecrawls, Seq("id"), "left_semi").count()
+    val nCmRecrawl = cmRecrawls.count()
+    val cmRecrawlKept = keptM.join(cmRecrawls, Seq("id"), "left_semi").count()
+    // ---- 5. completion marker + idempotent re-run -------------------
+    def md5Of(p: String): String = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+    }
+    val markerExists = new java.io.File(
+      s"$root/_ledger/takedown_gate").exists()
+    val snap = (md5Of(s"${DailyIngest.urlStore(root)}/bloom.bin"),
+      md5Of(s"${DailyIngest.textStore(root)}/bloom.bin"))
+    val media = dailyMedia(s, d, D)
+    DailyIngest.takedown(s, root, docs, media,
+      fam("vdoc_orig"), fam("vmedia_orig"),
+      DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d)),
+      takedownId = "gate")
+    val rerunDrift = if ((md5Of(s"${DailyIngest.urlStore(root)}/bloom.bin"),
+      md5Of(s"${DailyIngest.textStore(root)}/bloom.bin")) == snap) 0 else 1
+    docs.unpersist()
+    Seq(
+      Gate("expansion_docs_beyond_enumerated", (nExpDocs - nEnumDocs).toDouble,
+        nEnumDocs > 2 && nExpDocs > nEnumDocs),
+      Gate("expansion_media_beyond_enumerated",
+        (nExpMedia - nEnumMedia).toDouble,
+        nEnumMedia > 0 && nExpMedia > nEnumMedia),
+      Gate("victim_rows_in_band_store", bandRows.toDouble, bandRows == 0),
+      Gate("victim_rows_in_sig_store", sigRows.toDouble, sigRows == 0),
+      Gate("victim_rows_in_postings", postRows.toDouble, postRows == 0),
+      Gate("victim_keys_in_content_bloom", bloomKnows.toDouble, bloomKnows == 0),
+      Gate("victim_rows_in_outputs", outRows.toDouble, outRows == 0),
+      Gate("shard_slice_mismatches", badSlices.toDouble, badSlices == 0),
+      Gate("shard_docs_covered", covered.toDouble,
+        covered == expected && expected > 0),
+      Gate("shard_stream_length_mismatches", lenMismatch.toDouble,
+        lenMismatch == 0),
+      Gate("victim_text_in_streams", victimInStream.toDouble,
+        victimInStream == 0),
+      Gate("victim_recrawls_novel", vRecrawlKept.toDouble,
+        nVRecrawl > 2 && vRecrawlKept == nVRecrawl),
+      Gate("shed_twin_recrawls_novel", tRecrawlKept.toDouble,
+        nTRecrawl > 0 && tRecrawlKept == nTRecrawl),
+      Gate("control_recrawls_shed", cRecrawlKept.toDouble,
+        nCRecrawl > 2 && cRecrawlKept == 0),
+      Gate("victim_media_recrawls_novel", vmRecrawlKept.toDouble,
+        nVmRecrawl > 0 && vmRecrawlKept == nVmRecrawl),
+      Gate("control_media_recrawls_shed", cmRecrawlKept.toDouble,
+        nCmRecrawl > 0 && cmRecrawlKept == 0),
+      Gate("completion_marker", if (markerExists) 1 else 0, markerExists),
+      Gate("rerun_store_drift", rerunDrift.toDouble, rerunDrift == 0))
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
-    annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain, annPq,
+    annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain,
+    annIvfRebuild, annPq,
     semanticDups, canonical, retained, retainedQuality, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
     hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,
     minhashNovelStore, minhashEstEnvelope, urlCanonicalize, urlDedup, urlNovelStore,
-    crossModalFilter, crossModalStats, dailyIngest)
+    crossModalFilter, crossModalStats, dailyIngest, ingestRebuild,
+    ingestTakedown)
 }

@@ -113,6 +113,16 @@ def main():
     status = (gate or {}).get("status")
     if status == "ok":
         print(f"OK  {os.path.basename(bench_path)}: baseline_gate ok")
+        # A gated sweep that only passes via isolated retries is the gate
+        # working hard, not the environment being honest (r17 had four
+        # such passes): warn when the sweep's aggregate-vs-pins exceeds
+        # ~1.05 so close sweeps migrate to fresh-host state.
+        agg = (gate or {}).get("aggregate_vs_pins")
+        if isinstance(agg, (int, float)) and agg > 1.05:
+            print(f"WARN {os.path.basename(bench_path)}: aggregate vs pins "
+                  f"{agg:.2f} > 1.05 — sweep ran in a contended/post-test "
+                  "environment; re-run the close sweep in a fresh process "
+                  "(see graft-round-workflow: fresh-host-only close sweeps)")
     elif status == "violations":
         print(f"RED {os.path.basename(bench_path)}: baseline_gate violations "
               f"{gate.get('violations')}")
