@@ -872,14 +872,20 @@ object DailyIngest {
     * single stored rows, never against chains. Callers that truly
     * enumerate every copy themselves can pass `transitive = false`.
     *
-    * IDEMPOTENCE: multi-step (store deletes, bloom rebuilds, row
-    * deletes, shard re-packs) with a COMPLETION marker
-    * (`_ledger/takedown_<id>`, tmp+rename) written last — a missing
-    * marker after a crash means re-run the whole takedown with the
-    * same arguments; every step converges (deletes of deleted rows
-    * no-op, rebuilds/re-packs overwrite). A present marker
-    * short-circuits. `takedownId` names the operation; the caller owns
-    * its uniqueness per distinct victim set.
+    * IDEMPOTENCE, two-phase (the ingest ledger's discipline): phase 1
+    * STAGES the expanded victim set to
+    * `_ledger/takedown_<id>.victims` (tmp+rename marker) BEFORE any
+    * mutation — the expansion reads the stores the mutating phase
+    * rewrites, so a retry that recomputed it mid-way would expand
+    * against half-forgotten stores and rebuild the blooms WITH the
+    * shed copies' keys. Phase 2 (store deletes, bloom rebuilds, row
+    * deletes, shard re-packs) runs from the staged set and converges
+    * on retry (deletes of deleted rows no-op, rebuilds/re-packs
+    * overwrite deterministically); the COMPLETION marker
+    * (`_ledger/takedown_<id>`, tmp+rename) lands last — a missing
+    * marker after a crash means re-run with the same arguments, a
+    * present one short-circuits. `takedownId` names the operation;
+    * the caller owns its uniqueness per distinct victim set.
     *
     * `docs`/`media` are the SAME full concatenated frames the ingest
     * run consumed (the raw data lake: day + url + text / payloads) —
@@ -897,17 +903,39 @@ object DailyIngest {
       .select(col(victimDocIds.columns.head).cast("long").as("doc_id"))
     val vMedia0 = victimMediaIds
       .select(col(victimMediaIds.columns.head).cast("long").as("media_id"))
-    val (vDocsL, vMediaL) =
-      if (transitive) expandVictims(spark, root, docs, vDocs0, vMedia0, cfg)
-      else (vDocs0, vMedia0)
-    // EAGERLY materialize the victim sets before any mutation: the
-    // expansion plans read the very stores the deletes below rewrite
-    // (a lazy frame snapshots its file listing at creation, so the
-    // third store's delete would re-evaluate a plan whose files the
-    // first store's swap already replaced — FILE_NOT_EXIST). Victim
-    // ids are a bounded set, so the checkpoint is cheap.
-    val vDocs = vDocsL.localCheckpoint(true)
-    val vMedia = vMediaL.localCheckpoint(true)
+    // TWO-PHASE, the ingest ledger's discipline: the transitive
+    // expansion reads the stores this operation is about to mutate, so
+    // a crash-retry that recomputed it mid-way would expand against
+    // half-forgotten stores (finding nothing) and rebuild the blooms
+    // WITH the shed twins' keys — the re-run would silently regress the
+    // first run's contract. Phase 1 stages the expanded victim set
+    // (before any mutation) under a tmp+rename marker; every retry
+    // reuses the staged set, so the mutating phase is idempotent
+    // against the SAME victims.
+    val stageDir = s"$root/_ledger/takedown_$takedownId.victims"
+    val stagedMarker = s"$stageDir/.staged"
+    val longField = (n: String) => org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType)))
+    val (vDocs, vMedia) =
+      if (exists(spark, stagedMarker)) (
+        spark.read.schema(longField("doc_id")).parquet(s"$stageDir/docs"),
+        spark.read.schema(longField("media_id")).parquet(s"$stageDir/media"))
+      else {
+        val (vDocsL, vMediaL) =
+          if (transitive) expandVictims(spark, root, docs, vDocs0, vMedia0, cfg)
+          else (vDocs0, vMedia0)
+        // eager materialization ALSO matters here: the expansion plans
+        // read the very stores the deletes below rewrite (a lazy frame
+        // snapshots its file listing at creation — the third store's
+        // delete would re-evaluate a plan whose files the first
+        // store's swap already replaced)
+        vDocsL.write.mode("overwrite").parquet(s"$stageDir/docs")
+        vMediaL.write.mode("overwrite").parquet(s"$stageDir/media")
+        writeMarkerFile(spark, stagedMarker, "staged")
+        (spark.read.schema(longField("doc_id")).parquet(s"$stageDir/docs"),
+         spark.read.schema(longField("media_id")).parquet(s"$stageDir/media"))
+      }
     // targeted store deletes
     if (exists(spark, mhStore(root)))
       MinHashBandStore.deleteDocs(spark, mhStore(root), vDocs)
@@ -969,7 +997,8 @@ object DailyIngest {
         .write.mode("overwrite").parquet(mediaShardOut(root, day))
     }
     // completion marker LAST — its absence after a crash means the
-    // takedown must be re-run (each step above is idempotent)
+    // takedown must be re-run (each step above is idempotent against
+    // the STAGED victim set); the staging survives for post-hoc audit
     writeMarkerFile(spark, s"$root/_ledger/takedown_$takedownId",
       s"docs=${vDocs.count()},media=${vMedia.count()}")
   }

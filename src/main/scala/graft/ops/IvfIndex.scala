@@ -461,17 +461,32 @@ object IvfIndex {
     * probed. Returns the new centers. */
   def rebuild(spark: SparkSession, dir: String, newNlist: Int,
       iters: Int = 10, trainFraction: Double = 1.0): Array[Array[Double]] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(new org.apache.hadoop.fs.Path(root, RebuildMarker))) {
+      System.err.println(s"[ivf] NOTE completing a crashed rebuild at $dir " +
+        "(roll-forward from staging) before starting the requested one")
+      completePendingRebuild(spark, dir)
+    }
+    val centers = stageRebuild(spark, dir, newNlist, iters, trainFraction)
+    completePendingRebuild(spark, dir)
+    centers
+  }
+
+  /** Phase 1 of [[rebuild]] — train, re-assign, stage all four
+    * components, write the inprogress marker (the point of no return:
+    * readers throw until [[completePendingRebuild]] swaps). Exposed for
+    * the crash-retry spec, the [[graft.examples.DailyIngest
+    * .ingestDayCompute]] pattern. */
+  private[graft] def stageRebuild(spark: SparkSession, dir: String,
+      newNlist: Int, iters: Int = 10, trainFraction: Double = 1.0)
+      : Array[Array[Double]] = {
     require(newNlist >= 1, s"newNlist >= 1, got $newNlist")
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction in (0,1], got $trainFraction")
     val root = new org.apache.hadoop.fs.Path(dir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markerPath = new org.apache.hadoop.fs.Path(root, RebuildMarker)
-    if (hfs.exists(markerPath)) {
-      System.err.println(s"[ivf] NOTE completing a crashed rebuild at $dir " +
-        "(roll-forward from staging) before starting the requested one")
-      completePendingRebuild(spark, dir)
-    }
     val oldGen = generation(spark, dir)
     // retried appends leave byte-identical posting copies; the rebuild
     // is the other maintenance pass that collapses them
@@ -504,9 +519,8 @@ object IvfIndex {
         s"generation=${oldGen + 1}\nnlist=$newNlist\n")
     } finally assigned.unpersist()
     // the point of no return: staging is COMPLETE, readers now throw
-    // until the swap finishes, and any crash below rolls forward
+    // until the swap finishes, and any crash after this rolls forward
     writeFileAtomic(hfs, markerPath, s"from_generation=$oldGen\n")
-    completePendingRebuild(spark, dir)
     centers
   }
 

@@ -907,6 +907,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(md5Of(s"${DailyIngest.textStore(rootS)}/bloom.bin") ==
       md5Of(s"${DailyIngest.textStore(rootB)}/bloom.bin"),
       "stream and batch content blooms must be byte-identical")
+    // right-to-be-forgotten against the STREAM-built root: the ledger
+    // and store formats are shared with the batch path, so takedown
+    // needs no streaming-specific code — prove it (ADVICE r17 optional)
+    import spark.implicits._
+    val vic = spark.read.parquet(DailyIngest.textOut(rootS, 0))
+      .select("doc_id").orderBy("doc_id").limit(1)
+      .collect().map(_.getLong(0)).head
+    DailyIngest.takedown(spark, rootS, docs,
+      emptyMedia.withColumn("day", lit(0)),
+      Seq(vic).toDF("doc_id"), Seq.empty[Long].toDF("media_id"),
+      takedownId = "s1")
+    assert(spark.read.parquet(DailyIngest.textOut(rootS, 0))
+      .where(col("doc_id") === vic).count() == 0,
+      "the victim must leave the stream-built root's day output")
+    assert(graft.ops.MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(rootS))
+      .where(col("doc_id") === vic).count() == 0,
+      "the victim must leave the stream-built root's band store")
+    assert(new java.io.File(s"$rootS/_ledger/takedown_s1").exists(),
+      "takedown completion marker on the stream-built root")
   }
 
   test("streaming store novelty (all kinds) equals its batch twin") {

@@ -323,4 +323,76 @@ class DailyIngestSpec extends AnyFunSuite {
     assert(runBoth(200) == 1L,
       "under a 200-char key the divergent tails make docB novel")
   }
+
+  test("takedown: transitive expansion sweeps a SEEN-but-SHED duplicate; the expansion is STAGED so a crash-retry converges") {
+    import spark.implicits._
+    // day 0: A and its near-dup B (an EARLY token edited → different
+    // exact key, est-Jaccard ≈ 0.83 — far above the 0.5 bar) — B is
+    // shed within-day yet RECORDED (SEEN-vs-KEPT); C is unrelated
+    val tA = "the alpha beaver carries driftwood and the river bends " +
+      "while the morning light settles over the quiet valley where the " +
+      "tall pines watch and the cold water runs toward the eastern shore"
+    val tB = tA.replaceFirst("alpha", "omega")
+    val tC = "the copper lantern hums beside the harbor wall and the " +
+      "evening ferries drift past while the old keeper counts silver " +
+      "fishes under the warm lamplight near the wooden pier tonight"
+    def mk(rows: Seq[(Long, String, String)]) = rows
+      .toDF("doc_id", "url", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("w"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("day", lit(0))
+    val docs = mk(Seq((1L, "https://t.ex/a", tA), (2L, "https://t.ex/b", tB),
+      (3L, "https://t.ex/c", tC)))
+    val media0 = graft.multimodal.Multimodal.syntheticMedia(spark, dir).limit(0)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("di-td-retry").toString
+    DailyIngest.ingestDay(spark, docs, media0, bench, root, 0)
+    val out0 = spark.read.parquet(DailyIngest.textOut(root, 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out0 == Set(1L, 3L), s"B must shed within-day: $out0")
+    assert(MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root))
+      .where(col("doc_id") === 2L).count() > 0,
+      "B's signature must be recorded though B was shed")
+    // takedown A: the transitive expansion must sweep B — a takedown
+    // that only forgot A would leave the stores recognizing A's
+    // content through B's recorded bands
+    DailyIngest.takedown(spark, root, docs, media0,
+      Seq(1L).toDF("doc_id"), Seq.empty[Long].toDF("media_id"),
+      takedownId = "t1")
+    assert(MinHashBandStore.loadSigs(spark, DailyIngest.mhStore(root))
+      .where(col("doc_id").isin(1L, 2L)).count() == 0,
+      "A and its shed duplicate B must both leave the band store")
+    assert(new java.io.File(s"$root/_ledger/takedown_t1.victims/.staged").exists(),
+      "the expanded victim set must be staged (two-phase)")
+    def bloomMd5() = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"${DailyIngest.textStore(root)}/bloom.bin")))
+      .map("%02x".format(_)).mkString
+    val snap = bloomMd5()
+    // re-crawls probe one at a time (A's and B's re-crawls near-dup
+    // EACH OTHER — sharing a day would shed the later one within-day)
+    def probe(text: String, id: Long): Set[Long] = {
+      val (txt, _) = DailyIngest.probeDay(spark,
+        mk(Seq((id, s"https://t.ex/r$id", text))).drop("day"),
+        media0, bench, root)
+      txt.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(probe(tA, 101L) == Set(101L), "A's re-crawl must be novel")
+    assert(probe(tB, 102L) == Set(102L),
+      "the SHED duplicate B's re-crawl must be novel too")
+    assert(probe(tC, 103L).isEmpty, "the control's copy must still be shed")
+    // crash just before the completion marker: delete it and re-run.
+    // The retry must REUSE the staged expansion — recomputing it from
+    // the now-mutated stores would find nothing beyond A and re-admit
+    // B's key into the rebuilt content bloom
+    assert(new java.io.File(s"$root/_ledger/takedown_t1").delete(),
+      "test setup: simulate the pre-marker crash")
+    DailyIngest.takedown(spark, root, docs, media0,
+      Seq(1L).toDF("doc_id"), Seq.empty[Long].toDF("media_id"),
+      takedownId = "t1")
+    assert(bloomMd5() == snap,
+      "the retry must converge byte-identically (staged expansion reused)")
+    assert(probe(tB, 104L) == Set(104L),
+      "B's re-crawl must STILL be novel after the crash-retry")
+  }
 }

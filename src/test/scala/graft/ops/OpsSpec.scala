@@ -655,6 +655,45 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(matched == Set(900001L),
       s"the copy must match and the disjoint vector must not: $matched")
   }
+
+  test("rebuild: a crash between staging and swap rolls FORWARD; readers throw until complete; rows preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-rebuild").toString
+    IvfIndex.build(emb, dir, nlist = 8)
+    val preRows = spark.read.parquet(s"$dir/postings.parquet")
+      .select("id", "nrm").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    // crash point 1: staging complete + inprogress marker, ZERO swaps —
+    // every reader must refuse the possibly-mixed-generation store
+    IvfIndex.stageRebuild(spark, dir, newNlist = 16)
+    val e = intercept[java.io.IOException](IvfIndex.loadCenters(spark, dir))
+    assert(e.getMessage.contains("pending rebuild"))
+    // crash point 2 (deeper): the first component's live→trash rename
+    // landed but its staged→live did not — live centers are GONE
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/centers.parquet"),
+      new org.apache.hadoop.fs.Path(s"$dir/.trash_rebuild_centers.parquet")),
+      "test setup: simulate the mid-swap crash")
+    // a NEW rebuild call first completes the pending swap from the
+    // still-complete staging (generation 1), then runs the requested
+    // rebuild (generation 2)
+    val centers2 = IvfIndex.rebuild(spark, dir, newNlist = 16)
+    assert(IvfIndex.generation(spark, dir) == 2,
+      "roll-forward bumps once, the requested rebuild bumps again")
+    assert(centers2.length == 16)
+    val postRows = spark.read.parquet(s"$dir/postings.parquet")
+      .select("id", "nrm").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted
+    assert(postRows.sameElements(preRows),
+      "posting rows (id, nrm) must survive both rebuilds bit-level")
+    assert(IvfIndex.search(spark, dir, emb, k = 3, nprobe = 4).count() > 0,
+      "the recovered store must serve")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/rebuild.inprogress")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_rebuild_staging")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .forall(!_.getPath.getName.startsWith(".trash_rebuild")),
+      "no rebuild trash left behind")
+  }
 }
 
 class MinHashBandStoreSpec extends AnyFunSuite {
