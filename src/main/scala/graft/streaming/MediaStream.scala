@@ -198,4 +198,49 @@ object MediaStream {
       .format("memory")
       .queryName(name)
       .start()
+
+  /** The MEDIA side of the daily-ingest keystone as ONE streaming query
+    * — the composed, ledgered counterpart of the per-stage twins above
+    * and the media mirror of [[DocsStream.startDailyIngestQuery]]: each
+    * arriving file batch is one "day" whose assets flow quality
+    * pre-filters → within-day store-parity near-dup pairs → perceptual
+    * store novelty → per-day survivor outputs AND packed byte shards,
+    * with the signature store appended with what the day SAW. The
+    * batch's `batchId` IS the ledger day, so foreachBatch replay + the
+    * two-phase ledger compose into exactly-once appends — the identical
+    * construction, and in fact the identical CODE: each micro-batch
+    * runs [[graft.examples.DailyIngest.ingestDay]] with an empty doc
+    * frame, so the media branch executes the very composition the
+    * batch keystone gates bit-level (stream ≡ batch needs no separate
+    * proof of the decision functions, only of the day routing — which
+    * the spec pins by store/output byte equality against a batch-built
+    * root). Text stages run empty and the text blooms accumulate only
+    * empty-day appends.
+    *
+    * The per-batch benchmark bloom is built and destroyed inside
+    * ingestDay — an unbounded micro-batch loop must not accumulate
+    * broadcasts. */
+  def startDailyIngestQuery(spark: SparkSession, dir: String,
+      checkpoint: String, root: String, benchDocs: DataFrame,
+      cfg: graft.examples.DailyIngest.IngestConfig =
+        graft.examples.DailyIngest.IngestConfig()): StreamingQuery = {
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      DocsStream.crawlDocSchema)
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("embedding", ArrayType(DoubleType)))))
+    spark.readStream.schema(mediaSchema)
+      .option("maxFilesPerTrigger", 1) // one staged file = one day
+      .parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.examples.DailyIngest.ingestDay(spark, emptyDocs, batch,
+          benchDocs, root, batchId.toInt, cfg,
+          dayEmb = Some(emptyEmb)): Unit
+      }
+      .start()
+  }
 }

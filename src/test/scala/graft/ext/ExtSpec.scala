@@ -928,6 +928,70 @@ class StreamingSpec extends AnyFunSuite {
       "takedown completion marker on the stream-built root")
   }
 
+  test("streaming MEDIA daily ingest: batchId-ledgered stream equals batch ingestDay per day (outputs, store, shard bytes)") {
+    import graft.examples.DailyIngest
+    import graft.streaming.{DocsStream, MediaStream}
+    import graft.ops.OpsQueries
+    val media = OpsQueries.dailyMedia(spark, dir, 1)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    val mCols = MediaStream.mediaSchema.fieldNames.map(col).toSeq
+    val day0 = media.where(col("day") === 0).select(mCols: _*)
+    val day1 = media.where(col("day") === 1).select(mCols: _*)
+    def emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      DocsStream.crawlDocSchema)
+    def emptyEmb = spark.range(0)
+      .select(col("id").as("doc_id"),
+        lit(null).cast("array<double>").as("embedding"))
+    // batch twin: the same two media days through ingestDay directly
+    val rootB = java.nio.file.Files.createTempDirectory("mi-stream-batch").toString
+    DailyIngest.ingestDay(spark, emptyDocs, day0, bench, rootB, 0,
+      dayEmb = Some(emptyEmb))
+    DailyIngest.ingestDay(spark, emptyDocs, day1, bench, rootB, 1,
+      dayEmb = Some(emptyEmb))
+    // stream: one staged file per day, mtime-ordered
+    val streamDir = java.nio.file.Files.createTempDirectory("mi-stream-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mi-stream-ckpt").toString
+    val rootS = java.nio.file.Files.createTempDirectory("mi-stream-root").toString
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"mi-stage-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime), "test setup: mtime must stick")
+    }
+    val now = System.currentTimeMillis()
+    stageFile(day0, "day0.parquet", now - 120000)
+    stageFile(day1, "day1.parquet", now - 60000)
+    val q = MediaStream.startDailyIngestQuery(spark, streamDir, ckpt, rootS, bench)
+    try q.processAllAvailable() finally q.stop()
+    (0 to 1).foreach { day =>
+      val b = spark.read.parquet(DailyIngest.mediaOut(rootB, day))
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      val st = spark.read.parquet(DailyIngest.mediaOut(rootS, day))
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(b.nonEmpty, s"fixture sanity: day $day must keep assets")
+      assert(st == b, s"stream/batch media divergence on day $day: ${st.size} vs ${b.size}")
+      // the packed BYTE shards are identical streams: same survivors,
+      // same pack order, same budgets
+      def shardMd5s(root: String) = spark.read
+        .parquet(DailyIngest.mediaShardOut(root, day))
+        .select(col("kind"), col("shard"), md5(col("shard_bytes")).as("m"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(shardMd5s(rootS) == shardMd5s(rootB),
+        s"stream/batch shard-byte divergence on day $day")
+    }
+    // the signature stores the two paths accumulated hold the same rows
+    def sigRows(root: String) = graft.multimodal.SignatureStore
+      .load(spark, DailyIngest.sigStore(root))
+      .select("media_id", "kind", "sig")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(sigRows(rootS) == sigRows(rootB),
+      "stream and batch signature stores must hold the same rows")
+  }
+
   test("streaming store novelty (all kinds) equals its batch twin") {
     import graft.multimodal.{Multimodal, MultimodalQueries, SignatureStore}
     import graft.streaming.MediaStream
