@@ -2314,12 +2314,16 @@ object OpsQueries {
         .where(col("media_id") % 7 === 1).limit(6).localCheckpoint(true)
       val probeMedia = recrawlMedia(vMedia, VR)
         .unionByName(recrawlMedia(mControls, CR))
-      val (ptxt, pmed) = DailyIngest.probeDay(s, probeDocs, probeMedia,
-        bench, root, benchBloom = Some(bloom),
+      // tracked probes + sweep: two probe days per call would pin two
+      // cache sets per bench rep under storage LRU (the dailyIngest
+      // bench-loop discipline)
+      val rddsBefore = DailyIngest.rddIds(s)
+      val (ptxt, pmed, caches1) = DailyIngest.probeDayTracked(s, probeDocs,
+        probeMedia, root, benchBloom = bloom,
         dayEmb = Some(probeEmb), cfg = cfg)
-      val (ptxt2, _) = DailyIngest.probeDay(s,
+      val (ptxt2, _, caches2) = DailyIngest.probeDayTracked(s,
         recrawlDocs(shedTwins, TR, "trecrawl"), probeMedia.where(lit(false)),
-        bench, root, benchBloom = Some(bloom),
+        root, benchBloom = bloom,
         dayEmb = Some(embAll.drop("day").limit(0)), cfg = cfg)
       val out = ptxt.select(col("doc_id").as("id"), lit("text").as("family"))
         .unionByName(ptxt2.select(col("doc_id").as("id"), lit("text2").as("family")))
@@ -2332,6 +2336,7 @@ object OpsQueries {
         .unionByName(controls.select(col("doc_id").as("id"), lit("control_doc").as("family")))
         .unionByName(mControls.select(col("media_id").as("id"), lit("control_media").as("family")))
       val rows = out.collect()
+      DailyIngest.sweepCaches(s, rddsBefore, caches1 ++ caches2)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally bloom.destroy()
   } { (s, d, res) =>
