@@ -888,8 +888,11 @@ object DailyIngest {
     * the caller owns its uniqueness per distinct victim set.
     *
     * `docs`/`media` are the SAME full concatenated frames the ingest
-    * run consumed (the raw data lake: day + url + text / payloads) —
-    * the bloom rebuilds and shard re-packs need them. Ledger markers
+    * run consumed (the raw data lake: day + url + text / payloads —
+    * BOTH frames must carry `day`: the shard re-pack scope is derived
+    * from the lake, not from the delete's return, so a crash-retry
+    * still re-packs days whose victim rows an earlier attempt already
+    * deleted). Ledger markers
     * are ingest-time records and deliberately keep their original
     * counts (they answer "what did day N see/keep at ingest", not a
     * post-takedown census). */
@@ -963,38 +966,61 @@ object DailyIngest {
       NoveltyBloomStore.build(s0, textStore(root),
         prefixChars = pc, fpp = fpp, capacity = cap)
     }
-    // survivor outputs: only victim-holding day partitions rewritten
-    val affectedTextDays = graft.io.Layout.deleteRows(spark,
-      s"$root/corpus/text", vDocs, "doc_id", "day")
-    val affectedMediaDays = graft.io.Layout.deleteRows(spark,
-      s"$root/corpus/media", vMedia, "media_id", "day")
+    // survivor outputs: only victim-holding day partitions rewritten.
+    // AFFECTED DAYS come from the STAGED victim set joined to the lake,
+    // NOT from deleteRows' return: the delete's post-hoc semi-join is
+    // empty on a crash-retry (rows already gone), and deriving the
+    // re-pack scope from it would permanently skip the shard re-packs —
+    // victim bytes left in the streams with the completion marker down,
+    // exactly the takedown theater phase 2 exists to prevent. The
+    // lake-derived set is retry-stable (a superset on days where the
+    // victim never survived to the output — the re-pack is idempotent
+    // there).
+    val affectedTextDays = docs.join(vDocs, Seq("doc_id"), "left_semi")
+      .select(col("day").cast("int")).distinct().collect().map(_.getInt(0))
+    val affectedMediaDays = media.join(vMedia, Seq("media_id"), "left_semi")
+      .select(col("day").cast("int")).distinct().collect().map(_.getInt(0))
+    graft.io.Layout.deleteRows(spark, s"$root/corpus/text", vDocs,
+      "doc_id", "day")
+    graft.io.Layout.deleteRows(spark, s"$root/corpus/media", vMedia,
+      "media_id", "day")
     // re-pack the affected days' TEXT byte shards: the assembled
     // streams physically contain victim text, so the row deletion
-    // above alone would be takedown theater — same reasoning as media
-    affectedTextDays.map(_.toInt).foreach { day =>
-      val surv = spark.read.parquet(textOut(root, day))
-      val texts = surv.join(docs.select("doc_id", "text"), Seq("doc_id"))
-      graft.ops.Corpus.shardTextIndex(texts, partitionKey = col("source"),
-          order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
-          budget = cfg.shardBudgetBpe)
-        .select(col("doc_id"), col("source"), col("shard"),
-          col("offset"), col("nchars"))
-        .write.mode("overwrite").parquet(textIndexOut(root, day))
-      graft.ops.Corpus.assembleTextShards(texts, partitionKey = col("source"),
-          order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
-          budget = cfg.shardBudgetBpe)
-        .write.mode("overwrite").parquet(textShardOut(root, day))
+    // above alone would be takedown theater — same reasoning as media.
+    // A day whose EVERY row was a victim reads back empty (deleteRows
+    // leaves the partition deleted) — its shards must still be
+    // rewritten, to empty streams.
+    affectedTextDays.foreach { day =>
+      val texts = readDayOrEmpty(spark, textOut(root, day),
+          "doc_id bigint, source string, n_bpe int")
+        .join(docs.select("doc_id", "text"), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.ops.Corpus.shardTextIndex(texts, partitionKey = col("source"),
+            order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
+            budget = cfg.shardBudgetBpe)
+          .select(col("doc_id"), col("source"), col("shard"),
+            col("offset"), col("nchars"))
+          .write.mode("overwrite").parquet(textIndexOut(root, day))
+        graft.ops.Corpus.assembleTextShards(texts, partitionKey = col("source"),
+            order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
+            budget = cfg.shardBudgetBpe)
+          .write.mode("overwrite").parquet(textShardOut(root, day))
+      } finally texts.unpersist()
     }
     // re-pack the affected days' media byte shards from surviving payloads
-    affectedMediaDays.map(_.toInt).foreach { day =>
-      val surviving = spark.read.parquet(mediaOut(root, day))
-        .select("media_id")
+    affectedMediaDays.foreach { day =>
+      val surviving = readDayOrEmpty(spark, mediaOut(root, day),
+        "media_id bigint, kind string").select("media_id")
       val payloads = media.join(surviving, Seq("media_id"), "left_semi")
         .select(col("media_id"), col("kind"), col("content"))
-      Multimodal.shardIndex(payloads, cfg.mediaShardBudgetBytes)
-        .write.mode("overwrite").parquet(mediaIndexOut(root, day))
-      Multimodal.assembleShards(payloads, cfg.mediaShardBudgetBytes)
-        .write.mode("overwrite").parquet(mediaShardOut(root, day))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Multimodal.shardIndex(payloads, cfg.mediaShardBudgetBytes)
+          .write.mode("overwrite").parquet(mediaIndexOut(root, day))
+        Multimodal.assembleShards(payloads, cfg.mediaShardBudgetBytes)
+          .write.mode("overwrite").parquet(mediaShardOut(root, day))
+      } finally payloads.unpersist()
     }
     // completion marker LAST — its absence after a crash means the
     // takedown must be re-run (each step above is idempotent against
@@ -1055,6 +1081,19 @@ object DailyIngest {
     (vDocs.unionByName(exactPartners).unionByName(mhPartners)
        .unionByName(semPartners).distinct(),
      vMedia.unionByName(sigPartners).distinct())
+  }
+
+  /** Read a per-day output directory, or a schema'd EMPTY frame when
+    * the directory is absent or file-less — the state
+    * [[graft.io.Layout.deleteRows]] leaves behind when a day's every
+    * row was a victim (the partition is deleted, not emptied). */
+  private def readDayOrEmpty(spark: SparkSession, path: String,
+      ddl: String): DataFrame = {
+    val (p, f) = fs(spark, path)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    if (f.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Tmp+rename marker write (the [[writeCounts]] discipline) for

@@ -183,7 +183,14 @@ object Layout {
         val trash = new org.apache.hadoop.fs.Path(root,
           s".trash_delete_${token}_$partCol=$v")
         move(live, trash)
-        move(fresh, live)
+        // a partition whose EVERY row was a victim stages no directory
+        // at all (partitionBy emits nothing for zero rows): the correct
+        // end-state is the partition REMOVED, not a thrown half-swap
+        // that strands the old data in trash while later retries see
+        // nothing left to delete
+        if (fs.exists(fresh)) move(fresh, live)
+        else System.err.println(s"[layout] NOTE deleteRows: every row of " +
+          s"$partCol=$v was deleted — partition removed")
         // trash still CONTAINS the victim rows — for a takedown /
         // right-to-be-forgotten primitive a failed trash delete means
         // the data subject's rows persist on disk, so it throws (unlike

@@ -1362,6 +1362,13 @@ object OpsQueries {
   private[graft] val PlantedUrlVarBase = 1L << 42
   private[graft] val PlantedMediaTwinBase = 1L << 43
   private[graft] val PlantedMediaFreshBase = 1L << 44
+  // pipeline_takedown re-crawl id offsets — DISJOINT from every planted
+  // range (which occupy [1<<40, 4<<45)); shared by the query fn and its
+  // gate so they cannot drift (the first draft's fn-local VR = 1<<45
+  // equalled PlantedSemTwinBase and masked the twin-leak gate)
+  private val TakedownVR = 1L << 50
+  private val TakedownTR = TakedownVR + (1L << 48)
+  private val TakedownCR = TakedownVR + (1L << 49)
   private[graft] val PlantedSemTwinBase = 1L << 45     // [1<<45, 2<<45)
   private[graft] val PlantedSemChain1Base = 2L << 45   // [2<<45, 3<<45)
   private[graft] val PlantedSemChain2Base = 3L << 45   // [3<<45, 4<<45)
@@ -2272,18 +2279,23 @@ object OpsQueries {
         .join(mPairs.select(col("id_b").as("media_id"))
             .unionByName(mPairs.select(col("id_a").as("media_id"))),
           Seq("media_id"), "left_anti").localCheckpoint(true)
-      // expansion snapshot BEFORE the deletes (the gate's truth set)
-      val (expDocs0, expMedia0) = DailyIngest.expandVictims(s, root, docs,
-        vDocs, vMedia, cfg)
-      val expDocs = expDocs0.localCheckpoint(true)
-      val expMedia = expMedia0.localCheckpoint(true)
       DailyIngest.takedown(s, root, docs, media, vDocs, vMedia, cfg,
         takedownId = "gate")
+      // the gate's expansion truth set is takedown's own STAGED victim
+      // set (persisted pre-mutation, reused on retry) — reading it back
+      // both avoids a second four-store expansion pass and verifies the
+      // staging is what actually got forgotten
+      val stageDir = s"$root/_ledger/takedown_gate.victims"
+      val expDocs = s.read.parquet(s"$stageDir/docs").localCheckpoint(true)
+      val expMedia = s.read.parquet(s"$stageDir/media").localCheckpoint(true)
       // ---- post-takedown probe day: re-crawls of victim / shed-twin /
-      // control content at fresh ids and urls
-      val VR = 1L << 45            // victim re-crawl ids
-      val TR = VR + (1L << 43)     // shed-twin re-crawl ids
-      val CR = VR + (1L << 44)     // control re-crawl ids
+      // control content at fresh ids and urls. Offsets DISJOINT from
+      // every planted-fixture range (which occupy [1<<40, 4<<45)): the
+      // first draft's VR = 1<<45 equalled PlantedSemTwinBase, so a
+      // semantic victim's re-crawl carried its own planted twin's id —
+      // and the probe's same-id exclusion would MASK exactly the
+      // leaked-twin suppression victim_recrawls_novel exists to catch
+      val vr = TakedownVR; val tr = TakedownTR; val cr = TakedownCR
       def recrawlDocs(bases: DataFrame, off: Long, src: String) = docs
         .join(bases, Seq("doc_id"), "left_semi")
         .select((col("doc_id") + off).as("doc_id"),
@@ -2300,11 +2312,11 @@ object OpsQueries {
       // OTHER, so sharing a probe day would (correctly) shed the
       // later-id twin within-day — which is pipeline behavior, not
       // store memory, and not what this gate measures
-      val probeDocs = recrawlDocs(vDocs, VR, "vrecrawl")
-        .unionByName(recrawlDocs(controls, CR, "crecrawl"))
+      val probeDocs = recrawlDocs(vDocs, vr, "vrecrawl")
+        .unionByName(recrawlDocs(controls, cr, "crecrawl"))
       val probeEmb = embAll.drop("day")
         .join(vDocs, Seq("doc_id"), "left_semi")
-        .select((col("doc_id") + VR).as("doc_id"), col("embedding"))
+        .select((col("doc_id") + vr).as("doc_id"), col("embedding"))
       def recrawlMedia(bases: DataFrame, off: Long) = media
         .join(bases, Seq("media_id"), "left_semi")
         .select((col("media_id") + off).as("media_id"), col("kind"),
@@ -2312,8 +2324,8 @@ object OpsQueries {
           col("sample_rate"), col("content"), lit(D + 1).cast("int").as("day"))
       val mControls = m0Out.join(expMedia, Seq("media_id"), "left_anti")
         .where(col("media_id") % 7 === 1).limit(6).localCheckpoint(true)
-      val probeMedia = recrawlMedia(vMedia, VR)
-        .unionByName(recrawlMedia(mControls, CR))
+      val probeMedia = recrawlMedia(vMedia, vr)
+        .unionByName(recrawlMedia(mControls, cr))
       // tracked probes + sweep: two probe days per call would pin two
       // cache sets per bench rep under storage LRU (the dailyIngest
       // bench-loop discipline)
@@ -2322,7 +2334,7 @@ object OpsQueries {
         probeMedia, root, benchBloom = bloom,
         dayEmb = Some(probeEmb), cfg = cfg)
       val (ptxt2, _, caches2) = DailyIngest.probeDayTracked(s,
-        recrawlDocs(shedTwins, TR, "trecrawl"), probeMedia.where(lit(false)),
+        recrawlDocs(shedTwins, tr, "trecrawl"), probeMedia.where(lit(false)),
         root, benchBloom = bloom,
         dayEmb = Some(embAll.drop("day").limit(0)), cfg = cfg)
       val out = ptxt.select(col("doc_id").as("id"), lit("text").as("family"))
@@ -2409,20 +2421,18 @@ object OpsQueries {
     // ---- 4. the semantics flip --------------------------------------
     val kept = fam("text")
     val keptM = fam("media")
-    val VR = 1L << 45
-    val TR = VR + (1L << 43)
-    val CR = VR + (1L << 44)
-    val vRecrawls = fam("vdoc_orig").select((col("id") + VR).as("id"))
-    val tRecrawls = fam("shed_twin").select((col("id") + TR).as("id"))
-    val cRecrawls = fam("control_doc").select((col("id") + CR).as("id"))
+    val vr = TakedownVR; val tr = TakedownTR; val cr = TakedownCR
+    val vRecrawls = fam("vdoc_orig").select((col("id") + vr).as("id"))
+    val tRecrawls = fam("shed_twin").select((col("id") + tr).as("id"))
+    val cRecrawls = fam("control_doc").select((col("id") + cr).as("id"))
     val nVRecrawl = vRecrawls.count()
     val vRecrawlKept = kept.join(vRecrawls, Seq("id"), "left_semi").count()
     val nTRecrawl = tRecrawls.count()
     val tRecrawlKept = fam("text2").join(tRecrawls, Seq("id"), "left_semi").count()
     val nCRecrawl = cRecrawls.count()
     val cRecrawlKept = kept.join(cRecrawls, Seq("id"), "left_semi").count()
-    val vmRecrawls = fam("vmedia_orig").select((col("id") + VR).as("id"))
-    val cmRecrawls = fam("control_media").select((col("id") + CR).as("id"))
+    val vmRecrawls = fam("vmedia_orig").select((col("id") + vr).as("id"))
+    val cmRecrawls = fam("control_media").select((col("id") + cr).as("id"))
     val nVmRecrawl = vmRecrawls.count()
     val vmRecrawlKept = keptM.join(vmRecrawls, Seq("id"), "left_semi").count()
     val nCmRecrawl = cmRecrawls.count()

@@ -343,7 +343,10 @@ class DailyIngestSpec extends AnyFunSuite {
       .withColumn("day", lit(0))
     val docs = mk(Seq((1L, "https://t.ex/a", tA), (2L, "https://t.ex/b", tB),
       (3L, "https://t.ex/c", tC)))
-    val media0 = graft.multimodal.Multimodal.syntheticMedia(spark, dir).limit(0)
+    // takedown's media lake needs a day column (the re-pack scope is
+    // lake-derived — retry-stable, see the takedown scaladoc)
+    val media0 = graft.multimodal.Multimodal.syntheticMedia(spark, dir)
+      .limit(0).withColumn("day", lit(0))
     val bench = OpsQueries.dailyBench(spark, dir)
     val root = java.nio.file.Files.createTempDirectory("di-td-retry").toString
     DailyIngest.ingestDay(spark, docs, media0, bench, root, 0)
