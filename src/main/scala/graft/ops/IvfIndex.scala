@@ -473,6 +473,78 @@ object IvfIndex {
     centers
   }
 
+  /** What [[rebuildAdvice]] returns — the measured state and the
+    * policy's verdict. `reason` ∈ {none, capacity, drift,
+    * capacity+drift}. */
+  final case class RebuildAdvice(generation: Int, nlist: Int,
+      postings: Long, meanPostingsPerCell: Double,
+      recentDriftedFrac: Double, recommend: Boolean, suggestedNlist: Int,
+      reason: String)
+
+  /** The POLICY connecting the drift monitor to the [[rebuild]]
+    * actuator — detection alone is the "flags drift but nothing acts"
+    * half of a maintenance loop. Two independent triggers:
+    *
+    *  - **capacity**: mean postings per cell above
+    *    `targetPostingsPerCell`. Per-day probe cost is O(probed-cell
+    *    mass), and under a frozen quantizer per-cell mass grows
+    *    linearly with the corpus — this is the growth signal. Suggests
+    *    the next power-of-two nlist that brings the mean back under
+    *    target, at least 2× current (a rebuild is a full re-assign
+    *    pass; make it count).
+    *  - **drift**: ≥ `driftedFracBar` of the last `driftWindow`
+    *    NON-EMPTY drift-log rows flagged (empty batches carry no
+    *    distribution evidence — the [[appendDriftStats]] contract).
+    *    The corpus MOVED rather than grew, so the suggestion keeps the
+    *    current nlist: retraining re-centers the quantizer and
+    *    refreshes the drift reference.
+    *
+    * Reads three scalars (generation, nlist, postings count) and one
+    * bounded log tail — safe to evaluate after every append at any
+    * corpus size. Callers act with
+    * `rebuild(spark, dir, advice.suggestedNlist)`; a completed rebuild
+    * clears both triggers (per-cell mass re-bounded, drift log
+    * restarted under the new reference), which OpsSpec pins as the
+    * full detect → recommend → act → clear loop. */
+  def rebuildAdvice(spark: SparkSession, dir: String,
+      targetPostingsPerCell: Long = 1L << 20,
+      driftWindow: Int = 7, driftedFracBar: Double = 0.5): RebuildAdvice = {
+    require(targetPostingsPerCell >= 1, "targetPostingsPerCell >= 1")
+    require(driftWindow >= 1, "driftWindow >= 1")
+    requireNoPendingRebuild(spark, dir)
+    val gen = generation(spark, dir)
+    val nlist = loadCenters(spark, dir).length
+    val nPost = spark.read.parquet(s"$dir/postings.parquet").count()
+    val mean = nPost.toDouble / math.max(1, nlist)
+    val recentDrifted = scala.util.Try(
+        spark.read.parquet(s"$dir/drift_log.parquet")).toOption
+      .map { log =>
+        val tail = log.where(col("n") > 0)
+          .orderBy(col("batch").desc).limit(driftWindow)
+          .select(col("drifted").cast("double")).collect()
+        if (tail.isEmpty) 0.0
+        else tail.map(_.getDouble(0)).sum / tail.length
+      }.getOrElse(0.0)
+    val capacity = mean > targetPostingsPerCell
+    val drift = recentDrifted >= driftedFracBar
+    val suggested =
+      if (!capacity) nlist
+      else {
+        val needed = math.ceil(nPost.toDouble / targetPostingsPerCell)
+        var p = 1
+        while (p < needed && p < (1 << 30)) p <<= 1
+        math.max(p, 2 * nlist)
+      }
+    val reason = (capacity, drift) match {
+      case (true, true)   => "capacity+drift"
+      case (true, false)  => "capacity"
+      case (false, true)  => "drift"
+      case (false, false) => "none"
+    }
+    RebuildAdvice(gen, nlist, nPost, mean, recentDrifted,
+      capacity || drift, suggested, reason)
+  }
+
   /** Phase 1 of [[rebuild]] — train, re-assign, stage all four
     * components, write the inprogress marker (the point of no return:
     * readers throw until [[completePendingRebuild]] swaps). Exposed for

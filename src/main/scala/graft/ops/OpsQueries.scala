@@ -464,6 +464,67 @@ object OpsQueries {
         head.getLong(7) == 1))
   }
 
+  /** The maintenance-policy loop over the persistent IVF store —
+    * detect (drift log + per-cell mass) → recommend
+    * ([[IvfIndex.rebuildAdvice]]) → act ([[IvfIndex.rebuild]] at the
+    * suggested nlist) → clear (the same advice call under the same
+    * knobs reads quiet). Four policy evaluations over one store's
+    * lifecycle, one row each; the gates pin every transition. */
+  val annIvfRebuildPolicy: Q = Q.gated("ann_ivf_rebuild_policy") { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-policy").toString
+    IvfIndex.build(emb.where(pmod(col("vec_id"), lit(10)) < 6), dir, nlist = 4)
+    IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)).isin(6, 7)), dir)
+    // window 2 everywhere: the two shifted appends below must OWN the
+    // drift verdict (a longer window would dilute them with the quiet
+    // append's row)
+    val quiet = IvfIndex.rebuildAdvice(s, dir,
+      targetPostingsPerCell = 1L << 20, driftWindow = 2)
+    IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === 8)
+      .withColumn("embedding", expr("transform(embedding, x -> x + 0.5f)")), dir)
+    IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === 9)
+      .withColumn("embedding", expr("transform(embedding, x -> x + 0.5f)")), dir)
+    val drifted = IvfIndex.rebuildAdvice(s, dir,
+      targetPostingsPerCell = 1L << 20, driftWindow = 2)
+    // capacity: a per-cell budget the corpus has outgrown
+    val tight = IvfIndex.rebuildAdvice(s, dir,
+      targetPostingsPerCell = 50, driftWindow = 2)
+    IvfIndex.rebuild(s, dir, newNlist = tight.suggestedNlist)
+    val after = IvfIndex.rebuildAdvice(s, dir,
+      targetPostingsPerCell = 50, driftWindow = 2)
+    Seq(quiet -> "quiet", drifted -> "drifted", tight -> "tight",
+        after -> "after")
+      .map { case (a, stage) => (stage, a.generation, a.nlist, a.postings,
+        a.meanPostingsPerCell, a.recentDriftedFrac, a.recommend,
+        a.suggestedNlist, a.reason) }
+      .toDF("stage", "generation", "nlist", "postings", "mean_per_cell",
+        "recent_drifted_frac", "recommend", "suggested_nlist", "reason")
+  } { (s, d, res) =>
+    val by = res.collect().map(r => r.getString(0) -> r).toMap
+    val quiet = by("quiet"); val drifted = by("drifted")
+    val tight = by("tight"); val after = by("after")
+    def rec(r: org.apache.spark.sql.Row) = r.getAs[Boolean]("recommend")
+    Seq(
+      Gate("quiet_not_recommended", if (rec(quiet)) 1 else 0,
+        !rec(quiet) && quiet.getAs[String]("reason") == "none"),
+      Gate("drift_recommended_same_nlist",
+        drifted.getAs[Int]("suggested_nlist").toDouble,
+        rec(drifted) && drifted.getAs[String]("reason") == "drift" &&
+          drifted.getAs[Int]("suggested_nlist") == drifted.getAs[Int]("nlist")),
+      Gate("capacity_recommends_growth",
+        tight.getAs[Int]("suggested_nlist").toDouble,
+        rec(tight) && tight.getAs[String]("reason").contains("capacity") &&
+          tight.getAs[Int]("suggested_nlist") >= 2 * tight.getAs[Int]("nlist") &&
+          tight.getAs[Long]("postings").toDouble /
+            tight.getAs[Int]("suggested_nlist") <= 50),
+      Gate("acted_generation_bumped", after.getAs[Int]("generation").toDouble,
+        after.getAs[Int]("generation") == 1),
+      Gate("rebuild_clears_advice", if (rec(after)) 1 else 0,
+        !rec(after) && after.getAs[String]("reason") == "none" &&
+          after.getAs[Int]("nlist") == tight.getAs[Int]("suggested_nlist")))
+  }
+
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
     * cell candidates as IVF, but the index side of the join carries m=16
     * RESIDUAL code bytes (ARRAY<TINYINT>) instead of 64 doubles (32×
@@ -2490,7 +2551,7 @@ object OpsQueries {
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain,
-    annIvfRebuild, annPq,
+    annIvfRebuild, annIvfRebuildPolicy, annPq,
     semanticDups, canonical, retained, retainedQuality, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
     hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,

@@ -241,9 +241,25 @@ object DocsStream {
     * present), or recomputes against still-unmutated stores — the
     * identical crash-retry contract DailyIngestSpec drives in batch,
     * with no sink transactionality required. Survivors land under
-    * `DailyIngest.textOut(root, batchId)`; media/embedding branches
-    * run empty (this is the text-path twin; the media stream twins
-    * live in [[MediaStream]]).
+    * `DailyIngest.textOut(root, batchId)`; the media branch runs empty
+    * (this is the text-path twin; the media stream twins live in
+    * [[MediaStream]]).
+    *
+    * `embLookup` streams the EMBEDDING (fifth-store) branch: a static
+    * `(doc_id, embedding)` frame — the feature-store pattern, vectors
+    * keyed by document id — that each micro-batch semi-joins to its
+    * arriving ids to form the day's vector frame. Because the daily
+    * fixture (and any real crawl) assigns a document and its vector to
+    * the same day and doc ids are globally unique (the
+    * [[graft.examples.DailyIngest]] precondition), the id-keyed lookup
+    * slice EQUALS the batch path's per-day `dayEmb` frame, so the
+    * frozen-quantizer semantic stage probes, appends, and drift-logs
+    * exactly as `ingestDay` does in batch — ExtSpec pins postings and
+    * drift-log equality per day. Without `embLookup` the branch runs
+    * on an empty frame: probes nothing, appends nothing, drift logs
+    * the empty batch (still valid against a root that HAS an embedding
+    * store — text-only mode (dayEmb = None) would be rejected there,
+    * since a vector-less day would silently break batch equivalence).
     *
     * The per-batch benchmark bloom is built and destroyed inside
     * [[graft.examples.DailyIngest.ingestDay]] — an unbounded
@@ -251,7 +267,8 @@ object DocsStream {
   def startDailyIngestQuery(spark: SparkSession, dir: String,
       checkpoint: String, root: String, benchDocs: DataFrame,
       cfg: graft.examples.DailyIngest.IngestConfig =
-        graft.examples.DailyIngest.IngestConfig()): StreamingQuery = {
+        graft.examples.DailyIngest.IngestConfig(),
+      embLookup: Option[DataFrame] = None): StreamingQuery = {
     // the media fixture's full shape — the pipeline's image-quality
     // stage reads width/height metadata even from an empty frame
     val mediaSchema = StructType(Seq(
@@ -271,22 +288,24 @@ object DocsStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val emptyMedia = spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mediaSchema)
-        // an EMPTY embedding frame, not None: text-only mode (dayEmb =
-        // None) is rejected once an embedding store exists at the root
-        // (a vector-less day would neither probe nor append — batch
-        // equivalence silently broken), so a stream that may run
-        // against a root a batch run gave an embedding store passes
-        // the empty frame — probes nothing, appends nothing, drift
-        // logs the empty batch
-        val emptyEmb = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("embedding",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.DoubleType)))))
+        val dayEmb = embLookup match {
+          case Some(lk) =>
+            // the day's vectors = the lookup sliced by the ARRIVING ids
+            // (≡ the batch path's per-day frame; see scaladoc)
+            lk.join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+          case None =>
+            // an EMPTY frame, not None: probes nothing, appends
+            // nothing, drift logs the empty batch (see scaladoc)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("doc_id", LongType),
+                StructField("embedding",
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.DoubleType)))))
+        }
         graft.examples.DailyIngest.ingestDay(spark, batch, emptyMedia,
           benchDocs, root, batchId.toInt, cfg,
-          dayEmb = Some(emptyEmb)): Unit
+          dayEmb = Some(dayEmb)): Unit
       }
       .start()
   }

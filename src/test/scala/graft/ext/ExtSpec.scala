@@ -865,10 +865,16 @@ class StreamingSpec extends AnyFunSuite {
       lit("image").as("kind"), lit("image/png").as("mime"),
       lit(16).as("width"), lit(16).as("height"), lit(1).as("n_frames"),
       lit(0).as("sample_rate"), lit(null).cast("binary").as("content"))
+    // the embedding branch runs REAL vectors through both paths: the
+    // batch twin slices per day, the stream slices the same frame by
+    // each micro-batch's arriving ids (the embLookup contract)
+    val embAll = OpsQueries.dailyEmb(spark, dir, 1)
     // batch twin: the same two days through ingestDay directly
     val rootB = java.nio.file.Files.createTempDirectory("di-stream-batch").toString
-    DailyIngest.ingestDay(spark, day0, emptyMedia, bench, rootB, 0)
-    DailyIngest.ingestDay(spark, day1, emptyMedia, bench, rootB, 1)
+    DailyIngest.ingestDay(spark, day0, emptyMedia, bench, rootB, 0,
+      dayEmb = Some(embAll.where(col("day") === 0).drop("day")))
+    DailyIngest.ingestDay(spark, day1, emptyMedia, bench, rootB, 1,
+      dayEmb = Some(embAll.where(col("day") === 1).drop("day")))
     // stream: two staged files with ordered mtimes — one file per
     // micro-batch (maxFilesPerTrigger=1), so batchId 0 is day 0
     val streamDir = java.nio.file.Files.createTempDirectory("di-stream-in").toString
@@ -886,7 +892,8 @@ class StreamingSpec extends AnyFunSuite {
     val now = System.currentTimeMillis()
     stageFile(day0, "day0.parquet", now - 120000)
     stageFile(day1, "day1.parquet", now - 60000)
-    val q = DocsStream.startDailyIngestQuery(spark, streamDir, ckpt, rootS, bench)
+    val q = DocsStream.startDailyIngestQuery(spark, streamDir, ckpt, rootS, bench,
+      embLookup = Some(embAll.drop("day")))
     try q.processAllAvailable() finally q.stop()
     (0 to 1).foreach { day =>
       val b = spark.read.parquet(DailyIngest.textOut(rootB, day))
@@ -907,6 +914,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(md5Of(s"${DailyIngest.textStore(rootS)}/bloom.bin") ==
       md5Of(s"${DailyIngest.textStore(rootB)}/bloom.bin"),
       "stream and batch content blooms must be byte-identical")
+    // the EMBEDDING branch ran for real on both paths: same postings
+    // (id, cell) population under the same staged day-0 quantizer, same
+    // drift-log day coverage, and the planted semantic twins were SHED
+    // by the stream (the branch engaged — it did not run empty)
+    def postings(root: String) = spark.read
+      .parquet(s"${DailyIngest.embStore(root)}/postings.parquet")
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val pB = postings(rootB)
+    val pS = postings(rootS)
+    assert(pB.nonEmpty, "fixture sanity: the embedding store must hold vectors")
+    assert(pS == pB,
+      s"stream/batch embedding-store divergence: ${pS.size} vs ${pB.size} postings")
+    def driftDays(root: String) = spark.read
+      .parquet(s"${DailyIngest.embStore(root)}/drift_log.parquet")
+      .select("batch").collect().map(_.getLong(0)).sorted.toSeq
+    assert(driftDays(rootS) == driftDays(rootB),
+      "stream and batch drift logs must cover the same appended days")
+    // conditional truth, the pipeline_daily_ingest gate's discipline: a
+    // twin is shed iff its BASE's vector reached the store (a base
+    // dropped by day-0 hygiene never recorded a vector, and its
+    // paraphrase is then correctly novel)
+    val storeBases = pB.map(_._1)
+    val condTwins = docs
+      .where(col("doc_id") >= OpsQueries.PlantedSemTwinBase &&
+        col("doc_id") < OpsQueries.PlantedSemChain1Base)
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(id => storeBases.contains(id - OpsQueries.PlantedSemTwinBase))
+    assert(condTwins.nonEmpty,
+      "fixture sanity: some planted twin's base must hold a stored vector")
+    val day1Kept = spark.read.parquet(DailyIngest.textOut(rootS, 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val semLeaked = condTwins.count(day1Kept.contains)
+    assert(semLeaked == 0,
+      s"$semLeaked planted semantic twins survived the streamed embedding stage")
     // right-to-be-forgotten against the STREAM-built root: the ledger
     // and store formats are shared with the batch path, so takedown
     // needs no streaming-specific code — prove it (ADVICE r17 optional)

@@ -694,6 +694,45 @@ class IvfIndexSpec extends AnyFunSuite {
       .forall(!_.getPath.getName.startsWith(".trash_rebuild")),
       "no rebuild trash left behind")
   }
+
+  test("rebuildAdvice: detect → recommend → act → clear (capacity and drift triggers)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-advice").toString
+    IvfIndex.build(emb.where(col("vec_id") % 10 < 6), dir, nlist = 4)
+    val quiet = IvfIndex.rebuildAdvice(spark, dir,
+      targetPostingsPerCell = 1L << 20, driftWindow = 2)
+    assert(!quiet.recommend && quiet.reason == "none" && quiet.generation == 0,
+      s"fresh in-budget store must read quiet: $quiet")
+    // drift trigger: two shifted appends own the 2-row window; the
+    // corpus MOVED rather than grew, so the suggestion keeps nlist
+    (8 to 9).foreach { m =>
+      IvfIndex.append(emb.where(col("vec_id") % 10 === m)
+        .withColumn("embedding", expr("transform(embedding, x -> x + 0.5f)")), dir)
+    }
+    val drifted = IvfIndex.rebuildAdvice(spark, dir,
+      targetPostingsPerCell = 1L << 20, driftWindow = 2)
+    assert(drifted.recommend && drifted.reason == "drift" &&
+      drifted.suggestedNlist == drifted.nlist, s"$drifted")
+    // capacity trigger: a per-cell budget the corpus has outgrown; the
+    // suggested nlist must bound the mean back under it
+    val tight = IvfIndex.rebuildAdvice(spark, dir,
+      targetPostingsPerCell = 10, driftWindow = 2)
+    assert(tight.recommend && tight.reason == "capacity+drift", s"$tight")
+    assert(tight.suggestedNlist >= 2 * tight.nlist, s"$tight")
+    assert(tight.postings.toDouble / tight.suggestedNlist <= 10, s"$tight")
+    // act, then re-evaluate under the SAME knobs: both triggers clear
+    IvfIndex.rebuild(spark, dir, newNlist = tight.suggestedNlist)
+    val after = IvfIndex.rebuildAdvice(spark, dir,
+      targetPostingsPerCell = 10, driftWindow = 2)
+    assert(!after.recommend && after.reason == "none" &&
+      after.generation == 1 && after.nlist == tight.suggestedNlist,
+      s"a completed rebuild must clear the advice: $after")
+    // a routine empty append must not re-arm the drift trigger
+    IvfIndex.append(emb.where(lit(false)), dir)
+    val afterEmpty = IvfIndex.rebuildAdvice(spark, dir,
+      targetPostingsPerCell = 10, driftWindow = 2)
+    assert(!afterEmpty.recommend,
+      s"an empty append re-armed the trigger: $afterEmpty")
+  }
 }
 
 class MinHashBandStoreSpec extends AnyFunSuite {
