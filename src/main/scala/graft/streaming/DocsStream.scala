@@ -261,6 +261,18 @@ object DocsStream {
     * store — text-only mode (dayEmb = None) would be rejected there,
     * since a vector-less day would silently break batch equivalence).
     *
+    * `mediaLookup` composes the MEDIA branch into the same ledgered
+    * stream: a day-partitioned asset manifest (the media fixture's
+    * columns plus `day`) sliced by `day === batchId` per micro-batch —
+    * media ids are unrelated to doc ids, so the slice is day-keyed
+    * where the embedding lookup is id-keyed. With both lookups one
+    * stream drives ALL FIVE stores through the one `ingestDay` call a
+    * batch run makes, under the one per-root ledger (two separate
+    * family streams on one root would collide on the day markers: the
+    * second family's `ingestDay` for an already-completed day
+    * short-circuits). Omitted, the media branch runs empty — the
+    * text-path twin, with the media stream twins in [[MediaStream]].
+    *
     * The per-batch benchmark bloom is built and destroyed inside
     * [[graft.examples.DailyIngest.ingestDay]] — an unbounded
     * micro-batch loop must not accumulate broadcasts. */
@@ -268,7 +280,8 @@ object DocsStream {
       checkpoint: String, root: String, benchDocs: DataFrame,
       cfg: graft.examples.DailyIngest.IngestConfig =
         graft.examples.DailyIngest.IngestConfig(),
-      embLookup: Option[DataFrame] = None): StreamingQuery = {
+      embLookup: Option[DataFrame] = None,
+      mediaLookup: Option[DataFrame] = None): StreamingQuery = {
     // the media fixture's full shape — the pipeline's image-quality
     // stage reads width/height metadata even from an empty frame
     val mediaSchema = StructType(Seq(
@@ -286,8 +299,14 @@ object DocsStream {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val emptyMedia = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mediaSchema)
+        val dayMedia = mediaLookup match {
+          case Some(ml) =>
+            // the day's assets = the manifest sliced by the ledger day
+            // (day-keyed where the embedding lookup is id-keyed)
+            ml.where(col("day") === batchId.toInt).drop("day")
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], mediaSchema)
+        }
         val dayEmb = embLookup match {
           case Some(lk) =>
             // the day's vectors = the lookup sliced by the ARRIVING ids
@@ -303,7 +322,7 @@ object DocsStream {
                   org.apache.spark.sql.types.ArrayType(
                     org.apache.spark.sql.types.DoubleType)))))
         }
-        graft.examples.DailyIngest.ingestDay(spark, batch, emptyMedia,
+        graft.examples.DailyIngest.ingestDay(spark, batch, dayMedia,
           benchDocs, root, batchId.toInt, cfg,
           dayEmb = Some(dayEmb)): Unit
       }

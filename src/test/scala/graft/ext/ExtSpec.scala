@@ -1033,6 +1033,82 @@ class StreamingSpec extends AnyFunSuite {
       "stream and batch signature stores must hold the same rows")
   }
 
+  test("COMPOSED streaming keystone: one ledgered stream drives all five stores ≡ batch") {
+    import graft.examples.DailyIngest
+    import graft.streaming.DocsStream
+    import graft.ops.OpsQueries
+    val docs = OpsQueries.dailyDocs(spark, dir, 1)
+    val media = OpsQueries.dailyMedia(spark, dir, 1)
+    val embAll = OpsQueries.dailyEmb(spark, dir, 1)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    val dCols = Seq("url", "doc_id", "text", "lang", "source", "n_chars").map(col)
+    def dayDocs(i: Int) = docs.where(col("day") === i).select(dCols: _*)
+    def dayMedia(i: Int) = media.where(col("day") === i).drop("day")
+    def dayEmb(i: Int) = embAll.where(col("day") === i).drop("day")
+    // batch twin: both days through the one ingestDay call per day
+    val rootB = java.nio.file.Files.createTempDirectory("comp-batch").toString
+    (0 to 1).foreach { i =>
+      DailyIngest.ingestDay(spark, dayDocs(i), dayMedia(i), bench, rootB, i,
+        dayEmb = Some(dayEmb(i)))
+    }
+    // stream: the docs file stream is the trigger; media rides along
+    // day-keyed, vectors id-keyed — one foreachBatch = one ledger day
+    val streamDir = java.nio.file.Files.createTempDirectory("comp-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("comp-ckpt").toString
+    val rootS = java.nio.file.Files.createTempDirectory("comp-root").toString
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"comp-stage-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime), "test setup: mtime must stick")
+    }
+    val now = System.currentTimeMillis()
+    stageFile(dayDocs(0), "day0.parquet", now - 120000)
+    stageFile(dayDocs(1), "day1.parquet", now - 60000)
+    val q = DocsStream.startDailyIngestQuery(spark, streamDir, ckpt, rootS, bench,
+      embLookup = Some(embAll.drop("day")), mediaLookup = Some(media))
+    try q.processAllAvailable() finally q.stop()
+    // every family's daily outputs and every store agree with batch
+    (0 to 1).foreach { day =>
+      def ids(root: String, path: Int => String, c: String) = spark.read
+        .parquet(path(day)).select(c).collect().map(_.getLong(0)).toSet
+      val tB = ids(rootB, DailyIngest.textOut(rootB, _), "doc_id")
+      val tS = ids(rootS, DailyIngest.textOut(rootS, _), "doc_id")
+      assert(tB.nonEmpty && tS == tB, s"text divergence on day $day")
+      val mB = ids(rootB, DailyIngest.mediaOut(rootB, _), "media_id")
+      val mS = ids(rootS, DailyIngest.mediaOut(rootS, _), "media_id")
+      assert(mB.nonEmpty && mS == mB, s"media divergence on day $day")
+      def shardMd5s(root: String) = spark.read
+        .parquet(DailyIngest.mediaShardOut(root, day))
+        .select(col("kind"), col("shard"), md5(col("shard_bytes")).as("m"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(shardMd5s(rootS) == shardMd5s(rootB),
+        s"media shard-byte divergence on day $day")
+    }
+    def md5Of(p: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      .map("%02x".format(_)).mkString
+    Seq(DailyIngest.urlStore _, DailyIngest.textStore _).foreach { store =>
+      assert(md5Of(s"${store(rootS)}/bloom.bin") == md5Of(s"${store(rootB)}/bloom.bin"),
+        "stream and batch blooms must be byte-identical")
+    }
+    def sigRowsC(root: String) = graft.multimodal.SignatureStore
+      .load(spark, DailyIngest.sigStore(root))
+      .select("media_id", "kind", "sig")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(sigRowsC(rootS) == sigRowsC(rootB),
+      "stream and batch signature stores must hold the same rows")
+    def postingsC(root: String) = spark.read
+      .parquet(s"${DailyIngest.embStore(root)}/postings.parquet")
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val pB = postingsC(rootB)
+    assert(pB.nonEmpty && postingsC(rootS) == pB,
+      "stream and batch embedding stores must hold the same postings")
+  }
+
   test("streaming store novelty (all kinds) equals its batch twin") {
     import graft.multimodal.{Multimodal, MultimodalQueries, SignatureStore}
     import graft.streaming.MediaStream
