@@ -825,6 +825,22 @@ object DailyIngest {
     } finally benchBloom.destroy()
   }
 
+  /** The keystone's maintenance check — [[IvfIndex.rebuildAdvice]]
+    * over the root's embedding store (None while no store exists, so a
+    * daily driver can call it unconditionally after each day). Act
+    * BETWEEN days with `IvfIndex.rebuild(embStore(root),
+    * advice.suggestedNlist)`: a rebuild landing between days re-routes
+    * the next probe seamlessly under the bumped generation, while one
+    * landing inside a day fails loudly (the `pipeline_ingest_rebuild`
+    * gate proves the daily-equivalence contract survives the
+    * mid-history migration). */
+  def maintenanceAdvice(spark: SparkSession, root: String,
+      targetPostingsPerCell: Long = 1L << 20, driftWindow: Int = 7,
+      driftedFracBar: Double = 0.5): Option[IvfIndex.RebuildAdvice] =
+    if (!embReady(spark, embStore(root))) None
+    else Some(IvfIndex.rebuildAdvice(spark, embStore(root),
+      targetPostingsPerCell, driftWindow, driftedFracBar))
+
   /** RIGHT-TO-BE-FORGOTTEN across the keystone: remove the given
     * documents and media assets from every place the daily loop put
     * them — all five frozen-history stores AND the per-day survivor

@@ -215,6 +215,15 @@ class DailyIngestSpec extends AnyFunSuite {
       dayEmb = Some(emb.where(col("day") === 1).drop("day")))
     assert(spark.read.parquet(s"$embDir/drift_log.parquet").count() == 1,
       "the first post-build append day must be drift-monitored")
+    // the keystone's maintenance check reads through the root: quiet
+    // here (in-distribution days, generous budget), and None only while
+    // no store exists — a daily driver calls it unconditionally
+    val advice = DailyIngest.maintenanceAdvice(spark, root)
+    assert(advice.exists(a => !a.recommend && a.generation == 0),
+      s"in-budget in-distribution store must read quiet: $advice")
+    assert(DailyIngest.maintenanceAdvice(spark,
+        java.nio.file.Files.createTempDirectory("di-no-store").toString).isEmpty,
+      "a root without an embedding store has no advice")
     benchBloom.destroy()
   }
 
