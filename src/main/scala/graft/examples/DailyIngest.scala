@@ -1000,42 +1000,63 @@ object DailyIngest {
       "doc_id", "day")
     graft.io.Layout.deleteRows(spark, s"$root/corpus/media", vMedia,
       "media_id", "day")
+    // A day whose EVERY row was a victim must stay READABLE empty, not
+    // vanish: deleteRows removes an all-victim partition outright (a
+    // zero-row partitionBy stages nothing), and an empty frame's plain
+    // write can emit zero data files — either way a later schema-
+    // inferring read of that day (training loaders, the driver gates)
+    // dies on "path does not exist" / "unable to infer schema" instead
+    // of seeing an empty day. writeReadable pins one schema-bearing
+    // file (repartition(1) forces one write task even at zero rows);
+    // restoreDay re-creates a removed day directory the same way.
+    def writeReadable(df: DataFrame, empty: Boolean, path: String): Unit =
+      (if (empty) df.repartition(1) else df)
+        .write.mode("overwrite").parquet(path)
+    def restoreDay(path: String, ddl: String): Unit =
+      if (!exists(spark, path))
+        writeReadable(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)),
+          empty = true, path)
     // re-pack the affected days' TEXT byte shards: the assembled
     // streams physically contain victim text, so the row deletion
     // above alone would be takedown theater — same reasoning as media.
-    // A day whose EVERY row was a victim reads back empty (deleteRows
-    // leaves the partition deleted) — its shards must still be
-    // rewritten, to empty streams.
     affectedTextDays.foreach { day =>
+      restoreDay(textOut(root, day), "doc_id bigint, source string, n_bpe int")
       val texts = readDayOrEmpty(spark, textOut(root, day),
           "doc_id bigint, source string, n_bpe int")
         .join(docs.select("doc_id", "text"), Seq("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        graft.ops.Corpus.shardTextIndex(texts, partitionKey = col("source"),
+        val dayEmpty = texts.isEmpty
+        writeReadable(
+          graft.ops.Corpus.shardTextIndex(texts, partitionKey = col("source"),
+              order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
+              budget = cfg.shardBudgetBpe)
+            .select(col("doc_id"), col("source"), col("shard"),
+              col("offset"), col("nchars")),
+          dayEmpty, textIndexOut(root, day))
+        writeReadable(
+          graft.ops.Corpus.assembleTextShards(texts, partitionKey = col("source"),
             order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
-            budget = cfg.shardBudgetBpe)
-          .select(col("doc_id"), col("source"), col("shard"),
-            col("offset"), col("nchars"))
-          .write.mode("overwrite").parquet(textIndexOut(root, day))
-        graft.ops.Corpus.assembleTextShards(texts, partitionKey = col("source"),
-            order = col("doc_id"), weight = col("n_bpe"), text = col("text"),
-            budget = cfg.shardBudgetBpe)
-          .write.mode("overwrite").parquet(textShardOut(root, day))
+            budget = cfg.shardBudgetBpe),
+          dayEmpty, textShardOut(root, day))
       } finally texts.unpersist()
     }
     // re-pack the affected days' media byte shards from surviving payloads
     affectedMediaDays.foreach { day =>
+      restoreDay(mediaOut(root, day), "media_id bigint, kind string")
       val surviving = readDayOrEmpty(spark, mediaOut(root, day),
         "media_id bigint, kind string").select("media_id")
       val payloads = media.join(surviving, Seq("media_id"), "left_semi")
         .select(col("media_id"), col("kind"), col("content"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        Multimodal.shardIndex(payloads, cfg.mediaShardBudgetBytes)
-          .write.mode("overwrite").parquet(mediaIndexOut(root, day))
-        Multimodal.assembleShards(payloads, cfg.mediaShardBudgetBytes)
-          .write.mode("overwrite").parquet(mediaShardOut(root, day))
+        val dayEmpty = payloads.isEmpty
+        writeReadable(Multimodal.shardIndex(payloads, cfg.mediaShardBudgetBytes),
+          dayEmpty, mediaIndexOut(root, day))
+        writeReadable(Multimodal.assembleShards(payloads, cfg.mediaShardBudgetBytes),
+          dayEmpty, mediaShardOut(root, day))
       } finally payloads.unpersist()
     }
     // completion marker LAST — its absence after a crash means the
@@ -1117,14 +1138,8 @@ object DailyIngest {
   private def writeMarkerFile(spark: SparkSession, markerPath: String,
       content: String): Unit = {
     val (p, f) = fs(spark, markerPath)
-    val tmp = new org.apache.hadoop.fs.Path(
-      markerPath + s".tmp_${spark.sparkContext.applicationId}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (f.exists(p) && !f.delete(p, false))
-      throw new java.io.IOException(s"DailyIngest: delete of stale $p failed")
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"DailyIngest: rename $tmp -> $p failed")
+    graft.io.Layout.writeFileAtomic(f, p, content,
+      tmpTag = spark.sparkContext.applicationId)
   }
 
   /** Ledger markers are written tmp+rename (the
@@ -1134,20 +1149,11 @@ object DailyIngest {
     * short-circuits the day and then fails (or silently corrupts) the
     * counts read. */
   private def writeCounts(spark: SparkSession, markerPath: String,
-      c: DayCounts): Unit = {
-    val (p, f) = fs(spark, markerPath)
-    val tmp = new org.apache.hadoop.fs.Path(
-      markerPath + s".tmp_${spark.sparkContext.applicationId}")
-    val out = f.create(tmp, true)
-    try out.write(Seq(c.day, c.incoming, c.urlKept, c.exactKept, c.cleanKept,
-      c.textKept, c.mediaIncoming, c.mediaQualityKept, c.mediaKept,
-      c.textShards, c.mediaShards).mkString(",").getBytes("UTF-8"))
-    finally out.close()
-    if (f.exists(p) && !f.delete(p, false))
-      throw new java.io.IOException(s"DailyIngest: delete of stale $p failed")
-    if (!f.rename(tmp, p))
-      throw new java.io.IOException(s"DailyIngest: rename $tmp -> $p failed")
-  }
+      c: DayCounts): Unit =
+    writeMarkerFile(spark, markerPath,
+      Seq(c.day, c.incoming, c.urlKept, c.exactKept, c.cleanKept,
+        c.textKept, c.mediaIncoming, c.mediaQualityKept, c.mediaKept,
+        c.textShards, c.mediaShards).mkString(","))
 
   private def readCounts(spark: SparkSession, markerPath: String): DayCounts = {
     val (p, f) = fs(spark, markerPath)

@@ -109,6 +109,29 @@ object Layout {
     fs.delete(p, true)
   }
 
+  /** Tmp+rename atomic small-file write — THE marker/header discipline
+    * (ledger day markers, takedown staging/completion, rebuild
+    * in-progress, quantizer headers): a marker's existence must imply
+    * a COMPLETE record, so a crash mid-write may leave only a tmp file
+    * no reader consults, never a truncated marker that short-circuits
+    * its operation and then fails (or silently corrupts) the read.
+    * `tmpTag` disambiguates concurrent writers' tmp files (callers
+    * pass the applicationId or equivalent). One shared implementation:
+    * a fix here (e.g. rename-over-existing semantics on an object
+    * store) must not fork across the stores. */
+  def writeFileAtomic(hfs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, content: String,
+      tmpTag: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + s".tmp_$tmpTag")
+    val out = hfs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (hfs.exists(path) && !hfs.delete(path, false))
+      throw new java.io.IOException(s"delete of stale $path failed")
+    if (!hfs.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
+
   /** Incremental rollup maintenance: merge `days` of a date-partitioned
     * events layout into a date-partitioned daily aggregate table WITHOUT
     * touching any other day — the pattern that keeps a 100 TB history

@@ -367,6 +367,10 @@ object IvfIndex {
     }
     if (!fs.delete(new org.apache.hadoop.fs.Path(staging), true))
       System.err.println(s"[ivf] WARN compactPostings: cleanup of $staging failed (swap complete; leftover staging only)")
+    // the swaps bypassed Spark's write path — drop stale session
+    // listings/caches over the rewritten cells (the Layout.deleteRows
+    // lesson; deleteVectors inherits the refresh from deleteRows)
+    spark.catalog.refreshByPath(postings)
     victims
   }
 
@@ -631,19 +635,18 @@ object IvfIndex {
       .foreach { t => val tp = p(t); if (hfs.exists(tp)) hfs.delete(tp, true) }
     if (!hfs.delete(p(s"$dir/$RebuildMarker"), false))
       throw new java.io.IOException(s"rebuild: marker delete failed at $dir")
+    // the swaps bypassed Spark's write path, so a session-cached plan
+    // over the rewritten components would re-execute against the
+    // renamed-away files (the Layout.deleteRows lesson — SCALING.md
+    // round-18); refresh drops the stale listings + cache entries
+    RebuildComponents.filter(_.endsWith(".parquet"))
+      .foreach(n => spark.catalog.refreshByPath(s"$dir/$n"))
   }
 
   private def writeFileAtomic(hfs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path, content: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(
-      path.getParent, path.getName + s".tmp_${System.identityHashCode(this)}")
-    val out = hfs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (hfs.exists(path) && !hfs.delete(path, false))
-      throw new java.io.IOException(s"delete of stale $path failed")
-    if (!hfs.rename(tmp, path))
-      throw new java.io.IOException(s"rename $tmp -> $path failed")
-  }
+      path: org.apache.hadoop.fs.Path, content: String): Unit =
+    graft.io.Layout.writeFileAtomic(hfs, path, content,
+      tmpTag = System.identityHashCode(this).toString)
 
   private def nearestCellsJvm(centers: Array[Array[Double]], v: Seq[Double],
       m: Int): Seq[Int] = {

@@ -2309,37 +2309,56 @@ object OpsQueries {
           benchBloom = Some(bloom),
           dayEmb = Some(embAll.where(col("day") === i).drop("day"))): Unit
       }
-      // ---- victim selection: day-0 SURVIVORS with planted shed copies
-      val day0Out = s.read.parquet(DailyIngest.textOut(root, 0)).select("doc_id")
-      val twinBases = docs.where(col("day") === 0 &&
-        col("doc_id") % 11 === 3 &&
-        size(split(trim(col("text")), "\\s+")) >= 25).select("doc_id")
-      val semBases = docs.where(col("day") === 0 &&
-          pmod(col("doc_id"), lit(D + 1)) === 0 && col("doc_id") % 9 === 2 &&
-          col("doc_id") < PlantedTwinBase).select("doc_id")
-        .join(embAll.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-      val vCand = twinBases.unionByName(semBases).distinct()
-        .join(day0Out, Seq("doc_id"), "left_semi")
-      // pairwise non-near-dup victims: drop BOTH ends of any candidate
-      // pair — a kept near-dup candidate's own planted twin would
-      // otherwise survive expansion's one hop and suppress the shed-twin
-      // re-crawl (A~B, twin(B)~twin(A) but twin(B) possibly < threshold
-      // from A itself)
-      val vPairs = MinHashBandStore.estPairs(
-        docs.join(vCand, Seq("doc_id"), "left_semi"))
-      val vDocs = vCand
-        .join(vPairs.select(col("id_b").as("doc_id"))
-            .unionByName(vPairs.select(col("id_a").as("doc_id"))),
-          Seq("doc_id"), "left_anti").localCheckpoint(true)
-      val m0Out = s.read.parquet(DailyIngest.mediaOut(root, 0)).select("media_id")
-      val mCand = media.where(col("day") === 0 && col("media_id") % 9 === 2)
-        .select("media_id").join(m0Out, Seq("media_id"), "left_semi")
-      val mPairs = DailyIngest.storeParityMediaPairs(
-        media.join(mCand, Seq("media_id"), "left_semi"))
-      val vMedia = mCand
-        .join(mPairs.select(col("id_b").as("media_id"))
-            .unionByName(mPairs.select(col("id_a").as("media_id"))),
-          Seq("media_id"), "left_anti").localCheckpoint(true)
+      // ---- victim selection: day-0 SURVIVORS with planted shed copies.
+      // BUILD-IF-ABSENT (persisted beside the ledger): the selection
+      // reads the day-0 OUTPUT the takedown below then mutates, so a
+      // same-session re-run (bench reps; the root is applicationId-
+      // keyed) re-deriving it from the post-takedown output would
+      // select ~nothing while the completion marker short-circuits the
+      // takedown — the probes would then measure a degenerate victim
+      // set and any gate re-evaluation would read spuriously red.
+      val selDir = s"$root/_gate_victims"
+      val (vDocs, vMedia) =
+        if (new java.io.File(s"$selDir/.done").exists()) (
+          s.read.parquet(s"$selDir/docs").localCheckpoint(true),
+          s.read.parquet(s"$selDir/media").localCheckpoint(true))
+        else {
+          val day0Out = s.read.parquet(DailyIngest.textOut(root, 0)).select("doc_id")
+          val twinBases = docs.where(col("day") === 0 &&
+            col("doc_id") % 11 === 3 &&
+            size(split(trim(col("text")), "\\s+")) >= 25).select("doc_id")
+          val semBases = docs.where(col("day") === 0 &&
+              pmod(col("doc_id"), lit(D + 1)) === 0 && col("doc_id") % 9 === 2 &&
+              col("doc_id") < PlantedTwinBase).select("doc_id")
+            .join(embAll.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          val vCand = twinBases.unionByName(semBases).distinct()
+            .join(day0Out, Seq("doc_id"), "left_semi")
+          // pairwise non-near-dup victims: drop BOTH ends of any candidate
+          // pair — a kept near-dup candidate's own planted twin would
+          // otherwise survive expansion's one hop and suppress the shed-twin
+          // re-crawl (A~B, twin(B)~twin(A) but twin(B) possibly < threshold
+          // from A itself)
+          val vPairs = MinHashBandStore.estPairs(
+            docs.join(vCand, Seq("doc_id"), "left_semi"))
+          val vd = vCand
+            .join(vPairs.select(col("id_b").as("doc_id"))
+                .unionByName(vPairs.select(col("id_a").as("doc_id"))),
+              Seq("doc_id"), "left_anti")
+          val m0Out = s.read.parquet(DailyIngest.mediaOut(root, 0)).select("media_id")
+          val mCand = media.where(col("day") === 0 && col("media_id") % 9 === 2)
+            .select("media_id").join(m0Out, Seq("media_id"), "left_semi")
+          val mPairs = DailyIngest.storeParityMediaPairs(
+            media.join(mCand, Seq("media_id"), "left_semi"))
+          val vm = mCand
+            .join(mPairs.select(col("id_b").as("media_id"))
+                .unionByName(mPairs.select(col("id_a").as("media_id"))),
+              Seq("media_id"), "left_anti")
+          vd.write.mode("overwrite").parquet(s"$selDir/docs")
+          vm.write.mode("overwrite").parquet(s"$selDir/media")
+          new java.io.File(s"$selDir/.done").createNewFile(): Unit
+          (s.read.parquet(s"$selDir/docs").localCheckpoint(true),
+           s.read.parquet(s"$selDir/media").localCheckpoint(true))
+        }
       DailyIngest.takedown(s, root, docs, media, vDocs, vMedia, cfg,
         takedownId = "gate")
       // the gate's expansion truth set is takedown's own STAGED victim
@@ -2349,6 +2368,11 @@ object OpsQueries {
       val stageDir = s"$root/_ledger/takedown_gate.victims"
       val expDocs = s.read.parquet(s"$stageDir/docs").localCheckpoint(true)
       val expMedia = s.read.parquet(s"$stageDir/media").localCheckpoint(true)
+      // control candidates read POST-takedown (re-run-stable: victims
+      // are out of the output either way, and the expansion anti-join
+      // below excludes them regardless)
+      val day0Out = s.read.parquet(DailyIngest.textOut(root, 0)).select("doc_id")
+      val m0Out = s.read.parquet(DailyIngest.mediaOut(root, 0)).select("media_id")
       // ---- post-takedown probe day: re-crawls of victim / shed-twin /
       // control content at fresh ids and urls. Offsets DISJOINT from
       // every planted-fixture range (which occupy [1<<40, 4<<45)): the

@@ -407,4 +407,41 @@ class DailyIngestSpec extends AnyFunSuite {
     assert(probe(tB, 104L) == Set(104L),
       "B's re-crawl must STILL be novel after the crash-retry")
   }
+
+  test("takedown of an ENTIRE day's survivors leaves every output readable (empty, not vanished)") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val D = 1
+    val root = java.nio.file.Files.createTempDirectory("di-allvictim").toString
+    val docs = OpsQueries.dailyDocs(spark, dir, D)
+    val media = OpsQueries.dailyMedia(spark, dir, D)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    (0 to D).foreach { i =>
+      DailyIngest.ingestDay(spark, docs.where(col("day") === i),
+        media.where(col("day") === i), bench, root, i)
+    }
+    // victims = EVERY day-0 survivor (text and media): deleteRows then
+    // removes the day=0 partitions outright, and the re-pack runs on
+    // empty frames — the two legs that used to leave the day unreadable
+    val vDocs = spark.read.parquet(DailyIngest.textOut(root, 0)).select("doc_id")
+      .localCheckpoint(true)
+    val vMedia = spark.read.parquet(DailyIngest.mediaOut(root, 0)).select("media_id")
+      .localCheckpoint(true)
+    assert(vDocs.count() > 0 && vMedia.count() > 0, "fixture sanity")
+    DailyIngest.takedown(spark, root, docs, media, vDocs, vMedia,
+      takedownId = "all0")
+    // every day-0 output reads back EMPTY through schema inference —
+    // no "path does not exist", no "unable to infer schema"
+    Seq(DailyIngest.textOut(root, 0), DailyIngest.textIndexOut(root, 0),
+        DailyIngest.textShardOut(root, 0), DailyIngest.mediaOut(root, 0),
+        DailyIngest.mediaIndexOut(root, 0), DailyIngest.mediaShardOut(root, 0))
+      .foreach { p =>
+        assert(spark.read.parquet(p).count() == 0,
+          s"all-victim day output must read back empty: $p")
+      }
+    // day 1 is untouched where it held no victims, and still readable
+    // where the transitive expansion swept its shed twins
+    assert(spark.read.parquet(DailyIngest.textOut(root, 1)).count() >= 0)
+    assert(spark.read.parquet(DailyIngest.textShardOut(root, 1)).count() > 0,
+      "day 1 keeps its packed shards")
+  }
 }
