@@ -149,11 +149,19 @@ object DailyIngest {
     *  - `semThreshold`/`semNprobe`/`semNlist`/`semIters`: the semantic
     *    stage's cosine bar and the frozen quantizer's geometry (nlist
     *    bounds within-cell candidate mass — raise it as the corpus
-    *    grows; nprobe buys boundary recall at probed-mass cost). */
+    *    grows; nprobe buys boundary recall at probed-mass cost).
+    *  - `auditLog`: write the per-day DROP LOG (one (id, reason) row
+    *    per dropped doc/asset — see [[dropLogOut]]) in phase 1. The
+    *    log is the pipeline's audit trail ("why did my page
+    *    disappear?") and its reconciliation invariant — every incoming
+    *    id is EITHER a survivor or logged with exactly one reason — is
+    *    gated in `pipeline_ingest_audit`. The drop frames are computed
+    *    lazily either way; `false` skips only the writes. */
   final case class IngestConfig(prefixChars: Int = 80,
       bloomCapacity: Long = 1000000L, shardBudgetBpe: Long = 2000L,
       mediaShardBudgetBytes: Long = 1L << 20, semThreshold: Double = 0.9,
-      semNprobe: Int = 4, semNlist: Int = 16, semIters: Int = 10)
+      semNprobe: Int = 4, semNlist: Int = 16, semIters: Int = 10,
+      auditLog: Boolean = true)
 
   def urlStore(root: String): String = s"$root/stores/url_bloom"
   def textStore(root: String): String = s"$root/stores/text_bloom"
@@ -170,6 +178,10 @@ object DailyIngest {
     s"$root/corpus/media_shards/day=$day"
   def mediaIndexOut(root: String, day: Int): String =
     s"$root/corpus/media_index/day=$day"
+  def dropLogOut(root: String, day: Int): String =
+    s"$root/corpus/drop_log/day=$day"
+  def mediaDropLogOut(root: String, day: Int): String =
+    s"$root/corpus/media_drop_log/day=$day"
   private def marker(root: String, day: Int): String = s"$root/_ledger/day_$day"
 
   private def fs(spark: SparkSession, p: String) = {
@@ -285,7 +297,41 @@ object DailyIngest {
       exactKept: DataFrame, clean: DataFrame, textSurvivors: DataFrame,
       postQuality: DataFrame, mediaSurvivors: DataFrame,
       semSeen: Option[DataFrame], trainedCenters: Option[Array[Array[Double]]],
+      textDrops: DataFrame, mediaDrops: DataFrame,
       caches: Seq[DataFrame])
+
+  /** The drop-log REASON vocabulary, in attribution-priority order.
+    * Sequential stages partition drops by construction (a doc reaches
+    * stage k only by surviving k−1); the PARALLEL rules (hygiene vs
+    * decontamination over the same stage-1 survivors; the four
+    * near-dup/semantic rules over the same clean set) can each claim a
+    * doc, so attribution takes the FIRST reason in this order — fixed
+    * and documented, which is what makes the log a partition of the
+    * incoming ids (the `pipeline_ingest_audit` reconciliation gate)
+    * rather than a multiset of verdicts. Cross-day ("_seen") reasons
+    * outrank within-day ones, lexical outranks semantic. */
+  private[graft] val DropReasons: Seq[String] = Seq(
+    "url_dup_within_day", "url_seen", "empty_text",
+    "exact_dup_within_day", "exact_seen", "quality", "contaminated",
+    "neardup_seen", "neardup_dup_within_day",
+    "semantic_seen", "semantic_dup_within_day")
+  private[graft] val MediaDropReasons: Seq[String] = Seq(
+    "media_low_information", "media_neardup_seen",
+    "media_neardup_dup_within_day")
+
+  /** Union drop-candidate id frames into one (id, reason) log row per
+    * id, first-listed reason wins (see [[DropReasons]]). */
+  private def reasonPartition(idCol: String,
+      cands: Seq[(DataFrame, String)]): DataFrame = {
+    val prioOf = cands.map(_._2).zipWithIndex.toMap
+    cands.map { case (df, reason) =>
+      df.select(col(idCol), lit(reason).as("reason"),
+        lit(prioOf(reason)).as("_prio"))
+    }.reduce(_ unionByName _)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("_prio"))))
+      .where(col("_rn") === 1).drop("_rn", "_prio")
+  }
 
   /** The one-sided semantic drop rule over an ORDERED vector
     * population, under FROZEN centers: doc b is dropped iff some doc a
@@ -414,7 +460,10 @@ object DailyIngest {
     // a PARALLEL drop rule over the same clean set (see the object
     // scaladoc): docs without a vector pass — an unprovable semantic
     // dup is never dropped, the family-wide rule
-    val (semDrops, semSeen, trainedCenters, semCaches) = dayEmb match {
+    // semDropRows carries (doc_id, reason) — semantic_seen for the
+    // frozen-history probe, semantic_dup_within_day for the within-day
+    // rule — so the audit log can attribute without re-probing
+    val (semDropRows, semSeen, trainedCenters, semCaches) = dayEmb match {
       case None =>
         // text-only mode is legitimate ONLY while no embedding store
         // exists: once one does, a vector-less day would neither probe
@@ -478,13 +527,17 @@ object DailyIngest {
                     cfg.semThreshold, expectGeneration = storeGen)
                   .select(col("id").as("doc_id"))
               else within.limit(0)
-            (Some(within.unionByName(cross)), Some(cleanVecs),
+            (Some(cross.withColumn("reason", lit("semantic_seen"))
+                .unionByName(within
+                  .withColumn("reason", lit("semantic_dup_within_day")))),
+              Some(cleanVecs),
               if (trained) Some(ctrs) else None, Seq(assigned))
         }
     }
     val textSurvivors0 = crossKept.join(withinDrops, Seq("doc_id"), "left_anti")
-    val textSurvivors = semDrops match {
-      case Some(sd) => textSurvivors0.join(sd, Seq("doc_id"), "left_anti")
+    val textSurvivors = semDropRows match {
+      case Some(sd) => textSurvivors0
+        .join(sd.select("doc_id"), Seq("doc_id"), "left_anti")
       case None     => textSurvivors0
     }
     // ---- stage 4: media branch -------------------------------------
@@ -509,8 +562,35 @@ object DailyIngest {
       else postQuality
     val mediaSurvivors = mediaCrossKept
       .join(mediaWithinDrops, Seq("media_id"), "left_anti")
+    // ---- drop-reason audit frames (lazy — written only when
+    // cfg.auditLog; see [[DropReasons]] for the attribution order).
+    // Sequential-stage drops are derived by anti-joining adjacent
+    // survivor sets; parallel-rule drops by each rule's own id frame.
+    val dId = (df: DataFrame) => df.select("doc_id")
+    val semReason = (r: String) => semDropRows
+      .map(_.where(col("reason") === r).select("doc_id"))
+      .getOrElse(clean.select("doc_id").limit(0))
+    val textDrops = reasonPartition("doc_id", Seq(
+      dId(canon).exceptAll(dId(urlFirst)) -> "url_dup_within_day",
+      dId(urlFirst).exceptAll(dId(urlKept)) -> "url_seen",
+      urlKept.where(col("text").isNull).select("doc_id") -> "empty_text",
+      dId(exactCand).exceptAll(dId(exactFirst)) -> "exact_dup_within_day",
+      dId(exactFirst).exceptAll(dId(exactKept)) -> "exact_seen",
+      dId(exactKept).join(qualityIds, Seq("doc_id"), "left_anti") -> "quality",
+      contaminated -> "contaminated",
+      dId(clean).join(dId(crossKept), Seq("doc_id"), "left_anti") -> "neardup_seen",
+      withinDrops -> "neardup_dup_within_day",
+      semReason("semantic_seen") -> "semantic_seen",
+      semReason("semantic_dup_within_day") -> "semantic_dup_within_day"))
+    val mId = (df: DataFrame) => df.select("media_id")
+    val mediaDrops = reasonPartition("media_id", Seq(
+      lowInfo -> "media_low_information",
+      mId(postQuality).join(mId(mediaCrossKept), Seq("media_id"), "left_anti")
+        -> "media_neardup_seen",
+      mediaWithinDrops -> "media_neardup_dup_within_day"))
     DayFrames(canon, urlKept, exactKept, clean, textSurvivors,
       postQuality, mediaSurvivors, semSeen, trainedCenters,
+      textDrops, mediaDrops,
       caches = Seq(clean, postQuality, estCache, imgSigCache) ++ semCaches)
   }
 
@@ -650,6 +730,15 @@ object DailyIngest {
           .write.mode("overwrite").parquet(mediaIndexOut(root, day))
         Multimodal.assembleShards(survivorPayloads, cfg.mediaShardBudgetBytes)
           .write.mode("overwrite").parquet(mediaShardOut(root, day))
+        // drop-reason audit log — the day's non-survivors, one reason
+        // each (see [[DropReasons]]); part of phase 1 because it is a
+        // pure function of the day against PRE-append stores, like the
+        // survivor outputs it complements
+        if (cfg.auditLog) {
+          f.textDrops.write.mode("overwrite").parquet(dropLogOut(root, day))
+          f.mediaDrops.write.mode("overwrite")
+            .parquet(mediaDropLogOut(root, day))
+        }
         // staged append INPUTS — what the day SAW (see object scaladoc)
         f.canon.select("doc_id", "curl").distinct()
           .write.mode("overwrite").parquet(s"$stage/seen_urls")
@@ -872,6 +961,9 @@ object DailyIngest {
     *    payloads — the assembled streams physically contained the
     *    victim bytes, so row-level deletion alone would be takedown
     *    theater.
+    *  - Drop logs: the audit rows ([[dropLogOut]]) record victim ids
+    *    and verdicts — they are forgotten the same way (victim-holding
+    *    day partitions only; roots ingested without an audit log skip).
     *
     * TRANSITIVE closure (`transitive = true`, the default): under the
     * SEEN-vs-KEPT discipline every shed duplicate/near-dup of a victim
@@ -1000,6 +1092,15 @@ object DailyIngest {
       "doc_id", "day")
     graft.io.Layout.deleteRows(spark, s"$root/corpus/media", vMedia,
       "media_id", "day")
+    // the drop logs record the victims' ids and verdicts — audit rows
+    // are part of what a takedown forgets (only victim-holding day
+    // partitions rewritten; roots without an audit log skip)
+    if (exists(spark, s"$root/corpus/drop_log"))
+      graft.io.Layout.deleteRows(spark, s"$root/corpus/drop_log", vDocs,
+        "doc_id", "day")
+    if (exists(spark, s"$root/corpus/media_drop_log"))
+      graft.io.Layout.deleteRows(spark, s"$root/corpus/media_drop_log", vMedia,
+        "media_id", "day")
     // A day whose EVERY row was a victim must stay READABLE empty, not
     // vanish: deleteRows removes an all-victim partition outright (a
     // zero-row partitionBy stages nothing), and an empty frame's plain
@@ -1023,6 +1124,8 @@ object DailyIngest {
     // above alone would be takedown theater — same reasoning as media.
     affectedTextDays.foreach { day =>
       restoreDay(textOut(root, day), "doc_id bigint, source string, n_bpe int")
+      if (exists(spark, s"$root/corpus/drop_log"))
+        restoreDay(dropLogOut(root, day), "doc_id bigint, reason string")
       val texts = readDayOrEmpty(spark, textOut(root, day),
           "doc_id bigint, source string, n_bpe int")
         .join(docs.select("doc_id", "text"), Seq("doc_id"))
@@ -1046,6 +1149,8 @@ object DailyIngest {
     // re-pack the affected days' media byte shards from surviving payloads
     affectedMediaDays.foreach { day =>
       restoreDay(mediaOut(root, day), "media_id bigint, kind string")
+      if (exists(spark, s"$root/corpus/media_drop_log"))
+        restoreDay(mediaDropLogOut(root, day), "media_id bigint, reason string")
       val surviving = readDayOrEmpty(spark, mediaOut(root, day),
         "media_id bigint, kind string").select("media_id")
       val payloads = media.join(surviving, Seq("media_id"), "left_semi")
@@ -1154,6 +1259,13 @@ object DailyIngest {
       Seq(c.day, c.incoming, c.urlKept, c.exactKept, c.cleanKept,
         c.textKept, c.mediaIncoming, c.mediaQualityKept, c.mediaKept,
         c.textShards, c.mediaShards).mkString(","))
+
+  /** A completed day's recorded [[DayCounts]] — the ledger is the
+    * count-of-record, and the audit gate ties the drop log's algebra to
+    * it (urlKept = incoming − url drops, …). */
+  private[graft] def dayCounts(spark: SparkSession, root: String,
+      day: Int): DayCounts =
+    readCounts(spark, marker(root, day))
 
   private def readCounts(spark: SparkSession, markerPath: String): DayCounts = {
     val (p, f) = fs(spark, markerPath)

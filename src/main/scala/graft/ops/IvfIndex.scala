@@ -328,6 +328,9 @@ object IvfIndex {
   def compactPostings(spark: SparkSession, dir: String,
       saltBuckets: Int = 4, maxRecordsPerFile: Long = 5000000L,
       minFilesPerCell: Int = 2): Seq[String] = {
+    // a compact during a pending rebuild/split would rewrite cells the
+    // roll-forward is about to replace from staging — refuse loudly
+    requireNoPendingRebuild(spark, dir)
     val postings = s"$dir/postings.parquet"
     val counts = graft.io.Layout.partitionFileCounts(spark, postings, "cell")
     val victims = counts.filter(_._2 >= minFilesPerCell).keys.toSeq.sorted
@@ -383,15 +386,22 @@ object IvfIndex {
     * untouched: centers are statistics, not content, and re-training on
     * deletion would re-route every live posting (a full rebuild) for no
     * retrieval gain. Returns the affected cell values. */
-  def deleteVectors(spark: SparkSession, dir: String, ids: DataFrame): Seq[String] =
+  def deleteVectors(spark: SparkSession, dir: String, ids: DataFrame): Seq[String] = {
+    // a delete during a pending rebuild/split would be RESURRECTED by
+    // the roll-forward (staging holds pre-delete rows) — refuse loudly;
+    // complete the pending migration, then re-run the delete
+    requireNoPendingRebuild(spark, dir)
     graft.io.Layout.deleteRows(spark, s"$dir/postings.parquet",
       ids.select(col(ids.columns.head).cast("long").as("id")), "id", "cell")
+  }
 
   // ---- quantizer generations + rebuild -----------------------------
 
   private val QuantizerFile = "_quantizer.properties" // underscore: ignored by Spark's file index
   private val RebuildMarker = "rebuild.inprogress"
   private val RebuildStaging = "_rebuild_staging"
+  private val SplitMarker = "split.inprogress"
+  private val SplitStaging = "_split_staging"
   // everything a rebuild swaps, in swap order; _quantizer.properties
   // LAST so a crash between swaps is always detectable as a
   // generation that predates the data (the marker catches it anyway)
@@ -417,11 +427,12 @@ object IvfIndex {
     }
   }
 
-  /** Throws while a crashed [[rebuild]]'s swap is pending: between the
-    * marker and the final cleanup the store may hold MIXED generations
-    * (new centers beside old postings), and any probe against that
-    * state is silently wrong — re-running rebuild() completes the
-    * pending swap first (roll-forward from the complete staging). */
+  /** Throws while a crashed [[rebuild]]'s or [[splitCells]]' swap is
+    * pending: between the marker and the final cleanup the store may
+    * hold MIXED generations (new centers beside old postings), and any
+    * probe against that state is silently wrong — re-running the
+    * crashed operation completes the pending swap first (roll-forward
+    * from the complete staging). */
   private def requireNoPendingRebuild(spark: SparkSession, dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -430,6 +441,12 @@ object IvfIndex {
         s"IvfIndex: $dir has a pending rebuild ($RebuildMarker present) — " +
           "a rebuild crashed mid-swap and the store may hold mixed " +
           "generations. Re-run IvfIndex.rebuild(dir, ...) to complete it " +
+          "(the staged data is complete; recovery rolls forward).")
+    if (hfs.exists(new org.apache.hadoop.fs.Path(root, SplitMarker)))
+      throw new java.io.IOException(
+        s"IvfIndex: $dir has a pending cell split ($SplitMarker present) — " +
+          "a splitCells crashed mid-swap and the store may hold mixed " +
+          "routings. Re-run IvfIndex.splitCells(dir, ...) to complete it " +
           "(the staged data is complete; recovery rolls forward).")
   }
 
@@ -467,6 +484,10 @@ object IvfIndex {
       iters: Int = 10, trainFraction: Double = 1.0): Array[Array[Double]] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(new org.apache.hadoop.fs.Path(root, SplitMarker)))
+      throw new java.io.IOException(
+        s"IvfIndex.rebuild: $dir has a pending cell SPLIT — re-run " +
+          "IvfIndex.splitCells(dir, ...) to complete it first")
     if (hfs.exists(new org.apache.hadoop.fs.Path(root, RebuildMarker))) {
       System.err.println(s"[ivf] NOTE completing a crashed rebuild at $dir " +
         "(roll-forward from staging) before starting the requested one")
@@ -647,6 +668,271 @@ object IvfIndex {
       path: org.apache.hadoop.fs.Path, content: String): Unit =
     graft.io.Layout.writeFileAtomic(hfs, path, content,
       tmpTag = System.identityHashCode(this).toString)
+
+  // ---- hotspot cell splits (incremental capacity migration) --------
+
+  /** What [[splitAdvice]] returns: the per-cell capacity census and the
+    * policy's verdict. `overCells` lists (cell, postings) for every
+    * cell over budget, heaviest first. Exactly one of
+    * `recommendSplit`/`recommendRebuild` is set when any cell is over:
+    * LOCALIZED overflow (≤ `maxHotFrac` of cells) wants [[splitCells]]
+    * — O(hot-cell mass) work; WIDESPREAD overflow wants [[rebuild]] —
+    * when most cells are over budget the quantizer is globally
+    * undersized and per-cell surgery would just re-shard everything at
+    * full-rebuild cost without retraining the geometry. */
+  final case class SplitAdvice(generation: Int, nlist: Int, postings: Long,
+      overCells: Seq[(Int, Long)], hotFrac: Double,
+      recommendSplit: Boolean, recommendRebuild: Boolean)
+
+  /** The HOTSPOT capacity policy — the per-cell complement of
+    * [[rebuildAdvice]]'s mean-mass trigger. A skewed corpus can push
+    * one cell far past budget while the mean stays comfortable (the
+    * mean trigger never fires), and serving cost is per-PROBED-cell
+    * mass, so the hot cell is exactly what queries near it pay for.
+    * Cost discipline matches rebuildAdvice: one footer-only count per
+    * cell (only the partition column is read — no data pages), safe
+    * after every append at any corpus size. */
+  def splitAdvice(spark: SparkSession, dir: String,
+      maxPostingsPerCell: Long, maxHotFrac: Double = 0.25): SplitAdvice = {
+    require(maxPostingsPerCell >= 1, "maxPostingsPerCell >= 1")
+    require(maxHotFrac > 0 && maxHotFrac <= 1.0, "maxHotFrac in (0,1]")
+    requireNoPendingRebuild(spark, dir)
+    val gen = generation(spark, dir)
+    val nlist = loadCenters(spark, dir).length
+    val counts = spark.read.parquet(s"$dir/postings.parquet")
+      .groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n"))
+    val over = counts.filter(_._2 > maxPostingsPerCell)
+      .sortBy { case (c, n) => (-n, c) }.toSeq
+    val hotFrac = over.size.toDouble / math.max(1, nlist)
+    SplitAdvice(gen, nlist, counts.map(_._2).sum, over, hotFrac,
+      recommendSplit = over.nonEmpty && hotFrac <= maxHotFrac,
+      recommendRebuild = over.nonEmpty && hotFrac > maxHotFrac)
+  }
+
+  /** HOTSPOT CAPACITY MIGRATION — split every cell holding more than
+    * `maxPostingsPerCell` postings into two, touching ONLY those cells:
+    * per victim cell, a deterministic 2-means ([[graft.ml.KMeans]])
+    * over the cell's own vectors positions two sub-centers; the
+    * victim's index keeps sub-center A, a fresh index (appended past
+    * the current nlist) takes sub-center B, and the cell's rows are
+    * re-assigned to the NEARER of the two (tie → A). Work is
+    * O(Σ victim-cell mass), never O(history) — the incremental
+    * complement of [[rebuild]], for the growth mode where the corpus
+    * piles into a few cells while the rest stay bounded ([[splitAdvice]]
+    * tells the two modes apart).
+    *
+    * CONTRACT CHANGE vs [[rebuild]] — routing becomes approximate: a
+    * full rebuild restores "every posting sits in its globally nearest
+    * center's cell"; a split only guarantees it LOCALLY (victim rows
+    * go to the nearer sub-center; sub-centers lie inside the old
+    * cell's convex Voronoi region, but a row near a cell BOUNDARY —
+    * either side of it — may now be globally nearer a center it is not
+    * stored under). Probes still find a row iff they probe its STORED
+    * cell, so the store's serving contract is measured recall (gated
+    * in ann_ivf_split_cells), not bit-level assignment equivalence —
+    * which is why the daily-ingest keystone's migration path is
+    * [[rebuild]] (its batch-equivalence twin recomputes home cells
+    * from the centers and needs home ≡ nearest) while splitCells is
+    * the SERVING index's cheap capacity valve. The generation bump
+    * makes the difference impossible to ignore: every probe holding
+    * pre-split centers fails loudly (`expectGeneration`), exactly as
+    * after a rebuild.
+    *
+    * Crash safety (the [[rebuild]] discipline, partition scope): new
+    * centers + drift reference + generation header + the rewritten
+    * victim-cell directories are all STAGED completely, then a
+    * `split.inprogress` marker lands (readers throw from then on), then
+    * each component swaps via trash-ordered renames, the drift LOG is
+    * trashed (its rows reference the retired occupancy reference —
+    * same rule as rebuild: a changed drift reference restarts the
+    * log), then trash + staging + marker are cleaned. Re-running
+    * splitCells first rolls a pending swap forward, then runs a fresh
+    * census (typically finding nothing — convergent).
+    *
+    * At most `maxSplitCells` victims are split per call, heaviest
+    * first (a pass that wants to split more than that is drifting into
+    * rebuild territory; the capped-out remainder is printed, never
+    * silently dropped). Cells whose 2-means degenerates (all vectors
+    * identical — sub-centers coincide) are skipped with a note: no
+    * geometry can split identical mass. Returns the victim cells
+    * actually split. */
+  def splitCells(spark: SparkSession, dir: String, maxPostingsPerCell: Long,
+      maxSplitCells: Int = 64, iters: Int = 10): Seq[Int] = {
+    require(maxPostingsPerCell >= 1, "maxPostingsPerCell >= 1")
+    require(maxSplitCells >= 1, "maxSplitCells >= 1")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(new org.apache.hadoop.fs.Path(root, RebuildMarker)))
+      throw new java.io.IOException(
+        s"IvfIndex.splitCells: $dir has a pending REBUILD — re-run " +
+          "IvfIndex.rebuild(dir, ...) to complete it first")
+    if (hfs.exists(new org.apache.hadoop.fs.Path(root, SplitMarker))) {
+      System.err.println(s"[ivf] NOTE completing a crashed splitCells at $dir " +
+        "(roll-forward from staging) before the requested pass")
+      completePendingSplit(spark, dir)
+    }
+    val victims = stageSplit(spark, dir, maxPostingsPerCell, maxSplitCells,
+      iters)
+    if (victims.nonEmpty) completePendingSplit(spark, dir)
+    victims
+  }
+
+  /** Phase 1 of [[splitCells]] — census, per-victim 2-means, stage all
+    * components, write the marker. Exposed for the crash-retry spec
+    * (the [[stageRebuild]] pattern). Returns the victim cells staged
+    * (empty = nothing over budget, nothing staged, no marker). */
+  private[graft] def stageSplit(spark: SparkSession, dir: String,
+      maxPostingsPerCell: Long, maxSplitCells: Int = 64,
+      iters: Int = 10): Seq[Int] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postings = s"$dir/postings.parquet"
+    val counts = spark.read.parquet(postings)
+      .groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n"))
+      .filter(_._2 > maxPostingsPerCell)
+      .sortBy { case (c, n) => (-n, c) }
+    if (counts.isEmpty) return Nil
+    if (counts.length > maxSplitCells)
+      System.err.println(s"[ivf] NOTE splitCells at $dir: ${counts.length} " +
+        s"cells over budget, splitting the $maxSplitCells heaviest this " +
+        "pass (re-run for the rest, or rebuild — see splitAdvice)")
+    val oldCenters = loadCenters(spark, dir)
+    val oldGen = generation(spark, dir)
+    val staging = s"$dir/$SplitStaging"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    if (hfs.exists(stagingPath)) hfs.delete(stagingPath, true) // pre-marker crash leftovers
+    val newCenters = scala.collection.mutable.ArrayBuffer(oldCenters.toSeq: _*)
+    val splitDone = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def d2(a: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val df = a(i) - b(i); s += df * df; i += 1 }
+      s
+    }
+    counts.take(maxSplitCells).foreach { case (c, _) =>
+      // retried appends leave byte-identical copies; collapse them here
+      // (the compactPostings / rebuild contract) so the 2-means and the
+      // re-shard see each vector once
+      val cellRows = spark.read.parquet(postings)
+        .where(col("cell") === c).select("id", "v", "nrm").distinct()
+      val sub = graft.ml.KMeans.train(cellRows, "id", "v", k = 2, iters).centers
+      if (sub.length < 2 || sub(0).sameElements(sub(1)))
+        System.err.println(s"[ivf] NOTE splitCells: cell $c holds " +
+          "identical vectors (2-means degenerates) — skipped; no geometry " +
+          "splits identical mass")
+      else {
+        val a = sub(0); val b = sub(1)
+        val newIdx = newCenters.length
+        val toB = udf { (v: Seq[Double]) => d2(v, b) < d2(v, a) } // tie → A
+        cellRows.where(!toB(col("v")))
+          .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$c")
+        cellRows.where(toB(col("v")))
+          .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$newIdx")
+        newCenters(c) = a
+        newCenters += b
+        splitDone += c
+      }
+    }
+    if (splitDone.isEmpty) { hfs.delete(stagingPath, true); return Nil }
+    newCenters.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
+      .toDF("cell", "center").repartition(1)
+      .write.mode("overwrite").parquet(s"$staging/centers.parquet")
+    // drift reference: untouched cells keep their occupancy rows; each
+    // split cell's train_frac divides between its two sub-cells in the
+    // OBSERVED sub-mass proportion (the best post-split estimate the
+    // reference can carry without a corpus re-pass); the p95 distance
+    // is kept — sub-centers only move distances DOWN inside the split
+    // region, so the retained bar is conservative. A pre-monitoring
+    // store (no drift_ref) stays pre-monitoring.
+    if (hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/drift_ref.parquet"))) {
+      val refRows = spark.read.parquet(s"$dir/drift_ref.parquet").collect()
+        .map(r => r.getAs[Int]("cell") ->
+          (r.getAs[Double]("train_frac"), r.getAs[Double]("p95_dist"),
+            r.getAs[Long]("n_train")))
+        .toMap
+      val p95 = refRows.values.headOption.map(_._2).getOrElse(0.0)
+      val nTrain = refRows.values.headOption.map(_._3).getOrElse(0L)
+      val stagedCounts = splitDone.flatMap { c =>
+        val pairIdx = splitDone.indexOf(c)
+        val newIdx = oldCenters.length + pairIdx
+        def massOf(cell: Int): Long = scala.util.Try(
+          spark.read.parquet(s"$staging/postings_delta/cell=$cell").count())
+          .getOrElse(0L)
+        val (ma, mb) = (massOf(c), massOf(newIdx))
+        val frac = refRows.get(c).map(_._1).getOrElse(0.0)
+        val tot = math.max(1L, ma + mb)
+        Seq(c -> frac * ma / tot, newIdx -> frac * mb / tot)
+      }.toMap
+      val refOut = (0 until newCenters.length).map { cell =>
+        val frac = stagedCounts.getOrElse(cell,
+          refRows.get(cell).map(_._1).getOrElse(0.0))
+        (cell, frac, p95, nTrain)
+      }
+      refOut.toDF("cell", "train_frac", "p95_dist", "n_train")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$staging/drift_ref.parquet")
+    }
+    writeFileAtomic(hfs, new org.apache.hadoop.fs.Path(
+        s"$staging/$QuantizerFile"),
+      s"generation=${oldGen + 1}\nnlist=${newCenters.length}\n")
+    // the point of no return: staging is COMPLETE, readers now throw
+    // until the swap finishes, and any crash after this rolls forward
+    writeFileAtomic(hfs, new org.apache.hadoop.fs.Path(root, SplitMarker),
+      s"from_generation=$oldGen\nsplit=${splitDone.mkString(",")}\n")
+    splitDone.toSeq
+  }
+
+  /** Roll a pending split forward: swap staged centers / drift_ref /
+    * header, then move each staged cell directory into the postings
+    * (trash-ordered; idempotent per component), trash the retired
+    * drift log, clean up, drop the marker. Safe at any crash point
+    * after the marker landed — staging is complete by then. */
+  private def completePendingSplit(spark: SparkSession, dir: String): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def move(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+      if (!hfs.rename(src, dst))
+        throw new java.io.IOException(s"splitCells: rename $src -> $dst failed")
+    def swap(name: String, trashTag: String): Unit = {
+      val staged = p(s"$dir/$SplitStaging/$name")
+      val live = p(s"$dir/$name")
+      val trash = p(s"$dir/.trash_split_$trashTag")
+      if (hfs.exists(staged)) {
+        if (hfs.exists(live)) {
+          if (hfs.exists(trash)) hfs.delete(trash, true)
+          move(live, trash)
+        }
+        move(staged, live)
+      }
+    }
+    Seq("centers.parquet", "drift_ref.parquet", QuantizerFile)
+      .foreach(n => swap(n, n))
+    val deltaRoot = p(s"$dir/$SplitStaging/postings_delta")
+    if (hfs.exists(deltaRoot))
+      hfs.listStatus(deltaRoot).filter(_.isDirectory).foreach { st =>
+        val cellDir = st.getPath.getName // cell=<n>
+        val live = p(s"$dir/postings.parquet/$cellDir")
+        val trash = p(s"$dir/.trash_split_$cellDir")
+        if (hfs.exists(live)) {
+          if (hfs.exists(trash)) hfs.delete(trash, true)
+          move(live, trash)
+        }
+        move(st.getPath, live)
+      }
+    val log = p(s"$dir/drift_log.parquet")
+    if (hfs.exists(log)) move(log, p(s"$dir/.trash_split_drift_log.parquet"))
+    val leftovers = hfs.listStatus(p(dir))
+      .map(_.getPath.getName).filter(_.startsWith(".trash_split_"))
+    (leftovers.map(n => s"$dir/$n") :+ s"$dir/$SplitStaging")
+      .foreach { t => val tp = p(t); if (hfs.exists(tp)) hfs.delete(tp, true) }
+    if (!hfs.delete(p(s"$dir/$SplitMarker"), false))
+      throw new java.io.IOException(s"splitCells: marker delete failed at $dir")
+    Seq("centers.parquet", "postings.parquet", "drift_ref.parquet")
+      .foreach(n => spark.catalog.refreshByPath(s"$dir/$n"))
+  }
 
   private def nearestCellsJvm(centers: Array[Array[Double]], v: Seq[Double],
       m: Int): Seq[Int] = {

@@ -525,6 +525,166 @@ object OpsQueries {
           after.getAs[Int]("nlist") == tight.getAs[Int]("suggested_nlist")))
   }
 
+  /** HOTSPOT CELL SPLITS ([[IvfIndex.splitCells]]) — the INCREMENTAL
+    * capacity migration: where [[IvfIndex.rebuild]] answers global
+    * growth with an O(history) re-assign, splitCells answers a SKEWED
+    * surge (a few cells over budget while the mean stays comfortable)
+    * with O(hot-cell mass) work — per victim cell, a 2-means re-shard
+    * of that cell alone. The query plants the skew (a crawl surge
+    * concentrated in one semantic region — every planted vector lands
+    * in the anchor's cell), runs the split loop to convergence, and
+    * gates the full contract:
+    *
+    *  1. [[IvfIndex.splitAdvice]] tells the modes apart: the skewed
+    *     store reads recommendSplit (localized overflow), never
+    *     recommendRebuild; post-split the advice clears;
+    *  2. the split touches ONLY victim cells: every pre-split cell
+    *     that was never a victim keeps a byte-identical file listing,
+    *     the postings id multiset is conserved, and the final max
+    *     cell mass is under budget (the capacity contract itself);
+    *  3. the generation bump makes the routing change loud: a probe
+    *     holding pre-split centers fails (`expectGeneration`), and a
+    *     post-split append restarts the drift log under the updated
+    *     occupancy reference;
+    *  4. serving survives the approximation (split routing is local —
+    *     see the splitCells scaladoc): post-split recall vs the exact
+    *     twin does not degrade beyond the boundary-row epsilon. */
+  val annIvfSplit: Q = Q.gated("ann_ivf_split_cells") { (s, d) =>
+    import graft.io.Layout
+    val emb = Tables.embeddings(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-split").toString
+    IvfIndex.build(emb, dir, nlist = 8)
+    // the surge: one vector per corpus row, all within ~0.1 of a fixed
+    // anchor direction (real per-row variance — 2-means needs geometry
+    // to find — but a single home region)
+    val blob = emb.select((col("vec_id") + lit(1L << 40)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast((case when i = 0 then 1.0 " +
+        "else 0.0 end) + 0.05 * x as float))").as("embedding"))
+    IvfIndex.append(blob, dir)
+    val n = emb.count()
+    val budget = math.max(1L, n / 2) // only surge-holding cells exceed this
+    val postings = s"$dir/postings.parquet"
+    val adviceBefore = IvfIndex.splitAdvice(s, dir, budget)
+    val idsBefore = s.read.parquet(postings).select("id").localCheckpoint(true)
+    val totalBefore = idsBefore.count()
+    val listingPre = Layout.partitionFileListing(s, postings, "cell")
+    val queries = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+    val corpus = emb.select("vec_id", "embedding").unionByName(blob)
+    val exactPre = SimilaritySearch.bruteTopK(corpus, k = 5)
+      .where(pmod(col("i"), lit(5)) === 0 && col("i") < (1L << 40))
+      .select("i", "j").localCheckpoint(true)
+    val pre = IvfIndex.search(s, dir, queries, k = 5, nprobe = 3)
+      .select("i", "j").localCheckpoint(true)
+    val (preRecall, _) = pairRecall(pre, exactPre, Seq("i", "j"))
+    val genBefore = IvfIndex.generation(s, dir)
+    val oldCenters = IvfIndex.loadCenters(s, dir)
+    // split to convergence: a sub-cell still over budget splits on the
+    // next pass (bounded — each pass halves the over-budget mass)
+    var victimsAll = Seq.empty[Int]
+    var passes = 0
+    var more = true
+    while (more && passes < 6) {
+      val v = IvfIndex.splitCells(s, dir, budget)
+      victimsAll ++= v
+      more = v.nonEmpty
+      passes += 1
+    }
+    val genAfter = IvfIndex.generation(s, dir)
+    val adviceAfter = IvfIndex.splitAdvice(s, dir, budget)
+    val listingPost = Layout.partitionFileListing(s, postings, "cell")
+    val untouchedChanged = listingPre.keySet.count(c =>
+      !victimsAll.map(_.toString).contains(c) &&
+        listingPre(c) != listingPost.getOrElse(c, Nil))
+    val idsAfter = s.read.parquet(postings).select("id")
+    val idsDiff = idsBefore.exceptAll(idsAfter).count() +
+      idsAfter.exceptAll(idsBefore).count()
+    val maxMassAfter = s.read.parquet(postings)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    val mismatchCaught =
+      try {
+        IvfIndex.matchedFromAssigned(
+          IvfIndex.assignCells(emb, oldCenters, "vec_id", "embedding", 3),
+          dir, threshold = 0.9, expectGeneration = Some(genBefore)).count()
+        0L
+      } catch { case _: IllegalArgumentException => 1L }
+    val post = IvfIndex.search(s, dir, queries, k = 5, nprobe = 3)
+      .select("i", "j", "cosine", "rank").localCheckpoint(true)
+    // post-split append: routes under the new centers and restarts the
+    // drift log against the split-updated occupancy reference
+    IvfIndex.append(
+      emb.where(pmod(col("vec_id"), lit(7)) === 0)
+        .select((col("vec_id") + lit(1L << 41)).as("vec_id"), col("embedding")),
+      dir)
+    val driftRows = s.read.parquet(s"$dir/drift_log.parquet").count()
+    post
+      .withColumn("advice_split_before", lit(adviceBefore.recommendSplit))
+      .withColumn("advice_rebuild_before", lit(adviceBefore.recommendRebuild))
+      .withColumn("over_cells_before", lit(adviceBefore.overCells.size.toLong))
+      .withColumn("advice_any_after",
+        lit(adviceAfter.recommendSplit || adviceAfter.recommendRebuild))
+      .withColumn("gen_before", lit(genBefore))
+      .withColumn("gen_after", lit(genAfter))
+      .withColumn("n_split", lit(victimsAll.size.toLong))
+      .withColumn("nlist_after", lit(adviceAfter.nlist))
+      .withColumn("total_before", lit(totalBefore))
+      .withColumn("ids_diff", lit(idsDiff))
+      .withColumn("untouched_changed", lit(untouchedChanged.toLong))
+      .withColumn("max_mass_after", lit(maxMassAfter))
+      .withColumn("budget", lit(budget))
+      .withColumn("mismatch_caught", lit(mismatchCaught))
+      .withColumn("pre_recall", lit(preRecall))
+      .withColumn("drift_rows_after", lit(driftRows))
+  } { (s, d, res) =>
+    val head = res.select("advice_split_before", "advice_rebuild_before",
+      "over_cells_before", "advice_any_after", "gen_before", "gen_after",
+      "n_split", "nlist_after", "total_before", "ids_diff",
+      "untouched_changed", "max_mass_after", "budget", "mismatch_caught",
+      "pre_recall", "drift_rows_after").head
+    val emb = Tables.embeddings(s, d)
+    val blob = emb.select((col("vec_id") + lit(1L << 40)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast((case when i = 0 then 1.0 " +
+        "else 0.0 end) + 0.05 * x as float))").as("embedding"))
+    val exact = SimilaritySearch.bruteTopK(
+        emb.select("vec_id", "embedding").unionByName(blob), k = 5)
+      .where(pmod(col("i"), lit(5)) === 0 && col("i") < (1L << 40))
+    val (postRecall, _) = pairRecall(res.select("i", "j"),
+      exact.select("i", "j"), Seq("i", "j"))
+    val preRecall = head.getAs[Double]("pre_recall")
+    Seq(
+      Gate("advice_recommends_split",
+        if (head.getAs[Boolean]("advice_split_before")) 1 else 0,
+        head.getAs[Boolean]("advice_split_before") &&
+          !head.getAs[Boolean]("advice_rebuild_before")),
+      Gate("over_cells_localized", head.getAs[Long]("over_cells_before").toDouble,
+        head.getAs[Long]("over_cells_before") >= 1 &&
+          head.getAs[Long]("over_cells_before") <= 2),
+      Gate("cells_split", head.getAs[Long]("n_split").toDouble,
+        head.getAs[Long]("n_split") >= 1),
+      Gate("generation_bumped", head.getAs[Int]("gen_after").toDouble,
+        head.getAs[Int]("gen_before") == 0 && head.getAs[Int]("gen_after") >= 1),
+      Gate("nlist_grew_by_splits", head.getAs[Int]("nlist_after").toDouble,
+        head.getAs[Int]("nlist_after") == 8 + head.getAs[Long]("n_split")),
+      Gate("postings_ids_conserved", head.getAs[Long]("ids_diff").toDouble,
+        head.getAs[Long]("ids_diff") == 0),
+      Gate("untouched_cells_changed",
+        head.getAs[Long]("untouched_changed").toDouble,
+        head.getAs[Long]("untouched_changed") == 0),
+      Gate("max_cell_mass_under_budget",
+        head.getAs[Long]("max_mass_after").toDouble,
+        head.getAs[Long]("max_mass_after") <= head.getAs[Long]("budget")),
+      Gate("advice_clears", if (head.getAs[Boolean]("advice_any_after")) 1 else 0,
+        !head.getAs[Boolean]("advice_any_after")),
+      Gate("stale_centers_probe_caught",
+        head.getAs[Long]("mismatch_caught").toDouble,
+        head.getAs[Long]("mismatch_caught") == 1),
+      Gate("drift_log_restarted", head.getAs[Long]("drift_rows_after").toDouble,
+        head.getAs[Long]("drift_rows_after") == 1),
+      Gate("pre_recall_floor", preRecall, preRecall >= 0.4),
+      Gate("post_recall_vs_pre", postRecall,
+        postRecall >= preRecall - 0.05 && postRecall >= 0.4))
+  }
+
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
     * cell candidates as IVF, but the index side of the join carries m=16
     * RESIDUAL code bytes (ARRAY<TINYINT>) instead of 64 doubles (32×
@@ -2572,14 +2732,198 @@ object OpsQueries {
       Gate("rerun_store_drift", rerunDrift.toDouble, rerunDrift == 0))
   }
 
+  /** THE AUDIT TRAIL ([[graft.examples.DailyIngest]] drop log) — every
+    * incoming doc/asset that did not survive its day is logged with
+    * exactly ONE reason from the fixed vocabulary
+    * ([[graft.examples.DailyIngest.DropReasons]]), written in phase 1
+    * beside the survivor outputs. "Why did my page disappear?" is a
+    * question a production pipeline must answer from records, not by
+    * re-running the pipeline. The query ingests the planted fixture
+    * with day D INGESTED (not probe-only) so the plants land in the
+    * log, then gates:
+    *
+    *  1. RECONCILIATION, the partition invariant: per day and family,
+    *     incoming ids = survivors ⊎ logged drops — no overlap, no
+    *     leak, one log row per id, reasons within the vocabulary;
+    *  2. LEDGER ALGEBRA: the recorded DayCounts tie to the log
+    *     (urlKept = incoming − url drops; cleanKept = incoming − all
+    *     pre-near-dup drops; textKept = incoming − all drops);
+    *  3. PLANTED ATTRIBUTION: URL re-crawl variants log as url_seen
+    *     (or within-day URL dup under the fixture's colliding-key
+    *     cohort); edited twins of clean day-0 content log as
+    *     neardup_seen; paraphrase twins of vector-holding bases log as
+    *     semantic_seen; re-encoded twins of signature-recorded assets
+    *     log as media_neardup_seen; the guaranteed-fresh plants appear
+    *     in NO log;
+    *  4. RE-RUN STABILITY: re-running every day short-circuits on the
+    *     ledger and leaves the log bytes untouched. */
+  val ingestAudit: Q = Q.gated("pipeline_ingest_audit") { (s, d) =>
+    import graft.examples.DailyIngest
+    val D = IngestDays
+    val root = dailyRoot(s, d) + "_audit"
+    val docs = dailyDocs(s, d, D)
+    val media = dailyMedia(s, d, D)
+    val emb = dailyEmb(s, d, D)
+    val bench = dailyBench(s, d)
+    val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
+    DailyIngest.run(s, docs, media, bench, root, D + 1, cfg, emb = Some(emb))
+    def dirMd5(p: String): String = {
+      val f = new java.io.File(p)
+      if (!f.exists()) "absent"
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.listFiles().filter(_.isFile).sortBy(_.getName)
+          .filterNot(_.getName.startsWith("."))
+          .foreach(x => md.update(java.nio.file.Files.readAllBytes(x.toPath)))
+        md.digest().map("%02x".format(_)).mkString
+      }
+    }
+    def logsMd5 = (0 to D).map(i =>
+      dirMd5(DailyIngest.dropLogOut(root, i)) + "|" +
+        dirMd5(DailyIngest.mediaDropLogOut(root, i))).mkString(";")
+    val snap = logsMd5
+    DailyIngest.run(s, docs, media, bench, root, D + 1, cfg, emb = Some(emb))
+    val rerunStable = logsMd5 == snap
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id bigint, reason string")
+    val mediaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id bigint, reason string")
+    (0 to D).map { i =>
+      s.read.schema(docSchema).parquet(DailyIngest.dropLogOut(root, i))
+        .select(lit(i).as("day"), col("doc_id").as("id"),
+          lit("text").as("family"), col("reason"))
+        .unionByName(
+          s.read.schema(mediaSchema).parquet(DailyIngest.mediaDropLogOut(root, i))
+            .select(lit(i).as("day"), col("media_id").as("id"),
+              lit("media").as("family"), col("reason")))
+    }.reduce(_ unionByName _)
+      .withColumn("rerun_stable", lit(rerunStable))
+  } { (s, d, res) =>
+    import graft.examples.DailyIngest
+    val D = IngestDays
+    val root = dailyRoot(s, d) + "_audit"
+    val docs = dailyDocs(s, d, D).cache()
+    val media = dailyMedia(s, d, D)
+    val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
+    val textLog = res.where(col("family") === "text")
+      .select(col("day"), col("id").as("doc_id"), col("reason")).cache()
+    val mediaLog = res.where(col("family") === "media")
+      .select(col("day"), col("id").as("media_id"), col("reason")).cache()
+    // ---- 1. reconciliation: incoming = survivors ⊎ drops, per day ----
+    var mismatch = 0L
+    var overlap = 0L
+    var countsAlgebraBad = 0L
+    (0 to D).foreach { i =>
+      val incoming = docs.where(col("day") === i).select("doc_id")
+      val surv = s.read.parquet(DailyIngest.textOut(root, i)).select("doc_id")
+      val logged = textLog.where(col("day") === i).select("doc_id")
+      overlap += surv.join(logged, Seq("doc_id"), "left_semi").count()
+      val uni = surv.unionByName(logged)
+      mismatch += incoming.exceptAll(uni).count() + uni.exceptAll(incoming).count()
+      val mIncoming = media.where(col("day") === i).select("media_id")
+      val mSurv = s.read.parquet(DailyIngest.mediaOut(root, i)).select("media_id")
+      val mLogged = mediaLog.where(col("day") === i).select("media_id")
+      overlap += mSurv.join(mLogged, Seq("media_id"), "left_semi").count()
+      val mUni = mSurv.unionByName(mLogged)
+      mismatch += mIncoming.exceptAll(mUni).count() +
+        mUni.exceptAll(mIncoming).count()
+      // ---- 2. ledger algebra: recorded counts ↔ log reasons ----------
+      val c = DailyIngest.dayCounts(s, root, i)
+      def drops(rs: String*): Long = textLog
+        .where(col("day") === i && col("reason").isin(rs: _*)).count()
+      val urlDrops = drops("url_dup_within_day", "url_seen")
+      val preCleanDrops = urlDrops + drops("empty_text",
+        "exact_dup_within_day", "exact_seen", "quality", "contaminated")
+      val allDrops = textLog.where(col("day") === i).count()
+      if (c.urlKept != c.incoming - urlDrops) countsAlgebraBad += 1
+      if (c.cleanKept != c.incoming - preCleanDrops) countsAlgebraBad += 1
+      if (c.textKept != c.incoming - allDrops) countsAlgebraBad += 1
+    }
+    val dupReasonRows = res.groupBy("family", "id")
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).count()
+    val badVocab = textLog
+      .where(!col("reason").isin(DailyIngest.DropReasons: _*)).count() +
+      mediaLog.where(!col("reason").isin(DailyIngest.MediaDropReasons: _*)).count()
+    // ---- 3. planted attribution (day D) ------------------------------
+    val dayD = textLog.where(col("day") === D).cache()
+    val nUrlVars = docs.where(col("doc_id") >= PlantedUrlVarBase &&
+      col("doc_id") < PlantedMediaTwinBase).count()
+    val urlVarsAttributed = dayD
+      .where(col("doc_id") >= PlantedUrlVarBase &&
+        col("doc_id") < PlantedMediaTwinBase &&
+        col("reason").isin("url_seen", "url_dup_within_day")).count()
+    val urlVarsSeen = dayD
+      .where(col("doc_id") >= PlantedUrlVarBase &&
+        col("doc_id") < PlantedMediaTwinBase &&
+        col("reason") === "url_seen").count()
+    val bench = dailyBench(s, d)
+    val s2 = batchCleanTwin(s, docs, bench, cfg)
+    val condTwins = docs
+      .where(col("doc_id") >= PlantedTwinBase && col("doc_id") < PlantedFreshBase)
+      .select(col("doc_id"), (col("doc_id") - PlantedTwinBase).as("base"))
+      .join(s2.select(col("doc_id").as("base")), Seq("base"))
+      .select("doc_id")
+    val nCondTwins = condTwins.count()
+    val twinsAttributed = dayD.where(col("reason") === "neardup_seen")
+      .join(condTwins, Seq("doc_id"), "left_semi").count()
+    val postingIds = s.read
+      .parquet(s"${DailyIngest.embStore(root)}/postings.parquet")
+      .select(col("id").as("base"))
+    val condSemTwins = docs
+      .where(col("doc_id") >= PlantedSemTwinBase &&
+        col("doc_id") < PlantedSemChain1Base)
+      .select(col("doc_id"), (col("doc_id") - PlantedSemTwinBase).as("base"))
+      .join(postingIds, Seq("base"), "left_semi")
+      .select("doc_id")
+    val nSemTwins = condSemTwins.count()
+    val semAttributed = dayD.where(col("reason") === "semantic_seen")
+      .join(condSemTwins, Seq("doc_id"), "left_semi").count()
+    val sigIds = graft.multimodal.SignatureStore
+      .load(s, DailyIngest.sigStore(root))
+      .select(col("media_id").as("base")).distinct()
+    val condMTwins = media
+      .where(col("media_id") >= PlantedMediaTwinBase &&
+        col("media_id") < PlantedMediaFreshBase)
+      .select(col("media_id"), (col("media_id") - PlantedMediaTwinBase).as("base"))
+      .join(sigIds, Seq("base"), "left_semi")
+      .select("media_id")
+    val nCondM = condMTwins.count()
+    val mAttributed = mediaLog
+      .where(col("day") === D && col("reason") === "media_neardup_seen")
+      .join(condMTwins, Seq("media_id"), "left_semi").count()
+    val freshLogged = res.where(col("family") === "text" &&
+      col("id") >= PlantedFreshBase && col("id") < PlantedUrlVarBase).count() +
+      res.where(col("family") === "media" &&
+        col("id") >= PlantedMediaFreshBase).count()
+    val rerunStable = res.select("rerun_stable").head.getBoolean(0)
+    docs.unpersist(); textLog.unpersist(); mediaLog.unpersist(); dayD.unpersist()
+    Seq(
+      Gate("reconciliation_mismatches", mismatch.toDouble, mismatch == 0),
+      Gate("survivor_log_overlap", overlap.toDouble, overlap == 0),
+      Gate("duplicate_log_rows", dupReasonRows.toDouble, dupReasonRows == 0),
+      Gate("unknown_reasons", badVocab.toDouble, badVocab == 0),
+      Gate("ledger_algebra_violations", countsAlgebraBad.toDouble,
+        countsAlgebraBad == 0),
+      Gate("url_variants_attributed", urlVarsAttributed.toDouble,
+        nUrlVars > 0 && urlVarsAttributed == nUrlVars && urlVarsSeen > 0),
+      Gate("edited_twins_attributed", twinsAttributed.toDouble,
+        nCondTwins > 0 && twinsAttributed == nCondTwins),
+      Gate("semantic_twins_attributed", semAttributed.toDouble,
+        nSemTwins > 0 && semAttributed == nSemTwins),
+      Gate("media_twins_attributed", mAttributed.toDouble,
+        nCondM > 0 && mAttributed == nCondM),
+      Gate("fresh_plants_logged", freshLogged.toDouble, freshLogged == 0),
+      Gate("rerun_log_stable", if (rerunStable) 1 else 0, rerunStable))
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain,
-    annIvfRebuild, annIvfRebuildPolicy, annPq,
+    annIvfRebuild, annIvfRebuildPolicy, annIvfSplit, annPq,
     semanticDups, canonical, retained, retainedQuality, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
     hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,
     minhashNovelStore, minhashEstEnvelope, urlCanonicalize, urlDedup, urlNovelStore,
     crossModalFilter, crossModalStats, dailyIngest, ingestRebuild,
-    ingestTakedown)
+    ingestTakedown, ingestAudit)
 }

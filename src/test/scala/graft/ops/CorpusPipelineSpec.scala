@@ -303,6 +303,61 @@ class DailyIngestSpec extends AnyFunSuite {
       "the control asset's copy must still be shed")
   }
 
+  test("drop log: every incoming id is survivor XOR logged-with-one-reason; takedown forgets victims' audit rows") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val D = 2
+    val root = java.nio.file.Files.createTempDirectory("di-audit").toString
+    val docs = OpsQueries.dailyDocs(spark, dir, D)
+    val media = OpsQueries.dailyMedia(spark, dir, D)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    val emb = OpsQueries.dailyEmb(spark, dir, D)
+    DailyIngest.run(spark, docs, media, bench, root, D + 1, emb = Some(emb))
+    val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id bigint, reason string")
+    val mSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id bigint, reason string")
+    (0 to D).foreach { i =>
+      val incoming = docs.where(col("day") === i).select("doc_id")
+      val surv = spark.read.parquet(DailyIngest.textOut(root, i)).select("doc_id")
+      val logged = spark.read.schema(docSchema)
+        .parquet(DailyIngest.dropLogOut(root, i))
+      assert(logged.groupBy("doc_id").count().where(col("count") > 1).count() == 0,
+        s"day $i: a doc must carry exactly one drop reason")
+      assert(logged.where(!col("reason")
+        .isin(DailyIngest.DropReasons: _*)).count() == 0,
+        s"day $i: unknown drop reasons")
+      assert(surv.join(logged, Seq("doc_id"), "left_semi").count() == 0,
+        s"day $i: a survivor must not be logged as dropped")
+      val uni = surv.unionByName(logged.select("doc_id"))
+      val miss = incoming.exceptAll(uni).count() + uni.exceptAll(incoming).count()
+      assert(miss == 0, s"day $i: drop log + survivors must partition incoming")
+      val mIncoming = media.where(col("day") === i).select("media_id")
+      val mSurv = spark.read.parquet(DailyIngest.mediaOut(root, i)).select("media_id")
+      val mLogged = spark.read.schema(mSchema)
+        .parquet(DailyIngest.mediaDropLogOut(root, i))
+      val mUni = mSurv.unionByName(mLogged.select("media_id"))
+      assert(mIncoming.exceptAll(mUni).count() + mUni.exceptAll(mIncoming).count() == 0,
+        s"day $i: media drop log + survivors must partition incoming media")
+    }
+    // takedown forgets the audit rows too: pick a doc that was DROPPED
+    // (it has a log row but no survivor row) and take it down
+    val victim = spark.read.schema(docSchema)
+      .parquet(DailyIngest.dropLogOut(root, D))
+      .where(col("doc_id") < (1L << 40)) // a real crawl doc, not a plant
+      .orderBy("doc_id").limit(1).collect().map(_.getLong(0))
+    assert(victim.nonEmpty, "fixture sanity: day D must drop a real doc")
+    import spark.implicits._
+    DailyIngest.takedown(spark, root, docs, media,
+      victim.toSeq.toDF("doc_id"), Seq.empty[Long].toDF("media_id"),
+      takedownId = "audit1")
+    (0 to D).foreach { i =>
+      val left = spark.read.schema(docSchema)
+        .parquet(DailyIngest.dropLogOut(root, i))
+        .where(col("doc_id") === victim.head).count()
+      assert(left == 0, s"day $i: the victim's audit row must be forgotten")
+    }
+  }
+
   test("prefixChars is a caller decision: the exact-novelty key length changes which docs deduplicate") {
     import spark.implicits._
     // two docs sharing their first ~87 chars but diverging after: under

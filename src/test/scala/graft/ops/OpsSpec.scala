@@ -733,6 +733,109 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!afterEmpty.recommend,
       s"an empty append re-armed the trigger: $afterEmpty")
   }
+
+  /** The split-spec surge: one vector per corpus row, all within ~0.1
+    * of a fixed anchor direction — a single home cell with real
+    * per-row variance for the 2-means to find. */
+  private def blobOf(df: org.apache.spark.sql.DataFrame, base: Long) =
+    df.select((col("vec_id") + lit(base)).as("vec_id"),
+      expr("transform(embedding, (x, i) -> cast((case when i = 0 then 1.0 " +
+        "else 0.0 end) + 0.05 * x as float))").as("embedding"))
+
+  test("splitCells: only over-budget cells split; ids conserved; untouched cells byte-stable; advice clears") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-split").toString
+    IvfIndex.build(emb, dir, nlist = 4)
+    IvfIndex.append(blobOf(emb, 1L << 40), dir)
+    val n = emb.count()
+    val budget = math.max(1L, n / 2)
+    val postings = s"$dir/postings.parquet"
+    val advice = IvfIndex.splitAdvice(spark, dir, budget)
+    assert(advice.recommendSplit && !advice.recommendRebuild,
+      s"the localized surge must read as a split, not a rebuild: $advice")
+    val idsBefore = spark.read.parquet(postings).select("id")
+      .collect().map(_.getLong(0)).sorted
+    val listingPre = graft.io.Layout.partitionFileListing(spark, postings, "cell")
+    var victims = Seq.empty[Int]
+    var more = true
+    var guard = 0
+    while (more && guard < 6) {
+      val v = IvfIndex.splitCells(spark, dir, budget)
+      victims ++= v; more = v.nonEmpty; guard += 1
+    }
+    assert(victims.nonEmpty, "the over-budget cell must have split")
+    assert(IvfIndex.generation(spark, dir) >= 1)
+    val listingPost = graft.io.Layout.partitionFileListing(spark, postings, "cell")
+    val untouchedChanged = listingPre.keySet.filter(c =>
+      !victims.map(_.toString).contains(c) &&
+        listingPre(c) != listingPost.getOrElse(c, Nil))
+    assert(untouchedChanged.isEmpty,
+      s"never-victim cells were rewritten: $untouchedChanged")
+    val idsAfter = spark.read.parquet(postings).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(idsAfter.sameElements(idsBefore), "postings ids must be conserved")
+    val maxMass = spark.read.parquet(postings)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(maxMass <= budget, s"a cell is still over budget: $maxMass > $budget")
+    val after = IvfIndex.splitAdvice(spark, dir, budget)
+    assert(!after.recommendSplit && !after.recommendRebuild,
+      s"advice must clear once every cell is under budget: $after")
+    assert(after.nlist == 4 + victims.size,
+      "each split adds exactly one cell")
+    // serving survives: the store still finds near-identical pairs
+    assert(IvfIndex.search(spark, dir, emb, k = 3, nprobe = 2).count() > 0)
+  }
+
+  test("splitCells: a crash between staging and swap rolls FORWARD; readers throw until complete") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-splitcrash").toString
+    IvfIndex.build(emb, dir, nlist = 4)
+    IvfIndex.append(blobOf(emb, 1L << 40), dir)
+    val budget = math.max(1L, emb.count() / 2)
+    val preIds = spark.read.parquet(s"$dir/postings.parquet").select("id")
+      .collect().map(_.getLong(0)).sorted
+    val staged = IvfIndex.stageSplit(spark, dir, budget)
+    assert(staged.nonEmpty, "fixture sanity: something must be over budget")
+    val e = intercept[java.io.IOException](IvfIndex.loadCenters(spark, dir))
+    assert(e.getMessage.contains("pending cell split"))
+    intercept[java.io.IOException](IvfIndex.splitAdvice(spark, dir, budget))
+    // a rebuild must refuse to run over a half-split store
+    val e2 = intercept[java.io.IOException](
+      IvfIndex.rebuild(spark, dir, newNlist = 8))
+    assert(e2.getMessage.contains("pending"), e2.getMessage)
+    // re-running splitCells completes the pending swap (roll-forward),
+    // then converges (the fresh census may split residual cells)
+    var guard = 0
+    while (IvfIndex.splitCells(spark, dir, budget).nonEmpty && guard < 6)
+      guard += 1
+    assert(IvfIndex.generation(spark, dir) >= 1)
+    val postIds = spark.read.parquet(s"$dir/postings.parquet").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(postIds.sameElements(preIds), "ids must survive the recovery")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/split.inprogress")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_split_staging")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .forall(!_.getPath.getName.startsWith(".trash_split")),
+      "no split trash left behind")
+  }
+
+  test("splitCells: a cell of identical vectors is skipped (no geometry splits identical mass)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-splitdeg").toString
+    val same = spark.range(10)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0), lit(0.5), lit(0.25)).as("embedding"))
+    IvfIndex.build(same, dir, nlist = 1)
+    val victims = IvfIndex.splitCells(spark, dir, maxPostingsPerCell = 5)
+    assert(victims.isEmpty, "identical mass must be skipped, not split")
+    assert(IvfIndex.generation(spark, dir) == 0,
+      "a no-op pass must not bump the generation")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/split.inprogress")),
+      "a skipped-everything pass must not leave a marker")
+  }
 }
 
 class MinHashBandStoreSpec extends AnyFunSuite {
