@@ -156,12 +156,23 @@ object DailyIngest {
     *    disappear?") and its reconciliation invariant — every incoming
     *    id is EITHER a survivor or logged with exactly one reason — is
     *    gated in `pipeline_ingest_audit`. The drop frames are computed
-    *    lazily either way; `false` skips only the writes. */
+    *    lazily either way; `false` skips only the writes.
+    *  - `dailyBpeBudget`: per-day ADMISSION CAP — when set, each day's
+    *    deduplicated survivors are ranked by
+    *    [[TextFunctions.qualityScore]] (doc_id tie-break) and admitted
+    *    best-first until their cumulative BPE count fills the budget
+    *    ([[graft.ops.Corpus.admitByBudget]], a distributed prefix-sum
+    *    — never a single-partition window). A crawl routinely yields
+    *    more clean text than a training run wants per day; the cap
+    *    keeps the best of it. Rejected docs log as reason `budget`;
+    *    the STORES still record them (their content was seen — a
+    *    budget rejection must not make tomorrow's duplicate of it
+    *    novel), only the outputs/shards shrink. */
   final case class IngestConfig(prefixChars: Int = 80,
       bloomCapacity: Long = 1000000L, shardBudgetBpe: Long = 2000L,
       mediaShardBudgetBytes: Long = 1L << 20, semThreshold: Double = 0.9,
       semNprobe: Int = 4, semNlist: Int = 16, semIters: Int = 10,
-      auditLog: Boolean = true)
+      auditLog: Boolean = true, dailyBpeBudget: Option[Long] = None)
 
   def urlStore(root: String): String = s"$root/stores/url_bloom"
   def textStore(root: String): String = s"$root/stores/text_bloom"
@@ -314,7 +325,8 @@ object DailyIngest {
     "url_dup_within_day", "url_seen", "empty_text",
     "exact_dup_within_day", "exact_seen", "quality", "contaminated",
     "neardup_seen", "neardup_dup_within_day",
-    "semantic_seen", "semantic_dup_within_day")
+    "semantic_seen", "semantic_dup_within_day",
+    "budget") // applied AFTER all dedup stages, over survivors — disjoint by construction
   private[graft] val MediaDropReasons: Seq[String] = Seq(
     "media_low_information", "media_neardup_seen",
     "media_neardup_dup_within_day")
@@ -692,20 +704,36 @@ object DailyIngest {
           .select(col("doc_id"), col("source"), col("text"),
             TextFunctions.bpeTokenCount(col("text")).as("n_bpe"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        textSurv.select(col("doc_id"), col("source"), col("n_bpe"))
+        // per-day admission cap (see IngestConfig.dailyBpeBudget):
+        // quality-best-first prefix until the BPE budget fills; the
+        // STORES below still append the full seen/clean sets — a
+        // budget rejection shrinks the day's output, never its memory
+        val (textKeptDf, budgetRejected) = cfg.dailyBpeBudget match {
+          case Some(b) =>
+            val adm = graft.ops.Corpus.admitByBudget(
+              textSurv.withColumn("_q",
+                TextFunctions.qualityScore(col("text"))),
+              order = Seq(col("_q").desc, col("doc_id").asc),
+              weight = col("n_bpe"), budget = b)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            (adm.where(col("admitted")).drop("admitted", "_q"),
+              Some(adm))
+          case None => (textSurv, None)
+        }
+        textKeptDf.select(col("doc_id"), col("source"), col("n_bpe"))
           .write.mode("overwrite").parquet(textOut(root, day))
         // training-ready TEXT byte shards for the day — the media
         // branch's packed-stream + slice-index pair, text form: per
         // (source, shard) assembled document streams plus each doc's
         // (offset, nchars) span, gated per day by md5 slice roundtrip
-        graft.ops.Corpus.shardTextIndex(textSurv,
+        graft.ops.Corpus.shardTextIndex(textKeptDf,
             partitionKey = col("source"), order = col("doc_id"),
             weight = col("n_bpe"), text = col("text"),
             budget = cfg.shardBudgetBpe)
           .select(col("doc_id"), col("source"), col("shard"),
             col("offset"), col("nchars"))
           .write.mode("overwrite").parquet(textIndexOut(root, day))
-        graft.ops.Corpus.assembleTextShards(textSurv,
+        graft.ops.Corpus.assembleTextShards(textKeptDf,
             partitionKey = col("source"), order = col("doc_id"),
             weight = col("n_bpe"), text = col("text"),
             budget = cfg.shardBudgetBpe)
@@ -735,7 +763,16 @@ object DailyIngest {
         // pure function of the day against PRE-append stores, like the
         // survivor outputs it complements
         if (cfg.auditLog) {
-          f.textDrops.write.mode("overwrite").parquet(dropLogOut(root, day))
+          // budget rejections are drops too — disjoint from every
+          // dedup-stage reason by construction (they are SURVIVORS of
+          // those stages), so a plain union keeps the partition
+          val textLog = budgetRejected match {
+            case Some(adm) => f.textDrops.unionByName(
+              adm.where(!col("admitted"))
+                .select(col("doc_id"), lit("budget").as("reason")))
+            case None => f.textDrops
+          }
+          textLog.write.mode("overwrite").parquet(dropLogOut(root, day))
           f.mediaDrops.write.mode("overwrite")
             .parquet(mediaDropLogOut(root, day))
         }
@@ -770,12 +807,13 @@ object DailyIngest {
         val c = DayCounts(day,
           incoming = dayDocs.count(), urlKept = f.urlKept.count(),
           exactKept = f.exactKept.count(), cleanKept = f.clean.count(),
-          textKept = textSurv.count(), mediaIncoming = dayMedia.count(),
+          textKept = textKeptDf.count(), mediaIncoming = dayMedia.count(),
           mediaQualityKept = f.postQuality.count(),
           mediaKept = spark.read.parquet(mediaOut(root, day)).count(),
           textShards = shards, mediaShards = mShards)
         writeCounts(spark, computedMarker, c)
-        sweepCaches(spark, rddsBefore, f.caches ++ Seq(mediaSurv, textSurv))
+        sweepCaches(spark, rddsBefore,
+          f.caches ++ Seq(mediaSurv, textSurv) ++ budgetRejected.toSeq)
         c
       }
     counts

@@ -223,4 +223,63 @@ object Corpus {
       .withColumn("off_end", pmod(col("tok_end") - 1, lit(seqLen)) + 1)
       .drop("_w", "_cum")
   }
+
+  /** GLOBAL ordered weight-budget admission — "keep the best rows until
+    * the budget fills": mark each row `admitted` iff its INCLUSIVE
+    * running weight total, over the GLOBAL `order`, is ≤ `budget`. The
+    * admitted set is the exact order-prefix (once the running total
+    * passes the budget every later row rejects — weights must be
+    * non-negative, checked per row), so the result depends only on
+    * (order, weights, budget), never on partitioning.
+    *
+    * Unlike [[packShards]]' per-key windows, the order here is global —
+    * and a global window is a single-partition collapse, the one shape
+    * a 100 TB pass cannot take. This is the classic distributed
+    * prefix-sum instead: range-repartition on the order key, sort
+    * within partitions, ONE bounded pass collecting per-partition
+    * weight sums (numPartitions scalars), driver prefix-sums them, and
+    * a second pass streams each partition against its broadcast offset.
+    * The two passes share one sorted RDD (persisted MEMORY_AND_DISK —
+    * caller lifecycle releases it: the daily loop's cache sweep, or
+    * storage LRU for one-shot callers).
+    *
+    * `order` must be a TOTAL order (include a unique id as tie-break) —
+    * ties at the admission boundary would otherwise admit a
+    * partition-dependent subset. */
+  def admitByBudget(df: DataFrame, order: Seq[Column], weight: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(order.nonEmpty, "admitByBudget needs an order")
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val ranged = df.withColumn("_w", weight.cast("long"))
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = ranged.schema
+    val wIdx = schema.fieldIndex("_w")
+    val rdd = ranged.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach { r =>
+        val w = r.getLong(wIdx)
+        require(w >= 0, s"admitByBudget: negative weight $w breaks the prefix")
+        s += w
+      }
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val prefix = sums.scanLeft(0L)(_ + _) // prefix(i) = total weight before partition i
+    val bc = spark.sparkContext.broadcast(prefix)
+    val marked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bc.value(i)
+      it.map { r =>
+        cum += r.getLong(wIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (cum <= budget))
+      }
+    }
+    spark.createDataFrame(marked, schema
+        .add(org.apache.spark.sql.types.StructField("admitted",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+      .drop("_w")
+  }
 }

@@ -554,15 +554,18 @@ object OpsQueries {
     val emb = Tables.embeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("ivf-split").toString
     IvfIndex.build(emb, dir, nlist = 8)
-    // the surge: one vector per corpus row, all within ~0.1 of a fixed
-    // anchor direction (real per-row variance — 2-means needs geometry
-    // to find — but a single home region)
-    val blob = emb.select((col("vec_id") + lit(1L << 40)).as("vec_id"),
-      expr("transform(embedding, (x, i) -> cast((case when i = 0 then 1.0 " +
-        "else 0.0 end) + 0.05 * x as float))").as("embedding"))
+    // the surge: one vector per two corpus rows, all within ~0.1 of a
+    // fixed anchor direction (real per-row variance — 2-means needs
+    // geometry to find — but a single home region). Half the corpus is
+    // enough skew: hot ≈ 5n/8 against a 0.4n budget, balanced cells
+    // ≈ n/8 stay far under
+    val blob = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      .select((col("vec_id") + lit(1L << 40)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast((case when i = 0 then 1.0 " +
+          "else 0.0 end) + 0.05 * x as float))").as("embedding"))
     IvfIndex.append(blob, dir)
     val n = emb.count()
-    val budget = math.max(1L, n / 2) // only surge-holding cells exceed this
+    val budget = math.max(1L, (0.4 * n).toLong) // only surge cells exceed this
     val postings = s"$dir/postings.parquet"
     val adviceBefore = IvfIndex.splitAdvice(s, dir, budget)
     val idsBefore = s.read.parquet(postings).select("id").localCheckpoint(true)
@@ -584,7 +587,7 @@ object OpsQueries {
     var passes = 0
     var more = true
     while (more && passes < 6) {
-      val v = IvfIndex.splitCells(s, dir, budget)
+      val v = IvfIndex.splitCells(s, dir, budget, iters = 5)
       victimsAll ++= v
       more = v.nonEmpty
       passes += 1
@@ -642,9 +645,10 @@ object OpsQueries {
       "untouched_changed", "max_mass_after", "budget", "mismatch_caught",
       "pre_recall", "drift_rows_after").head
     val emb = Tables.embeddings(s, d)
-    val blob = emb.select((col("vec_id") + lit(1L << 40)).as("vec_id"),
-      expr("transform(embedding, (x, i) -> cast((case when i = 0 then 1.0 " +
-        "else 0.0 end) + 0.05 * x as float))").as("embedding"))
+    val blob = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      .select((col("vec_id") + lit(1L << 40)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast((case when i = 0 then 1.0 " +
+          "else 0.0 end) + 0.05 * x as float))").as("embedding"))
     val exact = SimilaritySearch.bruteTopK(
         emb.select("vec_id", "embedding").unionByName(blob), k = 5)
       .where(pmod(col("i"), lit(5)) === 0 && col("i") < (1L << 40))
@@ -2916,6 +2920,122 @@ object OpsQueries {
       Gate("rerun_log_stable", if (rerunStable) 1 else 0, rerunStable))
   }
 
+  /** PER-DAY ADMISSION CAP ([[graft.examples.DailyIngest.IngestConfig]]
+    * `dailyBpeBudget` over [[Corpus.admitByBudget]]) — a crawl yields
+    * more clean text than a training run wants per day; the cap keeps
+    * the QUALITY-BEST prefix until the day's BPE budget fills, via a
+    * distributed prefix-sum (range partitions + per-partition offsets —
+    * never the single-partition window a global running sum naively
+    * takes). The query ingests a text root under a budget derived from
+    * the fixture and gates the exact semantics:
+    *
+    *  1. per day, the admitted docs' BPE total is within budget and
+    *     admission REJECTED something (fixture sanity);
+    *  2. EXACT PREFIX: the admitted set equals a driver-computed twin —
+    *     sort that day's dedup survivors by (quality desc, doc_id),
+    *     admit while the running total fits — so greedy maximality and
+    *     the exchange property hold by construction;
+    *  3. rejections are DROPS: logged as reason `budget`, and the audit
+    *     partition invariant (incoming = survivors ⊎ log) survives the
+    *     budget stage;
+    *  4. the STORES are budget-blind: the band store records budget
+    *     rejects too (their content was seen — tomorrow's copy of a
+    *     rejected doc must still shed). */
+  val ingestBudget: Q = Q.gated("pipeline_ingest_budget") { (s, d) =>
+    import graft.examples.DailyIngest
+    import graft.text.TextFunctions
+    val D = 2
+    val root = dailyRoot(s, d) + "_budget"
+    val docs = dailyDocs(s, d, D)
+    val media = dailyMedia(s, d, D).where(lit(false))
+    val bench = dailyBench(s, d)
+    // /8 of the day-0 INCOMING mass: the cap must undercut the
+    // POST-DEDUP survivor mass at every SF (at sf0.1 the dedup stages
+    // shed a larger fraction than at sf0.01 — an incoming/3 budget
+    // rejected nothing there), so the rejection gates stay non-vacuous
+    val budget = docs.where(col("day") === 0)
+      .agg(coalesce(sum(TextFunctions.bpeTokenCount(col("text"))), lit(0L)))
+      .head.getLong(0) / 8
+    val cfg = DailyIngest.IngestConfig(
+      bloomCapacity = dailyBloomCapacity(s, d),
+      dailyBpeBudget = Some(budget))
+    DailyIngest.run(s, docs, media, bench, root, D + 1, cfg)
+    (0 to D).map(i =>
+      s.read.parquet(DailyIngest.textOut(root, i))
+        .select(col("doc_id"), col("source"), col("n_bpe"),
+          lit(i).as("day")))
+      .reduce(_ unionByName _)
+      .withColumn("budget", lit(budget))
+  } { (s, d, res) =>
+    import graft.examples.DailyIngest
+    import graft.text.TextFunctions
+    val D = 2
+    val root = dailyRoot(s, d) + "_budget"
+    val docs = dailyDocs(s, d, D).cache()
+    val budget = res.select("budget").head.getLong(0)
+    val logSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id bigint, reason string")
+    var overBudgetDays = 0
+    var twinMismatch = 0L
+    var rejectedTotal = 0L
+    var reconMismatch = 0L
+    (0 to D).foreach { i =>
+      val admitted = res.where(col("day") === i)
+      val admittedIds = admitted.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val bpeSum = admitted.agg(coalesce(sum(col("n_bpe")), lit(0L)))
+        .head.getLong(0)
+      if (bpeSum > budget) overBudgetDays += 1
+      val log = s.read.schema(logSchema)
+        .parquet(DailyIngest.dropLogOut(root, i))
+      val rejected = log.where(col("reason") === "budget")
+        .select("doc_id")
+      rejectedTotal += rejected.count()
+      // the day's pre-admission survivor set = admitted ∪ rejected;
+      // the exact twin re-ranks it on the driver (day-sized)
+      val cands = docs
+        .join(admitted.select("doc_id").unionByName(rejected),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("w"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .sortBy { case (id, q, _) => (-q, id) }
+      var cum = 0L
+      val twin = scala.collection.mutable.Set.empty[Long]
+      cands.foreach { case (id, _, w) =>
+        cum += w
+        if (cum <= budget) twin += id
+      }
+      twinMismatch += (twin.diff(admittedIds).size +
+        admittedIds.diff(twin).size)
+      // partition invariant survives the budget stage
+      val incoming = docs.where(col("day") === i).select("doc_id")
+      val uni = admitted.select("doc_id").unionByName(log.select("doc_id"))
+      reconMismatch += incoming.exceptAll(uni).count() +
+        uni.exceptAll(incoming).count()
+    }
+    // the stores are budget-blind: every budget reject's signature is
+    // in the band store (its content was seen)
+    val allRejected = (0 to D).map(i => s.read.schema(logSchema)
+        .parquet(DailyIngest.dropLogOut(root, i))
+        .where(col("reason") === "budget").select("doc_id"))
+      .reduce(_ unionByName _)
+    val rejectedNotInStore = allRejected
+      .join(MinHashBandStore.loadSigs(s, DailyIngest.mhStore(root)),
+        Seq("doc_id"), "left_anti").count()
+    docs.unpersist()
+    Seq(
+      Gate("days_over_budget", overBudgetDays.toDouble, overBudgetDays == 0),
+      Gate("budget_rejections", rejectedTotal.toDouble, rejectedTotal > 0),
+      Gate("exact_prefix_twin_mismatch", twinMismatch.toDouble,
+        twinMismatch == 0),
+      Gate("reconciliation_mismatches", reconMismatch.toDouble,
+        reconMismatch == 0),
+      Gate("rejects_missing_from_band_store", rejectedNotInStore.toDouble,
+        rejectedNotInStore == 0))
+  }
+
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain,
@@ -2925,5 +3045,5 @@ object OpsQueries {
     hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,
     minhashNovelStore, minhashEstEnvelope, urlCanonicalize, urlDedup, urlNovelStore,
     crossModalFilter, crossModalStats, dailyIngest, ingestRebuild,
-    ingestTakedown, ingestAudit)
+    ingestTakedown, ingestAudit, ingestBudget)
 }

@@ -258,6 +258,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(smallFrac > bigFrac,
       s"alpha<1 must upweight the small source: $smallFrac vs $bigFrac")
   }
+
+  test("admitByBudget: exact order-prefix regardless of partitioning; edge budgets; negative weight refused") {
+    import spark.implicits._
+    // quality scores descending in id order would be too easy — scramble
+    val rows = Seq(
+      (1L, 0.9, 10L), (2L, 0.5, 10L), (3L, 0.7, 10L), (4L, 0.9, 5L),
+      (5L, 0.3, 100L), (6L, 0.7, 10L), (7L, 0.1, 1L), (8L, 0.9, 10L))
+    // order (q desc, id asc): 1(10) 4(5) 8(10) 3(10) 6(10) 2(10) 5(100) 7(1)
+    // cum:                     10   15   25    35    45    55    155    156
+    def admitted(budget: Long, parts: Int): Set[Long] = {
+      val df = rows.toDF("id", "q", "w").repartition(parts)
+      graft.ops.Corpus.admitByBudget(df,
+          order = Seq(col("q").desc, col("id").asc),
+          weight = col("w"), budget = budget)
+        .where(col("admitted")).select("id").collect().map(_.getLong(0)).toSet
+    }
+    assert(admitted(45, 3) == Set(1L, 4L, 8L, 3L, 6L))
+    // the result depends only on (order, weights, budget) — never on
+    // the input partitioning
+    assert(admitted(45, 1) == admitted(45, 7))
+    // a row straddling the boundary rejects, and the PREFIX stays
+    // contiguous: the cheap id=7 after the over-budget id=5 must NOT
+    // sneak in (inclusive running total, not a knapsack)
+    assert(admitted(60, 3) == Set(1L, 4L, 8L, 3L, 6L, 2L))
+    assert(admitted(0, 3) == Set.empty[Long])
+    assert(admitted(1000, 3) == rows.map(_._1).toSet)
+    val neg = Seq((1L, 1.0, -5L)).toDF("id", "q", "w")
+    intercept[Exception] {
+      graft.ops.Corpus.admitByBudget(neg, Seq(col("q").desc, col("id")),
+        col("w"), 10).count()
+    }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
