@@ -396,7 +396,14 @@ object DailyIngest {
       dayMedia: DataFrame, dayEmb: Option[DataFrame],
       benchBloom: org.apache.spark.broadcast.Broadcast[
         org.apache.spark.util.sketch.BloomFilter],
-      root: String, cfg: IngestConfig): DayFrames = {
+      root: String, cfg: IngestConfig,
+      willWriteAudit: Boolean = false): DayFrames = {
+    // the cross-store probe results are cached ONLY when the audit log
+    // will consume them a second time (the drop frames re-read each
+    // probe): a probe-only day evaluates each probe once, and caching
+    // there would pay storage-write cost for zero reuse
+    def cacheIfAudit(df: DataFrame): DataFrame =
+      if (willWriteAudit) df.cache() else df
     // ---- stage 0: URL frontier ------------------------------------
     val canon = dayDocs.withColumn("curl",
       TextFunctions.canonicalizeUrl(col("url")))
@@ -464,10 +471,14 @@ object DailyIngest {
     val (withinPairs, estCache) = MinHashBandStore.estPairsTracked(clean)
     val withinDrops = withinPairs
       .select(col("id_b").as("doc_id")).distinct()
-    val crossKept =
+    // cached: BOTH the survivor anti-join and the audit drop frame
+    // (neardup_seen) consume this store probe — uncached, the band-
+    // store candidate join (the day's most expensive history join)
+    // would run twice per day
+    val crossKept = cacheIfAudit(
       if (exists(spark, mhStore(root)))
         MinHashBandStore.noveltyAgainstStore(clean, mhStore(root))
-      else clean
+      else clean)
     // ---- stage 3b: semantic (embedding) novelty --------------------
     // a PARALLEL drop rule over the same clean set (see the object
     // scaladoc): docs without a vector pass — an unprovable semantic
@@ -539,11 +550,16 @@ object DailyIngest {
                     cfg.semThreshold, expectGeneration = storeGen)
                   .select(col("id").as("doc_id"))
               else within.limit(0)
-            (Some(cross.withColumn("reason", lit("semantic_seen"))
+            // cached: the survivor anti-join and the audit drop frame's
+            // two reason filters all read this (id, reason) set — the
+            // probed-cell candidate joins behind it must run once
+            val semRows = cacheIfAudit(
+              cross.withColumn("reason", lit("semantic_seen"))
                 .unionByName(within
-                  .withColumn("reason", lit("semantic_dup_within_day")))),
-              Some(cleanVecs),
-              if (trained) Some(ctrs) else None, Seq(assigned))
+                  .withColumn("reason", lit("semantic_dup_within_day"))))
+            (Some(semRows), Some(cleanVecs),
+              if (trained) Some(ctrs) else None,
+              Seq(assigned) ++ (if (willWriteAudit) Seq(semRows) else Nil))
         }
     }
     val textSurvivors0 = crossKept.join(withinDrops, Seq("doc_id"), "left_anti")
@@ -567,11 +583,13 @@ object DailyIngest {
     val (mediaPairs, imgSigCache) = storeParityMediaPairsTracked(postQuality)
     val mediaWithinDrops = mediaPairs
       .select(col("id_b").as("media_id")).distinct()
-    val mediaCrossKept =
+    // cached for the same reason as crossKept: survivor anti-join +
+    // audit drop frame share one perceptual store probe
+    val mediaCrossKept = cacheIfAudit(
       if (exists(spark, sigStore(root)))
         SignatureStore.noveltyAgainstStore(postQuality,
           SignatureStore.load(spark, sigStore(root)))
-      else postQuality
+      else postQuality)
     val mediaSurvivors = mediaCrossKept
       .join(mediaWithinDrops, Seq("media_id"), "left_anti")
     // ---- drop-reason audit frames (lazy — written only when
@@ -603,7 +621,9 @@ object DailyIngest {
     DayFrames(canon, urlKept, exactKept, clean, textSurvivors,
       postQuality, mediaSurvivors, semSeen, trainedCenters,
       textDrops, mediaDrops,
-      caches = Seq(clean, postQuality, estCache, imgSigCache) ++ semCaches)
+      caches = Seq(clean, postQuality, estCache, imgSigCache) ++
+        (if (willWriteAudit) Seq(crossKept, mediaCrossKept) else Nil) ++
+        semCaches)
   }
 
   /** Pairwise media near-dup pairs under the SIGNATURE-STORE path's
@@ -694,7 +714,7 @@ object DailyIngest {
       else {
         val rddsBefore = rddIds(spark)
         val f = processDay(spark, dayDocs, dayMedia, dayEmb, benchBloom,
-          root, cfg)
+          root, cfg, willWriteAudit = cfg.auditLog)
         // survivors (with the packing metadata a shard writer needs),
         // materialized strictly BEFORE any append mutates the stores
         // the probe plans read. ONE evaluation of the text-survivor
@@ -710,12 +730,16 @@ object DailyIngest {
         // budget rejection shrinks the day's output, never its memory
         val (textKeptDf, budgetRejected) = cfg.dailyBpeBudget match {
           case Some(b) =>
+            // NOT persisted again here: every consumer is a cheap map
+            // over admitByBudget's internally persisted sorted RDD —
+            // a third cached copy of the day's text (after textSurv
+            // and that RDD) would buy nothing (the day's cache sweep
+            // releases the internal RDD via the rddIds diff)
             val adm = graft.ops.Corpus.admitByBudget(
               textSurv.withColumn("_q",
                 TextFunctions.qualityScore(col("text"))),
               order = Seq(col("_q").desc, col("doc_id").asc),
               weight = col("n_bpe"), budget = b)
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             (adm.where(col("admitted")).drop("admitted", "_q"),
               Some(adm))
           case None => (textSurv, None)
@@ -812,8 +836,7 @@ object DailyIngest {
           mediaKept = spark.read.parquet(mediaOut(root, day)).count(),
           textShards = shards, mediaShards = mShards)
         writeCounts(spark, computedMarker, c)
-        sweepCaches(spark, rddsBefore,
-          f.caches ++ Seq(mediaSurv, textSurv) ++ budgetRejected.toSeq)
+        sweepCaches(spark, rddsBefore, f.caches ++ Seq(mediaSurv, textSurv))
         c
       }
     counts

@@ -153,6 +153,10 @@ object IvfIndex {
       vecCol: String = "embedding"): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // a rebuild OVER a pending migration marker would leave the marker
+    // pointing at stale staging: completing it later would roll
+    // retired cells over the fresh build — every mutator is fenced
+    requireNoPendingRebuild(spark, dir)
     val nlist = centers.length
     val holdoutPred = pmod(col("id"), lit(5)) === 0
     val holdout = useHoldout(emb, idCol, vecCol, nlist)
@@ -691,7 +695,16 @@ object IvfIndex {
     * mass, so the hot cell is exactly what queries near it pay for.
     * Cost discipline matches rebuildAdvice: one footer-only count per
     * cell (only the partition column is read — no data pages), safe
-    * after every append at any corpus size. */
+    * after every append at any corpus size.
+    *
+    * LOOP DISCIPLINE: this is a cheap census, so it cannot tell
+    * SPLITTABLE overflow from irreducible overflow (a cell of
+    * byte-identical vectors that [[splitCells]] rightly refuses to
+    * split — no geometry separates identical mass). Drive a
+    * split-to-convergence loop by splitCells' RETURN (`while
+    * (splitCells(...).nonEmpty)` — an all-skipped pass returns empty
+    * and the loop terminates), never by re-polling recommendSplit,
+    * which stays true forever on irreducible mass. */
   def splitAdvice(spark: SparkSession, dir: String,
       maxPostingsPerCell: Long, maxHotFrac: Double = 0.25): SplitAdvice = {
     require(maxPostingsPerCell >= 1, "maxPostingsPerCell >= 1")
@@ -811,29 +824,53 @@ object IvfIndex {
       while (i < b.length) { val df = a(i) - b(i); s += df * df; i += 1 }
       s
     }
+    val splitMasses = scala.collection.mutable.Map.empty[Int, (Long, Long)]
     counts.take(maxSplitCells).foreach { case (c, _) =>
       // retried appends leave byte-identical copies; collapse them here
       // (the compactPostings / rebuild contract) so the 2-means and the
-      // re-shard see each vector once
+      // re-shard see each vector once. Persisted: the k-means fit, the
+      // side count, and the two staged writes all read this hot-cell
+      // mass — the quantity the O(hot-cell mass) contract is priced on.
       val cellRows = spark.read.parquet(postings)
         .where(col("cell") === c).select("id", "v", "nrm").distinct()
-      val sub = graft.ml.KMeans.train(cellRows, "id", "v", k = 2, iters).centers
-      if (sub.length < 2 || sub(0).sameElements(sub(1)))
-        System.err.println(s"[ivf] NOTE splitCells: cell $c holds " +
-          "identical vectors (2-means degenerates) — skipped; no geometry " +
-          "splits identical mass")
-      else {
-        val a = sub(0); val b = sub(1)
-        val newIdx = newCenters.length
-        val toB = udf { (v: Seq[Double]) => d2(v, b) < d2(v, a) } // tie → A
-        cellRows.where(!toB(col("v")))
-          .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$c")
-        cellRows.where(toB(col("v")))
-          .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$newIdx")
-        newCenters(c) = a
-        newCenters += b
-        splitDone += c
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sub = graft.ml.KMeans.train(cellRows, "id", "v", k = 2, iters).centers
+        val degenerate = sub.length < 2 || sub(0).sameElements(sub(1))
+        val (ma, mb) =
+          if (degenerate) (0L, 0L)
+          else {
+            val a = sub(0); val b = sub(1)
+            val toB = udf { (v: Seq[Double]) => d2(v, b) < d2(v, a) } // tie → A
+            val total = cellRows.count()
+            val nb = cellRows.where(toB(col("v"))).count()
+            (total - nb, nb)
+          }
+        // an empty SIDE is as unsplittable as equal centers: Lloyd's
+        // can end with distinct final centers yet every row strictly
+        // nearer one of them (the empty-cluster outcome) — declaring
+        // that a split would bump the generation, add a dead center,
+        // leave the cell over budget, and make the split-to-convergence
+        // loop re-split it identically forever
+        if (degenerate || ma == 0 || mb == 0)
+          System.err.println(s"[ivf] NOTE splitCells: cell $c does not " +
+            "separate under 2-means (identical vectors or an empty side) " +
+            "— skipped; capacity overflow here needs a rebuild or is " +
+            "irreducible duplicate mass")
+        else {
+          val a = sub(0); val b = sub(1)
+          val newIdx = newCenters.length
+          val toB = udf { (v: Seq[Double]) => d2(v, b) < d2(v, a) }
+          cellRows.where(!toB(col("v")))
+            .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$c")
+          cellRows.where(toB(col("v")))
+            .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$newIdx")
+          newCenters(c) = a
+          newCenters += b
+          splitMasses(c) = (ma, mb)
+          splitDone += c
+        }
+      } finally cellRows.unpersist()
     }
     if (splitDone.isEmpty) { hfs.delete(stagingPath, true); return Nil }
     newCenters.zipWithIndex.map { case (ctr, i) => (i, ctr.toSeq) }.toSeq
@@ -855,12 +892,8 @@ object IvfIndex {
       val p95 = refRows.values.headOption.map(_._2).getOrElse(0.0)
       val nTrain = refRows.values.headOption.map(_._3).getOrElse(0L)
       val stagedCounts = splitDone.flatMap { c =>
-        val pairIdx = splitDone.indexOf(c)
-        val newIdx = oldCenters.length + pairIdx
-        def massOf(cell: Int): Long = scala.util.Try(
-          spark.read.parquet(s"$staging/postings_delta/cell=$cell").count())
-          .getOrElse(0L)
-        val (ma, mb) = (massOf(c), massOf(newIdx))
+        val newIdx = oldCenters.length + splitDone.indexOf(c)
+        val (ma, mb) = splitMasses(c) // recorded at write time — no re-read
         val frac = refRows.get(c).map(_._1).getOrElse(0.0)
         val tot = math.max(1L, ma + mb)
         Seq(c -> frac * ma / tot, newIdx -> frac * mb / tot)
