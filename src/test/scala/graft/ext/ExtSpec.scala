@@ -902,6 +902,18 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(b.nonEmpty, s"fixture sanity: day $day must keep documents")
       assert(st == b, s"stream/batch divergence on day $day: ${st.size} vs ${b.size}")
+      // the AUDIT TRAIL is stream-correct too: per day, the streamed
+      // root's drop log carries the same (id, reason) verdicts as the
+      // batch twin's — the log is phase-1 output like the survivors
+      val logSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id bigint, reason string")
+      def logRows(root: String) = spark.read.schema(logSchema)
+        .parquet(DailyIngest.dropLogOut(root, day))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val lb = logRows(rootB)
+      assert(lb.nonEmpty, s"fixture sanity: day $day must drop documents")
+      assert(logRows(rootS) == lb,
+        s"stream/batch drop-log divergence on day $day")
     }
     // the stores the two paths accumulated are BYTE-equal: same days,
     // same order, same append inputs
