@@ -223,7 +223,26 @@ object Bench {
       } catch { case _: Throwable => "rxx" }
       val outDir = new java.io.File("tools/bench_local")
       outDir.mkdirs()
-      val pw = new java.io.PrintWriter(new java.io.File(outDir, s"${roundTag}_local.json"))
+      // WRITE-ONCE for gated records: an artifact whose baseline gate
+      // adjudicated "ok" is the round's committed record — a later rerun
+      // in the same round (driver post-close reruns recur; five rounds
+      // running) must not overwrite it. Reruns auto-route to
+      // r{NN}_rerun_local.json instead of relying on a manual restore.
+      def gatedOk(f: java.io.File): Boolean = f.exists && {
+        val src = scala.io.Source.fromFile(f)
+        try src.mkString.contains("\"baseline_gate\":{\"status\":\"ok\"")
+        finally src.close()
+      }
+      val primary = new java.io.File(outDir, s"${roundTag}_local.json")
+      val target =
+        if (!gatedOk(primary)) primary
+        else {
+          val rerun = new java.io.File(outDir, s"${roundTag}_rerun_local.json")
+          System.err.println(s"[bench] ${primary.getName} holds a gate-ok " +
+            s"record (write-once) — persisting to ${rerun.getName}")
+          rerun
+        }
+      val pw = new java.io.PrintWriter(target)
       try pw.println(benchJson) finally pw.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] persist to tools/bench_local failed: ${e.getMessage}")

@@ -179,6 +179,17 @@ object DailyIngest {
   def mhStore(root: String): String = s"$root/stores/mh_bands"
   def sigStore(root: String): String = s"$root/stores/sig_store"
   def embStore(root: String): String = s"$root/stores/ivf_index"
+  /** The persisted (content_key, doc_id) store beside the content
+    * bloom: the bloom answers "seen?" in O(1) but cannot be asked "WHO
+    * shares this key" — which is exactly the question takedown's exact
+    * expansion asks, and without this store it re-derived keys over the
+    * whole lake per takedown batch (O(lake) text reads + hashes).
+    * Appended in phase 2 beside the bloom (same ledger, same key
+    * derivation — ONE docKey definition), rebuilt minus victims at
+    * takedown under the bloom's recorded key mode. Retried phase-2
+    * appends leave duplicate rows (the MinHashBandStore contract);
+    * every reader collapses with distinct. */
+  def keyStore(root: String): String = s"$root/stores/content_keys"
   def textOut(root: String, day: Int): String = s"$root/corpus/text/day=$day"
   def textShardOut(root: String, day: Int): String =
     s"$root/corpus/text_shards/day=$day"
@@ -320,7 +331,15 @@ object DailyIngest {
     * and documented, which is what makes the log a partition of the
     * incoming ids (the `pipeline_ingest_audit` reconciliation gate)
     * rather than a multiset of verdicts. Cross-day ("_seen") reasons
-    * outrank within-day ones, lexical outranks semantic. */
+    * outrank within-day ones, lexical outranks semantic.
+    *
+    * PRECONDITION: `doc_id` is unique within each day. The drop frames
+    * are exceptAll differences between adjacent stage frames, and a
+    * duplicated incoming id leaves residual exceptAll rows that log a
+    * SURVIVING copy's id as dropped — breaking the survivor/log
+    * disjointness the audit gate asserts. Audit-enabled ingest checks
+    * this per day and fails with the cause named instead of leaving an
+    * overlap mystery in the reconciliation gate. */
   private[graft] val DropReasons: Seq[String] = Seq(
     "url_dup_within_day", "url_seen", "empty_text",
     "exact_dup_within_day", "exact_seen", "quality", "contaminated",
@@ -404,6 +423,17 @@ object DailyIngest {
     // there would pay storage-write cost for zero reuse
     def cacheIfAudit(df: DataFrame): DataFrame =
       if (willWriteAudit) df.cache() else df
+    if (willWriteAudit) {
+      // the [[DropReasons]] unique-id precondition, enforced where the
+      // drop log is actually derived — one aggregate pass over the day
+      val idc = dayDocs.agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd")).head
+      require(idc.getLong(0) == idc.getLong(1),
+        s"daily ingest drop log requires doc_id unique within the day " +
+          s"(got ${idc.getLong(0)} rows, ${idc.getLong(1)} distinct ids): " +
+          "a duplicated id would log a surviving copy as dropped — " +
+          "dedupe the feed or disable auditLog")
+    }
     // ---- stage 0: URL frontier ------------------------------------
     val canon = dayDocs.withColumn("curl",
       TextFunctions.canonicalizeUrl(col("url")))
@@ -805,6 +835,13 @@ object DailyIngest {
           .write.mode("overwrite").parquet(s"$stage/seen_urls")
         f.urlKept.select("doc_id", "text")
           .write.mode("overwrite").parquet(s"$stage/exact_seen")
+        // (content_key, doc_id) of EVERY incoming doc with text — the
+        // same population the lake-scan exact expansion read, so the
+        // store-driven expansion is its exact replacement (gated in
+        // pipeline_takedown)
+        f.canon.where(col("text").isNotNull)
+          .select(col("doc_id"), contentKey("text", cfg.prefixChars).as("k"))
+          .write.mode("overwrite").parquet(s"$stage/content_keys")
         f.clean.select("doc_id", "text")
           .write.mode("overwrite").parquet(s"$stage/clean")
         f.postQuality.write.mode("overwrite").parquet(s"$stage/postq")
@@ -862,6 +899,18 @@ object DailyIngest {
       NoveltyBloomStore.append(exactSeen, textStore(root))
     } else NoveltyBloomStore.build(exactSeen, textStore(root),
       prefixChars = cfg.prefixChars, capacity = cfg.bloomCapacity)
+    // the content-key store appends beside the bloom (a phase-2 retry
+    // re-appends — duplicate rows, collapsed by every reader's
+    // distinct); exists-guarded so a stage written by an older build
+    // (no content_keys input) appends nothing rather than failing
+    if (exists(spark, s"$stage/content_keys"))
+      spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(s"$stage/content_keys")
+        .write.mode("append").parquet(keyStore(root))
     val cleanStaged = spark.read.parquet(s"$stage/clean")
     if (exists(spark, mhStore(root)))
       MinHashBandStore.append(cleanStaged, mhStore(root))
@@ -991,6 +1040,71 @@ object DailyIngest {
     else Some(IvfIndex.rebuildAdvice(spark, embStore(root),
       targetPostingsPerCell, driftWindow, driftedFracBar))
 
+  /** What [[maintenancePlan]] returns: both raw advices plus the
+    * combined verdict. `reason` joins the firing triggers with `+`
+    * (e.g. "drift+hotspot_localized"), "none" when quiet; `act` callers
+    * answer with `IvfIndex.rebuild(embStore(root), plan.suggestedNlist)`
+    * BETWEEN days. */
+  final case class MaintenancePlan(rebuild: IvfIndex.RebuildAdvice,
+      hotspot: IvfIndex.SplitAdvice, act: Boolean, suggestedNlist: Int,
+      reason: String)
+
+  /** The keystone's FULL maintenance policy — [[maintenanceAdvice]]'s
+    * mean-capacity + drift triggers PLUS the per-cell hotspot census
+    * ([[IvfIndex.splitAdvice]]): a skewed surge that piles one semantic
+    * region into a few cells never moves the MEAN, so the capacity
+    * trigger stays silent while the per-day probe cost over those cells
+    * grows unbounded — the hotspot census is the signal that sees it.
+    *
+    * Every hotspot verdict actuates through [[IvfIndex.rebuild]], NEVER
+    * [[IvfIndex.splitCells]]: a split's routing is only locally nearest
+    * (documented at splitCells), which breaks the keystone's bit-level
+    * home ≡ nearest batch twin — while a retrained quantizer allocates
+    * multiple centers to the dense region naturally AND preserves the
+    * twin (the `pipeline_ingest_rebuild` contract). Localized overflow
+    * suggests at least 2× the current nlist (a same-size retrain can
+    * leave a tight dense blob under one center — the geometry needs
+    * spare resolution to spend on it); widespread overflow sizes nlist
+    * to the per-cell budget. When drift/capacity ALSO fire, one rebuild
+    * serves all triggers at the max of their suggestions.
+    *
+    * Cost discipline unchanged: three scalars, one bounded log tail,
+    * one footer-only per-cell census — safe after every day at any
+    * corpus size. None while no store exists. */
+  def maintenancePlan(spark: SparkSession, root: String,
+      targetPostingsPerCell: Long = 1L << 20, driftWindow: Int = 7,
+      driftedFracBar: Double = 0.5, maxPostingsPerCell: Long = 1L << 21,
+      maxHotFrac: Double = 0.25): Option[MaintenancePlan] =
+    if (!embReady(spark, embStore(root))) None
+    else {
+      val dir = embStore(root)
+      val reb = IvfIndex.rebuildAdvice(spark, dir, targetPostingsPerCell,
+        driftWindow, driftedFracBar)
+      val hot = IvfIndex.splitAdvice(spark, dir, maxPostingsPerCell, maxHotFrac)
+      val needPow2 = {
+        val needed = math.ceil(hot.postings.toDouble / maxPostingsPerCell)
+        var p = 1
+        while (p < needed && p < (1 << 30)) p <<= 1
+        p
+      }
+      val hotNlist =
+        if (hot.recommendSplit || hot.recommendRebuild)
+          math.max(2 * reb.nlist, needPow2)
+        else 0
+      val act = reb.recommend || hot.recommendSplit || hot.recommendRebuild
+      val suggested = math.max(reb.nlist, math.max(
+        if (reb.recommend) reb.suggestedNlist else 0, hotNlist))
+      val reason = Seq(
+        if (reb.recommend) Some(reb.reason) else None,
+        if (hot.recommendSplit) Some("hotspot_localized") else None,
+        if (hot.recommendRebuild) Some("hotspot_widespread") else None)
+        .flatten match {
+        case Nil => "none"
+        case rs  => rs.mkString("+")
+      }
+      Some(MaintenancePlan(reb, hot, act, suggested, reason))
+    }
+
   /** RIGHT-TO-BE-FORGOTTEN across the keystone: remove the given
     * documents and media assets from every place the daily loop put
     * them — all five frozen-history stores AND the per-day survivor
@@ -1005,6 +1119,9 @@ object DailyIngest {
     *    [[SignatureStore.deleteSignatures]],
     *    [[IvfIndex.deleteVectors]]) — only victim-holding partitions
     *    rewritten, checked swaps throughout.
+    *  - The content-key store ([[keyStore]]) is rebuilt from the lake
+    *    minus the victims under the bloom's recorded key mode —
+    *    deterministic overwrite, idempotent on retry.
     *  - The two BLOOMS cannot delete (insert-only sketches), so they
     *    are REBUILT from the caller's raw data lake minus the victims,
     *    under each store's RECORDED commitments
@@ -1134,6 +1251,16 @@ object DailyIngest {
         .where(col("text").isNotNull)
       NoveltyBloomStore.build(s0, textStore(root),
         prefixChars = pc, fpp = fpp, capacity = cap)
+      // the content-key store forgets the same way the bloom does:
+      // rebuilt from the lake minus victims under the RECORDED key
+      // mode — its ingest population (every incoming doc with text),
+      // not s0's keep-first (the store mirrors what the lake-scan
+      // expansion used to read). Overwrite — deterministic on retry.
+      if (exists(spark, keyStore(root)))
+        keptDocs.where(col("text").isNotNull)
+          .select(col("doc_id"), contentKey("text", pc).as("k"))
+          .distinct()
+          .write.mode("overwrite").parquet(keyStore(root))
     }
     // survivor outputs: only victim-holding day partitions rewritten.
     // AFFECTED DAYS come from the STAGED victim set joined to the lake,
@@ -1238,20 +1365,32 @@ object DailyIngest {
     * takedown scaladoc). Reads recorded FEATURES from the stores
     * themselves wherever they exist (band rows + signatures for
     * near-dup; postings vectors for semantic; signature rows for
-    * perceptual) — the lake is consulted only for exact-content-key
-    * equality, which only the insert-only bloom recorded. Each probe
-    * is the store's own bounded candidate join (banded buckets /
-    * probed cells / sentinel-indexed sims), never victims × corpus. */
+    * perceptual; the persisted [[keyStore]] for exact-content-key
+    * equality, which the insert-only bloom alone could not answer).
+    * Each probe is the store's own bounded candidate join (banded
+    * buckets / probed cells / sentinel-indexed sims / key equi-join),
+    * never victims × corpus; the pre-key-store LAKE SCAN survives only
+    * as the fallback for roots ingested before the store existed. */
   private[graft] def expandVictims(spark: SparkSession, root: String,
       docs: DataFrame, vDocs: DataFrame, vMedia: DataFrame,
       cfg: IngestConfig): (DataFrame, DataFrame) = {
-    // exact: every lake doc sharing a victim's content key (the bloom
-    // is insert-only, so the key match runs against the lake)
-    val keyed = docs.where(col("text").isNotNull)
-      .select(col("doc_id"), contentKey("text", cfg.prefixChars).as("_k"))
-    val vKeys = keyed.join(vDocs, Seq("doc_id"), "left_semi")
-      .select("_k").distinct()
-    val exactPartners = keyed.join(vKeys, Seq("_k")).select("doc_id")
+    // exact: every doc sharing a victim's content key. The persisted
+    // key store makes this O(victims · store) — two narrow equi-joins
+    // on the key, no text reads, no hashing; the lake scan survives
+    // only as the fallback for roots ingested before the store existed
+    val exactPartners =
+      if (exists(spark, keyStore(root))) {
+        val ks = spark.read.parquet(keyStore(root)).distinct() // retried-append dups
+        val vKeys = ks.join(vDocs, Seq("doc_id"), "left_semi")
+          .select("k").distinct()
+        ks.join(vKeys, Seq("k")).select("doc_id")
+      } else {
+        val keyed = docs.where(col("text").isNotNull)
+          .select(col("doc_id"), contentKey("text", cfg.prefixChars).as("_k"))
+        val vKeys = keyed.join(vDocs, Seq("doc_id"), "left_semi")
+          .select("_k").distinct()
+        keyed.join(vKeys, Seq("_k")).select("doc_id")
+      }
     // near-dup: partners by the band store's est-Jaccard decision,
     // from STORED sigs/bands only
     val mhPartners =

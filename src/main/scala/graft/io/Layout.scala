@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Data-layout management — the storage-side half of the 100 TB design.
   *
@@ -98,6 +99,35 @@ object Layout {
           fs.listStatus(s.getPath).toSeq.filter(_.isFile)
             .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1)
       }.toMap
+  }
+
+  /** Total COMPRESSED column-chunk bytes across every parquet file
+    * under `path` (recursive) — the scan-cost measure of a dataset:
+    * what a reader actually pulls per row group, excluding the
+    * once-per-file footer/metadata that dominates raw directory sizes
+    * at fixture scale (a ~900-byte file holding 30 rows is ~90% footer,
+    * so a directory-size ratio between a compressed index and its raw
+    * twin reads ~0.5 when the data ratio is ~0.05). Driver-side footer
+    * reads only — no data pages are opened. */
+  def parquetDataBytes(spark: SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) files(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    files(root).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala
+          .map(_.getColumns.asScala.map(_.getTotalSize).sum).sum
+      } finally reader.close()
+    }.sum
   }
 
   /** Recursive delete of a layout path (missing path is a no-op) —

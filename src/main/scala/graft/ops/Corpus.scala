@@ -243,11 +243,29 @@ object Corpus {
     * caller lifecycle releases it: the daily loop's cache sweep, or
     * storage LRU for one-shot callers).
     *
-    * `order` must be a TOTAL order (include a unique id as tie-break) —
-    * ties at the admission boundary would otherwise admit a
-    * partition-dependent subset. */
+    * `order` must be a TOTAL order (include a unique id as tie-break;
+    * the daily-ingest keystone passes doc_id) — ties at the admission
+    * boundary would otherwise admit a partition-dependent subset. The
+    * operator cannot check totality cheaply (it would cost a distinct
+    * over the order key), so the obligation is the caller's.
+    *
+    * Lifecycle: the shared sorted RDD stays persisted after this call
+    * (both the offset collect and the caller's evaluation read it) —
+    * one-shot callers leave it to storage LRU / session end; looping
+    * callers use [[admitByBudgetTracked]] and release per iteration
+    * (the daily loop's cache sweep does this via its RDD census). */
   def admitByBudget(df: DataFrame, order: Seq[Column], weight: Column,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    admitByBudgetTracked(df, order, weight, budget)._1
+
+  /** [[admitByBudget]] returning the marked frame PLUS a release
+    * handle for the internal sorted RDD: call it once the marked frame
+    * (and everything derived from it) is materialized. Releasing
+    * earlier is safe for correctness — the range partitioning and
+    * within-partition sort are deterministic, so a re-evaluation
+    * reproduces the same prefix — but re-pays the sort. */
+  def admitByBudgetTracked(df: DataFrame, order: Seq[Column], weight: Column,
+      budget: Long): (DataFrame, () => Unit) = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(order.nonEmpty, "admitByBudget needs an order")
     val spark = df.sparkSession
@@ -257,15 +275,21 @@ object Corpus {
       .sortWithinPartitions(order: _*)
     val schema = ranged.schema
     val wIdx = schema.fieldIndex("_w")
+    def weightAt(r: org.apache.spark.sql.Row): Long = {
+      // a null weight would otherwise surface as a raw NPE from
+      // getLong, naming neither the operator nor the column
+      require(!r.isNullAt(wIdx),
+        "admitByBudget: null weight — every row must carry a non-null, " +
+          "non-negative weight (check the weight column for nulls)")
+      val w = r.getLong(wIdx)
+      require(w >= 0, s"admitByBudget: negative weight $w breaks the prefix")
+      w
+    }
     val rdd = ranged.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sums = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L
-      it.foreach { r =>
-        val w = r.getLong(wIdx)
-        require(w >= 0, s"admitByBudget: negative weight $w breaks the prefix")
-        s += w
-      }
+      it.foreach { r => s += weightAt(r) }
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     val prefix = sums.scanLeft(0L)(_ + _) // prefix(i) = total weight before partition i
@@ -273,13 +297,14 @@ object Corpus {
     val marked = rdd.mapPartitionsWithIndex { (i, it) =>
       var cum = bc.value(i)
       it.map { r =>
-        cum += r.getLong(wIdx)
+        cum += weightAt(r)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (cum <= budget))
       }
     }
-    spark.createDataFrame(marked, schema
+    val out = spark.createDataFrame(marked, schema
         .add(org.apache.spark.sql.types.StructField("admitted",
           org.apache.spark.sql.types.BooleanType, nullable = false)))
       .drop("_w")
+    (out, () => { rdd.unpersist(false); () })
   }
 }

@@ -181,6 +181,18 @@ object IvfIndex {
         .parquet(s"$dir/postings.parquet")
       writeDriftRef(spark, dir, assigned, nlist,
         if (holdout) Some(holdoutPred) else None)
+      // a sidecar from a PREVIOUS store at this path would pass the
+      // generation check (build does not bump the generation) while its
+      // codes were cut against the replaced centers — drop it; a new
+      // store needs a new buildPq()
+      val pqPath = new org.apache.hadoop.fs.Path(s"$dir/$PqDir")
+      val hfs = pqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(pqPath)) {
+        System.err.println(s"[ivf] NOTE buildFromCenters at $dir replaces " +
+          "the store under an existing PQ sidecar — dropping the sidecar " +
+          "(its codes referenced the replaced centers); re-run buildPq()")
+        hfs.delete(pqPath, true)
+      }
       centers
     } finally assigned.unpersist()
   }
@@ -244,9 +256,20 @@ object IvfIndex {
     val assigned = assignedFrame(emb, centers, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // code↔vector consistency is per-op: a batch that lands in the raw
+      // postings must land encoded in the sidecar in the same call (and
+      // a stale sidecar must fail BEFORE the raw write, or the two
+      // components diverge by exactly this batch)
+      val withPq = pqReady(spark, dir)
+      if (withPq) requirePqFresh(spark, dir)
       assigned.select(col("id"), col("v"), col("nrm"), col("cell"))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$dir/postings.parquet")
+      if (withPq) {
+        encodedFrame(assigned, centers, loadCodebooks(spark, dir))
+          .write.mode("append").partitionBy("cell")
+          .parquet(s"$dir/$PqDir/postings.parquet")
+      }
       appendDriftStats(spark, dir, assigned, maxFracBeyondP95, maxOccupancyL1)
     } finally assigned.unpersist()
   }
@@ -335,7 +358,20 @@ object IvfIndex {
     // a compact during a pending rebuild/split would rewrite cells the
     // roll-forward is about to replace from staging — refuse loudly
     requireNoPendingRebuild(spark, dir)
-    val postings = s"$dir/postings.parquet"
+    // the PQ sidecar fragments exactly like the raw postings (every
+    // append lands one file per touched cell in BOTH) — compact it with
+    // the same selective pass; its duplicate collapse mirrors the raw
+    // side's, keeping the consistency twin's distinct-row equality
+    if (pqReady(spark, dir))
+      compactPostingsAt(spark, s"$dir/$PqDir/postings.parquet",
+        saltBuckets, maxRecordsPerFile, minFilesPerCell)
+    compactPostingsAt(spark, s"$dir/postings.parquet",
+      saltBuckets, maxRecordsPerFile, minFilesPerCell)
+  }
+
+  private def compactPostingsAt(spark: SparkSession, postings: String,
+      saltBuckets: Int, maxRecordsPerFile: Long,
+      minFilesPerCell: Int): Seq[String] = {
     val counts = graft.io.Layout.partitionFileCounts(spark, postings, "cell")
     val victims = counts.filter(_._2 >= minFilesPerCell).keys.toSeq.sorted
     if (victims.isEmpty) return victims
@@ -395,8 +431,15 @@ object IvfIndex {
     // the roll-forward (staging holds pre-delete rows) — refuse loudly;
     // complete the pending migration, then re-run the delete
     requireNoPendingRebuild(spark, dir)
+    val idFrame = ids.select(col(ids.columns.head).cast("long").as("id"))
+    // the sidecar forgets the same ids in the same call (its rows share
+    // the raw rows' cell routing while the generations match, so the
+    // same home-cell partitions are rewritten on each side)
+    if (pqReady(spark, dir))
+      graft.io.Layout.deleteRows(spark, s"$dir/$PqDir/postings.parquet",
+        idFrame, "id", "cell")
     graft.io.Layout.deleteRows(spark, s"$dir/postings.parquet",
-      ids.select(col(ids.columns.head).cast("long").as("id")), "id", "cell")
+      idFrame, "id", "cell")
   }
 
   // ---- quantizer generations + rebuild -----------------------------
@@ -406,11 +449,16 @@ object IvfIndex {
   private val RebuildStaging = "_rebuild_staging"
   private val SplitMarker = "split.inprogress"
   private val SplitStaging = "_split_staging"
+  private val PqDir = "pq"
+  private val PqProps = "_pq.properties"
   // everything a rebuild swaps, in swap order; _quantizer.properties
   // LAST so a crash between swaps is always detectable as a
-  // generation that predates the data (the marker catches it anyway)
+  // generation that predates the data (the marker catches it anyway).
+  // The pq sidecar swaps as ONE directory component (codebooks +
+  // encoded postings + header move together or not at all).
   private val RebuildComponents =
-    Seq("centers.parquet", "postings.parquet", "drift_ref.parquet", QuantizerFile)
+    Seq("centers.parquet", "postings.parquet", "drift_ref.parquet", PqDir,
+      QuantizerFile)
 
   /** The store's quantizer GENERATION: 0 for a store that has never
     * been [[rebuild]]t (including every store predating the header),
@@ -615,6 +663,21 @@ object IvfIndex {
         if (useHoldout(vecs, "id", "v", newNlist))
           Some(pmod(col("id"), lit(5)) === 0)
         else None)
+      // a sidecar migrates WITH the store: new centers mean new
+      // residuals, so the codebooks retrain (recorded knobs) and every
+      // posting re-encodes — staged under the same marker so the swap
+      // can never leave codes cut against centers they don't match
+      if (pqReady(spark, dir)) {
+        val props = readPqProps(spark, dir)
+        val sample = assigned.orderBy("id").limit(props.trainSample)
+          .select("v", "nrm", "cell").collect()
+          .map(r => (r.getSeq[Double](0), r.getDouble(1), r.getInt(2)))
+        val pqBooks = trainPqBooks(sample, centers, props.m, props.ksub,
+          props.seed)
+        writePqComponents(spark, s"$staging/$PqDir", assigned, centers,
+          pqBooks, oldGen + 1, props.m, props.ksub, props.seed,
+          props.trainSample)
+      }
       writeFileAtomic(hfs, new org.apache.hadoop.fs.Path(
           s"$staging/$QuantizerFile"),
         s"generation=${oldGen + 1}\nnlist=$newNlist\n")
@@ -664,8 +727,9 @@ object IvfIndex {
     // over the rewritten components would re-execute against the
     // renamed-away files (the Layout.deleteRows lesson — SCALING.md
     // round-18); refresh drops the stale listings + cache entries
-    RebuildComponents.filter(_.endsWith(".parquet"))
-      .foreach(n => spark.catalog.refreshByPath(s"$dir/$n"))
+    (RebuildComponents.filter(_.endsWith(".parquet")).map(n => s"$dir/$n") ++
+      Seq(s"$dir/$PqDir/postings.parquet", s"$dir/$PqDir/codebooks.parquet"))
+      .foreach(spark.catalog.refreshByPath)
   }
 
   private def writeFileAtomic(hfs: org.apache.hadoop.fs.FileSystem,
@@ -769,7 +833,15 @@ object IvfIndex {
     * silently dropped). Cells whose 2-means degenerates (all vectors
     * identical — sub-centers coincide) are skipped with a note: no
     * geometry can split identical mass. Returns the victim cells
-    * actually split. */
+    * actually split.
+    *
+    * SINGLE-WRITER contract (the [[rebuild]] rule, stated here because
+    * the exposure window differs): the pre-marker staging window —
+    * census, per-cell 2-means, staged rewrites — reads victim cells
+    * that a CONCURRENT [[append]] could grow, and the roll-forward
+    * would then replace the live cell with the pre-append staged
+    * delta, silently dropping the appended rows. No other mutator may
+    * run between the census and the completed swap. */
   def splitCells(spark: SparkSession, dir: String, maxPostingsPerCell: Long,
       maxSplitCells: Int = 64, iters: Int = 10): Seq[Int] = {
     require(maxPostingsPerCell >= 1, "maxPostingsPerCell >= 1")
@@ -814,6 +886,14 @@ object IvfIndex {
         "pass (re-run for the rest, or rebuild — see splitAdvice)")
     val oldCenters = loadCenters(spark, dir)
     val oldGen = generation(spark, dir)
+    // victim rows re-encode under their new sub-centers (residual base
+    // moves), so a sidecar must be loadable and FRESH before any work —
+    // and the re-encode is O(victim mass), preserving the split's cost
+    // contract (codebooks are kept: they quantize residual spread, and
+    // sub-centers only tighten it)
+    val pqBooksOpt =
+      if (pqReady(spark, dir)) { requirePqFresh(spark, dir); Some(loadCodebooks(spark, dir)) }
+      else None
     val staging = s"$dir/$SplitStaging"
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     if (hfs.exists(stagingPath)) hfs.delete(stagingPath, true) // pre-marker crash leftovers
@@ -865,6 +945,20 @@ object IvfIndex {
             .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$c")
           cellRows.where(toB(col("v")))
             .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$newIdx")
+          pqBooksOpt.foreach { books =>
+            val ua = unitCtrs(Array(a))(0)
+            val ub = unitCtrs(Array(b))(0)
+            val encA = udf { (v: Seq[Double], nrm: Double) =>
+              encodeOne(v, nrm, ua, books).toSeq }
+            val encB = udf { (v: Seq[Double], nrm: Double) =>
+              encodeOne(v, nrm, ub, books).toSeq }
+            cellRows.where(!toB(col("v")))
+              .select(col("id"), encA(col("v"), col("nrm")).as("codes"))
+              .write.mode("overwrite").parquet(s"$staging/pq_delta/cell=$c")
+            cellRows.where(toB(col("v")))
+              .select(col("id"), encB(col("v"), col("nrm")).as("codes"))
+              .write.mode("overwrite").parquet(s"$staging/pq_delta/cell=$newIdx")
+          }
           newCenters(c) = a
           newCenters += b
           splitMasses(c) = (ma, mb)
@@ -889,6 +983,15 @@ object IvfIndex {
           (r.getAs[Double]("train_frac"), r.getAs[Double]("p95_dist"),
             r.getAs[Long]("n_train")))
         .toMap
+      // p95/n_train are GLOBAL values that writeDriftRef repeats on every
+      // row — assert that invariant rather than silently reading one
+      // arbitrary row, so a future per-cell drift_ref fails loudly here
+      // instead of assigning one cell's p95 to all cells
+      require(refRows.values.map(_._2).toSet.size <= 1 &&
+          refRows.values.map(_._3).toSet.size <= 1,
+        "splitCells: drift_ref carries per-cell p95_dist/n_train values — " +
+          "the split's reference update assumes writeDriftRef's global-" +
+          "value invariant; update stageSplit to split per-cell references")
       val p95 = refRows.values.headOption.map(_._2).getOrElse(0.0)
       val nTrain = refRows.values.headOption.map(_._3).getOrElse(0L)
       val stagedCounts = splitDone.flatMap { c =>
@@ -910,6 +1013,14 @@ object IvfIndex {
     writeFileAtomic(hfs, new org.apache.hadoop.fs.Path(
         s"$staging/$QuantizerFile"),
       s"generation=${oldGen + 1}\nnlist=${newCenters.length}\n")
+    // the sidecar's header bumps WITH the store's so the freshness
+    // invariant (pq generation == store generation) survives the swap
+    pqBooksOpt.foreach { _ =>
+      val props = readPqProps(spark, dir)
+      writePqProperties(hfs,
+        new org.apache.hadoop.fs.Path(s"$staging/pq_props"),
+        oldGen + 1, props.m, props.ksub, props.seed, props.trainSample)
+    }
     // the point of no return: staging is COMPLETE, readers now throw
     // until the swap finishes, and any crash after this rolls forward
     writeFileAtomic(hfs, new org.apache.hadoop.fs.Path(root, SplitMarker),
@@ -943,6 +1054,30 @@ object IvfIndex {
     }
     Seq("centers.parquet", "drift_ref.parquet", QuantizerFile)
       .foreach(n => swap(n, n))
+    // sidecar header + re-encoded victim cells (exists-guarded like
+    // every component — a store without a sidecar staged neither)
+    val pqPropsStaged = p(s"$dir/$SplitStaging/pq_props")
+    if (hfs.exists(pqPropsStaged)) {
+      val live = p(s"$dir/$PqDir/$PqProps")
+      val trash = p(s"$dir/.trash_split_pq_props")
+      if (hfs.exists(live)) {
+        if (hfs.exists(trash)) hfs.delete(trash, true)
+        move(live, trash)
+      }
+      move(pqPropsStaged, live)
+    }
+    val pqDeltaRoot = p(s"$dir/$SplitStaging/pq_delta")
+    if (hfs.exists(pqDeltaRoot))
+      hfs.listStatus(pqDeltaRoot).filter(_.isDirectory).foreach { st =>
+        val cellDir = st.getPath.getName // cell=<n>
+        val live = p(s"$dir/$PqDir/postings.parquet/$cellDir")
+        val trash = p(s"$dir/.trash_split_pq_$cellDir")
+        if (hfs.exists(live)) {
+          if (hfs.exists(trash)) hfs.delete(trash, true)
+          move(live, trash)
+        }
+        move(st.getPath, live)
+      }
     val deltaRoot = p(s"$dir/$SplitStaging/postings_delta")
     if (hfs.exists(deltaRoot))
       hfs.listStatus(deltaRoot).filter(_.isDirectory).foreach { st =>
@@ -963,8 +1098,9 @@ object IvfIndex {
       .foreach { t => val tp = p(t); if (hfs.exists(tp)) hfs.delete(tp, true) }
     if (!hfs.delete(p(s"$dir/$SplitMarker"), false))
       throw new java.io.IOException(s"splitCells: marker delete failed at $dir")
-    Seq("centers.parquet", "postings.parquet", "drift_ref.parquet")
-      .foreach(n => spark.catalog.refreshByPath(s"$dir/$n"))
+    (Seq("centers.parquet", "postings.parquet", "drift_ref.parquet")
+        .map(n => s"$dir/$n") :+ s"$dir/$PqDir/postings.parquet")
+      .foreach(spark.catalog.refreshByPath)
   }
 
   private def nearestCellsJvm(centers: Array[Array[Double]], v: Seq[Double],
@@ -1146,5 +1282,379 @@ object IvfIndex {
       .select(col("i"), col("nbr.j").as("j"),
         (lit(1.0) - col("nbr.dist2")).as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  // ---- PQ-compressed serving sidecar --------------------------------
+  //
+  // The raw postings carry `v ARRAY<DOUBLE>` — ~512 B/vector at 64 dims,
+  // and every probe join ships those vectors through the cell equi-join.
+  // At 10⁹+ vectors that width dominates index IO and the join's
+  // shuffle/build side. The sidecar is the store-resident form of
+  // [[SimilaritySearch.pqTopK]]'s residual product quantization (FAISS
+  // IVFADC, Jégou et al. 2011): beside the raw postings lives
+  //
+  //   pq/codebooks.parquet    (j, c, codeword) — m·ksub rows, trained on
+  //                           sample residuals u − ĉ(cell) in UNIT space
+  //   pq/postings.parquet     PARTITIONED BY cell: (id, codes
+  //                           ARRAY<TINYINT>) — m bytes per vector
+  //   pq/_pq.properties       generation + the (m, ksub, seed,
+  //                           train_sample) the codes were cut with
+  //
+  // [[searchPq]] probes ONLY the pq postings (the 10×-plus lighter scan,
+  // same partition pruning), shortlists by LUT-based asymmetric distance
+  // (codegen'd pq_adc_sum — m table reads per candidate instead of dim
+  // multiply-adds), and exact-rescores the top k·refine from the raw
+  // postings restricted to the probed cells. The refine re-read is the
+  // honest cost of exact cosines leaving the operator: callers that
+  // accept ADC-ordered results (the FAISS default) use [[searchPqAdc]]
+  // and never touch the raw vectors at all — THAT is the pure
+  // compressed-serving path whose IO is index-bytes/32.
+  //
+  // Codes are defined in unit space — codes(j) quantizes
+  // (v/‖v‖ − ĉ)_subj where ĉ is the UNIT-normalized center of the
+  // vector's STORED cell — so ADC distance approximates ‖u_q − u_x‖² =
+  // 2 − 2·cos, monotone in cosine regardless of raw norms, while cell
+  // ROUTING stays the raw-space assignment every other store path uses.
+  //
+  // Generation contract: the sidecar records the quantizer generation it
+  // was encoded under; every pq read/write requires it to MATCH the
+  // store's ([[requirePqFresh]]) — a store migrated by a writer that did
+  // not know about the sidecar fails loudly instead of joining codes cut
+  // against retired centers. The in-repo mutators keep it fresh:
+  // [[append]] encodes each batch, [[rebuild]] retrains + re-encodes in
+  // its staged swap, [[splitCells]] re-encodes victim cells in its
+  // staged swap, [[compactPostings]]/[[deleteVectors]] mirror their row
+  // moves, and [[buildFromCenters]] DROPS a pre-existing sidecar (a new
+  // store needs a new [[buildPq]]).
+
+  /** True when the store has a PQ sidecar. */
+  def pqReady(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$PqDir/$PqProps")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private final case class PqProperties(generation: Int, m: Int, ksub: Int,
+      seed: Long, trainSample: Int)
+
+  private def readPqProps(spark: SparkSession, dir: String): PqProperties = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$PqDir/$PqProps")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hfs.exists(p), s"no PQ sidecar at $dir — buildPq() first")
+    val in = hfs.open(p)
+    val props = new java.util.Properties()
+    try props.load(in) finally in.close()
+    PqProperties(props.getProperty("generation").toInt,
+      props.getProperty("m").toInt, props.getProperty("ksub").toInt,
+      props.getProperty("seed").toLong,
+      props.getProperty("train_sample").toInt)
+  }
+
+  /** The quantizer generation the PQ codes were encoded under. */
+  def pqGeneration(spark: SparkSession, dir: String): Int =
+    readPqProps(spark, dir).generation
+
+  /** Throws when the sidecar's recorded generation does not match the
+    * store's — codes cut against retired centers are silently wrong in
+    * every ADC comparison, so staleness must be loud. Reachable only
+    * via out-of-band migration (an old writer, a hand copy): the
+    * in-repo mutators re-encode inside their staged swaps. */
+  private[graft] def requirePqFresh(spark: SparkSession, dir: String): Unit = {
+    val storeGen = generation(spark, dir)
+    val pqGen = pqGeneration(spark, dir)
+    require(pqGen == storeGen,
+      s"IvfIndex: PQ sidecar at $dir was encoded under quantizer " +
+        s"generation $pqGen but the store is generation $storeGen — a " +
+        "migration ran without refreshing the codes; re-run buildPq() " +
+        "(or the migrating operation from a build that maintains the " +
+        "sidecar) before serving compressed probes")
+  }
+
+  private def unitCtrs(centers: Array[Array[Double]]): Array[Array[Double]] =
+    centers.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+
+  /** Residual PQ code of one vector in unit space (shared by every
+    * encode site so twins are bit-level): codes(j) = nearest codebook-j
+    * entry to (v/nrm − cu)_subj. */
+  private def encodeOne(v: Seq[Double], nrm: Double, cu: Array[Double],
+      books: Array[Array[Array[Double]]]): Array[Byte] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        var s = 0.0
+        var i = 0
+        val bc = book(c)
+        while (i < sub) {
+          val idx = j * sub + i
+          val df = (v(idx) / nrm - cu(idx)) - bc(i)
+          s += df * df
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    codes
+  }
+
+  /** One encode pass over an assigned frame: (id, cell, codes). */
+  private def encodedFrame(assigned: DataFrame,
+      centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val uc = unitCtrs(centers)
+    val enc = udf { (v: Seq[Double], nrm: Double, cell: Int) =>
+      encodeOne(v, nrm, uc(cell), books).toSeq
+    }
+    assigned.select(col("id"), col("cell"),
+      enc(col("v"), col("nrm"), col("cell")).as("codes"))
+  }
+
+  /** Train the per-subspace codebooks on a deterministic id-ordered
+    * sample of residuals (the [[SimilaritySearch]] discipline: the
+    * codebooks only need the coarse shape of the residual distribution,
+    * so a bounded driver sample replaces a distributed fit whose
+    * per-iteration overhead dominates). `rows` carries (v, nrm, cell). */
+  private def trainPqBooks(rows: Array[(Seq[Double], Double, Int)],
+      centers: Array[Array[Double]], m: Int, ksub: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    require(rows.nonEmpty, "trainPqBooks: empty sample")
+    val dim = rows.head._1.length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val uc = unitCtrs(centers)
+    val residuals = rows.map { case (v, nrm, cell) =>
+      val cu = uc(cell)
+      Array.tabulate(dim)(i => v(i) / nrm - cu(i))
+    }
+    Array.tabulate(m) { j =>
+      val subvecs = residuals.map(x =>
+        java.util.Arrays.copyOfRange(x, j * sub, (j + 1) * sub))
+      SimilaritySearch.localKMeans(subvecs,
+        math.min(ksub, subvecs.length), iters = 20, seed + 1000 + j)
+    }
+  }
+
+  private def writePqProperties(hfs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, generation: Int, m: Int, ksub: Int,
+      seed: Long, trainSample: Int): Unit =
+    writeFileAtomic(hfs, path,
+      s"generation=$generation\nm=$m\nksub=$ksub\nseed=$seed\n" +
+        s"train_sample=$trainSample\n")
+
+  /** Write a complete sidecar (codebooks + encoded postings + header)
+    * at `pqRoot` from an assigned frame — shared by [[buildPq]] (live
+    * root) and [[stageRebuild]] (staging root, new generation). */
+  private def writePqComponents(spark: SparkSession, pqRoot: String,
+      assigned: DataFrame, centers: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], generationOut: Int, m: Int,
+      ksub: Int, seed: Long, trainSample: Int): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "codeword")
+      .repartition(1) // m·ksub rows — one small file, read whole at search
+      .write.mode("overwrite").parquet(s"$pqRoot/codebooks.parquet")
+    // one file per cell: code rows are ~26 B each, so per-file footer
+    // overhead would dominate a many-task write; the clustering shuffle
+    // is narrow (id + m code bytes)
+    encodedFrame(assigned, centers, books)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$pqRoot/postings.parquet")
+    val hfs = new org.apache.hadoop.fs.Path(pqRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    writePqProperties(hfs, new org.apache.hadoop.fs.Path(s"$pqRoot/$PqProps"),
+      generationOut, m, ksub, seed, trainSample)
+  }
+
+  /** Build (or rebuild) the PQ sidecar for an existing store: train
+    * codebooks on a deterministic bounded sample of stored residuals,
+    * encode EVERY posting in one pass, stamp the current generation.
+    * Cost is O(corpus) — one narrow re-encode pass, the same shape as
+    * a compaction. Idempotent; overwrites any prior sidecar. */
+  def buildPq(spark: SparkSession, dir: String, m: Int = 16,
+      ksub: Int = 64, trainSample: Int = 16384, seed: Long = 42): Unit = {
+    requireNoPendingRebuild(spark, dir)
+    require(ksub >= 1 && ksub <= 128,
+      "PQ codes are stored as bytes: need 1 <= ksub <= 128")
+    require(trainSample >= 1, "trainSample >= 1")
+    val centers = loadCenters(spark, dir)
+    require(centers.nonEmpty, s"no centers at $dir — build() first")
+    val gen = generation(spark, dir)
+    // retried appends leave byte-identical copies — collapse them so the
+    // sidecar's row set matches what compaction/rebuild would keep
+    val posts = spark.read.parquet(s"$dir/postings.parquet")
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .where(col("nrm") > 0).distinct()
+    val sample = posts.orderBy("id").limit(trainSample)
+      .select("v", "nrm", "cell").collect()
+      .map(r => (r.getSeq[Double](0), r.getDouble(1), r.getInt(2)))
+    require(sample.nonEmpty, s"buildPq: no indexable postings at $dir")
+    val books = trainPqBooks(sample, centers, m, ksub, seed)
+    writePqComponents(spark, s"$dir/$PqDir", posts, centers, books,
+      gen, m, ksub, seed, trainSample)
+    spark.catalog.refreshByPath(s"$dir/$PqDir/postings.parquet")
+  }
+
+  /** Load the persisted codebooks (m·ksub rows — bounded). */
+  private[graft] def loadCodebooks(spark: SparkSession, dir: String)
+      : Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/$PqDir/codebooks.parquet")
+      .collect()
+      .map(r => (r.getAs[Int]("j"), r.getAs[Int]("c"),
+        r.getSeq[Double](r.fieldIndex("codeword")).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+  }
+
+  /** The sidecar's consistency TWIN: re-encode the raw postings under
+    * the CURRENT centers + codebooks — (id, cell, codes), the exact row
+    * set `pq/postings.parquet` must hold. Gates diff the two after
+    * every lifecycle op (build/append/compact/delete/split/rebuild). */
+  private[graft] def pqTwin(spark: SparkSession, dir: String): DataFrame = {
+    requirePqFresh(spark, dir)
+    val centers = loadCenters(spark, dir)
+    val books = loadCodebooks(spark, dir)
+    val posts = spark.read.parquet(s"$dir/postings.parquet")
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .where(col("nrm") > 0).distinct()
+    encodedFrame(posts, centers, books)
+  }
+
+  /** ADC-ONLY top-k against the compressed sidecar — the pure
+    * compressed-serving path: probes read ONLY the pq postings (m code
+    * bytes per vector; partition pruning on the probed cells), distances
+    * are LUT-based asymmetric approximations, and the raw vectors are
+    * never touched. Output (i, j, adc, rank), ADC ascending (≈ 2−2cos).
+    * Recall is strictly below [[searchPq]]'s (no exact rescue of
+    * quantization error) — gate-measured, never assumed. */
+  def searchPqAdc(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5, nprobe: Int = 10): DataFrame = {
+    val (shortlist, _, _) = pqShortlist(spark, dir, queries, idCol, vecCol,
+      k, nprobe)
+    shortlist
+      .select(col("i"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("i"), col("nbr.j").as("j"), col("nbr.dist2").as("adc"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Shared ADC stage: (per-query bounded heap of k candidates by ADC,
+    * the cleaned query frame, the probed cell list). `k` here is the
+    * SHORTLIST size (callers pass k·refine for the refined form). */
+  private def pqShortlist(spark: SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): (DataFrame, DataFrame, Array[Int]) = {
+    val centers = loadCenters(spark, dir)
+    require(centers.nonEmpty, s"no centers at $dir")
+    require(nprobe >= 1 && nprobe <= centers.length, "need 1 <= nprobe <= nlist")
+    requirePqFresh(spark, dir)
+    val books = loadCodebooks(spark, dir)
+    val m = books.length
+    val ksubEff = books(0).length
+    val sub = books(0)(0).length
+    val uc = unitCtrs(centers)
+    val q0 = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(arraySqNorm(col("v"))))
+      .where(col("nrm") > 0)
+    // bounded probed-cell census via the CHEAP probes-only UDF (the LUT
+    // UDF below is ~m·ksub·dim flops per query — not worth evaluating
+    // twice just to learn which cells it probes)
+    val probesUdf = udf { (v: Seq[Double]) => nearestCellsJvm(centers, v, nprobe) }
+    val probedCells = q0.select(explode(probesUdf(col("v"))).as("cell"))
+      .distinct().collect().map(_.getInt(0))
+    // query side: ONE pass computes the nprobe nearest cells (RAW-space
+    // routing — the store's assignment rule) each paired with the
+    // flattened m×ksub ADC table of the query's UNIT residual against
+    // that cell's codewords; the array is exploded so per-probe rows
+    // carry struct-field reads only (the pqTopK Generate lesson)
+    val probeLutUdf = udf { (v: Seq[Double], nrm: Double) =>
+      nearestCellsJvm(centers, v, nprobe).map { cell =>
+        val cu = uc(cell)
+        val lut = new Array[Double](m * ksubEff)
+        var j = 0
+        while (j < m) {
+          val book = books(j)
+          var c = 0
+          while (c < ksubEff) {
+            var s = 0.0
+            var i = 0
+            val bc = book(c)
+            while (i < sub) {
+              val idx = j * sub + i
+              val df = (v(idx) / nrm - cu(idx)) - bc(i)
+              s += df * df
+              i += 1
+            }
+            lut(j * ksubEff + c) = s
+            c += 1
+          }
+          j += 1
+        }
+        (cell, lut.toSeq)
+      }
+    }
+    val q = q0
+      .select(col("id"), explode(probeLutUdf(col("v"), col("nrm"))).as("pl"))
+      .select(col("id"), col("pl._1").as("cell"), col("pl._2").as("lut"))
+    val pq = spark.read.parquet(s"$dir/$PqDir/postings.parquet")
+      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val shortlist = q.as("a")
+      .join(pq.as("b"), Seq("cell"))
+      .where(col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        pqAdcSum(col("a.lut"), col("b.codes")).as("adc"))
+      .groupBy(col("i"))
+      .agg(org.apache.spark.sql.graft.TopKNeighbors
+        .topk(k, col("j"), col("adc")).as("nbrs"))
+    (shortlist, q0, probedCells)
+  }
+
+  /** Top-k against the COMPRESSED sidecar with exact refine — the
+    * [[search]] twin whose candidate stage reads code bytes instead of
+    * raw vectors: LUT-ADC shortlists the top k·`refine` per query from
+    * the pq postings (probed cells only — partition pruning), then the
+    * shortlist joins back to the RAW postings (same probed-cell
+    * pruning; narrow id-keyed join of queries·k·refine rows) for exact
+    * cosine, so no quantization error leaves the operator's ranking
+    * beyond shortlist misses. Output schema = [[search]]'s:
+    * (i, j, cosine, rank). Self-matches excluded, mirroring the
+    * family. */
+  def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5, nprobe: Int = 10, refine: Int = 20): DataFrame = {
+    require(refine >= 1, "refine multiplies the exact-rescore shortlist")
+    val (shortRaw, q0, probedCells) = pqShortlist(spark, dir, queries,
+      idCol, vecCol, k * refine, nprobe)
+    val shortlist = shortRaw
+      .select(col("i"), explode(col("nbrs")).as("nbr"))
+      .select(col("i"), col("nbr.j").as("j"))
+    val raw = spark.read.parquet(s"$dir/postings.parquet")
+      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .where(col("nrm") > 0)
+      .select(col("id").as("j"), col("v").as("cv"), col("nrm").as("nb"))
+    val qv = q0.select(col("id").as("i"), col("v").as("qv"), col("nrm").as("na"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("i")).orderBy(col("cosine").desc, col("j").asc)
+    shortlist.join(qv, "i").join(raw, "j")
+      .select(col("i"), col("j"),
+        (arrayDot(col("qv"), col("cv")) / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("i", "j", "cosine", "rank")
   }
 }

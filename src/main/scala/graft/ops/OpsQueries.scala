@@ -554,6 +554,11 @@ object OpsQueries {
     val emb = Tables.embeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("ivf-split").toString
     IvfIndex.build(emb, dir, nlist = 8)
+    // PQ sidecar riding the whole split lifecycle: the surge append
+    // encodes, every split pass re-encodes its victim cells in the
+    // staged swap, the post-split append encodes under the new centers —
+    // the end-state twin diff (gated below) covers all of it
+    IvfIndex.buildPq(s, dir)
     // the surge: one vector per two corpus rows, all within ~0.1 of a
     // fixed anchor direction (real per-row variance — 2-means needs
     // geometry to find — but a single home region). Half the corpus is
@@ -620,6 +625,12 @@ object OpsQueries {
         .select((col("vec_id") + lit(1L << 41)).as("vec_id"), col("embedding")),
       dir)
     val driftRows = s.read.parquet(s"$dir/drift_log.parquet").count()
+    val pqStored = s.read.parquet(s"$dir/pq/postings.parquet")
+      .select("id", "cell", "codes").distinct()
+    val pqTwinF = IvfIndex.pqTwin(s, dir).select("id", "cell", "codes")
+    val pqDiff = pqStored.exceptAll(pqTwinF).count() +
+      pqTwinF.exceptAll(pqStored).count()
+    val pqParity = IvfIndex.pqGeneration(s, dir) == IvfIndex.generation(s, dir)
     post
       .withColumn("advice_split_before", lit(adviceBefore.recommendSplit))
       .withColumn("advice_rebuild_before", lit(adviceBefore.recommendRebuild))
@@ -638,12 +649,14 @@ object OpsQueries {
       .withColumn("mismatch_caught", lit(mismatchCaught))
       .withColumn("pre_recall", lit(preRecall))
       .withColumn("drift_rows_after", lit(driftRows))
+      .withColumn("pq_twin_diff", lit(pqDiff))
+      .withColumn("pq_gen_parity", lit(pqParity))
   } { (s, d, res) =>
     val head = res.select("advice_split_before", "advice_rebuild_before",
       "over_cells_before", "advice_any_after", "gen_before", "gen_after",
       "n_split", "nlist_after", "total_before", "ids_diff",
       "untouched_changed", "max_mass_after", "budget", "mismatch_caught",
-      "pre_recall", "drift_rows_after").head
+      "pre_recall", "drift_rows_after", "pq_twin_diff", "pq_gen_parity").head
     val emb = Tables.embeddings(s, d)
     val blob = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       .select((col("vec_id") + lit(1L << 40)).as("vec_id"),
@@ -686,7 +699,151 @@ object OpsQueries {
         head.getAs[Long]("drift_rows_after") == 1),
       Gate("pre_recall_floor", preRecall, preRecall >= 0.4),
       Gate("post_recall_vs_pre", postRecall,
-        postRecall >= preRecall - 0.05 && postRecall >= 0.4))
+        postRecall >= preRecall - 0.05 && postRecall >= 0.4),
+      Gate("pq_twin_diff", head.getAs[Long]("pq_twin_diff").toDouble,
+        head.getAs[Long]("pq_twin_diff") == 0),
+      Gate("pq_generation_tracks_store",
+        if (head.getAs[Boolean]("pq_gen_parity")) 1 else 0,
+        head.getAs[Boolean]("pq_gen_parity")))
+  }
+
+  /** Deterministic per-process store dir for the PQ lifecycle query —
+    * the [[ivfIndexDir]] app-id pattern, but REBUILT from scratch by
+    * every fn run (the lifecycle IS the workload); the gate reopens the
+    * FINAL store for its recall comparisons. */
+  private def ivfPqDir(s: SparkSession, d: String): String = {
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_ivfpq/$tag"
+  }
+
+  /** The PQ-lifecycle store's corpus/query/victim derivations — shared
+    * by fn and gate so the exact twin scores the same population the
+    * store holds. Half the fixture corpus: the lifecycle runs a full
+    * k-means rebuild, and the consistency contracts are just as binding
+    * at half mass for half the train cost. */
+  private def pqCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).where(pmod(col("vec_id"), lit(2)) === 0)
+  private def pqVictims(corpus: DataFrame): DataFrame =
+    corpus.where(pmod(col("vec_id"), lit(97)) === 0).select("vec_id")
+  // the corpus is EVEN ids, so the build/append split uses even residues
+  // (build: pmod10 ∈ {0,2,4,6}; append: 8 — a pmod10==7 append would be
+  // silently empty)
+  private def pqSurviving(corpus: DataFrame): DataFrame =
+    corpus.where(pmod(col("vec_id"), lit(10)) < 7 ||
+        pmod(col("vec_id"), lit(10)) === 8)
+      .join(pqVictims(corpus), Seq("vec_id"), "left_anti")
+
+  /** PQ-COMPRESSED PERSISTENT SERVING ([[IvfIndex.buildPq]] /
+    * [[IvfIndex.searchPq]]) — the storage/IO closure of the persistent
+    * ANN store: the raw postings' `v ARRAY<DOUBLE>` (~512 B/vector at 64
+    * dims) is what a 10⁹-vector corpus cannot afford to ship through
+    * every probe join, so the sidecar stores m=16 residual code BYTES
+    * per vector (the ann_pq_topk recipe, store-resident) and the probe's
+    * candidate stage reads ONLY those. One run drives the sidecar
+    * through the ENTIRE lifecycle and gates code↔vector consistency at
+    * every step — after build, append, compact, delete, and a full
+    * quantizer rebuild, the stored codes must equal a bit-level
+    * re-encode of the raw postings under the current centers+codebooks
+    * (exceptAll in both directions), and the sidecar's recorded
+    * generation must track the store's. Serving gates: searchPq recall
+    * vs the exact twin at the [[annIvfIndex]] floor, ADC retention vs
+    * the RAW-postings search within 0.03 (compression may not cost
+    * candidates the cells already found), an ADC-only floor for the
+    * zero-raw-IO path, and the measured pq/raw postings byte ratio —
+    * the number that says the index a probe reads got an order of
+    * magnitude lighter (fixture files are footer-dominated; at real
+    * per-cell mass the ratio approaches the 536→~26 B/row column
+    * widths). */
+  val annIvfPqLifecycle: Q = Q.gated("ann_ivf_pq_lifecycle") { (s, d) =>
+    val emb = pqCorpus(s, d)
+    val dir = ivfPqDir(s, d)
+    IvfIndex.build(emb.where(pmod(col("vec_id"), lit(10)) < 7), dir, nlist = 16)
+    IvfIndex.buildPq(s, dir)
+    val pqPostings = s"$dir/pq/postings.parquet"
+    def twinDiff(): Long = {
+      val stored = s.read.parquet(pqPostings)
+        .select("id", "cell", "codes").distinct()
+      val twin = IvfIndex.pqTwin(s, dir).select("id", "cell", "codes")
+      stored.exceptAll(twin).count() + twin.exceptAll(stored).count()
+    }
+    def parity(): Boolean =
+      IvfIndex.pqGeneration(s, dir) == IvfIndex.generation(s, dir)
+    val dBuild = twinDiff(); val pBuild = parity()
+    // the fragmenting daily-crawl shape (3 writer tasks → up to 3 files
+    // per touched cell in BOTH components)
+    IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === 8)
+      .repartition(3), dir)
+    val dAppend = twinDiff(); val pAppend = parity()
+    val pqFilesBefore = graft.io.Layout
+      .partitionFileCounts(s, pqPostings, "cell").values.max
+    IvfIndex.compactPostings(s, dir)
+    val pqFilesAfter = graft.io.Layout
+      .partitionFileCounts(s, pqPostings, "cell").values.max
+    val dCompact = twinDiff(); val pCompact = parity()
+    val victims = pqVictims(emb)
+    IvfIndex.deleteVectors(s, dir, victims)
+    val victimCodesLeft = s.read.parquet(pqPostings)
+      .join(victims.withColumnRenamed("vec_id", "id"), Seq("id"), "left_semi")
+      .count()
+    val dDelete = twinDiff(); val pDelete = parity()
+    // same-nlist rebuild (the drift-style migration): new centers → new
+    // residuals → retrained codebooks + full re-encode, all in the
+    // rebuild's own staged swap; growth contracts live in ann_ivf_rebuild
+    IvfIndex.rebuild(s, dir, newNlist = 16)
+    val dRebuild = twinDiff(); val pRebuild = parity()
+    // scan-cost ratio: compressed column-chunk bytes (what a probe
+    // actually reads per row group), not directory sizes — fixture
+    // files are footer-dominated (~900 B files holding ~30 rows)
+    val ratio = graft.io.Layout.parquetDataBytes(s, pqPostings).toDouble /
+      graft.io.Layout.parquetDataBytes(s, s"$dir/postings.parquet")
+    IvfIndex.searchPq(s, dir, pqSurviving(emb)
+        .where(pmod(col("vec_id"), lit(5)) === 0), k = 5, nprobe = 10)
+      .withColumn("twin_diff_build", lit(dBuild))
+      .withColumn("twin_diff_append", lit(dAppend))
+      .withColumn("twin_diff_compact", lit(dCompact))
+      .withColumn("twin_diff_delete", lit(dDelete))
+      .withColumn("twin_diff_rebuild", lit(dRebuild))
+      .withColumn("gen_parity_all",
+        lit(pBuild && pAppend && pCompact && pDelete && pRebuild))
+      .withColumn("pq_files_max_before_compact", lit(pqFilesBefore))
+      .withColumn("pq_files_max_after_compact", lit(pqFilesAfter))
+      .withColumn("victim_codes_left", lit(victimCodesLeft))
+      .withColumn("index_bytes_ratio", lit(ratio))
+  } { (s, d, res) =>
+    val head = res.select("twin_diff_build", "twin_diff_append",
+      "twin_diff_compact", "twin_diff_delete", "twin_diff_rebuild",
+      "gen_parity_all", "pq_files_max_before_compact",
+      "pq_files_max_after_compact", "victim_codes_left",
+      "index_bytes_ratio").head
+    val emb = pqCorpus(s, d)
+    val surviving = pqSurviving(emb)
+    val queries = surviving.where(pmod(col("vec_id"), lit(5)) === 0)
+    val exact = SimilaritySearch.bruteTopK(surviving, k = 5)
+      .where(pmod(col("i"), lit(5)) === 0).select("i", "j")
+    val (pqRecall, _) = pairRecall(res.select("i", "j"), exact, Seq("i", "j"))
+    val dir = ivfPqDir(s, d)
+    val raw = IvfIndex.search(s, dir, queries, k = 5, nprobe = 10)
+    val (rawRecall, _) = pairRecall(raw.select("i", "j"), exact, Seq("i", "j"))
+    val adc = IvfIndex.searchPqAdc(s, dir, queries, k = 5, nprobe = 10)
+    val (adcRecall, _) = pairRecall(adc.select("i", "j"), exact, Seq("i", "j"))
+    Seq(
+      Gate("pq_twin_diff_build", head.getLong(0).toDouble, head.getLong(0) == 0),
+      Gate("pq_twin_diff_append", head.getLong(1).toDouble, head.getLong(1) == 0),
+      Gate("pq_twin_diff_compact", head.getLong(2).toDouble, head.getLong(2) == 0),
+      Gate("pq_twin_diff_delete", head.getLong(3).toDouble, head.getLong(3) == 0),
+      Gate("pq_twin_diff_rebuild", head.getLong(4).toDouble, head.getLong(4) == 0),
+      Gate("pq_generation_tracks_store",
+        if (head.getBoolean(5)) 1 else 0, head.getBoolean(5)),
+      Gate("pq_files_max_before_compact", head.getInt(6).toDouble,
+        head.getInt(6) >= 2),
+      Gate("pq_files_max_after_compact", head.getInt(7).toDouble,
+        head.getInt(7) <= 4),
+      Gate("victim_codes_left", head.getLong(8).toDouble, head.getLong(8) == 0),
+      Gate("index_bytes_ratio", head.getDouble(9), head.getDouble(9) < 0.25),
+      Gate("recall_at_5_vs_exact", pqRecall, pqRecall >= 0.8),
+      Gate("pq_minus_raw_recall", pqRecall - rawRecall,
+        pqRecall - rawRecall >= -0.03),
+      Gate("adc_only_recall", adcRecall, adcRecall >= 0.5))
   }
 
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
@@ -1598,6 +1755,23 @@ object OpsQueries {
   private[graft] val PlantedSemChain1Base = 2L << 45   // [2<<45, 3<<45)
   private[graft] val PlantedSemChain2Base = 3L << 45   // [3<<45, 4<<45)
 
+  /** Lexically-fresh injective text for planted docs — alpha-only
+    * tokens + a stopword per clause: passes every Gopher band (length,
+    * mean token length, alnum ratio, stop hits, repetition) while
+    * sharing zero shingles with the corpus or bench. The pure-alpha
+    * encoding is injective: distinct values MUST yield distinct words
+    * (a lossy mapping once duplicated a word inside a doc and pushed
+    * Gopher's repetition band over its 0.05 max). Shared by
+    * [[dailyDocs]]' fresh/semantic plants and the hotspot surge. */
+  private val freshTextUdf = udf { (id: Long) =>
+    (0 until 15).map { i =>
+      var v = id * 31 + i
+      val sb = new StringBuilder
+      while (v > 0) { sb.append(('a' + (v % 26)).toChar); v /= 26 }
+      s"the zq$sb"
+    }.mkString(" ")
+  }
+
   /** Fixture predicates shared by [[dailyDocs]] (doc rows) and
     * [[dailyEmb]] (vector rows) — the two sides of each semantic plant
     * MUST select the same bases. */
@@ -1658,20 +1832,7 @@ object OpsQueries {
       .withColumn("day", lit(nDays).cast("int"))
       .withColumn("text", editUdf(col("text")))
       .withColumn("source", lit("editfarm"))
-    // alpha-only tokens + a stopword per clause: passes every Gopher
-    // band (length, mean token length, alnum ratio, stop hits,
-    // repetition) while sharing zero shingles with the corpus or bench
-    val freshUdf = udf { (id: Long) =>
-      (0 until 15).map { i =>
-        // injective pure-alpha encoding: distinct values MUST yield
-        // distinct words (a lossy mapping once duplicated a word inside
-        // a doc and pushed Gopher's repetition band over its 0.05 max)
-        var v = id * 31 + i
-        val sb = new StringBuilder
-        while (v > 0) { sb.append(('a' + (v % 26)).toChar); v /= 26 }
-        s"the zq$sb"
-      }.mkString(" ")
-    }
+    val freshUdf = freshTextUdf
     val fresh = s.range(40)
       .select((col("id") + PlantedFreshBase).as("doc_id"),
         concat(lit("https://fresh.ex/f/"), col("id").cast("string")).as("url"),
@@ -2427,6 +2588,174 @@ object OpsQueries {
         semTwinsLeaked == 0))
   }
 
+  private[graft] val HotspotSurgeBase = 1L << 47
+
+  /** KEYSTONE HOTSPOT ACTUATOR ([[graft.examples.DailyIngest
+    * .maintenancePlan]]) — the localized-skew half of the maintenance
+    * loop: a crawl surge concentrated in ONE semantic region piles into
+    * a few cells of the embedding store, the MEAN-based capacity
+    * trigger never fires (the mean barely moves), and every later day's
+    * probe near that region pays the hot cells' mass forever. The plan
+    * adds [[IvfIndex.splitAdvice]]'s per-cell census and maps a
+    * hotspot verdict to a REBUILD at ≥2× nlist (never splitCells —
+    * split routing breaks the keystone's bit-level home ≡ nearest twin;
+    * see the plan's scaladoc). The query ingests day 0 (normal), day 1
+    * (normal + a half-corpus single-region surge — distinct content at
+    * pairwise cosine ~0.8, BELOW the 0.9 semantic bar, lexically fresh:
+    * every stage correctly keeps it), evaluates the policy, acts
+    * between days, ingests day 2 under the new generation, and gates:
+    *
+    *  1. the mean capacity trigger stays SILENT on the surge (the gap
+    *     this actuator closes) while the hotspot census trips with a
+    *     LOCALIZED verdict (1–4 cells over, never widespread);
+    *  2. the plan actuates through rebuild at 2× nlist — the resolution
+    *     bump a same-size drift retrain would not buy (a tight dense
+    *     blob can sit under one center of a same-size retrain);
+    *  3. the acted rebuild CLEARS the plan: max cell mass back under
+    *     the per-cell budget, advice quiet under the same knobs;
+    *  4. composition survives: the surge docs themselves are retained
+    *     (they are novel content, not duplicates), and day 2 ingests
+    *     green under the bumped generation. */
+  val ingestHotspot: Q = Q.gated("pipeline_ingest_hotspot") { (s, d) =>
+    import graft.examples.DailyIngest
+    val D = 2
+    val root = dailyRoot(s, d) + "_hotspot"
+    val bench = dailyBench(s, d)
+    val media = dailyMedia(s, d, D).where(lit(false))
+    val dim = Tables.embeddings(s, d)
+      .select(size(col("embedding")).as("n")).head.getInt(0)
+    val n = Tables.embeddings(s, d).count() / 2
+    val budget = math.max(1L, n / 4)
+    // the surge region: anchor direction + zero-centered noise of norm
+    // ~0.55 — pairwise cosine ≈ 0.8 (kept by the 0.9 semantic stage; a
+    // surge is distinct content in one region, not duplicates) while
+    // the whole blob homes into 1–2 cells of the day-0 quantizer
+    val surgeVec = udf { (id: Long) =>
+      Array.tabulate(dim) { i =>
+        var z = id * 6364136223846793005L + i * 1442695040888963407L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        val noise = (java.lang.Math.floorMod(z, 1000L).toDouble / 1000.0 - 0.5) * 0.48
+        ((if (i == 0) 1.0 else 0.0) + noise).toFloat
+      }.toSeq
+    }
+    val surgeIds = s.range(n).select((col("id") + HotspotSurgeBase).as("doc_id"))
+    val docs0 = dailyDocs(s, d, D)
+    val surgeDocs = surgeIds
+      .select(col("doc_id"), freshTextUdf(col("doc_id")).as("text"),
+        lit("en").as("lang"), lit("surge").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("day", lit(1).cast("int"))
+      .withColumn("url",
+        concat(lit("https://surge.ex/s/"), col("doc_id").cast("string")))
+    val docs = docs0.unionByName(surgeDocs.select(docs0.columns.map(col): _*))
+    val emb = dailyEmb(s, d, D).unionByName(surgeIds.select(col("doc_id"),
+      surgeVec(col("doc_id")).as("embedding"), lit(1).cast("int").as("day")))
+    val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
+    val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    val store = DailyIngest.embStore(root)
+    val gateStage = s"$root/_gate/plan_before.parquet"
+    try {
+      (0 to 1).foreach { i =>
+        DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
+          root, i, cfg, benchBloom = Some(bloom),
+          dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
+      }
+      // stage the pre-rebuild policy verdicts (the gen0_centers pattern:
+      // later ledger-idempotent reps see the post-rebuild store)
+      if (!new java.io.File(gateStage).exists()) {
+        import s.implicits._
+        val mean = DailyIngest.maintenanceAdvice(s, root).get
+        val plan = DailyIngest.maintenancePlan(s, root,
+          maxPostingsPerCell = budget).get
+        Seq((mean.reason, plan.reason, plan.act, plan.suggestedNlist,
+            plan.rebuild.nlist, plan.hotspot.recommendSplit,
+            plan.hotspot.recommendRebuild, plan.hotspot.overCells.size))
+          .toDF("mean_reason", "plan_reason", "plan_act", "suggested_nlist",
+            "nlist_before", "rec_split", "rec_rebuild", "over_cells")
+          .repartition(1).write.mode("overwrite").parquet(gateStage)
+      }
+      val staged = s.read.parquet(gateStage).head
+      if (IvfIndex.generation(s, store) == 0 && staged.getAs[Boolean]("plan_act"))
+        IvfIndex.rebuild(s, store, staged.getAs[Int]("suggested_nlist"))
+      // "the acted rebuild clears it" is judged HERE, before day 2: a
+      // later normal day can legitimately read as occupancy DRIFT
+      // against the surge-inflated reference (the monitor working, not
+      // the hotspot persisting) — staged so ledger-idempotent reps see
+      // the same verdict
+      val afterStage = s"$root/_gate/plan_after.parquet"
+      if (!new java.io.File(afterStage).exists()) {
+        import s.implicits._
+        val planAfter = DailyIngest.maintenancePlan(s, root,
+          maxPostingsPerCell = budget).get
+        val maxMass = s.read.parquet(s"$store/postings.parquet")
+          .groupBy("cell").agg(count(lit(1)).as("cnt"))
+          .agg(max(col("cnt"))).head.getLong(0)
+        Seq((planAfter.act, planAfter.reason, maxMass))
+          .toDF("after_act", "after_reason", "max_mass")
+          .repartition(1).write.mode("overwrite").parquet(afterStage)
+      }
+      val stagedAfter = s.read.parquet(afterStage).head
+      (2 to D).foreach { i =>
+        DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
+          root, i, cfg, benchBloom = Some(bloom),
+          dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
+      }
+      val surgeKept = s.read.parquet(DailyIngest.textOut(root, 1))
+        .where(col("doc_id") >= HotspotSurgeBase).count()
+      s.read.parquet(DailyIngest.textOut(root, D)).select(col("doc_id"))
+        .withColumn("mean_reason", lit(staged.getAs[String]("mean_reason")))
+        .withColumn("plan_reason", lit(staged.getAs[String]("plan_reason")))
+        .withColumn("plan_act", lit(staged.getAs[Boolean]("plan_act")))
+        .withColumn("suggested_nlist", lit(staged.getAs[Int]("suggested_nlist")))
+        .withColumn("nlist_before", lit(staged.getAs[Int]("nlist_before")))
+        .withColumn("rec_split", lit(staged.getAs[Boolean]("rec_split")))
+        .withColumn("rec_rebuild", lit(staged.getAs[Boolean]("rec_rebuild")))
+        .withColumn("over_cells", lit(staged.getAs[Int]("over_cells").toLong))
+        .withColumn("gen_after", lit(IvfIndex.generation(s, store)))
+        .withColumn("plan_after_act", lit(stagedAfter.getAs[Boolean]("after_act")))
+        .withColumn("plan_after_reason", lit(stagedAfter.getAs[String]("after_reason")))
+        .withColumn("max_mass_after", lit(stagedAfter.getAs[Long]("max_mass")))
+        .withColumn("budget", lit(budget))
+        .withColumn("surge_kept", lit(surgeKept))
+        .withColumn("surge_n", lit(n))
+    } finally bloom.destroy()
+  } { (s, d, res) =>
+    val head = res.select("mean_reason", "plan_reason", "plan_act",
+      "suggested_nlist", "nlist_before", "rec_split", "rec_rebuild",
+      "over_cells", "gen_after", "plan_after_act", "plan_after_reason",
+      "max_mass_after", "budget", "surge_kept", "surge_n").head
+    val day2Rows = res.count()
+    Seq(
+      Gate("mean_capacity_silent",
+        if (head.getAs[String]("mean_reason").contains("capacity")) 0 else 1,
+        !head.getAs[String]("mean_reason").contains("capacity")),
+      Gate("hotspot_localized",
+        if (head.getAs[Boolean]("rec_split")) 1 else 0,
+        head.getAs[Boolean]("rec_split") && !head.getAs[Boolean]("rec_rebuild")),
+      Gate("over_cells_bounded", head.getAs[Long]("over_cells").toDouble,
+        head.getAs[Long]("over_cells") >= 1 && head.getAs[Long]("over_cells") <= 4),
+      Gate("plan_acts_via_hotspot",
+        if (head.getAs[Boolean]("plan_act")) 1 else 0,
+        head.getAs[Boolean]("plan_act") &&
+          head.getAs[String]("plan_reason").contains("hotspot_localized")),
+      Gate("hotspot_resolution_bump",
+        head.getAs[Int]("suggested_nlist").toDouble,
+        head.getAs[Int]("suggested_nlist") >= 2 * head.getAs[Int]("nlist_before")),
+      Gate("acted_generation", head.getAs[Int]("gen_after").toDouble,
+        head.getAs[Int]("gen_after") == 1),
+      Gate("plan_clears",
+        if (head.getAs[Boolean]("plan_after_act")) 1 else 0,
+        !head.getAs[Boolean]("plan_after_act") &&
+          head.getAs[String]("plan_after_reason") == "none"),
+      Gate("max_cell_under_budget", head.getAs[Long]("max_mass_after").toDouble,
+        head.getAs[Long]("max_mass_after") <= head.getAs[Long]("budget")),
+      Gate("surge_retained", head.getAs[Long]("surge_kept").toDouble,
+        head.getAs[Long]("surge_kept") >= 0.9 * head.getAs[Long]("surge_n")),
+      Gate("post_rebuild_day_green", day2Rows.toDouble, day2Rows >= 1))
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN across the keystone
     * ([[graft.examples.DailyIngest.takedown]]) — the composition's most
     * dangerous operation, promoted from spec-only to a driver gate:
@@ -2624,6 +2953,20 @@ object OpsQueries {
       .parquet(s"${DailyIngest.embStore(root)}/postings.parquet")
       .join(expDocs.select(col("doc_id").as("id")), Seq("id"), "left_semi")
       .count()
+    // content-key store: victims forgotten, and the store EQUALS the
+    // lake-derived key set over the kept docs — which pins that the
+    // store-driven exact expansion equals the retired lake scan for
+    // any victim set (expansion is a pure function of these rows)
+    val ksRows = s.read.parquet(DailyIngest.keyStore(root))
+      .select("doc_id", "k").distinct()
+    val ksVictimRows = ksRows.join(expDocs, Seq("doc_id"), "left_semi").count()
+    val pcKey = NoveltyBloomStore
+      .recordedPrefixChars(s, DailyIngest.textStore(root))
+    val lakeKeys = docs.join(expDocs, Seq("doc_id"), "left_anti")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), NoveltyBloomStore.docKey("text", pcKey).as("k"))
+    val ksDiff = ksRows.exceptAll(lakeKeys).count() +
+      lakeKeys.exceptAll(ksRows).count()
     // the blooms cannot be enumerated — probe them: every victim's
     // exact content key must read NOVEL against the rebuilt store
     val vTexts = docs.join(fam("vdoc_orig").select(col("id").as("doc_id")),
@@ -2713,6 +3056,9 @@ object OpsQueries {
       Gate("victim_rows_in_band_store", bandRows.toDouble, bandRows == 0),
       Gate("victim_rows_in_sig_store", sigRows.toDouble, sigRows == 0),
       Gate("victim_rows_in_postings", postRows.toDouble, postRows == 0),
+      Gate("victim_rows_in_key_store", ksVictimRows.toDouble,
+        ksVictimRows == 0),
+      Gate("key_store_vs_lake_diff", ksDiff.toDouble, ksDiff == 0),
       Gate("victim_keys_in_content_bloom", bloomKnows.toDouble, bloomKnows == 0),
       Gate("victim_rows_in_outputs", outRows.toDouble, outRows == 0),
       Gate("shard_slice_mismatches", badSlices.toDouble, badSlices == 0),
@@ -3039,11 +3385,11 @@ object OpsQueries {
   def all: Seq[Q] = Seq(
     exactDups, jaccardDups, minhashDups, simhashDups, cosineDups, annTopK,
     annLsh, annIvf, annIvfKmeans, annIvfIndex, annIvfIndexMaintain,
-    annIvfRebuild, annIvfRebuildPolicy, annIvfSplit, annPq,
+    annIvfRebuild, annIvfRebuildPolicy, annIvfSplit, annIvfPqLifecycle, annPq,
     semanticDups, canonical, retained, retainedQuality, substringSpans,
     leakageSafeSplit, sourceOverlapQ, sourceOverlapMh, novelBatch, protoPrune,
     hardNegatives, annPca, signatureMerge, annIvfDrift, novelStore,
     minhashNovelStore, minhashEstEnvelope, urlCanonicalize, urlDedup, urlNovelStore,
     crossModalFilter, crossModalStats, dailyIngest, ingestRebuild,
-    ingestTakedown, ingestAudit, ingestBudget)
+    ingestHotspot, ingestTakedown, ingestAudit, ingestBudget)
 }

@@ -273,7 +273,7 @@ object SimilaritySearch {
     * min(sample, n) rows collected to the driver replaces a distributed
     * fit whose per-iteration job overhead dominates at any n. Seeded
     * distinct init + empty-cluster reseeding keeps it deterministic. */
-  private def localKMeans(
+  private[ops] def localKMeans(
       xs: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val rng = new java.util.Random(seed)
     val n = xs.length

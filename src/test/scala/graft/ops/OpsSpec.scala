@@ -592,6 +592,91 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.compactPostings(spark, dir, minFilesPerCell = 3).isEmpty)
   }
 
+  test("PQ sidecar: exhaustive-refine searchPq == raw search; twin bit-level through append/delete/compact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-pq").toString
+    IvfIndex.build(emb.where(col("vec_id") % 4 === 0), dir, nlist = 8)
+    IvfIndex.buildPq(spark, dir, m = 16, ksub = 16)
+    def twinDiff(): Long = {
+      val stored = spark.read.parquet(s"$dir/pq/postings.parquet")
+        .select("id", "cell", "codes").distinct()
+      val twin = IvfIndex.pqTwin(spark, dir).select("id", "cell", "codes")
+      stored.exceptAll(twin).count() + twin.exceptAll(stored).count()
+    }
+    assert(twinDiff() == 0, "build-time codes must equal a re-encode twin")
+    // with every cell probed and a shortlist wider than the corpus, the
+    // ADC stage cannot lose a candidate — the exact refine must then
+    // reproduce the raw search to the row
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("i", "j", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = rows(IvfIndex.searchPq(spark, dir, emb, k = 5, nprobe = 8,
+      refine = 200))
+    val raw = rows(IvfIndex.search(spark, dir, emb, k = 5, nprobe = 8))
+    assert(pq == raw, s"exhaustive-refine searchPq diverges from raw " +
+      s"search: ${pq.size} vs ${raw.size} rows")
+    IvfIndex.append(emb.where(col("vec_id") % 4 === 1), dir)
+    assert(twinDiff() == 0, "append must encode its batch in the same call")
+    IvfIndex.deleteVectors(spark, dir,
+      emb.where(col("vec_id") % 8 === 0).select("vec_id"))
+    assert(twinDiff() == 0, "delete must forget codes with vectors")
+    val victimLeft = spark.read.parquet(s"$dir/pq/postings.parquet")
+      .where(col("id") % 8 === 0).count()
+    assert(victimLeft == 0, "victim codes must leave the sidecar")
+    IvfIndex.compactPostings(spark, dir)
+    assert(twinDiff() == 0, "compaction moves rows, never changes codes")
+  }
+
+  test("maintenancePlan: quiet store → none; widespread overflow → sized rebuild; no store → None") {
+    import graft.examples.DailyIngest
+    val root = java.nio.file.Files.createTempDirectory("keystone-plan").toString
+    IvfIndex.build(emb, s"$root/stores/ivf_index", nlist = 4)
+    val quiet = DailyIngest.maintenancePlan(spark, root).get
+    assert(!quiet.act && quiet.reason == "none", s"$quiet")
+    // per-cell budget of 1: EVERY cell over → hotFrac 1.0 > maxHotFrac →
+    // widespread: the quantizer is globally undersized, rebuild sized to
+    // the budget (and at least 2× current)
+    val wide = DailyIngest.maintenancePlan(spark, root,
+      maxPostingsPerCell = 1).get
+    assert(wide.act && wide.reason == "hotspot_widespread", s"$wide")
+    assert(wide.hotspot.recommendRebuild && !wide.hotspot.recommendSplit)
+    assert(wide.suggestedNlist >= 2 * wide.rebuild.nlist, s"$wide")
+    assert(wide.suggestedNlist >= wide.rebuild.postings, // budget 1/cell
+      s"widespread suggestion must cover the per-cell budget: $wide")
+    val empty = java.nio.file.Files.createTempDirectory("keystone-none").toString
+    assert(DailyIngest.maintenancePlan(spark, empty).isEmpty)
+  }
+
+  test("PQ sidecar: stale generation fails loudly; rebuild refreshes it") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx-pqgen").toString
+    IvfIndex.build(emb.where(col("vec_id") % 2 === 0), dir, nlist = 8)
+    IvfIndex.buildPq(spark, dir, m = 16, ksub = 16)
+    assert(IvfIndex.pqGeneration(spark, dir) == 0)
+    // simulate an out-of-band migration (an old writer that bumped the
+    // store generation without re-encoding): the header says gen 1, the
+    // codes were cut under gen 0 — every compressed read/mutate must
+    // refuse rather than ADC-compare against retired centers
+    val qp = new org.apache.hadoop.fs.Path(s"$dir/_quantizer.properties")
+    val hfs = qp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(qp, true)
+    out.write("generation=1\nnlist=8\n".getBytes("UTF-8")); out.close()
+    intercept[IllegalArgumentException] {
+      IvfIndex.searchPq(spark, dir, emb, k = 3, nprobe = 4)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(emb.where(col("vec_id") % 2 === 1), dir)
+    }
+    // a REAL migration (rebuild) retrains + re-encodes in its staged
+    // swap: generation parity restored, codes match the twin
+    IvfIndex.rebuild(spark, dir, newNlist = 8)
+    assert(IvfIndex.pqGeneration(spark, dir) ==
+      IvfIndex.generation(spark, dir))
+    val stored = spark.read.parquet(s"$dir/pq/postings.parquet")
+      .select("id", "cell", "codes").distinct()
+    val twin = IvfIndex.pqTwin(spark, dir).select("id", "cell", "codes")
+    assert(stored.exceptAll(twin).count() + twin.exceptAll(stored).count() == 0)
+    assert(IvfIndex.searchPq(spark, dir, emb, k = 3, nprobe = 4).count() > 0)
+  }
+
   test("streaming index ingestion: file-streamed appends == one-shot index") {
     val idxDir = java.nio.file.Files.createTempDirectory("ivfidx-stream").toString
     val watchDir = java.nio.file.Files.createTempDirectory("ivf-watch").toString
