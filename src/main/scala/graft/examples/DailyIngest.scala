@@ -257,6 +257,39 @@ object DailyIngest {
           "or rebuild the store from the full corpus. Rebuilding from one " +
           "day's staged keys would silently discard all prior history.")
 
+  /** Throws while a [[takedown]]'s mutation window is open: a staged
+    * victim set (`_ledger/takedown_<id>.victims`) without its completion
+    * marker means the takedown crashed mid-phase-2 and the stores may be
+    * HALF-forgotten. An ingest or probe composed there is silently wrong
+    * twice over — probes judge novelty against stores that still
+    * recognize some shed twins, and worse, a day appended inside the
+    * window is erased by the takedown retry's bloom rebuilds (they
+    * rebuild from the lake frame the takedown CALLER passes, which
+    * predates the interleaved day — the new day's commitments would be
+    * silently forgotten, re-admitting its duplicates forever). The
+    * quantizer-lifecycle mutator fences ([[graft.ops.IvfIndex]]) are the
+    * same discipline; recovery is identical: re-run takedown with the
+    * same id/arguments (the staged set is reused; phase 2 converges),
+    * then ingest. ExtSpec's mid-stream drill pins the streaming form:
+    * the next micro-batch fails loudly, and after the takedown completes
+    * a checkpoint restart replays it under the same batchId, green. */
+  private def requireNoPendingTakedown(spark: SparkSession, root: String): Unit = {
+    val (ledger, f) = fs(spark, s"$root/_ledger")
+    if (!f.exists(ledger)) return
+    val names = f.listStatus(ledger).map(_.getPath.getName)
+    val pending = names.filter(_.endsWith(".victims"))
+      .map(_.stripSuffix(".victims"))
+      .filterNot(names.contains)
+    if (pending.nonEmpty)
+      throw new java.io.IOException(
+        s"DailyIngest: $root has a pending takedown " +
+          s"(${pending.mkString(", ")} staged without a completion marker) " +
+          "— a takedown crashed mid-mutation and the stores may be " +
+          "half-forgotten. Re-run DailyIngest.takedown with the same " +
+          "id/arguments to complete it (the staged victim set is reused; " +
+          "recovery converges), then retry this ingest/probe.")
+  }
+
   /** Embedding-store readiness: the quantizer file. Centers exist only
     * after a completed (or at worst postings-writing) build, and the
     * ledger retries a crashed day before any later day runs, so a
@@ -716,6 +749,7 @@ object DailyIngest {
       dayEmb: Option[DataFrame] = None): DayCounts = {
     val (donePath, mFs) = fs(spark, marker(root, day))
     if (mFs.exists(donePath)) return readCounts(spark, marker(root, day))
+    requireNoPendingTakedown(spark, root)
     // a locally built bench bloom is destroyed before return — a
     // standalone per-day scheduler calling this daily must not
     // accumulate one broadcast bloom per day (the run() loop shares and
@@ -1001,6 +1035,7 @@ object DailyIngest {
     // the callee knows about cannot be destroyed by the caller — the
     // exact accumulation ingestDay's finally-destroy closes. The loop
     // owns one bloom for its lifetime and destroys it when done.
+    requireNoPendingTakedown(spark, root)
     val f = processDay(spark, dayDocs, dayMedia, dayEmb, benchBloom, root, cfg)
     (f.textSurvivors, f.mediaSurvivors, f.caches)
   }

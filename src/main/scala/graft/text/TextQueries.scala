@@ -2032,6 +2032,176 @@ object TextQueries {
     } finally docs.unpersist(blocking = false)
   }
 
+  /** LEARNED-MODEL LIFECYCLE — the quantizer treatment
+    * ([[graft.ops.IvfIndex]] generations) applied to the pipeline's two
+    * one-shot text artifacts via [[ModelStore]]: generation-stamped
+    * persistence, a per-day drift signal, a crash-safe retrain actuator,
+    * and a scoring ledger that pins which generation scored each day.
+    *
+    * Fixture: four disjoint quarters of `documents` as days. Days 0–1
+    * are the training distribution; days 2–3 are the SAME documents
+    * rot13'd AND truncated to their first 8 tokens — a deterministic
+    * distribution shift (a short-junk domain arriving) that collapses
+    * the day's acceptance rate (the positive-fraction signal: teacher
+    * and student both reject the short stopword-free docs the training
+    * corpus never showed) and defeats every learned BPE merge. rot13
+    * alone is NOT enough for the classifier signal at scale: the
+    * teacher's score is 80% transform-invariant stats (length/distinct/
+    * alnum), and the student's dense-stat features reproduce it on the
+    * shifted text too — agreement holds, calibration holds. The
+    * distillation-break (agreement) signal is unit-covered in
+    * ModelStoreSpec, where a narrow-vocabulary corpus makes the hashed
+    * features carry the fit.
+    *
+    * Drill (staged parquet verdicts make reps ledger-idempotent):
+    * init on day 0 (gen 1) → score days 0–1 → advice on day 1 silent →
+    * advice on day 2 trips BOTH signals → day 2 scored under gen 1
+    * (monitoring is downstream of scoring, as in production) → a retrain
+    * is STAGED and the marker fence is proven (scoreDay throws) → the
+    * retrain completes by roll-forward (gen 2) → day 3 scores under gen
+    * 2 and advice clears — the retrained merges actually recover
+    * compression on the shifted text, and the ledger holds exactly one
+    * generation per day with re-runs returning stored history untouched. */
+  val modelLifecycle: Q = Q.gated("text_model_lifecycle") { (s, d) =>
+    import graft.text.{ModelStore => MS}
+    val lo = ('a' to 'z').mkString
+    val hi = ('A' to 'Z').mkString
+    def rot13(c: org.apache.spark.sql.Column) =
+      translate(c, lo + hi, lo.drop(13) + lo.take(13) + hi.drop(13) + hi.take(13))
+    val all = Tables.documents(s, d).select(col("doc_id").cast("long"), col("text"))
+    def slice(k: Int) = all.where(pmod(col("doc_id"), lit(4)) === k)
+    val dayDocs: Int => org.apache.spark.sql.DataFrame = {
+      case 0 => slice(0)
+      case 1 => slice(1)
+      case k => slice(k).withColumn("text",
+        array_join(org.apache.spark.sql.functions.slice(
+          split(rot13(col("text")), " "), 1, 8), " "))
+    }
+    val tag = (d + "_" + s.sparkContext.applicationId).replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_modelstore/$tag"
+    val store = s"$root/store"
+    val (dim, epochs, merges) = (2048, 60, 40)
+    val (posTol, bpeTol) = (0.25, 0.25)
+    if (MS.generation(s, store) == 0) {
+      MS.retrain(s, store, dayDocs(0), dim, epochs, merges): Unit
+    }
+    MS.scoreDay(s, store, 0, dayDocs(0)): Unit
+    MS.scoreDay(s, store, 1, dayDocs(1)): Unit
+    // gen-1 verdicts staged BEFORE the retrain mutates the live model
+    val advice1Path = s"$root/_gate/advice_gen1.parquet"
+    if (!new java.io.File(advice1Path).exists()) {
+      import s.implicits._
+      val a1 = MS.retrainAdvice(s, store, dayDocs(1), posTol, bpeTol)
+      val a2 = MS.retrainAdvice(s, store, dayDocs(2), posTol, bpeTol)
+      Seq((a1.act, a1.reason, a2.act, a2.reason, a2.drift.classifierDrift,
+          a2.drift.bpeDrift, a2.drift.tokensPerWord, a2.drift.refTokensPerWord,
+          a2.drift.agreement, a2.drift.refAgreement))
+        .toDF("indist_act", "indist_reason", "shift_act", "shift_reason",
+          "shift_cls_drift", "shift_bpe_drift", "shift_tpw", "ref_tpw",
+          "shift_agreement", "ref_agreement")
+        .repartition(1).write.mode("overwrite").parquet(advice1Path)
+    }
+    MS.scoreDay(s, store, 2, dayDocs(2)): Unit
+    // crash drill + acted retrain, once: stage the new generation, prove
+    // the marker fences scoring, then complete by roll-forward
+    val crashPath = s"$root/_gate/crash.parquet"
+    if (MS.generation(s, store) == 1) {
+      MS.stageRetrain(s, store, dayDocs(2), dim, epochs, merges)
+      val fenceThrew =
+        try { MS.scoreDay(s, store, 3, dayDocs(3)): Unit; false }
+        catch { case _: java.io.IOException => true }
+      val genAfter = MS.retrain(s, store, dayDocs(2), dim, epochs, merges)
+      import s.implicits._
+      Seq((fenceThrew, genAfter)).toDF("fence_threw", "gen_after")
+        .repartition(1).write.mode("overwrite").parquet(crashPath)
+    }
+    MS.scoreDay(s, store, 3, dayDocs(3)): Unit
+    val advice2Path = s"$root/_gate/advice_gen2.parquet"
+    if (!new java.io.File(advice2Path).exists()) {
+      import s.implicits._
+      val a3 = MS.retrainAdvice(s, store, dayDocs(3), posTol, bpeTol)
+      // re-run stability: scoring day 1 again under the NEWER live
+      // generation must return the stored gen-1 history unchanged
+      val re = MS.scoreDay(s, store, 1, dayDocs(1))
+      val reGen = re.agg(min(col("generation")).as("lo"),
+        max(col("generation")).as("hi"), count(lit(1)).as("n")).head
+      Seq((a3.act, a3.reason, a3.drift.posFrac, a3.drift.refPosFrac,
+          a3.drift.tokensPerWord, a3.drift.refTokensPerWord,
+          reGen.getInt(0), reGen.getInt(1), reGen.getLong(2)))
+        .toDF("post_act", "post_reason", "post_posfrac", "post_ref_posfrac",
+          "post_tpw", "post_ref_tpw", "rescore_gen_lo", "rescore_gen_hi",
+          "rescore_n")
+        .repartition(1).write.mode("overwrite").parquet(advice2Path)
+    }
+    val a1 = s.read.parquet(advice1Path).head
+    val cr = s.read.parquet(crashPath).head
+    val a2 = s.read.parquet(advice2Path).head
+    MS.ledger(s, store).orderBy(col("day"))
+      .withColumn("indist_act", lit(a1.getAs[Boolean]("indist_act")))
+      .withColumn("indist_reason", lit(a1.getAs[String]("indist_reason")))
+      .withColumn("shift_act", lit(a1.getAs[Boolean]("shift_act")))
+      .withColumn("shift_reason", lit(a1.getAs[String]("shift_reason")))
+      .withColumn("shift_cls_drift", lit(a1.getAs[Boolean]("shift_cls_drift")))
+      .withColumn("shift_bpe_drift", lit(a1.getAs[Boolean]("shift_bpe_drift")))
+      .withColumn("shift_tpw", lit(a1.getAs[Double]("shift_tpw")))
+      .withColumn("ref_tpw", lit(a1.getAs[Double]("ref_tpw")))
+      .withColumn("shift_agreement", lit(a1.getAs[Double]("shift_agreement")))
+      .withColumn("ref_agreement", lit(a1.getAs[Double]("ref_agreement")))
+      .withColumn("fence_threw", lit(cr.getAs[Boolean]("fence_threw")))
+      .withColumn("gen_after", lit(cr.getAs[Int]("gen_after")))
+      .withColumn("post_act", lit(a2.getAs[Boolean]("post_act")))
+      .withColumn("post_reason", lit(a2.getAs[String]("post_reason")))
+      .withColumn("post_posfrac", lit(a2.getAs[Double]("post_posfrac")))
+      .withColumn("post_ref_posfrac", lit(a2.getAs[Double]("post_ref_posfrac")))
+      .withColumn("post_tpw", lit(a2.getAs[Double]("post_tpw")))
+      .withColumn("rescore_gen_lo", lit(a2.getAs[Int]("rescore_gen_lo")))
+      .withColumn("rescore_gen_hi", lit(a2.getAs[Int]("rescore_gen_hi")))
+      .withColumn("rescore_n", lit(a2.getAs[Long]("rescore_n")))
+  } { (s, d, res) =>
+    val head = res.head
+    val byDay = res.select("day", "generation", "n_docs")
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val posTol = 0.25
+    Seq(
+      Gate("init_generation", byDay.get(0).map(_._1.toDouble).getOrElse(-1),
+        byDay.get(0).exists(_._1 == 1)),
+      Gate("indist_silent", if (head.getAs[Boolean]("indist_act")) 1 else 0,
+        !head.getAs[Boolean]("indist_act") &&
+          head.getAs[String]("indist_reason") == "none"),
+      Gate("shift_trips_classifier",
+        if (head.getAs[Boolean]("shift_cls_drift")) 1 else 0,
+        head.getAs[Boolean]("shift_cls_drift")),
+
+      Gate("shift_trips_bpe",
+        if (head.getAs[Boolean]("shift_bpe_drift")) 1 else 0,
+        head.getAs[Boolean]("shift_bpe_drift")),
+      Gate("advice_acts", if (head.getAs[Boolean]("shift_act")) 1 else 0,
+        head.getAs[Boolean]("shift_act") &&
+          head.getAs[String]("shift_reason").contains("classifier_drift")),
+      Gate("fence_throws", if (head.getAs[Boolean]("fence_threw")) 1 else 0,
+        head.getAs[Boolean]("fence_threw")),
+      Gate("retrain_generation", head.getAs[Int]("gen_after").toDouble,
+        head.getAs[Int]("gen_after") == 2),
+      Gate("ledger_no_mixing", res.count().toDouble,
+        res.count() == 4 && byDay(0)._1 == 1 && byDay(1)._1 == 1 &&
+          byDay(2)._1 == 1 && byDay(3)._1 == 2),
+      Gate("post_retrain_clears", if (head.getAs[Boolean]("post_act")) 1 else 0,
+        !head.getAs[Boolean]("post_act") &&
+          head.getAs[String]("post_reason") == "none"),
+      Gate("bpe_retrain_recovers",
+        head.getAs[Double]("post_tpw") / math.max(head.getAs[Double]("shift_tpw"), 1e-12),
+        head.getAs[Double]("post_tpw") <= head.getAs[Double]("shift_tpw") * 0.85),
+      Gate("classifier_recalibrated",
+        math.abs(head.getAs[Double]("post_posfrac") - head.getAs[Double]("post_ref_posfrac")),
+        math.abs(head.getAs[Double]("post_posfrac") -
+          head.getAs[Double]("post_ref_posfrac")) <= posTol),
+      Gate("rescore_returns_history",
+        head.getAs[Long]("rescore_n").toDouble,
+        head.getAs[Int]("rescore_gen_lo") == 1 &&
+          head.getAs[Int]("rescore_gen_hi") == 1 &&
+          head.getAs[Long]("rescore_n") == byDay(1)._2))
+  }
+
   /** CCNet-style perplexity partitioning (Wenzek et al. 2020 §4.3):
     * each source's documents split into head/middle/tail thirds by LM
     * perplexity (lower = more fluent = head) — the standard
@@ -2084,5 +2254,5 @@ object TextQueries {
     bm25, paragraphDedupQ, paragraphDedupBySourceQ, spanScrub, dedupSpanScrub, topNgramsQ, topNgramsCms,
     vocabBySource, vocabHll, chunkWindowsQ, qualityBudget, qualityThreshold,
     bpeTrain, bpeLearnedTokens, piiScrub, qualityClassifier, perplexityBuckets,
-    boilerplateScrubQ)
+    boilerplateScrubQ, modelLifecycle)
 }

@@ -981,6 +981,88 @@ class StreamingSpec extends AnyFunSuite {
       "takedown completion marker on the stream-built root")
   }
 
+  test("mid-stream takedown: a pending takedown fails the next micro-batch loudly; completed takedown + restart replays it green") {
+    import graft.examples.DailyIngest
+    import graft.streaming.DocsStream
+    import graft.ops.OpsQueries
+    import spark.implicits._
+    val docs = OpsQueries.dailyDocs(spark, dir, 2)
+    val bench = OpsQueries.dailyBench(spark, dir)
+    val cols = Seq("url", "doc_id", "text", "lang", "source", "n_chars").map(col)
+    def emptyMedia = spark.range(0).select(col("id").as("media_id"),
+      lit("image").as("kind"), lit("image/png").as("mime"),
+      lit(16).as("width"), lit(16).as("height"), lit(1).as("n_frames"),
+      lit(0).as("sample_rate"), lit(null).cast("binary").as("content"))
+    val streamDir = java.nio.file.Files.createTempDirectory("di-mid-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("di-mid-ckpt").toString
+    val rootS = java.nio.file.Files.createTempDirectory("di-mid-root").toString
+    def stageFile(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"di-mid-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(streamDir, name)
+      java.nio.file.Files.copy(part.toPath, dest.toPath)
+      assert(dest.setLastModified(mtime), "test setup: mtime must stick")
+    }
+    val now = System.currentTimeMillis()
+    val embLookup = Some(OpsQueries.dailyEmb(spark, dir, 2).drop("day"))
+    stageFile(docs.where(col("day") === 0).select(cols: _*), "day0.parquet", now - 180000)
+    stageFile(docs.where(col("day") === 1).select(cols: _*), "day1.parquet", now - 120000)
+    val q1 = DocsStream.startDailyIngestQuery(spark, streamDir, ckpt, rootS, bench,
+      embLookup = embLookup)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(new java.io.File(s"$rootS/_ledger/day_1").exists(),
+      "fixture sanity: the stream must have ledgered days 0 and 1")
+    // a takedown whose phase 2 crashed before the completion marker:
+    // staged victims present, stores (partially) mutated, marker absent
+    val vic = spark.read.parquet(DailyIngest.textOut(rootS, 0))
+      .select("doc_id").orderBy("doc_id").limit(1)
+      .collect().map(_.getLong(0)).head
+    // the takedown's lake frame is what the ingest run CONSUMED (days
+    // 0-1) — passing the not-yet-ingested day 2 would pre-commit its
+    // keys into the rebuilt blooms and shed the whole day on arrival
+    val lake = docs.where(col("day") <= 1)
+    DailyIngest.takedown(spark, rootS, lake, emptyMedia.withColumn("day", lit(0)),
+      Seq(vic).toDF("doc_id"), Seq.empty[Long].toDF("media_id"),
+      takedownId = "mid1")
+    assert(new java.io.File(s"$rootS/_ledger/takedown_mid1").delete(),
+      "test setup: simulate the pre-marker crash")
+    // the next micro-batch must fail LOUDLY on the pending-takedown
+    // fence — composing it would let the takedown retry's bloom
+    // rebuilds erase the new day's commitments (see the fence scaladoc)
+    stageFile(docs.where(col("day") === 2).select(cols: _*), "day2.parquet", now - 60000)
+    val q2 = DocsStream.startDailyIngestQuery(spark, streamDir, ckpt, rootS, bench,
+      embLookup = embLookup)
+    val err = intercept[Throwable] { try q2.processAllAvailable() finally q2.stop() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.toString +: chain(e.getCause))
+    assert(chain(err).exists(_.contains("pending takedown")),
+      s"the batch must fail on the takedown fence, got: ${chain(err).mkString(" <- ")}")
+    assert(!new java.io.File(s"$rootS/_ledger/day_2").exists(),
+      "the fenced batch must not have ledgered day 2")
+    // complete the takedown (retry converges from the staged victim
+    // set), restart from the checkpoint: Structured Streaming replays
+    // the failed batch under the SAME batchId and the day ingests green
+    DailyIngest.takedown(spark, rootS, lake, emptyMedia.withColumn("day", lit(0)),
+      Seq(vic).toDF("doc_id"), Seq.empty[Long].toDF("media_id"),
+      takedownId = "mid1")
+    assert(new java.io.File(s"$rootS/_ledger/takedown_mid1").exists(),
+      "takedown completion marker after the converging retry")
+    val q3 = DocsStream.startDailyIngestQuery(spark, streamDir, ckpt, rootS, bench,
+      embLookup = embLookup)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(new java.io.File(s"$rootS/_ledger/day_2").exists(),
+      "the replayed batch must ledger day 2 after the takedown completed")
+    assert(spark.read.parquet(DailyIngest.textOut(rootS, 2)).count() > 0,
+      "day 2 must have survivors on the replayed batch")
+    (0 to 2).foreach { day =>
+      assert(spark.read.parquet(DailyIngest.textOut(rootS, day))
+        .where(col("doc_id") === vic).count() == 0,
+        s"the victim must stay out of day $day's output after the replay")
+    }
+  }
+
   test("streaming MEDIA daily ingest: batchId-ledgered stream equals batch ingestDay per day (outputs, store, shard bytes)") {
     import graft.examples.DailyIngest
     import graft.streaming.{DocsStream, MediaStream}
