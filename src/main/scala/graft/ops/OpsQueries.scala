@@ -748,8 +748,12 @@ object OpsQueries {
     * generation must track the store's. Serving gates: searchPq recall
     * vs the exact twin at the [[annIvfIndex]] floor, ADC retention vs
     * the RAW-postings search within 0.03 (compression may not cost
-    * candidates the cells already found), an ADC-only floor for the
-    * zero-raw-IO path, and the measured pq/raw postings byte ratio —
+    * candidates the cells already found), the zero-raw-IO contract —
+    * the ADC-only top-(k·refine) candidate list must CONTAIN the true
+    * top-k at the refined floor (head-of-ranking precision under pure
+    * quantized distances degrades as corpus density grows; containment
+    * is the property searchPq's exact re-rank and any client-side
+    * refine actually consume) — and the measured pq/raw byte ratio —
     * the number that says the index a probe reads got an order of
     * magnitude lighter (fixture files are footer-dominated; at real
     * per-cell mass the ratio approaches the 536→~26 B/row column
@@ -824,7 +828,9 @@ object OpsQueries {
     val dir = ivfPqDir(s, d)
     val raw = IvfIndex.search(s, dir, queries, k = 5, nprobe = 10)
     val (rawRecall, _) = pairRecall(raw.select("i", "j"), exact, Seq("i", "j"))
-    val adc = IvfIndex.searchPqAdc(s, dir, queries, k = 5, nprobe = 10)
+    // the zero-raw-IO path serves the shortlist searchPq re-ranks:
+    // k·refine ADC candidates (the searchPq default refine=20)
+    val adc = IvfIndex.searchPqAdc(s, dir, queries, k = 5 * 20, nprobe = 10)
     val (adcRecall, _) = pairRecall(adc.select("i", "j"), exact, Seq("i", "j"))
     Seq(
       Gate("pq_twin_diff_build", head.getLong(0).toDouble, head.getLong(0) == 0),
@@ -843,7 +849,7 @@ object OpsQueries {
       Gate("recall_at_5_vs_exact", pqRecall, pqRecall >= 0.8),
       Gate("pq_minus_raw_recall", pqRecall - rawRecall,
         pqRecall - rawRecall >= -0.03),
-      Gate("adc_only_recall", adcRecall, adcRecall >= 0.5))
+      Gate("adc_shortlist_recall", adcRecall, adcRecall >= 0.8))
   }
 
   /** IVF-PQ ANN — the memory-compression member of the ANN family: same
@@ -2601,8 +2607,8 @@ object OpsQueries {
     * split routing breaks the keystone's bit-level home ≡ nearest twin;
     * see the plan's scaladoc). The query ingests day 0 (normal), day 1
     * (normal + a half-corpus single-region surge — distinct content at
-    * pairwise cosine ~0.8, BELOW the 0.9 semantic bar, lexically fresh:
-    * every stage correctly keeps it), evaluates the policy, acts
+    * pairwise cosine ≤~0.88, BELOW the 0.9 semantic bar, lexically
+    * fresh: every stage correctly keeps it), evaluates the policy, acts
     * between days, ingests day 2 under the new generation, and gates:
     *
     *  1. the mean capacity trigger stays SILENT on the surge (the gap
@@ -2625,21 +2631,18 @@ object OpsQueries {
     val dim = Tables.embeddings(s, d)
       .select(size(col("embedding")).as("n")).head.getInt(0)
     val n = Tables.embeddings(s, d).count() / 2
-    val budget = math.max(1L, n / 4)
-    // the surge region: anchor direction + zero-centered noise of norm
-    // ~0.55 — pairwise cosine ≈ 0.8 (kept by the 0.9 semantic stage; a
-    // surge is distinct content in one region, not duplicates) while
-    // the whole blob homes into 1–2 cells of the day-0 quantizer
-    val surgeVec = udf { (id: Long) =>
-      Array.tabulate(dim) { i =>
-        var z = id * 6364136223846793005L + i * 1442695040888963407L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z = z ^ (z >>> 31)
-        val noise = (java.lang.Math.floorMod(z, 1000L).toDouble / 1000.0 - 0.5) * 0.48
-        ((if (i == 0) 1.0 else 0.0) + noise).toFloat
-      }.toSeq
-    }
+    // per-cell budget calibrated to the WORST-case surge the fixture
+    // plants: the anchored shell puts ≥97% of its n vectors in one cell
+    // (trip side needs budget < ~n), while on the clear side a k-means
+    // rebuild can only split a high-dim isotropic shell into a FEW
+    // cells — its points are near-equidistant (concentration of
+    // measure), so Lloyd's reliably yields ≥2 sub-cells, not the
+    // ∝-mass allocation a structured region would get (measured: 250
+    // shell points → 2–3 cells at 32 centers; 1000 → 5–6). 3n/4 sits
+    // between ~n (trip) and ~n/2 (worst split) with margin on both
+    // sides at every tested geometry; real surges have internal
+    // structure and split finer, so the budget is conservative there
+    val budget = math.max(1L, 3 * n / 4)
     val surgeIds = s.range(n).select((col("id") + HotspotSurgeBase).as("doc_id"))
     val docs0 = dailyDocs(s, d, D)
     val surgeDocs = surgeIds
@@ -2650,14 +2653,53 @@ object OpsQueries {
       .withColumn("url",
         concat(lit("https://surge.ex/s/"), col("doc_id").cast("string")))
     val docs = docs0.unionByName(surgeDocs.select(docs0.columns.map(col): _*))
-    val emb = dailyEmb(s, d, D).unionByName(surgeIds.select(col("doc_id"),
-      surgeVec(col("doc_id")).as("embedding"), lit(1).cast("int").as("day")))
+    val embBase = dailyEmb(s, d, D)
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
     val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
     val store = DailyIngest.embStore(root)
     val gateStage = s"$root/_gate/plan_before.parquet"
     try {
-      (0 to 1).foreach { i =>
+      DailyIngest.ingestDay(s, docs.where(col("day") === 0), media, bench,
+        root, 0, cfg, benchBloom = Some(bloom),
+        dayEmb = Some(embBase.where(col("day") === 0).drop("day"))): Unit
+      // the surge region is anchored on a TRAINED center of the day-0
+      // quantizer (read from the live store) rather than a fixed axis
+      // direction: an axis-anchored blob straddles however many Voronoi
+      // cells the REAL data put near that direction (measured at sf0.1:
+      // 7 of 16 cells, none over budget — no hotspot at all), while a
+      // center-anchored shell of radius 0.6·|c*| lands ≥97% in the
+      // anchor cell at every tested geometry AND keeps pairwise cosine
+      // ≤~0.88 (the exact-norm shell makes the bound scale-invariant:
+      // cos ≈ 1/(1+r²) with r = 0.6). Staged to parquet so ledger-
+      // idempotent reps reuse the gen-1-derived surge after the rebuild
+      // replaced the centers it was derived from.
+      val surgeStage = s"$root/_gate/surge_emb.parquet"
+      if (!new java.io.File(surgeStage).exists()) {
+        val centers = IvfIndex.loadCenters(s, store)
+        val heavy = s.read.parquet(s"$store/postings.parquet")
+          .groupBy("cell").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("cell")).head.getInt(0)
+        val cStar = centers(heavy)
+        val cNorm = math.sqrt(cStar.map(x => x * x).sum)
+        val surgeVec = udf { (id: Long) =>
+          val noise = Array.tabulate(dim) { i =>
+            var z = id * 6364136223846793005L + i * 1442695040888963407L
+            z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+            z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+            z = z ^ (z >>> 31)
+            java.lang.Math.floorMod(z, 1000L).toDouble / 1000.0 - 0.5
+          }
+          val nn = math.sqrt(noise.map(x => x * x).sum)
+          val scale = 0.6 * cNorm / math.max(nn, 1e-12)
+          Array.tabulate(dim)(i => (cStar(i) + noise(i) * scale).toFloat).toSeq
+        }
+        surgeIds.select(col("doc_id"), surgeVec(col("doc_id")).as("embedding"))
+          .write.mode("overwrite").parquet(surgeStage)
+      }
+      val surgeEmb = s.read.parquet(surgeStage)
+      val emb = embBase.unionByName(surgeEmb
+        .withColumn("day", lit(1).cast("int")))
+      (1 to 1).foreach { i =>
         DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
           root, i, cfg, benchBloom = Some(bloom),
           dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
