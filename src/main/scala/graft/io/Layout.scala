@@ -119,7 +119,10 @@ object Layout {
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
         else Nil
       }
-    files(root).map { st =>
+    // footer opens are independent driver-side IO — read them in
+    // parallel (measured r19: ~4.6 s sequential over the two PQ-store
+    // sides in ann_ivf_pq_lifecycle; the sum is order-free)
+    files(root).toArray.par("parquetDataBytes") { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -128,6 +131,26 @@ object Layout {
           .map(_.getColumns.asScala.map(_.getTotalSize).sum).sum
       } finally reader.close()
     }.sum
+  }
+
+  /** Map `f` over `xs` on a bounded driver thread pool — the shared
+    * helper for independent per-file metadata operations (footer reads,
+    * per-partition listings) whose sequential form serializes on IO
+    * latency. Results keep input order; exceptions propagate. */
+  private[graft] implicit final class ParOps[A](private val xs: Array[A])
+      extends AnyVal {
+    def par[B](tag: String, threads: Int = 16)(f: A => B)(
+        implicit ct: scala.reflect.ClassTag[B]): Array[B] = {
+      if (xs.length <= 1) return xs.map(f)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(threads, xs.length),
+        r => { val t = new Thread(r, s"layout-par-$tag"); t.setDaemon(true); t })
+      try {
+        val futures = xs.map(a => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
+        futures.map(_.get())
+      } finally pool.shutdown()
+    }
   }
 
   /** Recursive delete of a layout path (missing path is a no-op) —

@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   * SimilaritySpec, and run here as rows-only checks. */
 object OpsQueries {
 
+  // TEMPORARY r19 profiling hook (env-gated, removed before round close):
+  // prints elapsed wall time since the previous mark when GRAFT_STAGE_PROF
+  // is set. Zero cost when unset.
+  private val profT0 = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def prof(label: String): Unit =
+    if (sys.env.contains("GRAFT_STAGE_PROF")) {
+      val now = System.nanoTime()
+      val prev = profT0.getAndSet(now)
+      if (prev != 0L)
+        System.err.println(f"[stageprof] $label%-40s ${(now - prev) / 1e9}%8.2f s")
+      else System.err.println(s"[stageprof] $label (t0)")
+    }
+
   private val JaccardSql =
     """WITH t AS (
       |  SELECT doc_id,
@@ -48,6 +61,21 @@ object OpsQueries {
 
   val jaccardDups: Q = Q("dedup_ngram_jaccard", JaccardSql) { (s, d) =>
     Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.8)
+  }
+
+
+  /** |A∖B| + |B∖A| over multisets (the twin-diff gate number) in ONE
+    * pass: the exceptAll-both-directions form runs TWO actions, each
+    * re-evaluating BOTH inputs — for the PQ/postings twins that is a
+    * full re-encode or assignment pass per direction. The signed-weight
+    * groupBy (+1 per A row, −1 per B row; Σ|Δcount|) computes the same
+    * number with each side evaluated once and one shuffle. */
+  private def multisetDiffCount(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq
+    a.withColumn("_w", lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn("_w", lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col("_w")).as("_d"))
+      .agg(coalesce(sum(abs(col("_d"))), lit(0L))).head.getLong(0)
   }
 
   /** (candidate pairs, exact pairs) → (recall, precision) of the sketch
@@ -301,7 +329,7 @@ object OpsQueries {
     val filesAfter = Layout.partitionFileCounts(s, postings, "cell")
     val post = IvfIndex.search(s, dir, queries, k = 5, nprobe = 10)
       .select("i", "j", "rank").localCheckpoint(true)
-    val compactDiff = pre.exceptAll(post).count() + post.exceptAll(pre).count()
+    val compactDiff = multisetDiffCount(pre, post)
     val victims = emb.where(pmod(col("vec_id"), lit(97)) === 0).select("vec_id")
     val nVictims = victims.count()
     val listingPre = Layout.partitionFileListing(s, postings, "cell")
@@ -379,23 +407,37 @@ object OpsQueries {
     val emb = Tables.embeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
     val embA = emb.where(pmod(col("vec_id"), lit(10)) < 9)
+    prof("rb: start")
     IvfIndex.build(embA.where(pmod(col("vec_id"), lit(10)) < 6), dir, nlist = 8)
+    prof("rb: build nlist=8")
     IvfIndex.append(embA.where(pmod(col("vec_id"), lit(10)) >= 6), dir)
+    prof("rb: append")
     // probed candidate FRACTION of queries × corpus at the keystone's
     // fixed nprobe — the quantity whose growth the migration resets
     def candFrac(nprobe: Int): Double = {
       val centers = IvfIndex.loadCenters(s, dir)
       val postings = s.read.parquet(s"$dir/postings.parquet")
-      val cells = postings.groupBy("cell").agg(count(lit(1)).as("n"))
+      // ONE aggregate per side (r19): the former cells-join form scanned
+      // the postings three times (cells agg, join-agg, count) and ran
+      // the assignment UDF twice (join side + q.count) — the per-cell
+      // censuses are ≤ nlist rows, so the products sum on the driver to
+      // the identical mass/denominator
+      val cellSizes = postings.groupBy("cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
+      val total = cellSizes.values.sum
       val q = IvfIndex.assignCells(
         emb.where(pmod(col("vec_id"), lit(5)) === 0), centers,
         "vec_id", "embedding", nprobe)
-      val mass = q.select(explode(col("probes")).as("cell"))
-        .join(cells, Seq("cell"))
-        .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
-      mass.toDouble / math.max(1L, q.count() * postings.count())
+      val probeCounts = q.select(explode(col("probes")).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("c"))
+      val mass = probeCounts.map { case (c, k) =>
+        k * cellSizes.getOrElse(c, 0L) }.sum
+      val nq = probeCounts.map(_._2).sum / nprobe // every row emits nprobe probes
+      mass.toDouble / math.max(1L, nq * total)
     }
     val fracBefore = candFrac(4)
+    prof("rb: candFrac before")
     // pre-rebuild recall at 25% matched probed fraction (2 of 8),
     // vs the exact twin over the store's own corpus
     val exactA = SimilaritySearch.bruteTopK(embA, k = 5)
@@ -404,9 +446,11 @@ object OpsQueries {
         embA.where(pmod(col("vec_id"), lit(5)) === 0), k = 5, nprobe = 2)
       .select("i", "j")
     val (preRecall, _) = pairRecall(preSearch, exactA, Seq("i", "j"))
+    prof("rb: pre recall (brute+search)")
     val genBefore = IvfIndex.generation(s, dir)
     val oldCenters = IvfIndex.loadCenters(s, dir)
     IvfIndex.rebuild(s, dir, newNlist = 32)
+    prof("rb: rebuild to 32")
     val genAfter = IvfIndex.generation(s, dir)
     val mismatchCaught =
       try {
@@ -415,17 +459,20 @@ object OpsQueries {
           dir, threshold = 0.9, expectGeneration = Some(genBefore)).count()
         0L
       } catch { case _: IllegalArgumentException => 1L }
+    prof("rb: stale-centers check")
     // post-migration append under the new quantizer
     IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === 9), dir)
+    prof("rb: post append")
     val driftRows = s.read.parquet(s"$dir/drift_log.parquet").count()
     val newCenters = IvfIndex.loadCenters(s, dir)
     val twin = IvfIndex.assignCells(emb, newCenters, "vec_id", "embedding", 1)
       .select(col("id"), col("probes").getItem(0).as("cell"), col("nrm"))
     val store = s.read.parquet(s"$dir/postings.parquet")
       .select(col("id"), col("cell"), col("nrm"))
-    val postingsDiff = store.exceptAll(twin).count() +
-      twin.exceptAll(store).count()
+    val postingsDiff = multisetDiffCount(store, twin)
+    prof("rb: postings twin diff")
     val fracAfter = candFrac(4)
+    prof("rb: candFrac after")
     IvfIndex.search(s, dir, emb.where(pmod(col("vec_id"), lit(5)) === 0),
         k = 5, nprobe = 8)
       .withColumn("gen_before", lit(genBefore))
@@ -553,12 +600,15 @@ object OpsQueries {
     import graft.io.Layout
     val emb = Tables.embeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("ivf-split").toString
+    prof("sp: start")
     IvfIndex.build(emb, dir, nlist = 8)
+    prof("sp: build")
     // PQ sidecar riding the whole split lifecycle: the surge append
     // encodes, every split pass re-encodes its victim cells in the
     // staged swap, the post-split append encodes under the new centers —
     // the end-state twin diff (gated below) covers all of it
     IvfIndex.buildPq(s, dir)
+    prof("sp: buildPq")
     // the surge: one vector per two corpus rows, all within ~0.1 of a
     // fixed anchor direction (real per-row variance — 2-means needs
     // geometry to find — but a single home region). Half the corpus is
@@ -569,6 +619,7 @@ object OpsQueries {
         expr("transform(embedding, (x, i) -> cast((case when i = 0 then 1.0 " +
           "else 0.0 end) + 0.05 * x as float))").as("embedding"))
     IvfIndex.append(blob, dir)
+    prof("sp: surge append")
     val n = emb.count()
     val budget = math.max(1L, (0.4 * n).toLong) // only surge cells exceed this
     val postings = s"$dir/postings.parquet"
@@ -578,12 +629,15 @@ object OpsQueries {
     val listingPre = Layout.partitionFileListing(s, postings, "cell")
     val queries = emb.where(pmod(col("vec_id"), lit(5)) === 0)
     val corpus = emb.select("vec_id", "embedding").unionByName(blob)
+    prof("sp: censuses")
     val exactPre = SimilaritySearch.bruteTopK(corpus, k = 5)
       .where(pmod(col("i"), lit(5)) === 0 && col("i") < (1L << 40))
       .select("i", "j").localCheckpoint(true)
+    prof("sp: exact twin")
     val pre = IvfIndex.search(s, dir, queries, k = 5, nprobe = 3)
       .select("i", "j").localCheckpoint(true)
     val (preRecall, _) = pairRecall(pre, exactPre, Seq("i", "j"))
+    prof("sp: pre search+recall")
     val genBefore = IvfIndex.generation(s, dir)
     val oldCenters = IvfIndex.loadCenters(s, dir)
     // split to convergence: a sub-cell still over budget splits on the
@@ -596,6 +650,7 @@ object OpsQueries {
       victimsAll ++= v
       more = v.nonEmpty
       passes += 1
+      prof(s"sp: split pass $passes (${v.size} victims)")
     }
     val genAfter = IvfIndex.generation(s, dir)
     val adviceAfter = IvfIndex.splitAdvice(s, dir, budget)
@@ -604,8 +659,8 @@ object OpsQueries {
       !victimsAll.map(_.toString).contains(c) &&
         listingPre(c) != listingPost.getOrElse(c, Nil))
     val idsAfter = s.read.parquet(postings).select("id")
-    val idsDiff = idsBefore.exceptAll(idsAfter).count() +
-      idsAfter.exceptAll(idsBefore).count()
+    val idsDiff = multisetDiffCount(idsBefore, idsAfter)
+    prof("sp: post listings + ids diff")
     val maxMassAfter = s.read.parquet(postings)
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).head.getLong(0)
@@ -616,21 +671,24 @@ object OpsQueries {
           dir, threshold = 0.9, expectGeneration = Some(genBefore)).count()
         0L
       } catch { case _: IllegalArgumentException => 1L }
+    prof("sp: mass+mismatch checks")
     val post = IvfIndex.search(s, dir, queries, k = 5, nprobe = 3)
       .select("i", "j", "cosine", "rank").localCheckpoint(true)
+    prof("sp: post search")
     // post-split append: routes under the new centers and restarts the
     // drift log against the split-updated occupancy reference
     IvfIndex.append(
       emb.where(pmod(col("vec_id"), lit(7)) === 0)
         .select((col("vec_id") + lit(1L << 41)).as("vec_id"), col("embedding")),
       dir)
+    prof("sp: post-split append")
     val driftRows = s.read.parquet(s"$dir/drift_log.parquet").count()
     val pqStored = s.read.parquet(s"$dir/pq/postings.parquet")
       .select("id", "cell", "codes").distinct()
     val pqTwinF = IvfIndex.pqTwin(s, dir).select("id", "cell", "codes")
-    val pqDiff = pqStored.exceptAll(pqTwinF).count() +
-      pqTwinF.exceptAll(pqStored).count()
+    val pqDiff = multisetDiffCount(pqStored, pqTwinF)
     val pqParity = IvfIndex.pqGeneration(s, dir) == IvfIndex.generation(s, dir)
+    prof("sp: pq twin diff")
     post
       .withColumn("advice_split_before", lit(adviceBefore.recommendSplit))
       .withColumn("advice_rebuild_before", lit(adviceBefore.recommendRebuild))
@@ -761,45 +819,58 @@ object OpsQueries {
   val annIvfPqLifecycle: Q = Q.gated("ann_ivf_pq_lifecycle") { (s, d) =>
     val emb = pqCorpus(s, d)
     val dir = ivfPqDir(s, d)
+    prof("pq: start")
     IvfIndex.build(emb.where(pmod(col("vec_id"), lit(10)) < 7), dir, nlist = 16)
+    prof("pq: build")
     IvfIndex.buildPq(s, dir)
+    prof("pq: buildPq")
     val pqPostings = s"$dir/pq/postings.parquet"
     def twinDiff(): Long = {
       val stored = s.read.parquet(pqPostings)
         .select("id", "cell", "codes").distinct()
       val twin = IvfIndex.pqTwin(s, dir).select("id", "cell", "codes")
-      stored.exceptAll(twin).count() + twin.exceptAll(stored).count()
+      multisetDiffCount(stored, twin)
     }
     def parity(): Boolean =
       IvfIndex.pqGeneration(s, dir) == IvfIndex.generation(s, dir)
     val dBuild = twinDiff(); val pBuild = parity()
+    prof("pq: twin diff 1")
     // the fragmenting daily-crawl shape (3 writer tasks → up to 3 files
     // per touched cell in BOTH components)
     IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === 8)
       .repartition(3), dir)
+    prof("pq: append")
     val dAppend = twinDiff(); val pAppend = parity()
+    prof("pq: twin diff 2")
     val pqFilesBefore = graft.io.Layout
       .partitionFileCounts(s, pqPostings, "cell").values.max
     IvfIndex.compactPostings(s, dir)
     val pqFilesAfter = graft.io.Layout
       .partitionFileCounts(s, pqPostings, "cell").values.max
+    prof("pq: compact")
     val dCompact = twinDiff(); val pCompact = parity()
+    prof("pq: twin diff 3")
     val victims = pqVictims(emb)
     IvfIndex.deleteVectors(s, dir, victims)
     val victimCodesLeft = s.read.parquet(pqPostings)
       .join(victims.withColumnRenamed("vec_id", "id"), Seq("id"), "left_semi")
       .count()
+    prof("pq: delete")
     val dDelete = twinDiff(); val pDelete = parity()
+    prof("pq: twin diff 4")
     // same-nlist rebuild (the drift-style migration): new centers → new
     // residuals → retrained codebooks + full re-encode, all in the
     // rebuild's own staged swap; growth contracts live in ann_ivf_rebuild
     IvfIndex.rebuild(s, dir, newNlist = 16)
+    prof("pq: rebuild")
     val dRebuild = twinDiff(); val pRebuild = parity()
+    prof("pq: twin diff 5")
     // scan-cost ratio: compressed column-chunk bytes (what a probe
     // actually reads per row group), not directory sizes — fixture
     // files are footer-dominated (~900 B files holding ~30 rows)
     val ratio = graft.io.Layout.parquetDataBytes(s, pqPostings).toDouble /
       graft.io.Layout.parquetDataBytes(s, s"$dir/postings.parquet")
+    prof("pq: bytes ratio")
     IvfIndex.searchPq(s, dir, pqSurviving(emb)
         .where(pmod(col("vec_id"), lit(5)) === 0), k = 5, nprobe = 10)
       .withColumn("twin_diff_build", lit(dBuild))
@@ -2066,6 +2137,23 @@ object OpsQueries {
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_daily/$tag"
   }
 
+  /** Materialize a fixture-input frame ONCE per query run (eager
+    * localCheckpoint) — generate-once, read-many. The daily fixtures
+    * are UDF-heavy multi-branch union PLANS; the keystone compositions
+    * consume them from dozens of Datasets, and each consumer both
+    * re-ANALYZES the whole fixture subtree (driver-side, single-
+    * threaded — the planning-time trap of large plans) and re-EXECUTES
+    * the synth UDFs per job. Pinning truncates every downstream plan's
+    * lineage at the materialized partitions. Measured (sf0.1,
+    * local[32], r19): one probe day 31.3 s → 14.1 s — construction
+    * 15.4 → 5.0 s, execution 17.5 → 8.7 s — for a one-time ~1 s
+    * materialization of day-sized inputs. Partitioning and row order
+    * are the plan's own evaluation, so every downstream decision
+    * (windows keyed by id, treeAggregate sums) sees identical rows.
+    * Callers sweep the pinned RDD with the fn's rddIds diff so bench
+    * reps hold storage flat. */
+  private def pinInput(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** THE KEYSTONE: daily-incremental ingest composing all FIVE
     * frozen-history stores ([[graft.examples.DailyIngest]] — URL
     * frontier → exact novelty → hygiene/decontam → near-dup novelty →
@@ -2113,16 +2201,16 @@ object OpsQueries {
   val dailyIngest: Q = Q.gated("pipeline_daily_ingest") { (s, d) =>
     import graft.examples.DailyIngest
     val root = dailyRoot(s, d)
-    val docs = dailyDocs(s, d, IngestDays)
-    val media = dailyMedia(s, d, IngestDays)
-    val emb = dailyEmb(s, d, IngestDays)
+    val rddsBefore = DailyIngest.rddIds(s) // before the pins: swept with them
+    val docs = pinInput(dailyDocs(s, d, IngestDays))
+    val media = pinInput(dailyMedia(s, d, IngestDays))
+    val emb = pinInput(dailyEmb(s, d, IngestDays))
     val bench = dailyBench(s, d)
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
     DailyIngest.run(s, docs, media, bench, root, IngestDays, cfg,
       emb = Some(emb))
     val benchBloom = graft.text.TextQueries
       .benchContaminationBloom(bench, fpp = 1e-4)
-    val rddsBefore = DailyIngest.rddIds(s)
     val (txt, med, caches) = DailyIngest.probeDayTracked(s,
       docs.where(col("day") === IngestDays),
       media.where(col("day") === IngestDays), root,
@@ -2495,8 +2583,9 @@ object OpsQueries {
     import graft.examples.DailyIngest
     val D = 3 // the planted-fixture day count; rebuild lands after day 1
     val root = dailyRoot(s, d) + "_rebuild"
-    val docs = dailyDocs(s, d, D)
-    val emb = dailyEmb(s, d, D)
+    val rddsAtStart = graft.examples.DailyIngest.rddIds(s)
+    val docs = pinInput(dailyDocs(s, d, D))
+    val emb = pinInput(dailyEmb(s, d, D))
     val bench = dailyBench(s, d)
     val media = dailyMedia(s, d, D).where(lit(false))
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
@@ -2520,7 +2609,12 @@ object OpsQueries {
           root, i, cfg, benchBloom = Some(bloom),
           dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
       }
-    } finally bloom.destroy()
+    } finally {
+      bloom.destroy()
+      // pins + any run() leftovers released: the returned frame reads
+      // only the per-day parquet outputs, never the pinned inputs
+      DailyIngest.sweepCaches(s, rddsAtStart, Nil)
+    }
     (0 to D).map(i => s.read.parquet(DailyIngest.textOut(root, i))
         .select(col("doc_id"), lit(i).as("day")))
       .reduce(_ unionByName _)
@@ -2626,6 +2720,7 @@ object OpsQueries {
     import graft.examples.DailyIngest
     val D = 2
     val root = dailyRoot(s, d) + "_hotspot"
+    val rddsAtStart = DailyIngest.rddIds(s)
     val bench = dailyBench(s, d)
     val media = dailyMedia(s, d, D).where(lit(false))
     val dim = Tables.embeddings(s, d)
@@ -2652,8 +2747,9 @@ object OpsQueries {
       .withColumn("day", lit(1).cast("int"))
       .withColumn("url",
         concat(lit("https://surge.ex/s/"), col("doc_id").cast("string")))
-    val docs = docs0.unionByName(surgeDocs.select(docs0.columns.map(col): _*))
-    val embBase = dailyEmb(s, d, D)
+    val docs = pinInput(
+      docs0.unionByName(surgeDocs.select(docs0.columns.map(col): _*)))
+    val embBase = pinInput(dailyEmb(s, d, D))
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
     val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
     val store = DailyIngest.embStore(root)
@@ -2762,7 +2858,11 @@ object OpsQueries {
         .withColumn("budget", lit(budget))
         .withColumn("surge_kept", lit(surgeKept))
         .withColumn("surge_n", lit(n))
-    } finally bloom.destroy()
+    } finally {
+      bloom.destroy()
+      // pins released: the returned frame reads only parquet outputs
+      DailyIngest.sweepCaches(s, rddsAtStart, Nil)
+    }
   } { (s, d, res) =>
     val head = res.select("mean_reason", "plan_reason", "plan_act",
       "suggested_nlist", "nlist_before", "rec_split", "rec_rebuild",
@@ -2831,13 +2931,15 @@ object OpsQueries {
     import graft.examples.DailyIngest
     val D = 3 // the planted-fixture day count (sem twins exist only here)
     val root = dailyRoot(s, d) + "_takedown"
-    val docs = dailyDocs(s, d, D)
-    val media = dailyMedia(s, d, D)
-    val embAll = dailyEmb(s, d, D)
+    val rddsAtStart = DailyIngest.rddIds(s) // before the pins: swept with them
+    val docs = pinInput(dailyDocs(s, d, D))
+    val media = pinInput(dailyMedia(s, d, D))
+    val embAll = pinInput(dailyEmb(s, d, D))
     val bench = dailyBench(s, d)
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
     val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
     try {
+      prof("td: bloom built")
       (0 to D).foreach { i =>
         DailyIngest.ingestDay(s, docs.where(col("day") === i),
           media.where(col("day") === i), bench, root, i, cfg,
@@ -2852,6 +2954,7 @@ object OpsQueries {
       // select ~nothing while the completion marker short-circuits the
       // takedown — the probes would then measure a degenerate victim
       // set and any gate re-evaluation would read spuriously red.
+      prof("td: 4 ingest days")
       val selDir = s"$root/_gate_victims"
       val (vDocs, vMedia) =
         if (new java.io.File(s"$selDir/.done").exists()) (
@@ -2894,8 +2997,10 @@ object OpsQueries {
           (s.read.parquet(s"$selDir/docs").localCheckpoint(true),
            s.read.parquet(s"$selDir/media").localCheckpoint(true))
         }
+      prof("td: victim selection")
       DailyIngest.takedown(s, root, docs, media, vDocs, vMedia, cfg,
         takedownId = "gate")
+      prof("td: takedown call")
       // the gate's expansion truth set is takedown's own STAGED victim
       // set (persisted pre-mutation, reused on retry) — reading it back
       // both avoids a second four-store expansion pass and verifies the
@@ -2932,11 +3037,15 @@ object OpsQueries {
       // OTHER, so sharing a probe day would (correctly) shed the
       // later-id twin within-day — which is pipeline behavior, not
       // store memory, and not what this gate measures
-      val probeDocs = recrawlDocs(vDocs, vr, "vrecrawl")
-        .unionByName(recrawlDocs(controls, cr, "crecrawl"))
-      val probeEmb = embAll.drop("day")
+      // the probe inputs are TINY (victims + controls) but their plans
+      // embed recrawl joins against the pinned fixtures — pin them too,
+      // so the ~30 Datasets of each probe day analyze a leaf-sized plan
+      // (the pinInput rationale, one hop further down)
+      val probeDocs = pinInput(recrawlDocs(vDocs, vr, "vrecrawl")
+        .unionByName(recrawlDocs(controls, cr, "crecrawl")))
+      val probeEmb = pinInput(embAll.drop("day")
         .join(vDocs, Seq("doc_id"), "left_semi")
-        .select((col("doc_id") + vr).as("doc_id"), col("embedding"))
+        .select((col("doc_id") + vr).as("doc_id"), col("embedding")))
       def recrawlMedia(bases: DataFrame, off: Long) = media
         .join(bases, Seq("media_id"), "left_semi")
         .select((col("media_id") + off).as("media_id"), col("kind"),
@@ -2944,17 +3053,19 @@ object OpsQueries {
           col("sample_rate"), col("content"), lit(D + 1).cast("int").as("day"))
       val mControls = m0Out.join(expMedia, Seq("media_id"), "left_anti")
         .where(col("media_id") % 7 === 1).limit(6).localCheckpoint(true)
-      val probeMedia = recrawlMedia(vMedia, vr)
-        .unionByName(recrawlMedia(mControls, cr))
+      val probeMedia = pinInput(recrawlMedia(vMedia, vr)
+        .unionByName(recrawlMedia(mControls, cr)))
       // tracked probes + sweep: two probe days per call would pin two
       // cache sets per bench rep under storage LRU (the dailyIngest
       // bench-loop discipline)
-      val rddsBefore = DailyIngest.rddIds(s)
+      prof("td: probe inputs prepared")
       val (ptxt, pmed, caches1) = DailyIngest.probeDayTracked(s, probeDocs,
         probeMedia, root, benchBloom = bloom,
         dayEmb = Some(probeEmb), cfg = cfg)
+      prof("td: probe day 1 (lazy)")
       val (ptxt2, _, caches2) = DailyIngest.probeDayTracked(s,
-        recrawlDocs(shedTwins, tr, "trecrawl"), probeMedia.where(lit(false)),
+        pinInput(recrawlDocs(shedTwins, tr, "trecrawl")),
+        probeMedia.where(lit(false)),
         root, benchBloom = bloom,
         dayEmb = Some(embAll.drop("day").limit(0)), cfg = cfg)
       val out = ptxt.select(col("doc_id").as("id"), lit("text").as("family"))
@@ -2967,8 +3078,10 @@ object OpsQueries {
         .unionByName(shedTwins.select(col("doc_id").as("id"), lit("shed_twin").as("family")))
         .unionByName(controls.select(col("doc_id").as("id"), lit("control_doc").as("family")))
         .unionByName(mControls.select(col("media_id").as("id"), lit("control_media").as("family")))
+      prof("td: probe day 2 (lazy)")
       val rows = out.collect()
-      DailyIngest.sweepCaches(s, rddsBefore, caches1 ++ caches2)
+      prof("td: union collect")
+      DailyIngest.sweepCaches(s, rddsAtStart, caches1 ++ caches2)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally bloom.destroy()
   } { (s, d, res) =>
@@ -3153,9 +3266,10 @@ object OpsQueries {
     import graft.examples.DailyIngest
     val D = IngestDays
     val root = dailyRoot(s, d) + "_audit"
-    val docs = dailyDocs(s, d, D)
-    val media = dailyMedia(s, d, D)
-    val emb = dailyEmb(s, d, D)
+    val rddsAtStart = DailyIngest.rddIds(s)
+    val docs = pinInput(dailyDocs(s, d, D))
+    val media = pinInput(dailyMedia(s, d, D))
+    val emb = pinInput(dailyEmb(s, d, D))
     val bench = dailyBench(s, d)
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
     DailyIngest.run(s, docs, media, bench, root, D + 1, cfg, emb = Some(emb))
@@ -3176,6 +3290,8 @@ object OpsQueries {
     val snap = logsMd5
     DailyIngest.run(s, docs, media, bench, root, D + 1, cfg, emb = Some(emb))
     val rerunStable = logsMd5 == snap
+    // pins released: the returned frame reads only the drop-log parquet
+    DailyIngest.sweepCaches(s, rddsAtStart, Nil)
     val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id bigint, reason string")
     val mediaSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -3334,7 +3450,8 @@ object OpsQueries {
     import graft.text.TextFunctions
     val D = 2
     val root = dailyRoot(s, d) + "_budget"
-    val docs = dailyDocs(s, d, D)
+    val rddsAtStart = DailyIngest.rddIds(s)
+    val docs = pinInput(dailyDocs(s, d, D))
     val media = dailyMedia(s, d, D).where(lit(false))
     val bench = dailyBench(s, d)
     // /8 of the day-0 INCOMING mass: the cap must undercut the
@@ -3348,6 +3465,8 @@ object OpsQueries {
       bloomCapacity = dailyBloomCapacity(s, d),
       dailyBpeBudget = Some(budget))
     DailyIngest.run(s, docs, media, bench, root, D + 1, cfg)
+    // pins released: the returned frame reads only the per-day outputs
+    DailyIngest.sweepCaches(s, rddsAtStart, Nil)
     (0 to D).map(i =>
       s.read.parquet(DailyIngest.textOut(root, i))
         .select(col("doc_id"), col("source"), col("n_bpe"),
