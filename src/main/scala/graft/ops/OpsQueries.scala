@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * SimilaritySpec, and run here as rows-only checks. */
 object OpsQueries {
 
-  // TEMPORARY r19 profiling hook (env-gated, removed before round close):
-  // prints elapsed wall time since the previous mark when GRAFT_STAGE_PROF
-  // is set. Zero cost when unset.
+  // r19 stage-profiling hook (env-gated, zero cost when unset): prints
+  // elapsed wall time since the previous mark when GRAFT_STAGE_PROF is
+  // set — the attribution tool behind the OPTIMIZATION_r19.md numbers
+  // (deltas are meaningful only between marks of the same query's run).
   private val profT0 = new java.util.concurrent.atomic.AtomicLong(0L)
   private def prof(label: String): Unit =
     if (sys.env.contains("GRAFT_STAGE_PROF")) {
