@@ -247,6 +247,19 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] persist to tools/bench_local failed: ${e.getMessage}")
     }
+    // Compact (≤1 KB) machine-readable summary as the FINAL stdout line:
+    // the full record above is a single ~12 KB line (160 per-query doubles)
+    // that a bounded tail window truncates mid-JSON — 19 rounds of driver
+    // artifacts carry `parsed: null` for exactly that reason. This line
+    // carries the totals and the gate adjudication only; the per-query map
+    // lives in the full line above and in tools/bench_local/. ADDITIVE:
+    // the full-contract line is still printed first, unchanged.
+    val summaryGate = gateResult match {
+      case None => """{"status":"not_run"}"""
+      case Some((viol, rc, agg)) =>
+        s"""{"status":"${if (rc == 0) "ok" else "violations"}","n_violations":${viol.size},"aggregate_vs_pins":$agg}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"protocol":"$protocol","baseline_gate":$summaryGate,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
     gateResult.map(_._2).filter(_ != 0).foreach(_ => sys.exit(1))
   }

@@ -643,7 +643,7 @@ object DailyIngest {
     val postQuality = Multimodal.survivorsBarrier(dayMedia, "daily_quality_in")
       .join(lowInfo, Seq("media_id"), "left_anti")
       .cache()
-    val (mediaPairs, imgSigCache) = storeParityMediaPairsTracked(postQuality)
+    val (mediaPairs, sigCaches) = storeParityMediaPairsTracked(postQuality)
     val mediaWithinDrops = mediaPairs
       .select(col("id_b").as("media_id")).distinct()
     // cached for the same reason as crossKept: survivor anti-join +
@@ -684,7 +684,7 @@ object DailyIngest {
     DayFrames(canon, urlKept, exactKept, clean, textSurvivors,
       postQuality, mediaSurvivors, semSeen, trainedCenters,
       textDrops, mediaDrops,
-      caches = Seq(clean, postQuality, estCache, imgSigCache) ++
+      caches = Seq(clean, postQuality, estCache) ++ sigCaches ++
         (if (willWriteAudit) Seq(crossKept, mediaCrossKept) else Nil) ++
         semCaches)
   }
@@ -699,11 +699,11 @@ object DailyIngest {
   private[graft] def storeParityMediaPairs(media: DataFrame): DataFrame =
     storeParityMediaPairsTracked(media)._1
 
-  /** [[storeParityMediaPairs]] exposing its cached image-signature
-    * frame for the daily loop to release. Returns (pairs, imgSigCache).
-    */
+  /** [[storeParityMediaPairs]] exposing its cached per-kind signature
+    * frames for the daily loop to release. Returns (pairs, sigCaches =
+    * Seq(imgSigs, vidSigs, audSigs)). */
   private def storeParityMediaPairsTracked(media: DataFrame)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, Seq[DataFrame]) = {
     // cached: sims + thumbs consumers would otherwise decode twice.
     // DELIBERATE sharing beyond this function: imageSigRows' lambda is
     // capture-free (a singleton), so the store probe's identical
@@ -713,6 +713,18 @@ object DailyIngest {
     // cache-identity mechanics). Unmanaged callers inherit the
     // Dedup.jaccardPairs cache-lifetime contract.
     val imgSigs = SignatureStore.imageSigRows(media).cache()
+    // same mechanism for the A/V builders (r20): cache the RAW
+    // videoSigRows/audioSigRows frames so BOTH in-function consumers
+    // (the pair operators' post-select caches fill from here, not from
+    // a fresh decode) AND the store probe's raw
+    // `videoSigRows(media, 2).distinct()` / `audioSigRows(media)
+    // .distinct()` plans resolve to these entries — one decode pass per
+    // kind per day instead of two. Requires the capture-free
+    // sampleFrames UDF (see Multimodal.sampleFramesUdf) so the two
+    // video plans canonicalize equal. The probe decode-budget gate pins
+    // the per-kind pass counts.
+    val vidSigs = SignatureStore.videoSigRows(media, 2).cache()
+    val audSigs = SignatureStore.audioSigRows(media).cache()
     val mae = udf { (a: Array[Byte], b: Array[Byte]) => Codec.thumbMae(a, b) }
     val thumbs = imgSigs.select(col("media_id"), col("thumb"))
     val img = Dedup.hammingPairs(
@@ -727,8 +739,19 @@ object DailyIngest {
       .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
     val aud = Multimodal.audioNearDupPairs(media)
       .select(col("media_a").as("id_a"), col("media_b").as("id_b"))
-    img.unionByName(vid).unionByName(aud).distinct() -> imgSigs
+    (img.unionByName(vid).unionByName(aud).distinct(),
+      Seq(imgSigs, vidSigs, audSigs))
   }
+
+  /** True iff every day in `[0, nDays)` holds its final ledger marker —
+    * i.e. a [[run]] over these days would short-circuit every day to
+    * its recorded counts. Driver-side FS metadata only. Callers use it
+    * to skip building inputs a fully-ingested root will never read
+    * (the bench's ledger-short-circuited steady state: eager fixture
+    * pins measured +1–2 s/rep on the small keystone queries for frames
+    * no consumer evaluated). */
+  def allDaysIngested(spark: SparkSession, root: String, nDays: Int): Boolean =
+    (0 until nDays).forall(i => exists(spark, marker(root, i)))
 
   /** Ingest one day end-to-end with the TWO-PHASE ledger documented on
     * the object: phase 1 computes the day, writes survivors + staged
@@ -1048,6 +1071,15 @@ object DailyIngest {
       benchDocs: DataFrame, root: String, nDays: Int,
       cfg: IngestConfig = IngestConfig(),
       emb: Option[DataFrame] = None): Seq[DayCounts] = {
+    // ALL-days short-circuit: when every day already holds its final
+    // ledger marker, each ingestDay call would return its recorded
+    // counts without touching docs or stores — so building the bench
+    // bloom first (an O(bench) shingle aggregation) would be pure
+    // waste. Per-day semantics unchanged: ingestDay's own marker check
+    // stays the authority; this only hoists the all-done case above
+    // the bloom build.
+    if (allDaysIngested(spark, root, nDays))
+      return (0 until nDays).map(i => readCounts(spark, marker(root, i)))
     // ONE bench bloom for the whole run — the eval suite is frozen, so
     // re-shingling it per day would be O(bench) wasted work per day
     val benchBloom = TextQueries.benchContaminationBloom(benchDocs, fpp = 1e-4)

@@ -148,7 +148,15 @@ object Layout {
       try {
         val futures = xs.map(a => pool.submit(
           new java.util.concurrent.Callable[B] { def call(): B = f(a) }))
-        futures.map(_.get())
+        // rethrow the worker's own exception, not the ExecutionException
+        // wrapper — "exceptions propagate" means a caller matching on
+        // the sequential form's exception type keeps working
+        futures.map(fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException
+                if e.getCause != null => throw e.getCause
+          })
       } finally pool.shutdown()
     }
   }

@@ -814,19 +814,31 @@ object Multimodal {
           x => x.getField("content"))).as("shard_bytes"))
   }
 
+  /** Frame-sampling UDF for [[sampleFrames]] — CAPTURE-FREE (stride is
+    * a column argument, not a closure capture), deliberately: a
+    * non-capturing lambda is a JVM singleton, so two `sampleFrames`
+    * calls with the same stride build CANONICALLY EQUAL plans and
+    * Spark's CacheManager can resolve one against the other's cached
+    * frame. The former `udf { content => ... stride ... }` form
+    * captured `stride`, making every call a fresh function instance —
+    * which is exactly why the daily probe's within-day video pass and
+    * its store probe could never share one decode pass the way the
+    * image builders do (SCALING.md round-16 cache-identity mechanics). */
+  private val sampleFramesUdf = udf { (content: Array[Byte], stride: Int) =>
+    val frames = Codec.decodeFrames(content)
+    (0 until frames.length by stride).map(i => (i, frames(i)))
+  }
+
   /** Frame sampling for video rows: REAL container parse
     * ([[Codec.decodeFrames]]) emitting every `stride`-th frame's PNG
     * payload with its index. One output row per sampled frame,
     * payload-bounded; corrupt/empty containers yield no rows. */
   def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
     require(stride >= 1, s"stride must be positive, got $stride")
-    val sample = udf { (content: Array[Byte]) =>
-      val frames = Codec.decodeFrames(content)
-      (0 until frames.length by stride).map(i => (i, frames(i)))
-    }
     media
       .where(col("kind") === "video")
-      .select(col("media_id"), explode(sample(col("content"))).as("f"))
+      .select(col("media_id"),
+        explode(sampleFramesUdf(col("content"), lit(stride))).as("f"))
       .select(col("media_id"), col("f._1").as("frame_index"),
         col("f._2").as("content"))
   }

@@ -434,7 +434,16 @@ object OpsQueries {
         .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("c"))
       val mass = probeCounts.map { case (c, k) =>
         k * cellSizes.getOrElse(c, 0L) }.sum
-      val nq = probeCounts.map(_._2).sum / nprobe // every row emits nprobe probes
+      // every surviving row emits EXACTLY nprobe probes (assignCells
+      // requires nprobe ≤ nlist and nearestCellsJvm always returns
+      // nprobe cells) — assert it so a future relaxation (tie dedup,
+      // fewer-than-nprobe emission) fails loudly instead of silently
+      // skewing the denominator through integer division
+      val probesTotal = probeCounts.map(_._2).sum
+      require(probesTotal % nprobe == 0,
+        s"candFrac: $probesTotal probes is not a multiple of nprobe=$nprobe" +
+          " — assignCells no longer emits exactly nprobe probes per row")
+      val nq = probesTotal / nprobe
       mass.toDouble / math.max(1L, nq * total)
     }
     val fracBefore = candFrac(4)
@@ -2194,8 +2203,9 @@ object OpsQueries {
     *     surviving asset back out of its day's packed shard stream at
     *     (offset, nbytes) reproduces its payload md5 byte-exactly;
     *  6. today's probe decodes EXACTLY its own batch — one quality pass
-    *     per asset (per frame for video) plus two signature passes per
-    *     post-quality asset (within-day pairs + store probe), zero
+    *     per asset (per frame for video) plus ONE signature pass per
+    *     post-quality asset (the within-day pairs and the store probe
+    *     share each kind's cached raw signature frame), zero
     *     history decodes (history is bloom bytes / band keys / signature
     *     rows / probed index cells by construction) — and a tracked
     *     probe releases every cache it created (storage-flat loop). */
@@ -2208,24 +2218,35 @@ object OpsQueries {
     val emb = pinInput(dailyEmb(s, d, IngestDays))
     val bench = dailyBench(s, d)
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
-    DailyIngest.run(s, docs, media, bench, root, IngestDays, cfg,
-      emb = Some(emb))
-    val benchBloom = graft.text.TextQueries
-      .benchContaminationBloom(bench, fpp = 1e-4)
-    val (txt, med, caches) = DailyIngest.probeDayTracked(s,
-      docs.where(col("day") === IngestDays),
-      media.where(col("day") === IngestDays), root,
-      benchBloom = benchBloom,
-      dayEmb = Some(emb.where(col("day") === IngestDays).drop("day")),
-      cfg = cfg)
-    val out = txt.select(col("doc_id").as("id"), lit("text").as("family"))
-      .unionByName(med.select(col("media_id").as("id"), lit("media").as("family")))
-    // materialize while the caches live, then release them — survivor
-    // ids are a bounded set (hundreds), not day-sized data
-    val rows = out.collect()
-    DailyIngest.sweepCaches(s, rddsBefore, caches)
-    benchBloom.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    // pin-to-sweep span under try/finally: a gate/collect failure
+    // mid-query must not strand the day-sized pinned blocks (plus the
+    // probe caches) in storage for the session
+    var caches: Seq[DataFrame] = Nil
+    var benchBloom: Option[org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]] = None
+    try {
+      DailyIngest.run(s, docs, media, bench, root, IngestDays, cfg,
+        emb = Some(emb))
+      val bb = graft.text.TextQueries
+        .benchContaminationBloom(bench, fpp = 1e-4)
+      benchBloom = Some(bb)
+      val (txt, med, cs) = DailyIngest.probeDayTracked(s,
+        docs.where(col("day") === IngestDays),
+        media.where(col("day") === IngestDays), root,
+        benchBloom = bb,
+        dayEmb = Some(emb.where(col("day") === IngestDays).drop("day")),
+        cfg = cfg)
+      caches = cs
+      val out = txt.select(col("doc_id").as("id"), lit("text").as("family"))
+        .unionByName(med.select(col("media_id").as("id"), lit("media").as("family")))
+      // materialize while the caches live, then release them — survivor
+      // ids are a bounded set (hundreds), not day-sized data
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      DailyIngest.sweepCaches(s, rddsBefore, caches)
+      benchBloom.foreach(_.destroy())
+    }
   } { (s, d, res) =>
     import graft.examples.DailyIngest
     import graft.multimodal.{Codec, Multimodal}
@@ -2492,20 +2513,20 @@ object OpsQueries {
     val pqToday = postQ.where(col("day") === D)
       .select("media_id").collect().map(_.getLong(0)).toSet
     // per-asset budget: one quality pass over EVERY asset (per frame
-    // for video), then signature passes over post-quality assets only —
-    // ONE for images (storeParityMediaPairs caches imageSigRows
-    // directly and the store probe's capture-free identical plan reuses
-    // that cache entry: both consumers share a single decode pass),
-    // TWO for audio/video (their pair operators cache a post-select
-    // frame the probe's raw builder cannot match)
+    // for video), then ONE signature pass per post-quality asset for
+    // EVERY kind (r20): storeParityMediaPairs caches the raw per-kind
+    // builder frames (imageSigRows / videoSigRows / audioSigRows) and
+    // the store probe's capture-free identical plans resolve to those
+    // cache entries — the within-day pairs and the store probe share a
+    // single decode pass per kind. Video bills per SAMPLED frame
+    // (stride 2 → (nf+1)/2 decodeImage calls per asset).
     val expected = todayMediaDf
       .select(col("media_id"), col("kind"), col("n_frames"))
       .collect().map { r =>
         val (id, kind, nf) = (r.getLong(0), r.getString(1), r.getInt(2))
         val quality = if (kind == "video") nf.toLong else 1L
         val sigPass = kind match {
-          case "video" => 2L * ((nf + 1) / 2)
-          case "audio" => 2L
+          case "video" => ((nf + 1) / 2).toLong
           case _       => 1L
         }
         quality + (if (pqToday(id)) sigPass else 0L)
@@ -2585,16 +2606,23 @@ object OpsQueries {
     val D = 3 // the planted-fixture day count; rebuild lands after day 1
     val root = dailyRoot(s, d) + "_rebuild"
     val rddsAtStart = graft.examples.DailyIngest.rddIds(s)
-    val docs = pinInput(dailyDocs(s, d, D))
-    val emb = pinInput(dailyEmb(s, d, D))
+    // ledger-conditional pin + bloom (see ingestAudit): the steady-
+    // state rep short-circuits every ingestDay on its marker — neither
+    // the fixtures nor the bench bloom are ever read then
+    val done = DailyIngest.allDaysIngested(s, root, D + 1)
+    val pin: DataFrame => DataFrame = if (done) identity else pinInput
+    val docs = pin(dailyDocs(s, d, D))
+    val emb = pin(dailyEmb(s, d, D))
     val bench = dailyBench(s, d)
     val media = dailyMedia(s, d, D).where(lit(false))
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
-    val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    val bloom =
+      if (done) None
+      else Some(graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4))
     try {
       (0 to 1).foreach { i =>
         DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
-          root, i, cfg, benchBloom = Some(bloom),
+          root, i, cfg, benchBloom = bloom,
           dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
       }
       // stage the retiring generation's centers for the gate's
@@ -2607,11 +2635,11 @@ object OpsQueries {
         IvfIndex.rebuild(s, DailyIngest.embStore(root), newNlist = 32)
       (2 to D).foreach { i =>
         DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
-          root, i, cfg, benchBloom = Some(bloom),
+          root, i, cfg, benchBloom = bloom,
           dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
       }
     } finally {
-      bloom.destroy()
+      bloom.foreach(_.destroy())
       // pins + any run() leftovers released: the returned frame reads
       // only the per-day parquet outputs, never the pinned inputs
       DailyIngest.sweepCaches(s, rddsAtStart, Nil)
@@ -2748,16 +2776,23 @@ object OpsQueries {
       .withColumn("day", lit(1).cast("int"))
       .withColumn("url",
         concat(lit("https://surge.ex/s/"), col("doc_id").cast("string")))
-    val docs = pinInput(
+    // ledger-conditional pin + bloom (see ingestAudit): the steady-
+    // state rep short-circuits every ingestDay on its marker and reads
+    // only the staged gate parquet — fixtures and bloom untouched then
+    val done = DailyIngest.allDaysIngested(s, root, D + 1)
+    val pin: DataFrame => DataFrame = if (done) identity else pinInput
+    val docs = pin(
       docs0.unionByName(surgeDocs.select(docs0.columns.map(col): _*)))
-    val embBase = pinInput(dailyEmb(s, d, D))
+    val embBase = pin(dailyEmb(s, d, D))
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
-    val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    val bloom =
+      if (done) None
+      else Some(graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4))
     val store = DailyIngest.embStore(root)
     val gateStage = s"$root/_gate/plan_before.parquet"
     try {
       DailyIngest.ingestDay(s, docs.where(col("day") === 0), media, bench,
-        root, 0, cfg, benchBloom = Some(bloom),
+        root, 0, cfg, benchBloom = bloom,
         dayEmb = Some(embBase.where(col("day") === 0).drop("day"))): Unit
       // the surge region is anchored on a TRAINED center of the day-0
       // quantizer (read from the live store) rather than a fixed axis
@@ -2798,7 +2833,7 @@ object OpsQueries {
         .withColumn("day", lit(1).cast("int")))
       (1 to 1).foreach { i =>
         DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
-          root, i, cfg, benchBloom = Some(bloom),
+          root, i, cfg, benchBloom = bloom,
           dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
       }
       // stage the pre-rebuild policy verdicts (the gen0_centers pattern:
@@ -2838,7 +2873,7 @@ object OpsQueries {
       val stagedAfter = s.read.parquet(afterStage).head
       (2 to D).foreach { i =>
         DailyIngest.ingestDay(s, docs.where(col("day") === i), media, bench,
-          root, i, cfg, benchBloom = Some(bloom),
+          root, i, cfg, benchBloom = bloom,
           dayEmb = Some(emb.where(col("day") === i).drop("day"))): Unit
       }
       val surgeKept = s.read.parquet(DailyIngest.textOut(root, 1))
@@ -2860,7 +2895,7 @@ object OpsQueries {
         .withColumn("surge_kept", lit(surgeKept))
         .withColumn("surge_n", lit(n))
     } finally {
-      bloom.destroy()
+      bloom.foreach(_.destroy())
       // pins released: the returned frame reads only parquet outputs
       DailyIngest.sweepCaches(s, rddsAtStart, Nil)
     }
@@ -2939,6 +2974,10 @@ object OpsQueries {
     val bench = dailyBench(s, d)
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
     val bloom = graft.text.TextQueries.benchContaminationBloom(bench, fpp = 1e-4)
+    // pin-to-sweep span under try/finally (the dailyIngest discipline):
+    // a gate/collect failure mid-query must not strand the pinned
+    // fixture blocks or the probe caches in storage for the session
+    var probeCaches: Seq[DataFrame] = Nil
     try {
       prof("td: bloom built")
       (0 to D).foreach { i =>
@@ -3063,12 +3102,14 @@ object OpsQueries {
       val (ptxt, pmed, caches1) = DailyIngest.probeDayTracked(s, probeDocs,
         probeMedia, root, benchBloom = bloom,
         dayEmb = Some(probeEmb), cfg = cfg)
+      probeCaches ++= caches1
       prof("td: probe day 1 (lazy)")
       val (ptxt2, _, caches2) = DailyIngest.probeDayTracked(s,
         pinInput(recrawlDocs(shedTwins, tr, "trecrawl")),
         probeMedia.where(lit(false)),
         root, benchBloom = bloom,
         dayEmb = Some(embAll.drop("day").limit(0)), cfg = cfg)
+      probeCaches ++= caches2
       val out = ptxt.select(col("doc_id").as("id"), lit("text").as("family"))
         .unionByName(ptxt2.select(col("doc_id").as("id"), lit("text2").as("family")))
         .unionByName(pmed.select(col("media_id").as("id"), lit("media").as("family")))
@@ -3082,9 +3123,11 @@ object OpsQueries {
       prof("td: probe day 2 (lazy)")
       val rows = out.collect()
       prof("td: union collect")
-      DailyIngest.sweepCaches(s, rddsAtStart, caches1 ++ caches2)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally bloom.destroy()
+    } finally {
+      DailyIngest.sweepCaches(s, rddsAtStart, probeCaches)
+      bloom.destroy()
+    }
   } { (s, d, res) =>
     import graft.examples.DailyIngest
     import graft.multimodal.SignatureStore
@@ -3268,12 +3311,17 @@ object OpsQueries {
     val D = IngestDays
     val root = dailyRoot(s, d) + "_audit"
     val rddsAtStart = DailyIngest.rddIds(s)
-    val docs = pinInput(dailyDocs(s, d, D))
-    val media = pinInput(dailyMedia(s, d, D))
-    val emb = pinInput(dailyEmb(s, d, D))
+    // ledger-conditional pinning: the steady-state bench rep short-
+    // circuits every day on its marker and never evaluates the fixture
+    // frames — an unconditional eager pin materialized day-sized inputs
+    // per rep for nothing (measured r19: 1.24 → 2.7–3.6 s on this query)
+    val pin: DataFrame => DataFrame =
+      if (DailyIngest.allDaysIngested(s, root, D + 1)) identity else pinInput
+    val docs = pin(dailyDocs(s, d, D))
+    val media = pin(dailyMedia(s, d, D))
+    val emb = pin(dailyEmb(s, d, D))
     val bench = dailyBench(s, d)
     val cfg = DailyIngest.IngestConfig(bloomCapacity = dailyBloomCapacity(s, d))
-    DailyIngest.run(s, docs, media, bench, root, D + 1, cfg, emb = Some(emb))
     def dirMd5(p: String): String = {
       val f = new java.io.File(p)
       if (!f.exists()) "absent"
@@ -3288,11 +3336,16 @@ object OpsQueries {
     def logsMd5 = (0 to D).map(i =>
       dirMd5(DailyIngest.dropLogOut(root, i)) + "|" +
         dirMd5(DailyIngest.mediaDropLogOut(root, i))).mkString(";")
-    val snap = logsMd5
-    DailyIngest.run(s, docs, media, bench, root, D + 1, cfg, emb = Some(emb))
-    val rerunStable = logsMd5 == snap
-    // pins released: the returned frame reads only the drop-log parquet
-    DailyIngest.sweepCaches(s, rddsAtStart, Nil)
+    // pins swept in finally (not after a straight-line span): a gate
+    // or ingest failure mid-query must not strand the day-sized pinned
+    // blocks for the session — the returned frame reads only the
+    // drop-log parquet, never the pins
+    val rerunStable = try {
+      DailyIngest.run(s, docs, media, bench, root, D + 1, cfg, emb = Some(emb))
+      val snap = logsMd5
+      DailyIngest.run(s, docs, media, bench, root, D + 1, cfg, emb = Some(emb))
+      logsMd5 == snap
+    } finally DailyIngest.sweepCaches(s, rddsAtStart, Nil)
     val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id bigint, reason string")
     val mediaSchema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -3452,7 +3505,13 @@ object OpsQueries {
     val D = 2
     val root = dailyRoot(s, d) + "_budget"
     val rddsAtStart = DailyIngest.rddIds(s)
-    val docs = pinInput(dailyDocs(s, d, D))
+    // ledger-conditional pin (see ingestAudit): the steady-state rep
+    // short-circuits every day — only the budget aggregate below reads
+    // docs then, and it is cheaper against the raw pruned plan (day
+    // filter + text column only) than against a full eager pin
+    val docs =
+      if (DailyIngest.allDaysIngested(s, root, D + 1)) dailyDocs(s, d, D)
+      else pinInput(dailyDocs(s, d, D))
     val media = dailyMedia(s, d, D).where(lit(false))
     val bench = dailyBench(s, d)
     // /8 of the day-0 INCOMING mass: the cap must undercut the
@@ -3465,9 +3524,9 @@ object OpsQueries {
     val cfg = DailyIngest.IngestConfig(
       bloomCapacity = dailyBloomCapacity(s, d),
       dailyBpeBudget = Some(budget))
-    DailyIngest.run(s, docs, media, bench, root, D + 1, cfg)
+    try DailyIngest.run(s, docs, media, bench, root, D + 1, cfg)
     // pins released: the returned frame reads only the per-day outputs
-    DailyIngest.sweepCaches(s, rddsAtStart, Nil)
+    finally DailyIngest.sweepCaches(s, rddsAtStart, Nil)
     (0 to D).map(i =>
       s.read.parquet(DailyIngest.textOut(root, i))
         .select(col("doc_id"), col("source"), col("n_bpe"),
