@@ -279,8 +279,12 @@ object MultimodalQueries {
     * set — the two implementations of the same contract may not diverge
     * on a single asset. */
   val phashNovelty: Q = Q.gated("multimodal_phash_novelty") { (s, d) =>
+    // cached: perceptualNoveltyBatch consumes incoming three times
+    // (signature builder, verify payload join, survivors barrier) and
+    // incoming carries the re-encode/synthesis UDFs — one
+    // materialization feeds all three (r20; unmanaged cache)
     Multimodal.perceptualNoveltyBatch(
-        noveltyIncoming(s, d), Multimodal.syntheticMedia(s, d))
+        noveltyIncoming(s, d).cache(), Multimodal.syntheticMedia(s, d))
       .select(col("media_id"), col("kind"))
   } { (s, d, res) =>
     val incoming = noveltyIncoming(s, d)
@@ -467,8 +471,13 @@ object MultimodalQueries {
   val avNovelty: Q = Q.gated("multimodal_av_novelty") { (s, d) =>
     val dir = storePath(s, d, "store_av")
     buildStoreIfAbsent(s, dir, Multimodal.syntheticMedia(s, d))
-    SignatureStore.noveltyAgainstStore(
-        noveltyIncomingAllKinds(s, d), SignatureStore.load(s, dir))
+    // cached: the novelty anti-join evaluates incoming twice (the
+    // survivors barrier plus the three per-kind signature builders),
+    // and incoming is a synthesis-UDF-heavy plan (JPEG re-encode
+    // twins) — one materialization feeds both (r20; unmanaged cache —
+    // the jaccardPairs storage-LRU lifetime contract)
+    val incoming = noveltyIncomingAllKinds(s, d).cache()
+    SignatureStore.noveltyAgainstStore(incoming, SignatureStore.load(s, dir))
       .select(col("media_id"), col("kind"))
   } { (s, d, res) =>
     val incoming = noveltyIncomingAllKinds(s, d)
@@ -523,7 +532,10 @@ object MultimodalQueries {
   val benchmarkDecontam: Q = Q.gated("multimodal_benchmark_decontam") { (s, d) =>
     val dir = storePath(s, d, "store_bench")
     buildStoreIfAbsent(s, dir, benchCohort(s, d))
-    val training = trainingWithBenchLeakage(s, d)
+    // cached: the census join evaluates training twice (the survivors
+    // barrier plus the three per-kind signature builders) over a
+    // synthesis-UDF-heavy plan — one materialization feeds both (r20)
+    val training = trainingWithBenchLeakage(s, d).cache()
     val flagged = SignatureStore.matchedAgainstStore(
       training, SignatureStore.load(s, dir))
     Multimodal.survivorsBarrier(training, "bench_decontam_in")

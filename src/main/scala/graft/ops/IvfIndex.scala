@@ -638,9 +638,14 @@ object IvfIndex {
     val markerPath = new org.apache.hadoop.fs.Path(root, RebuildMarker)
     val oldGen = generation(spark, dir)
     // retried appends leave byte-identical posting copies; the rebuild
-    // is the other maintenance pass that collapses them
+    // is the other maintenance pass that collapses them. PERSISTED:
+    // four consumers (k-means fit fill, holdout decision's two probes,
+    // the full re-assignment) each re-ran the distinct's shuffle from
+    // the parquet scan — one materialization feeds them all (r20;
+    // value-identical, the cache is released in finally)
     val vecs = spark.read.parquet(s"$dir/postings.parquet")
       .select(col("id"), col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainOn =
       if (trainFraction >= 1.0) vecs
       else vecs.where(pmod(hash(col("id")), lit(1000)) <
@@ -681,7 +686,7 @@ object IvfIndex {
       writeFileAtomic(hfs, new org.apache.hadoop.fs.Path(
           s"$staging/$QuantizerFile"),
         s"generation=${oldGen + 1}\nnlist=$newNlist\n")
-    } finally assigned.unpersist()
+    } finally { assigned.unpersist(); vecs.unpersist() }
     // the point of no return: staging is COMPLETE, readers now throw
     // until the swap finishes, and any crash after this rolls forward
     writeFileAtomic(hfs, markerPath, s"from_generation=$oldGen\n")
@@ -922,9 +927,14 @@ object IvfIndex {
           else {
             val a = sub(0); val b = sub(1)
             val toB = udf { (v: Seq[Double]) => d2(v, b) < d2(v, a) } // tie → A
-            val total = cellRows.count()
-            val nb = cellRows.where(toB(col("v"))).count()
-            (total - nb, nb)
+            // ONE aggregate for both side masses (was a count() per
+            // side — two jobs over the cached cell for one pass's worth
+            // of information; the per-job floor is what prices this
+            // driver-sequential loop)
+            val r = cellRows.agg(count(lit(1)).as("t"),
+              coalesce(sum(when(toB(col("v")), 1L).otherwise(0L)), lit(0L))
+                .as("nb")).head
+            (r.getLong(0) - r.getLong(1), r.getLong(1))
           }
         // an empty SIDE is as unsplittable as equal centers: Lloyd's
         // can end with distinct final centers yet every row strictly
@@ -941,10 +951,18 @@ object IvfIndex {
           val a = sub(0); val b = sub(1)
           val newIdx = newCenters.length
           val toB = udf { (v: Seq[Double]) => d2(v, b) < d2(v, a) }
-          cellRows.where(!toB(col("v")))
-            .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$c")
-          cellRows.where(toB(col("v")))
-            .write.mode("overwrite").parquet(s"$staging/postings_delta/cell=$newIdx")
+          // ONE partitioned write per component pair (was one write per
+          // side — two jobs each scanning the cached cell): the side
+          // decision becomes the partition value, so both staged cell
+          // directories land from a single pass. mode=append is safe —
+          // victims write DISJOINT cell values and the staging root was
+          // cleared above; file schema under each cell dir is identical
+          // to the former per-dir form (the partition column never
+          // lands in the files).
+          val sideCell = when(toB(col("v")), lit(newIdx)).otherwise(lit(c))
+          cellRows.withColumn("cell", sideCell)
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$staging/postings_delta")
           pqBooksOpt.foreach { books =>
             val ua = unitCtrs(Array(a))(0)
             val ub = unitCtrs(Array(b))(0)
@@ -952,12 +970,13 @@ object IvfIndex {
               encodeOne(v, nrm, ua, books).toSeq }
             val encB = udf { (v: Seq[Double], nrm: Double) =>
               encodeOne(v, nrm, ub, books).toSeq }
-            cellRows.where(!toB(col("v")))
-              .select(col("id"), encA(col("v"), col("nrm")).as("codes"))
-              .write.mode("overwrite").parquet(s"$staging/pq_delta/cell=$c")
-            cellRows.where(toB(col("v")))
-              .select(col("id"), encB(col("v"), col("nrm")).as("codes"))
-              .write.mode("overwrite").parquet(s"$staging/pq_delta/cell=$newIdx")
+            cellRows
+              .select(col("id"),
+                when(toB(col("v")), encB(col("v"), col("nrm")))
+                  .otherwise(encA(col("v"), col("nrm"))).as("codes"),
+                sideCell.as("cell"))
+              .write.mode("append").partitionBy("cell")
+              .parquet(s"$staging/pq_delta")
           }
           newCenters(c) = a
           newCenters += b

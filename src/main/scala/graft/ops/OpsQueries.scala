@@ -531,25 +531,33 @@ object OpsQueries {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val dir = java.nio.file.Files.createTempDirectory("ivf-policy").toString
+    prof("po: start")
     IvfIndex.build(emb.where(pmod(col("vec_id"), lit(10)) < 6), dir, nlist = 4)
+    prof("po: build nlist=4 (60%)")
     IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)).isin(6, 7)), dir)
+    prof("po: quiet append")
     // window 2 everywhere: the two shifted appends below must OWN the
     // drift verdict (a longer window would dilute them with the quiet
     // append's row)
     val quiet = IvfIndex.rebuildAdvice(s, dir,
       targetPostingsPerCell = 1L << 20, driftWindow = 2)
+    prof("po: advice quiet")
     IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === 8)
       .withColumn("embedding", expr("transform(embedding, x -> x + 0.5f)")), dir)
     IvfIndex.append(emb.where(pmod(col("vec_id"), lit(10)) === 9)
       .withColumn("embedding", expr("transform(embedding, x -> x + 0.5f)")), dir)
+    prof("po: 2 shifted appends")
     val drifted = IvfIndex.rebuildAdvice(s, dir,
       targetPostingsPerCell = 1L << 20, driftWindow = 2)
     // capacity: a per-cell budget the corpus has outgrown
     val tight = IvfIndex.rebuildAdvice(s, dir,
       targetPostingsPerCell = 50, driftWindow = 2)
+    prof("po: advice drifted+tight")
     IvfIndex.rebuild(s, dir, newNlist = tight.suggestedNlist)
+    prof("po: rebuild to suggested nlist")
     val after = IvfIndex.rebuildAdvice(s, dir,
       targetPostingsPerCell = 50, driftWindow = 2)
+    prof("po: advice after")
     Seq(quiet -> "quiet", drifted -> "drifted", tight -> "tight",
         after -> "after")
       .map { case (a, stage) => (stage, a.generation, a.nlist, a.postings,
